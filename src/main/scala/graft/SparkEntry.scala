@@ -1,13 +1,652 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.{HashEmbedder, TextAnalysis}
+import graft.operators.{Dedup, Ingest, Retrieval, Sessions}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Query names carry the SURVEY.md §2 operator ids they cover so the
+  * inventory can be line-checked. Every oracle-checked query:
+  *   - orders its output by a unique key (deterministic hash compare),
+  *   - rounds floating-point aggregates identically on both sides,
+  *   - passes time cutoffs as literals (never wall-clock),
+  *   - aligns Spark and DuckDB output column names AND types
+  *     (DuckDB `count` is BIGINT like Spark; `SUM(BIGINT)` must be cast
+  *     down from HUGEINT; `length`/`row_number` cast down to INT).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  // Literal time cutoffs (events span 2024-01-01 .. 2024-01-30 at all SFs).
+  private val RetentionCutoff = "2024-01-15 00:00:00" // O-13 (30-day retention analog)
+  private val ExpiryCutoff    = "2024-01-30 12:00:00" // J-4/A-5 (24h session timeout analog)
+  private val ActiveCutoff    = "2024-01-25 00:00:00" // A-3 (last-24h activity analog)
+
+  /** Flagship query (§3.1 chat read path, batch analog) on sf0.001:
+    * per-session last-10 history window → chronological →
+    * unnest to (role, content) message rows. Driver smoke-checks rows>0.
+    */
+  def entry(spark: SparkSession): DataFrame = {
+    val logs = Tables.events(spark, "/root/testdata/sf0.001")
+    Sessions.toMessages(Sessions.lastNPerSession(logs, 10))
+      .orderBy(col("user_id"), col("ts"), col("event_id"), desc("role"))
+  }
+
+  // ------------------------------------------------------------------ //
+  //  Query registry                                                    //
+  // ------------------------------------------------------------------ //
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- relational core: aggregates over lineitem (A-1..A-10 analogs)
+    "q1_pricing_summary" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          round(sum("l_quantity"), 4).as("sum_qty"),
+          round(sum("l_extendedprice"), 4).as("sum_base_price"),
+          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4).as("sum_disc_price"),
+          round(avg("l_quantity"), 6).as("avg_qty"),
+          round(avg("l_discount"), 6).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+
+    "q3_top_revenue_orders" -> ((s, dir) => {
+      val c = Tables.customer(s, dir).filter(col("c_mktsegment") === "BUILDING")
+      val o = Tables.orders(s, dir).filter(col("o_orderdate") < lit("1999-01-01").cast("timestamp"))
+      val l = Tables.lineitem(s, dir).filter(col("l_shipdate") > lit("1999-01-01").cast("timestamp"))
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4).as("revenue"))
+        .orderBy(desc("revenue"), col("l_orderkey"))
+        .limit(10)
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+    }),
+
+    "q5_revenue_by_nation" -> ((s, dir) => {
+      val l = Tables.lineitem(s, dir)
+      val o = Tables.orders(s, dir)
+      val c = Tables.customer(s, dir)
+      val sup = Tables.supplier(s, dir)
+      val n = Tables.nation(s, dir)
+      val r = Tables.region(s, dir).filter(col("r_name") === "ASIA")
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .join(c, col("o_custkey") === col("c_custkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4).as("revenue"))
+        .orderBy(desc("revenue"), col("n_name"))
+    }),
+
+    // J-1: small-dimension broadcast equi-join (chunk↔file association analog)
+    "j1_broadcast_brand_revenue" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .join(broadcast(Tables.part(s, dir)), col("l_partkey") === col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(round(sum("l_extendedprice"), 4).as("revenue"), count(lit(1)).as("n_items"))
+        .orderBy("p_brand")
+    }),
+
+    // ---- session/log analytics over events (S-1, T-12, A-2..A-6, J-4, O-13)
+    "s1_history_last10" -> ((s, dir) => {
+      Sessions.lastNPerSession(Tables.events(s, dir), 10)
+        .select("user_id", "event_id", "ts", "event_type")
+        .orderBy("user_id", "ts", "event_id")
+    }),
+
+    "t12_unnest_messages" -> ((s, dir) => {
+      Sessions.toMessages(Tables.events(s, dir))
+        .select("user_id", "event_id", "role", "content")
+        .orderBy(col("event_id"), desc("role"))
+    }),
+
+    "a4_session_stats" -> ((s, dir) => {
+      Sessions.sessionStats(Tables.events(s, dir)).orderBy("user_id")
+    }),
+
+    "a10_activity_stats" -> ((s, dir) => {
+      Sessions.activityStats(Tables.events(s, dir), ActiveCutoff)
+    }),
+
+    "a5_expired_sessions" -> ((s, dir) => {
+      Sessions.expiredSessions(Tables.events(s, dir), ExpiryCutoff).orderBy("user_id")
+    }),
+
+    "j4_purge_expired" -> ((s, dir) => {
+      Sessions.purgeExpired(Tables.events(s, dir), ExpiryCutoff)
+        .select("event_id", "user_id", "event_type")
+        .orderBy("event_id")
+    }),
+
+    "o13_retention" -> ((s, dir) => {
+      Sessions.retain(Tables.events(s, dir), RetentionCutoff)
+        .select("event_id", "ts", "user_id", "event_type", "value")
+        .orderBy("event_id")
+    }),
+
+    // ---- ingest / dedup identity (T-5, T-6, J-3/O-8)
+    "t5_content_hash" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .select(col("doc_id"), Ingest.contentHash(col("text")).as("file_hash"))
+        .orderBy("doc_id")
+    }),
+
+    "t6_exact_dedup" -> ((s, dir) => {
+      Dedup.exact(Tables.documents(s, dir)).orderBy("keep_doc_id")
+    }),
+
+    "j3_dedup_gate" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .withColumn("file_hash", Ingest.contentHash(col("text")))
+      val catalog = docs.filter(col("doc_id") < 250)
+      Ingest.dedupGate(docs, catalog, "file_hash")
+        .select("doc_id", "file_hash")
+        .orderBy("doc_id")
+    }),
+
+    // ---- validation predicates & projections (P-1..P-16)
+    "p1_file_validation" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+        .withColumn("raw_name",
+          concat(lit("up/"), col("source"), lit(" doc("), col("doc_id"), lit(").PDF")))
+      d.select(
+        col("doc_id"),
+        col("raw_name"),
+        Ingest.validExtension(col("raw_name")).as("ok_ext"),
+        Ingest.validSize(col("n_chars")).as("ok_size"),
+        Ingest.sanitizeFilename(col("raw_name")).as("sanitized"))
+        .orderBy("doc_id")
+    }),
+
+    "p5_query_validation" -> ((s, dir) => {
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        Ingest.validQuery(col("text")).as("ok_query"),
+        Ingest.validSessionId(col("source")).as("ok_session"))
+        .orderBy("doc_id")
+    }),
+
+    "p13_derived_cost" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .filter(col("event_type") === "purchase")
+        .agg(count(lit(1)).as("total_messages"))
+        .select(
+          col("total_messages"),
+          (col("total_messages") * 4).as("old_api_calls"),
+          (col("total_messages") * 3).as("new_api_calls"),
+          col("total_messages").as("calls_saved"))
+    }),
+
+    "p14_preview" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          concat(substring(col("text"), 1, 50), lit("...")).as("preview"))
+        .orderBy("doc_id")
+    }),
+
+    "p16_time_format" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .withColumn("secs", floor(col("value")).cast("long"))
+        .select(
+          col("event_id"),
+          format_string("%02dh %02dm %02ds",
+            expr("secs div 3600"),
+            expr("(secs % 3600) div 60"),
+            expr("secs % 60")).as("elapsed"))
+        .orderBy("event_id")
+    }),
+
+    // ---- scalar surface: JSON + emotion domain (T-10 analog, P-10)
+    "t10_json_extract" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .select(col("event_id"),
+          get_json_object(col("props"), "$.k").cast("int").as("k"))
+        .orderBy("event_id")
+    }),
+
+    "p10_emotion_normalize" -> ((s, dir) => {
+      val valid = Seq("happy", "explaining", "thinking", "encouraging", "neutral")
+      Tables.events(s, dir)
+        .select(col("event_id"),
+          when(lower(col("event_type")).isin(valid: _*), lower(col("event_type")))
+            .otherwise("neutral").as("emotion"))
+        .orderBy("event_id")
+    }),
+
+    // ---- sorts / top-k (S-3, S-4)
+    "s3_recency_sort" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .select("doc_id", "source", "n_chars")
+        .orderBy(desc("n_chars"), col("doc_id"))
+        .limit(20)
+    }),
+
+    "s4_topk_by_score" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .select("event_id", "user_id", "value")
+        .orderBy(desc("value"), col("event_id"))
+        .limit(5)
+    }),
+
+    // ---- counters (A-6)
+    "a6_event_counters" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .groupBy("event_type")
+        .agg(
+          count(lit(1)).as("n_requests"),
+          count(when(col("value") > 500.0, 1)).as("n_big"))
+        .orderBy("event_type")
+    }),
+
+    // ---- document transforms (T-1, T-2, T-3, A-7)
+    "t1_split_chunks" -> ((s, dir) => {
+      Ingest.splitIntoChunks(Tables.documents(s, dir), chunkSize = 100, overlap = 20)
+        .select("file_id", "chunk_index", "total_chunks", "chunk_id", "chunk_text")
+        .orderBy("file_id", "chunk_index")
+    }),
+
+    "t1b_chunk_fixed" -> ((s, dir) => {
+      // Fixed-width non-overlapping chunker (ANSI-SQL-expressible variant).
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          posexplode(transform(
+            sequence(lit(0), (length(col("text")) + 99).divide(100).cast("int") - 1),
+            i => col("text").substr(i * 100 + 1, lit(100))))
+            .as(Seq("chunk_index", "chunk_text")))
+        .orderBy("doc_id", "chunk_index")
+    }),
+
+    "a7_chunks_per_file" -> ((s, dir) => {
+      Ingest.splitIntoChunks(Tables.documents(s, dir), chunkSize = 100, overlap = 20)
+        .groupBy("file_id")
+        .agg(count(lit(1)).as("n_chunks"))
+        .orderBy("file_id")
+    }),
+
+    "t3_embed_documents" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .select(col("doc_id"), HashEmbedder.embedCol(col("text")).as("embedding"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- vector retrieval (T-4/J-2/S-4, T-7)
+    "t4_knn_cosine" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val queries = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"))
+      Retrieval.knnJoin(queries, emb, k = 2)
+        .withColumn("sim", round(col("sim"), 6))
+        .orderBy("query_id", "rank")
+    }),
+
+    "t7_stuff_context" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val docs = Tables.documents(s, dir)
+      val queries = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"))
+      val topk = Retrieval.knnJoin(queries, emb, k = 2)
+        .join(docs.select(col("doc_id").as("vec_id"), col("text")), "vec_id")
+      Retrieval.stuffContext(topk).orderBy("query_id")
+    }),
+
+    // ---- dedup family (training-data ops)
+    "dedup_ngram_jaccard" -> ((s, dir) => {
+      Dedup.ngramJaccardPairs(
+        Tables.documents(s, dir).filter(col("doc_id") < 200), n = 3, threshold = 0.5)
+        .withColumn("jaccard", round(col("jaccard"), 6))
+        .orderBy("doc_a", "doc_b")
+    }),
+
+    "dedup_minhash_lsh" -> ((s, dir) => {
+      Dedup.minHashLshPairs(Tables.documents(s, dir).filter(col("doc_id") < 200))
+        .withColumn("est_jaccard", round(col("est_jaccard"), 6))
+        .orderBy("doc_a", "doc_b")
+    }),
+
+    "dedup_simhash" -> ((s, dir) => {
+      Dedup.simHashPairs(Tables.documents(s, dir).filter(col("doc_id") < 200), maxHamming = 8)
+        .orderBy("doc_a", "doc_b")
+    }),
+
+    "dedup_embedding_cosine" -> ((s, dir) => {
+      Dedup.embeddingNearDupPairs(Tables.embeddings(s, dir), threshold = 0.4)
+        .withColumn("cos_sim", round(col("cos_sim"), 6))
+        .orderBy("id_a", "id_b")
+    }),
+
+    // ---- text analysis (training-data ops)
+    "text_quality" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      d.select(
+        col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+        round(TextAnalysis.punctRatio(col("text")), 6).as("punct_ratio"),
+        round(TextAnalysis.stopwordRatio(col("text")), 6).as("stopword_ratio"),
+        TextAnalysis.qualityScore(col("text")).as("quality"))
+        .orderBy("doc_id")
+    }),
+
+    "text_tokens" -> ((s, dir) => {
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).as("ws_tokens"),
+        TextAnalysis.bpeishTokenCount(col("text")).as("bpeish_tokens"))
+        .orderBy("doc_id")
+    }),
+
+    "text_langid" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .select(col("doc_id"), TextAnalysis.detectLanguageUdf(col("text")).as("lang_pred"))
+        .orderBy("doc_id")
+    }),
+
+    "text_fingerprint" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          TextAnalysis.fingerprintUdf(col("text")).as("fingerprint"),
+          TextAnalysis.simHashUdf(col("text")).as("simhash"))
+        .orderBy("doc_id")
+    })
+  )
+
+  // ------------------------------------------------------------------ //
+  //  DuckDB oracle SQL (ANSI), one per SQL-expressible query above.    //
+  // ------------------------------------------------------------------ //
+
+  def oracleSql: Map[String, String] = Map(
+    "q1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_quantity), 4) AS sum_qty,
+        |  round(sum(l_extendedprice), 4) AS sum_base_price,
+        |  round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS sum_disc_price,
+        |  round(avg(l_quantity), 6) AS avg_qty,
+        |  round(avg(l_discount), 6) AS avg_disc,
+        |  count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q3_top_revenue_orders" ->
+      """SELECT l_orderkey,
+        |  round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS revenue,
+        |  o_orderdate, o_orderpriority
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1999-01-01 00:00:00'
+        |  AND l_shipdate > TIMESTAMP '1999-01-01 00:00:00'
+        |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY revenue DESC, l_orderkey
+        |LIMIT 10""".stripMargin,
+
+    "q5_revenue_by_nation" ->
+      """SELECT n_name,
+        |  round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |GROUP BY n_name
+        |ORDER BY revenue DESC, n_name""".stripMargin,
+
+    "j1_broadcast_brand_revenue" ->
+      """SELECT p_brand, round(sum(l_extendedprice), 4) AS revenue, count(*) AS n_items
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+
+    "s1_history_last10" ->
+      """SELECT user_id, event_id, ts, event_type FROM (
+        |  SELECT user_id, event_id, ts, event_type,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events) t
+        |WHERE rn <= 10
+        |ORDER BY user_id, ts, event_id""".stripMargin,
+
+    "t12_unnest_messages" ->
+      """SELECT user_id, event_id, role, content FROM (
+        |  SELECT user_id, event_id, 'human' AS role, event_type AS content FROM events
+        |  UNION ALL
+        |  SELECT user_id, event_id, 'ai' AS role, props AS content FROM events) t
+        |ORDER BY event_id, role DESC""".stripMargin,
+
+    "a4_session_stats" ->
+      """SELECT user_id, count(*) AS message_count,
+        |  min(ts) AS first_at, max(ts) AS last_at
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "a10_activity_stats" ->
+      """SELECT count(*) AS total_messages,
+        |  count(DISTINCT user_id) AS total_sessions,
+        |  count(DISTINCT CASE WHEN ts > TIMESTAMP '2024-01-25 00:00:00' THEN user_id END) AS active_sessions
+        |FROM events""".stripMargin,
+
+    "a5_expired_sessions" ->
+      """SELECT user_id FROM events GROUP BY user_id
+        |HAVING max(ts) < TIMESTAMP '2024-01-30 12:00:00'
+        |ORDER BY user_id""".stripMargin,
+
+    "j4_purge_expired" ->
+      """SELECT event_id, user_id, event_type FROM events
+        |WHERE user_id NOT IN (
+        |  SELECT user_id FROM events GROUP BY user_id
+        |  HAVING max(ts) < TIMESTAMP '2024-01-30 12:00:00')
+        |ORDER BY event_id""".stripMargin,
+
+    "o13_retention" ->
+      """SELECT event_id, ts, user_id, event_type, value FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-15 00:00:00'
+        |ORDER BY event_id""".stripMargin,
+
+    "t5_content_hash" ->
+      """SELECT doc_id, sha256(text) AS file_hash FROM documents ORDER BY doc_id""".stripMargin,
+
+    "t6_exact_dedup" ->
+      """SELECT sha256(text) AS file_hash, min(doc_id) AS keep_doc_id, count(*) AS copies
+        |FROM documents GROUP BY sha256(text) ORDER BY keep_doc_id""".stripMargin,
+
+    "j3_dedup_gate" ->
+      """SELECT doc_id, sha256(text) AS file_hash FROM documents i
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM documents c WHERE c.doc_id < 250
+        |    AND sha256(c.text) = sha256(i.text))
+        |ORDER BY doc_id""".stripMargin,
+
+    "p1_file_validation" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    'up/' || source || ' doc(' || CAST(doc_id AS VARCHAR) || ').PDF' AS raw_name,
+        |    n_chars
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, raw_name, n_chars,
+        |    regexp_extract(raw_name, '([^/]*)$', 1) AS base,
+        |    regexp_replace(regexp_extract(raw_name, '([^/]*)$', 1), '[^A-Za-z0-9._-]', '_', 'g') AS cleaned
+        |  FROM d)
+        |SELECT doc_id, raw_name,
+        |  lower(regexp_extract(raw_name, '(\.[^.]+)$', 1)) IN ('.pdf', '.docx', '.html') AS ok_ext,
+        |  n_chars <= 10485760 AS ok_size,
+        |  CASE
+        |    WHEN length(trim(CASE WHEN cleaned LIKE '.%' THEN 'file_' || substr(cleaned, 2) ELSE cleaned END)) = 0
+        |      OR trim(CASE WHEN cleaned LIKE '.%' THEN 'file_' || substr(cleaned, 2) ELSE cleaned END) = '.'
+        |    THEN 'unnamed_file'
+        |    ELSE CASE WHEN cleaned LIKE '.%' THEN 'file_' || substr(cleaned, 2) ELSE cleaned END
+        |  END AS sanitized
+        |FROM s ORDER BY doc_id""".stripMargin,
+
+    "p5_query_validation" ->
+      """SELECT doc_id,
+        |  (length(text) <= 2000 AND trim(text) <> '') AS ok_query,
+        |  regexp_full_match(source, '[A-Za-z0-9-]+') AS ok_session
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "p13_derived_cost" ->
+      """SELECT count(*) AS total_messages,
+        |  count(*) * 4 AS old_api_calls,
+        |  count(*) * 3 AS new_api_calls,
+        |  count(*) AS calls_saved
+        |FROM events WHERE event_type = 'purchase'""".stripMargin,
+
+    "p14_preview" ->
+      """SELECT doc_id, substr(text, 1, 50) || '...' AS preview
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "p16_time_format" ->
+      """SELECT event_id,
+        |  printf('%02dh %02dm %02ds',
+        |    CAST(floor(value) AS BIGINT) // 3600,
+        |    (CAST(floor(value) AS BIGINT) % 3600) // 60,
+        |    CAST(floor(value) AS BIGINT) % 60) AS elapsed
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "t10_json_extract" ->
+      """SELECT event_id, CAST(props->>'$.k' AS INT) AS k
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "p10_emotion_normalize" ->
+      """SELECT event_id,
+        |  CASE WHEN lower(event_type) IN ('happy','explaining','thinking','encouraging','neutral')
+        |       THEN lower(event_type) ELSE 'neutral' END AS emotion
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "s3_recency_sort" ->
+      """SELECT doc_id, source, n_chars FROM documents
+        |ORDER BY n_chars DESC, doc_id LIMIT 20""".stripMargin,
+
+    "s4_topk_by_score" ->
+      """SELECT event_id, user_id, value FROM events
+        |ORDER BY value DESC, event_id LIMIT 5""".stripMargin,
+
+    "a6_event_counters" ->
+      """SELECT event_type, count(*) AS n_requests,
+        |  count(CASE WHEN value > 500.0 THEN 1 END) AS n_big
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "t1b_chunk_fixed" ->
+      """SELECT doc_id, CAST(i AS INT) AS chunk_index,
+        |  substr(text, CAST(i AS INT) * 100 + 1, 100) AS chunk_text
+        |FROM documents, UNNEST(range((length(text) + 99) // 100)) AS t(i)
+        |ORDER BY doc_id, chunk_index""".stripMargin,
+
+    "t4_knn_cosine" ->
+      """WITH q AS (
+        |  SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 5),
+        |scored AS (
+        |  SELECT q.query_id, e.vec_id,
+        |    list_reduce(list_prepend(0.0,
+        |      list_transform(range(64),
+        |        i -> CAST(q.qe[i+1] AS DOUBLE) * CAST(e.embedding[i+1] AS DOUBLE))),
+        |      (a, b) -> a + b)
+        |    / (sqrt(list_reduce(list_prepend(0.0,
+        |         list_transform(q.qe, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (a,b) -> a+b))
+        |     * sqrt(list_reduce(list_prepend(0.0,
+        |         list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (a,b) -> a+b)))
+        |    AS sim
+        |  FROM q CROSS JOIN embeddings e),
+        |ranked AS (
+        |  SELECT query_id, vec_id, sim,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rank
+        |  FROM scored)
+        |SELECT query_id, CAST(rank AS INT) AS rank, vec_id, round(sim, 6) AS sim
+        |FROM ranked WHERE rank <= 2 ORDER BY query_id, rank""".stripMargin,
+
+    "t7_stuff_context" ->
+      """WITH q AS (
+        |  SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 5),
+        |scored AS (
+        |  SELECT q.query_id, e.vec_id,
+        |    list_reduce(list_prepend(0.0,
+        |      list_transform(range(64),
+        |        i -> CAST(q.qe[i+1] AS DOUBLE) * CAST(e.embedding[i+1] AS DOUBLE))),
+        |      (a, b) -> a + b)
+        |    / (sqrt(list_reduce(list_prepend(0.0,
+        |         list_transform(q.qe, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (a,b) -> a+b))
+        |     * sqrt(list_reduce(list_prepend(0.0,
+        |         list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (a,b) -> a+b)))
+        |    AS sim
+        |  FROM q CROSS JOIN embeddings e),
+        |ranked AS (
+        |  SELECT query_id, vec_id,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rank
+        |  FROM scored),
+        |topk AS (
+        |  SELECT r.query_id, r.rank, d.text
+        |  FROM ranked r JOIN documents d ON d.doc_id = r.vec_id
+        |  WHERE r.rank <= 2)
+        |SELECT query_id,
+        |  string_agg(text, chr(10) || chr(10) ORDER BY rank) AS context
+        |FROM topk GROUP BY query_id ORDER BY query_id""".stripMargin,
+
+    "dedup_ngram_jaccard" ->
+      """WITH sh AS (
+        |  SELECT doc_id, unnest(list_distinct(
+        |    [substr(text, i + 1, 3) FOR i IN range(length(text) - 2)])) AS shingle
+        |  FROM documents WHERE doc_id < 200 AND length(text) >= 3),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id)
+        |SELECT doc_a, doc_b,
+        |  round(CAST(inter AS DOUBLE) / CAST(sa.n + sb.n - inter AS DOUBLE), 6) AS jaccard
+        |FROM inter
+        |JOIN sizes sa ON sa.doc_id = doc_a
+        |JOIN sizes sb ON sb.doc_id = doc_b
+        |WHERE CAST(inter AS DOUBLE) / CAST(sa.n + sb.n - inter AS DOUBLE) >= 0.5
+        |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "dedup_embedding_cosine" ->
+      """WITH p AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |    list_reduce(list_prepend(0.0,
+        |      list_transform(range(64),
+        |        i -> CAST(a.embedding[i+1] AS DOUBLE) * CAST(b.embedding[i+1] AS DOUBLE))),
+        |      (x, y) -> x + y)
+        |    / (sqrt(list_reduce(list_prepend(0.0,
+        |         list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (x,y) -> x+y))
+        |     * sqrt(list_reduce(list_prepend(0.0,
+        |         list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (x,y) -> x+y)))
+        |    AS cos_sim
+        |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+        |SELECT id_a, id_b, round(cos_sim, 6) AS cos_sim FROM p
+        |WHERE cos_sim >= 0.4 ORDER BY id_a, id_b""".stripMargin,
+
+    "text_quality" ->
+      """WITH t AS (
+        |  SELECT doc_id, text,
+        |    CASE WHEN length(trim(text)) = 0 THEN 0
+        |         ELSE CAST(len(regexp_split_to_array(trim(text), '\s+')) AS INT) END AS n_tokens,
+        |    CASE WHEN length(text) = 0 THEN 0.0
+        |         ELSE CAST(length(regexp_replace(text, '[^[:punct:]]', '', 'g')) AS DOUBLE)
+        |              / CAST(length(text) AS DOUBLE) END AS punct_ratio,
+        |    CASE WHEN length(trim(text)) = 0 THEN 0.0
+        |         ELSE CAST(len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+        |                x -> list_contains(['the','a','an','and','or','of','to','in','is','it','that','this','for','on','with','as','at','by','be','are'], x))) AS DOUBLE)
+        |              / CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE) END AS stopword_ratio
+        |  FROM documents)
+        |SELECT doc_id, n_tokens,
+        |  round(punct_ratio, 6) AS punct_ratio,
+        |  round(stopword_ratio, 6) AS stopword_ratio,
+        |  round(least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) * 0.4
+        |      + greatest(0.0, 1.0 - punct_ratio * 5.0) * 0.3
+        |      + least(stopword_ratio * 2.5, 1.0) * 0.3, 6) AS quality
+        |FROM t ORDER BY doc_id""".stripMargin,
+
+    "text_tokens" ->
+      """SELECT doc_id,
+        |  CASE WHEN length(trim(text)) = 0 THEN 0
+        |       ELSE CAST(len(regexp_split_to_array(trim(text), '\s+')) AS INT) END AS ws_tokens,
+        |  CAST(len(regexp_extract_all(text, ' ?[\p{L}]+| ?[\p{N}]+| ?[^\s\p{L}\p{N}]+')) AS INT) AS bpeish_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin
+  )
 }

@@ -1,0 +1,205 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import scala.util.hashing.MurmurHash3
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * quality scoring, token counting, language ID, document fingerprinting.
+  *
+  * Everything that can be a native Catalyst expression is one (codegen'd,
+  * pushdown-friendly); only the n-gram language profile and the rolling
+  * fingerprint need Scala functions (exposed as UDFs, applied once per
+  * document — not in any join hot path).
+  */
+object TextAnalysis extends Serializable {
+
+  // ---------------------------------------------------------------- quality
+  /** Stopword list used for the stopword-ratio quality signal. */
+  val Stopwords: Seq[String] = Seq(
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+    "that", "this", "for", "on", "with", "as", "at", "by", "be", "are")
+
+  /** Whitespace-token count; 0 for blank text. Native expression. */
+  def tokenCount(text: Column): Column =
+    when(length(trim(text)) === 0, lit(0))
+      .otherwise(size(split(trim(text), "\\s+")))
+
+  /** GPT2-style regex token count: letter runs, digit runs, punctuation
+    * runs, each with optional leading space. Native expression.
+    */
+  def bpeishTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(" ?[\\p{L}]+| ?[\\p{N}]+| ?[^\\s\\p{L}\\p{N}]+"), lit(0)))
+
+  /** Ratio of punctuation chars to total chars (0 for empty). */
+  def punctRatio(text: Column): Column =
+    when(length(text) === 0, lit(0.0))
+      .otherwise(length(regexp_replace(text, "[^\\p{Punct}]", "")).cast("double") /
+        length(text).cast("double"))
+
+  /** Ratio of stopword tokens to total tokens (0 for empty). */
+  def stopwordRatio(text: Column): Column = {
+    val toks = split(lower(trim(text)), "\\s+")
+    val stops = size(filter(toks, t => t.isin(Stopwords: _*)))
+    when(tokenCount(text) === 0, lit(0.0))
+      .otherwise(stops.cast("double") / tokenCount(text).cast("double"))
+  }
+
+  /** Mean token length in characters (0 for empty). */
+  def meanTokenLen(text: Column): Column =
+    when(tokenCount(text) === 0, lit(0.0))
+      .otherwise(
+        aggregate(split(trim(text), "\\s+"), lit(0L), (acc, t) => acc + length(t)).cast("double") /
+          tokenCount(text).cast("double"))
+
+  /** Composite document quality score in [0,1]: rewards reasonable length,
+    * moderate stopword density and low punctuation noise. A deterministic
+    * stand-in for model-based quality classifiers used in pretraining-data
+    * curation pipelines.
+    */
+  def qualityScore(text: Column): Column = {
+    val lenScore = least(length(text).cast("double") / lit(500.0), lit(1.0))
+    val punctPenalty = greatest(lit(0.0), lit(1.0) - punctRatio(text) * 5.0)
+    val stopScore = least(stopwordRatio(text) * 2.5, lit(1.0))
+    round((lenScore * 0.4 + punctPenalty * 0.3 + stopScore * 0.3), 6)
+  }
+
+  // ---------------------------------------------------------------- langid
+  /** Tiny character-trigram language profiles for a 5-language ID heuristic.
+    * Deterministic, dependency-free; scored by profile-hit counting.
+    */
+  private val LangProfiles: Map[String, Seq[String]] = Map(
+    "en" -> Seq(" th", "the", "he ", " an", "and", "nd ", "ing", "ng ", " of", "of ", " to", "to ", "ion"),
+    "es" -> Seq(" de", "de ", " la", "la ", "os ", " qu", "que", "ue ", " el", "el ", "ión", "ció", " en"),
+    "fr" -> Seq(" de", "de ", " le", "le ", "es ", " la", "et ", " et", "ent", "nt ", "ion", " un", "que"),
+    "de" -> Seq("er ", "en ", " de", "der", "ie ", "die", "ch ", " di", "sch", "ein", "ung", "ich", " un"),
+    "zh" -> Seq() // handled by CJK codepoint detection
+  )
+
+  /** Heuristic language ID over char trigrams; "und" when no profile hits. */
+  def detectLanguage(text: String): String = {
+    if (text == null || text.trim.isEmpty) return "und"
+    val cjk = text.codePoints().toArray.count(cp =>
+      (cp >= 0x4E00 && cp <= 0x9FFF) || (cp >= 0x3400 && cp <= 0x4DBF))
+    if (cjk * 2 >= text.length) return "zh"
+    val t = " " + text.toLowerCase.replaceAll("\\s+", " ") + " "
+    val scores = LangProfiles.collect { case (lang, grams) if grams.nonEmpty =>
+      var s = 0
+      grams.foreach { g =>
+        var idx = t.indexOf(g)
+        while (idx >= 0) { s += 1; idx = t.indexOf(g, idx + 1) }
+      }
+      (lang, s)
+    }
+    val (best, score) = scores.maxBy { case (l, s) => (s, l) }
+    if (score == 0) "und" else best
+  }
+
+  def detectLanguageUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf((s: String) => detectLanguage(s))
+
+  // ----------------------------------------------------------- fingerprint
+  /** 64-bit rolling polynomial document fingerprint (Rabin-Karp style) over
+    * the normalized text — a cheap content identity for exact-dup detection
+    * that is stable under whitespace differences (unlike sha2 over raw
+    * bytes, SURVEY.md T-5).
+    */
+  def fingerprint(text: String): Long = {
+    if (text == null) return 0L
+    val norm = text.toLowerCase.replaceAll("\\s+", " ").trim
+    var h = 1125899906842597L // prime
+    var i = 0
+    while (i < norm.length) { h = 31 * h + norm.charAt(i); i += 1 }
+    h
+  }
+
+  def fingerprintUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf((s: String) => fingerprint(s))
+
+  // -------------------------------------------------------------- shingles
+  /** Character n-gram shingle set as a native expression: distinct sorted
+    * n-char substrings. Used by n-gram Jaccard dedup; expressible in ANSI
+    * SQL so it stays oracle-checkable.
+    */
+  def charShingles(text: Column, n: Int): Column =
+    when(length(text) < n, array().cast("array<string>"))
+      .otherwise(array_sort(array_distinct(
+        transform(
+          sequence(lit(0), length(text) - n),
+          i => text.substr(i + 1, lit(n))))))
+
+  /** Word w-shingles via Scala (for MinHash); lowercased. */
+  def wordShingles(text: String, w: Int): Array[String] = {
+    val ts = HashEmbedder.tokens(text)
+    if (ts.length < w) { if (ts.isEmpty) Array.empty else Array(ts.mkString(" ")) }
+    else ts.sliding(w).map(_.mkString(" ")).toArray
+  }
+
+  // --------------------------------------------------------------- minhash
+  /** MinHash signature of a shingle set: `numHashes` independent
+    * permutations approximated by seeded murmur3.
+    */
+  def minHashSignature(shingles: Array[String], numHashes: Int): Array[Long] = {
+    val sig = Array.fill(numHashes)(Long.MaxValue)
+    var i = 0
+    while (i < shingles.length) {
+      val s = shingles(i)
+      var k = 0
+      while (k < numHashes) {
+        val h = (MurmurHash3.stringHash(s, k * 0x9E3779B9 + 1).toLong & 0xFFFFFFFFL)
+        if (h < sig(k)) sig(k) = h
+        k += 1
+      }
+      i += 1
+    }
+    sig
+  }
+
+  /** Band hashes for LSH banding of a MinHash signature:
+    * (bandIndex, hashOfBandRows). Docs sharing any band hash are candidates.
+    */
+  def bandHashes(sig: Array[Long], bands: Int): Array[(Int, Long)] = {
+    val rows = sig.length / bands
+    Array.tabulate(bands) { b =>
+      var h = 1469598103934665603L
+      var r = b * rows
+      while (r < (b + 1) * rows) { h = (h ^ sig(r)) * 1099511628211L; r += 1 }
+      (b, h)
+    }
+  }
+
+  // --------------------------------------------------------------- simhash
+  /** 64-bit SimHash over word uni+bigram features. Near-dup docs have small
+    * Hamming distance between fingerprints.
+    */
+  def simHash(text: String): Long = {
+    val v = new Array[Int](64)
+    def add(f: String): Unit = {
+      val h1 = MurmurHash3.stringHash(f, 0x51A4)
+      val h2 = MurmurHash3.stringHash(f, 0xC0FE)
+      val h = (h1.toLong << 32) | (h2.toLong & 0xFFFFFFFFL)
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) v(b) += 1 else v(b) -= 1
+        b += 1
+      }
+    }
+    val ts = HashEmbedder.tokens(text)
+    var i = 0
+    while (i < ts.length) {
+      add(ts(i))
+      if (i + 1 < ts.length) add(ts(i) + "_" + ts(i + 1))
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) { if (v(b) > 0) out |= (1L << b); b += 1 }
+    out
+  }
+
+  def simHashUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf((s: String) => simHash(s))
+
+  /** Hamming distance between two 64-bit fingerprints, as a native column. */
+  def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+}

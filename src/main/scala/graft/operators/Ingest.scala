@@ -1,0 +1,106 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.{HashEmbedder, TextSplit}
+
+/** Document ingest pipeline (reference: POST /upload-doc, main.py:305-427):
+  * validate → sanitize → hash → dedup-gate → split → enrich → embed.
+  *
+  * One declarative lineage; each stage is a pure column expression or a
+  * flatMap, so Catalyst prunes/pushes through all of it and the write is
+  * atomic (the reference's cross-store rollback, main.py:400-405,
+  * disappears).
+  */
+object Ingest {
+
+  val AllowedExtensions: Seq[String] = Seq(".pdf", ".docx", ".html") // config.py:27
+  val MaxFileBytes: Long = 10L * 1024 * 1024 // config.py:26
+  val MaxQueryLen = 2000 // config.py:44
+
+  /** P-1: case-insensitive extension allow-list (file_utils.py:59-71). */
+  def validExtension(filename: Column): Column =
+    lower(regexp_extract(filename, "(\\.[^.]+)$", 1)).isin(AllowedExtensions: _*)
+
+  /** P-2: size cap (file_utils.py:123-135). */
+  def validSize(sizeBytes: Column): Column = sizeBytes <= lit(MaxFileBytes)
+
+  /** P-4: filename sanitize (file_utils.py:30-57): strip directories, map
+    * disallowed chars to `_`, guard leading dot / empty.
+    */
+  def sanitizeFilename(name: Column): Column = {
+    val base = element_at(split(name, "/"), -1)
+    val cleaned = regexp_replace(base, "[^A-Za-z0-9._-]", "_")
+    val noLeadingDot =
+      when(cleaned.startsWith("."), concat(lit("file_"), substring(cleaned, 2, 1000000)))
+        .otherwise(cleaned)
+    when(length(trim(noLeadingDot)) === 0 || trim(noLeadingDot) === ".", lit("unnamed_file"))
+      .otherwise(noLeadingDot)
+  }
+
+  /** P-5/P-6: query guards (models.py:25-48). */
+  def validQuery(q: Column): Column =
+    (length(q) <= MaxQueryLen) && (trim(q) =!= "")
+
+  /** P-7: session-id charset (models.py:50-61). */
+  def validSessionId(s: Column): Column = s.rlike("^[A-Za-z0-9-]+$")
+
+  /** P-3: magic-number MIME sniff over leading bytes; fail-open (NULL/unknown
+    * header → accepted), mirroring file_utils.py:115-121.
+    */
+  def mimeMatches(content: Column, ext: Column): Column = {
+    val header = substring(content.cast("string"), 1, 8)
+    val sniffed = when(header.startsWith("%PDF"), lit(".pdf"))
+      .when(header.startsWith("PK"), lit(".docx"))
+      .when(lower(header).startsWith("<"), lit(".html"))
+      .otherwise(lit(null).cast("string"))
+    coalesce(sniffed === lower(ext), lit(true))
+  }
+
+  /** T-5: content identity for dedup — sha2-256 hex (file_utils.py:9-28). */
+  def contentHash(text: Column): Column = sha2(text, 256)
+
+  /** O-8/J-3: dedup gate — incoming rows whose content hash is absent from
+    * the catalog (UNIQUE(file_hash) as a left-anti join,
+    * db_utils.py:221-225). Broadcast-friendly when the catalog side is
+    * small; at scale both sides hash-partition on the hash key.
+    */
+  def dedupGate(incoming: DataFrame, catalog: DataFrame, hashCol: String): DataFrame =
+    incoming.join(catalog.select(hashCol).distinct(), Seq(hashCol), "left_anti")
+
+  /** T-1/T-2: split documents into chunks and enrich with chunk metadata
+    * (chroma_utils.py:82-89, 119-125). `docs` must have (doc_id, text,
+    * source); emits the SURVEY §1.3 chunk schema minus embedding.
+    */
+  def splitIntoChunks(
+      docs: DataFrame,
+      chunkSize: Int = TextSplit.DefaultChunkSize,
+      overlap: Int = TextSplit.DefaultChunkOverlap): DataFrame = {
+    val splitUdf = udf((s: String) =>
+      if (s == null) Array.empty[String] else TextSplit.splitText(s, chunkSize, overlap).toArray)
+    docs
+      .withColumn("chunks", splitUdf(col("text")))
+      .withColumn("total_chunks", size(col("chunks")))
+      .select(
+        col("doc_id").as("file_id"),
+        col("source").as("source_file"),
+        col("total_chunks"),
+        posexplode(col("chunks")).as(Seq("chunk_index", "chunk_text")))
+      .withColumn("chunk_id", concat(col("file_id"), lit("_"), col("chunk_index")))
+  }
+
+  /** T-3: attach an embedding column to chunk rows. */
+  def embedChunks(chunks: DataFrame, textCol: String = "chunk_text"): DataFrame =
+    chunks.withColumn("embedding", HashEmbedder.embedCol(col(textCol)))
+
+  /** Full ingest: validate+hash+dedup+split+embed over a raw documents table
+    * with (doc_id, text, source, n_chars).
+    */
+  def ingest(docs: DataFrame, catalog: DataFrame): DataFrame = {
+    val validated = docs
+      .withColumn("file_hash", contentHash(col("text")))
+      .filter(validSize(col("n_chars")))
+    val fresh = dedupGate(validated, catalog, "file_hash")
+    embedChunks(splitIntoChunks(fresh))
+  }
+}
