@@ -477,10 +477,9 @@ object SparkEntry {
         |  lower(regexp_extract(raw_name, '(\.[^.]+)$', 1)) IN ('.pdf', '.docx', '.html') AS ok_ext,
         |  n_chars <= 10485760 AS ok_size,
         |  CASE
-        |    WHEN length(trim(CASE WHEN cleaned LIKE '.%' THEN 'file_' || substr(cleaned, 2) ELSE cleaned END)) = 0
-        |      OR trim(CASE WHEN cleaned LIKE '.%' THEN 'file_' || substr(cleaned, 2) ELSE cleaned END) = '.'
-        |    THEN 'unnamed_file'
-        |    ELSE CASE WHEN cleaned LIKE '.%' THEN 'file_' || substr(cleaned, 2) ELSE cleaned END
+        |    WHEN length(trim(cleaned)) = 0 OR trim(cleaned) = '.' THEN 'unnamed_file'
+        |    WHEN cleaned LIKE '.%' THEN 'file_' || substr(cleaned, 2)
+        |    ELSE cleaned
         |  END AS sanitized
         |FROM s ORDER BY doc_id""".stripMargin,
 

@@ -31,11 +31,9 @@ object Ingest {
   def sanitizeFilename(name: Column): Column = {
     val base = element_at(split(name, "/"), -1)
     val cleaned = regexp_replace(base, "[^A-Za-z0-9._-]", "_")
-    val noLeadingDot =
-      when(cleaned.startsWith("."), concat(lit("file_"), substring(cleaned, 2, 1000000)))
-        .otherwise(cleaned)
-    when(length(trim(noLeadingDot)) === 0 || trim(noLeadingDot) === ".", lit("unnamed_file"))
-      .otherwise(noLeadingDot)
+    when(length(trim(cleaned)) === 0 || trim(cleaned) === ".", lit("unnamed_file"))
+      .when(cleaned.startsWith("."), concat(lit("file_"), substring(cleaned, 2, 1000000)))
+      .otherwise(cleaned)
   }
 
   /** P-5/P-6: query guards (models.py:25-48). */

@@ -27,7 +27,8 @@ object Retrieval {
     */
   def knnJoin(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
     val scored = corpus.crossJoin(broadcast(queries))
-      .withColumn("sim", VectorOps.cosineSim(col("q_embedding"), col("embedding")))
+      .withColumn("sim",
+        graft.expressions.VectorExpressions.cosineSim(col("q_embedding"), col("embedding")))
     val w = Window.partitionBy("query_id").orderBy(desc("sim"), asc("vec_id"))
     scored
       .withColumn("rank", row_number().over(w))

@@ -1,0 +1,250 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, Ingest, Retrieval, Sessions}
+import graft.functions.VectorOps
+
+/** DataFrame-level operator specs over tiny in-memory fixtures
+  * (FIXTURES.md §B).
+  */
+class SessionsSpec extends AnyFunSuite with SparkTestSession {
+  import spark.implicits._
+
+  private def logs = Seq(
+    // (event_id, ts, user_id, event_type, props)
+    (1L, "2024-01-01 10:00:00", 1L, "q1", "a1"),
+    (2L, "2024-01-01 10:01:00", 1L, "q2", "a2"),
+    (3L, "2024-01-01 10:02:00", 1L, "q3", "a3"),
+    (4L, "2024-01-01 10:03:00", 1L, "q4", "a4"),
+    (5L, "2024-01-01 10:04:00", 1L, "q5", "a5"),
+    (6L, "2024-01-01 10:05:00", 1L, "q6", "a6"),
+    (7L, "2024-01-01 10:06:00", 1L, "q7", "a7"),
+    (8L, "2024-01-01 10:07:00", 1L, "q8", "a8"),
+    (9L, "2024-01-01 10:08:00", 1L, "q9", "a9"),
+    (10L, "2024-01-01 10:09:00", 1L, "q10", "a10"),
+    (11L, "2024-01-01 10:10:00", 1L, "q11", "a11"),
+    (12L, "2024-01-01 10:11:00", 1L, "q12", "a12"),
+    (13L, "2024-01-01 09:00:00", 2L, "other", "x"))
+    .toDF("event_id", "ts", "user_id", "event_type", "props")
+    .withColumn("ts", col("ts").cast("timestamp"))
+
+  test("S-1: last-10 per session, chronological, ties by id") {
+    val out = Sessions.lastNPerSession(logs, 10)
+      .filter($"user_id" === 1L).orderBy("ts").collect()
+    assert(out.length == 10)
+    assert(out.head.getAs[Long]("event_id") == 3L) // rows 1,2 dropped
+    assert(out.last.getAs[Long]("event_id") == 12L)
+  }
+
+  test("S-1: window is independent per session") {
+    val out = Sessions.lastNPerSession(logs, 10)
+    assert(out.filter($"user_id" === 2L).count() == 1)
+  }
+
+  test("T-12: one log row unnests to human then ai") {
+    val m = Sessions.toMessages(logs.filter($"event_id" === 1L))
+      .orderBy(desc("role")).collect()
+    assert(m.map(_.getAs[String]("role")).toSeq == Seq("human", "ai"))
+    assert(m.map(_.getAs[String]("content")).toSeq == Seq("q1", "a1"))
+  }
+
+  test("A-4: session stats") {
+    val st = Sessions.sessionStats(logs).filter($"user_id" === 1L).collect()(0)
+    assert(st.getAs[Long]("message_count") == 12L)
+    assert(st.getAs[java.sql.Timestamp]("first_at").toString.startsWith("2024-01-01 10:00"))
+  }
+
+  test("J-4: purge removes exactly the expired sessions' rows") {
+    val kept = Sessions.purgeExpired(logs, "2024-01-01 10:00:00")
+    // user 2's last activity (09:00) < cutoff -> purged; user 1 kept
+    assert(kept.select("user_id").distinct().as[Long].collect().toSet == Set(1L))
+  }
+}
+
+class IngestSpec extends AnyFunSuite with SparkTestSession {
+  import spark.implicits._
+
+  test("P-4: filename sanitize matches the reference edge cases") {
+    val cases = Seq(
+      "../../etc/passwd", "my file (1).pdf", ".hidden", "", ".", "normal-name.pdf")
+    val out = cases.toDF("name")
+      .select(Ingest.sanitizeFilename($"name").as("s")).as[String].collect().toSeq
+    assert(out == Seq("passwd", "my_file__1_.pdf", "file_hidden", "unnamed_file",
+      "unnamed_file", "normal-name.pdf"))
+  }
+
+  test("P-1/P-2: extension + size predicates") {
+    val df = Seq(
+      ("a.pdf", 10L), ("b.PDF", 10L), ("c.docx", 10L), ("d.exe", 10L),
+      ("e.html", 10L * 1024 * 1024), ("f.html", 10L * 1024 * 1024 + 1))
+      .toDF("name", "size")
+    val byName = df.select($"name", Ingest.validExtension($"name"), Ingest.validSize($"size"))
+      .collect().map(r => r.getString(0) -> (r.getBoolean(1), r.getBoolean(2))).toMap
+    assert(byName("a.pdf") == ((true, true)))
+    assert(byName("b.PDF")._1)
+    assert(byName("c.docx")._1)
+    assert(!byName("d.exe")._1)
+    assert(byName("e.html") == ((true, true)))  // exactly 10MB accepted
+    assert(!byName("f.html")._2)                // 10MB+1 rejected
+  }
+
+  test("P-3: MIME sniff accepts matching magic and fails open") {
+    val df = Seq(
+      ("%PDF-1.7 rest", ".pdf"), ("%PDF-1.7 rest", ".html"),
+      ("PKzip", ".docx"), ("<html><body>", ".html"),
+      ("randombytes", ".pdf"))
+      .toDF("content", "ext")
+    val out = df.select(Ingest.mimeMatches($"content", $"ext")).as[Boolean].collect().toSeq
+    assert(out == Seq(true, false, true, true, true)) // last: unknown header -> fail-open
+  }
+
+  test("T-6/J-3: dedup gate is idempotent (ingest twice == once)") {
+    val docs = Seq((1L, "alpha text", "s1", 10L), (2L, "beta text", "s2", 9L))
+      .toDF("doc_id", "text", "source", "n_chars")
+    val catalog = docs.withColumn("file_hash", Ingest.contentHash($"text"))
+    val incomingDup = docs.union(docs).withColumn("file_hash", Ingest.contentHash($"text"))
+    val out = Ingest.dedupGate(incomingDup, catalog, "file_hash")
+    assert(out.count() == 0) // all already in catalog
+    val fresh = Seq((3L, "gamma text", "s3", 10L)).toDF("doc_id", "text", "source", "n_chars")
+      .withColumn("file_hash", Ingest.contentHash($"text"))
+    assert(Ingest.dedupGate(fresh, catalog, "file_hash").count() == 1)
+  }
+
+  test("T-1/T-2: chunk enrichment carries index and totals") {
+    val docs = Seq((7L, ("para " * 60).trim, "src", 300L))
+      .toDF("doc_id", "text", "source", "n_chars")
+    val chunks = Ingest.splitIntoChunks(docs, chunkSize = 100, overlap = 20).collect()
+    assert(chunks.length > 1)
+    assert(chunks.map(_.getAs[Int]("chunk_index")).toSeq == chunks.indices.toSeq)
+    assert(chunks.forall(_.getAs[Int]("total_chunks") == chunks.length))
+    assert(chunks.forall(_.getAs[String]("chunk_id").startsWith("7_")))
+  }
+}
+
+class RetrievalSpec extends AnyFunSuite with SparkTestSession {
+  import spark.implicits._
+
+  private def vecs = Seq(
+    (0L, Array(1f, 0f, 0f)),
+    (1L, Array(0.9f, 0.1f, 0f)),
+    (2L, Array(0f, 1f, 0f)),
+    (3L, Array(0f, 0f, 1f))).toDF("vec_id", "embedding")
+
+  test("T-4: self-query ranks itself first with similarity 1") {
+    val queries = vecs.filter($"vec_id" === 0L)
+      .select($"vec_id".as("query_id"), $"embedding".as("q_embedding"))
+    val out = Retrieval.knnJoin(queries, vecs, k = 2).orderBy("rank").collect()
+    assert(out.length == 2)
+    assert(out(0).getAs[Long]("vec_id") == 0L)
+    assert(math.abs(out(0).getAs[Double]("sim") - 1.0) < 1e-9)
+    assert(out(1).getAs[Long]("vec_id") == 1L) // nearest neighbor
+    assert(out(0).getAs[Double]("sim") >= out(1).getAs[Double]("sim"))
+  }
+
+  test("P-9: metadata prefilter excludes below the top-k") {
+    val queries = vecs.filter($"vec_id" === 0L)
+      .select($"vec_id".as("query_id"), $"embedding".as("q_embedding"))
+    val out = Retrieval.knnJoinFiltered(queries, vecs, 2, $"vec_id" =!= 1L).collect()
+    assert(!out.map(_.getAs[Long]("vec_id")).contains(1L))
+  }
+
+  test("T-7: context fold concatenates in rank order") {
+    val retrieved = Seq((10L, 2, "second"), (10L, 1, "first")).toDF("query_id", "rank", "text")
+    val ctx = Retrieval.stuffContext(retrieved).as[(Long, String)].collect().head
+    assert(ctx == ((10L, "first\n\nsecond")))
+  }
+
+  test("T-10: LLM response parse ladder") {
+    val cases = Seq(
+      """{"answer": "plain", "emotion": "happy"}""",
+      "```json\n{\"answer\": \"fenced\", \"emotion\": \"thinking\"}\n```",
+      """Here's the answer: {"answer": "prefixed", "emotion": "explaining"}""",
+      """{"answer": "no emotion"}""",
+      """{"answer": "bad emotion", "emotion": "angry"}""",
+      """total garbage, not json""")
+    val out = cases.toDF("raw")
+      .select(Retrieval.parseLlmResponse($"raw").as("p"))
+      .select("p.answer", "p.emotion")
+      .as[(String, String)].collect().toSeq
+    assert(out(0) == (("plain", "happy")))
+    assert(out(1) == (("fenced", "thinking")))
+    assert(out(2) == (("prefixed", "explaining")))
+    assert(out(3) == (("no emotion", "neutral")))
+    assert(out(4) == (("bad emotion", "neutral")))
+    assert(out(5) == (("total garbage, not json", "neutral")))
+  }
+}
+
+class DedupSpec extends AnyFunSuite with SparkTestSession {
+  import spark.implicits._
+
+  private def docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+    (2L, "the quick brown fox jumps over the lazy dog near the river bank today"), // dup of 1
+    (3L, "the quick brown fox jumps over the lazy cat near the river bank today"), // near-dup
+    (4L, "completely different content about query engines and columnar storage"))
+    .toDF("doc_id", "text")
+
+  test("exact dedup keeps min doc_id per hash") {
+    val out = Dedup.exact(docs).collect()
+    assert(out.length == 3)
+    val dup = out.find(_.getAs[Long]("copies") == 2L).get
+    assert(dup.getAs[Long]("keep_doc_id") == 1L)
+  }
+
+  test("ngram jaccard finds exact and near duplicates") {
+    val pairs = Dedup.ngramJaccardPairs(docs, 3, 0.5)
+      .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(pairs.contains((1L, 3L)))
+    assert(!pairs.exists { case (a, b) => b == 4L || a == 4L })
+  }
+
+  test("minhash LSH surfaces duplicate candidates with est jaccard 1 for dups") {
+    val out = Dedup.minHashLshPairs(docs, threshold = 0.5).collect()
+    val exactDup = out.find(r => r.getAs[Long]("doc_a") == 1L && r.getAs[Long]("doc_b") == 2L)
+    assert(exactDup.isDefined)
+    assert(exactDup.get.getAs[Double]("est_jaccard") == 1.0)
+  }
+
+  test("simhash pairs identical docs at hamming 0") {
+    val out = Dedup.simHashPairs(docs, maxHamming = 8).collect()
+    val dup = out.find(r => r.getAs[Long]("doc_a") == 1L && r.getAs[Long]("doc_b") == 2L)
+    assert(dup.isDefined)
+    assert(dup.get.getAs[Int]("hamming") == 0)
+  }
+
+  test("embedding near-dup finds only above-threshold pairs") {
+    val vecs = Seq(
+      (0L, Array(1f, 0f)), (1L, Array(0.99f, 0.14f)), (2L, Array(0f, 1f)))
+      .toDF("vec_id", "embedding")
+    val out = Dedup.embeddingNearDupPairs(vecs, 0.9)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    assert(out == Set((0L, 1L)))
+  }
+}
+
+class VectorOpsSpec extends AnyFunSuite with SparkTestSession {
+  import spark.implicits._
+
+  test("cosine similarity matches hand-computed values") {
+    val df = Seq(
+      (Array(1f, 0f), Array(1f, 0f), 1.0),
+      (Array(1f, 0f), Array(0f, 1f), 0.0),
+      (Array(1f, 1f), Array(1f, 0f), 1.0 / math.sqrt(2)),
+      (Array(0f, 0f), Array(1f, 0f), 0.0)) // zero vector -> defined as 0
+      .toDF("a", "b", "expected")
+    val rows = df.select(VectorOps.cosineSim($"a", $"b").as("sim"), $"expected").collect()
+    rows.foreach(r => assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 1e-9))
+  }
+
+  test("l2 distance and dot product") {
+    val df = Seq((Array(1f, 2f), Array(4f, 6f))).toDF("a", "b")
+    val r = df.select(
+      VectorOps.dot($"a", $"b").as("dot"),
+      VectorOps.l2Sq($"a", $"b").as("l2sq")).collect()(0)
+    assert(r.getDouble(0) == 16.0)
+    assert(r.getDouble(1) == 25.0)
+  }
+}
