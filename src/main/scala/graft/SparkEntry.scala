@@ -352,6 +352,87 @@ object SparkEntry {
           TextAnalysis.fingerprintUdf(col("text")).as("fingerprint"),
           TextAnalysis.simHashUdf(col("text")).as("simhash"))
         .orderBy("doc_id")
+    }),
+
+    // ---- write-path analogs (O-10; other sinks exercised in StoreSpec)
+    "o10_delete_by_key" -> ((s, dir) => {
+      import s.implicits._
+      val victims = Seq(1L, 2L, 3L).toDF("user_id")
+      operators.Store.deleteByKey(Tables.events(s, dir), "user_id", victims)
+        .select("event_id", "user_id", "event_type")
+        .orderBy("event_id")
+    }),
+
+    // ---- remaining scalar projections (P-15, P-17)
+    "p15_humanize_size" -> ((s, dir) => {
+      val bytes = floor(col("value") * 12345).cast("long")
+      Tables.events(s, dir)
+        .select(col("event_id"), bytes.as("n_bytes"),
+          when(bytes < 1024L, concat(bytes.cast("string"), lit(" B")))
+            .when(bytes < 1024L * 1024,
+              concat(round(bytes.cast("double") / 1024.0, 1).cast("string"), lit(" KB")))
+            .otherwise(
+              concat(round(bytes.cast("double") / (1024.0 * 1024.0), 1).cast("string"), lit(" MB")))
+            .as("human_size"))
+        .orderBy("event_id")
+    }),
+
+    "p17_quota_countdown" -> ((s, dir) => {
+      // Seconds until the next US/Pacific midnight after each event
+      // (main.py:180-188's quota-reset arithmetic with ts as the "now").
+      val ptWall = from_utc_timestamp(col("ts"), "US/Pacific")
+      val nextMidnightUtc =
+        to_utc_timestamp(date_add(ptWall.cast("date"), 1).cast("timestamp"), "US/Pacific")
+      Tables.events(s, dir)
+        .select(col("event_id"),
+          (nextMidnightUtc.cast("long") - col("ts").cast("long")).as("seconds_to_reset"))
+        .orderBy("event_id")
+    }),
+
+    // ---- full RAG pipeline (§3.1; T-8/T-9 deterministic LLM stub)
+    "rag_chat_pipeline" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val chunks = Tables.embeddings(s, dir)
+        .join(docs.select(col("doc_id").as("vec_id"), col("text")), "vec_id")
+        .select("vec_id", "embedding", "text")
+      val questions = docs.filter(col("doc_id") < 3)
+        .select(
+          (col("doc_id") + 1000).as("query_id"),
+          (col("doc_id") % 5).as("user_id"),
+          substring(col("text"), 1, 80).as("question"))
+      operators.Rag.chatPipeline(questions, Tables.events(s, dir), chunks)
+        .orderBy("query_id")
+    }),
+
+    // ---- ANN scale paths (T-4 approximations; exact form is the oracle)
+    "ann_lsh_topk" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val qs = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"))
+      operators.Ann.lshTopK(qs, emb, k = 2, nBits = 8, probeBits = 2)
+        .withColumn("sim", round(col("sim"), 6))
+        .orderBy("query_id", "rank")
+    }),
+
+    "ann_ivf_topk" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val qs = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"))
+      val (centroids, assigned) = operators.Ann.buildIvf(s, emb, nCells = 8, maxIter = 3)
+      operators.Ann.ivfTopK(qs, assigned, centroids, k = 2, nProbe = 3)
+        .withColumn("sim", round(col("sim"), 6))
+        .orderBy("query_id", "rank")
+    }),
+
+    // ---- multimodal plumbing (binary columns, batched feature extraction)
+    "multimodal_features" -> ((s, dir) => {
+      val assets = Tables.documents(s, dir).select(
+        col("doc_id").as("asset_id"),
+        element_at(array(lit("image"), lit("audio"), lit("video")),
+          (col("doc_id") % 3 + 1).cast("int")).as("modality"),
+        col("text").cast("binary").as("content"),
+        col("source").as("source_uri"))
+      multimodal.Multimodal.extractFeatures(assets).toDF().orderBy("asset_id")
     })
   )
 
@@ -640,6 +721,34 @@ object SparkEntry {
         |      + greatest(0.0, 1.0 - punct_ratio * 5.0) * 0.3
         |      + least(stopword_ratio * 2.5, 1.0) * 0.3, 6) AS quality
         |FROM t ORDER BY doc_id""".stripMargin,
+
+    "o10_delete_by_key" ->
+      """SELECT event_id, user_id, event_type FROM events
+        |WHERE user_id NOT IN (1, 2, 3)
+        |ORDER BY event_id""".stripMargin,
+
+    "p15_humanize_size" ->
+      """WITH b AS (
+        |  SELECT event_id, CAST(floor(value * 12345) AS BIGINT) AS n_bytes FROM events)
+        |SELECT event_id, n_bytes,
+        |  CASE
+        |    WHEN n_bytes < 1024 THEN CAST(n_bytes AS VARCHAR) || ' B'
+        |    WHEN n_bytes < 1048576 THEN
+        |      CAST(round(CAST(n_bytes AS DOUBLE) / 1024.0, 1) AS VARCHAR) || ' KB'
+        |    ELSE CAST(round(CAST(n_bytes AS DOUBLE) / 1048576.0, 1) AS VARCHAR) || ' MB'
+        |  END AS human_size
+        |FROM b ORDER BY event_id""".stripMargin,
+
+    "p17_quota_countdown" ->
+      """WITH x AS (
+        |  SELECT event_id, ts,
+        |    timezone('US/Pacific', timezone('UTC', ts)) AS pt_wall
+        |  FROM events)
+        |SELECT event_id,
+        |  CAST(floor(epoch(timezone('US/Pacific',
+        |      date_trunc('day', pt_wall) + INTERVAL 1 DAY))) AS BIGINT)
+        |  - CAST(floor(epoch(timezone('UTC', ts))) AS BIGINT) AS seconds_to_reset
+        |FROM x ORDER BY event_id""".stripMargin,
 
     "text_tokens" ->
       """SELECT doc_id,

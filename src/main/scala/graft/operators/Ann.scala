@@ -1,0 +1,172 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.expressions.VectorExpressions
+import scala.util.hashing.MurmurHash3
+
+/** Approximate nearest-neighbor search over an embedding column — the
+  * scale path for SURVEY.md T-4/J-2 when the corpus no longer fits a
+  * brute-force scan per query.
+  *
+  * Two index families, both fully deterministic (no RNG state — hyperplanes
+  * and centroid seeds derive from hashes), both ending in an exact
+  * [[graft.expressions.CosineSimilarity]] rerank over the candidate set:
+  *
+  *  - Random-hyperplane LSH: an `nBits` signature per vector; candidates =
+  *    same bucket, multi-probed by flipping up to `probeBits` signature
+  *    bits. At scale the corpus is written bucketed by signature so the
+  *    candidate join prunes to matching buckets (no full shuffle).
+  *  - IVF (inverted file): Lloyd's k-means over a sample (deterministic
+  *    seeding by min-hash of vec ids), each vector assigned to its nearest
+  *    centroid cell; queries probe the `nProbe` nearest cells.
+  *
+  * Exact brute force ([[Retrieval.knnJoin]]) is the oracle both are
+  * recall-tested against.
+  */
+object Ann {
+
+  // ------------------------------------------------------- LSH signatures
+  /** Deterministic pseudo-random hyperplane component in [-1, 1). */
+  private def planeComp(bit: Int, i: Int): Float = {
+    val h = MurmurHash3.productHash((bit, i), 0xA11CE)
+    (h.toDouble / Int.MaxValue).toFloat
+  }
+
+  /** nBits-bit random-hyperplane signature of a vector. */
+  def signature(v: Seq[Float], nBits: Int): Int = {
+    var sig = 0
+    var b = 0
+    while (b < nBits) {
+      var dot = 0.0
+      var i = 0
+      while (i < v.length) { dot += v(i) * planeComp(b, i); i += 1 }
+      if (dot >= 0) sig |= (1 << b)
+      b += 1
+    }
+    sig
+  }
+
+  private def signatureUdf(nBits: Int) =
+    udf((v: Seq[Float]) => if (v == null) null else Integer.valueOf(signature(v, nBits)))
+
+  /** Signatures within Hamming distance <= probeBits of `sig` (probe set). */
+  def probeSignatures(sig: Int, nBits: Int, probeBits: Int): Seq[Int] = {
+    if (probeBits <= 0) Seq(sig)
+    else Seq(sig) ++ (0 until nBits).flatMap { b =>
+      probeSignatures(sig ^ (1 << b), nBits, probeBits - 1)
+    }.distinct.filterNot(_ == sig)
+  }
+
+  /** LSH-bucketed top-k: join queries to corpus on (probed) signature
+    * buckets, exact-rerank candidates. `queries(query_id, q_embedding)`,
+    * `corpus(vec_id, embedding)`.
+    */
+  def lshTopK(
+      queries: DataFrame,
+      corpus: DataFrame,
+      k: Int,
+      nBits: Int = 8,
+      probeBits: Int = 1): DataFrame = {
+    val sigU = signatureUdf(nBits)
+    val probesU = udf((v: Seq[Float]) =>
+      probeSignatures(signature(v, nBits), nBits, probeBits).toArray)
+    val bucketed = corpus.withColumn("sig", sigU(col("embedding")))
+    val probed = queries
+      .withColumn("sig", explode(probesU(col("q_embedding"))))
+    val cands = bucketed.join(broadcast(probed), "sig")
+      .withColumn("sim", VectorExpressions.cosineSim(col("q_embedding"), col("embedding")))
+    val w = Window.partitionBy("query_id").orderBy(desc("sim"), asc("vec_id"))
+    cands
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "vec_id", "sim")
+  }
+
+  // ----------------------------------------------------------------- IVF
+  /** Deterministic Lloyd's k-means over the corpus (small driver-side
+    * centroid set; assignment is distributed). Seeds = vectors of the
+    * `nCells` smallest vec_ids (deterministic, data-independent of order).
+    * Returns (centroids, corpus + cell column).
+    */
+  def buildIvf(
+      spark: SparkSession,
+      corpus: DataFrame,
+      nCells: Int,
+      maxIter: Int = 5): (Array[Array[Float]], DataFrame) = {
+    val seeds = corpus.orderBy("vec_id").limit(nCells)
+      .select("embedding").collect()
+      .map(_.getSeq[Float](0).toArray)
+    var centroids = seeds
+    val dim = centroids.head.length
+
+    def assignUdf(cents: Array[Array[Float]]) = udf { (v: Seq[Float]) =>
+      var best = 0; var bestSim = Double.MinValue
+      var c = 0
+      while (c < cents.length) {
+        var dot = 0.0; var na = 0.0; var nb = 0.0
+        var i = 0
+        while (i < dim) {
+          val x = v(i).toDouble; val y = cents(c)(i).toDouble
+          dot += x * y; na += x * x; nb += y * y
+          i += 1
+        }
+        val den = math.sqrt(na) * math.sqrt(nb)
+        val sim = if (den == 0) 0.0 else dot / den
+        if (sim > bestSim) { bestSim = sim; best = c }
+        c += 1
+      }
+      best
+    }
+
+    var iter = 0
+    while (iter < maxIter) {
+      val assigned = corpus.withColumn("cell", assignUdf(centroids)(col("embedding")))
+      val means = assigned.groupBy("cell")
+        .agg(array((0 until dim).map(i =>
+          avg(col("embedding").getItem(i))): _*).as("centroid"))
+        .collect()
+        .map(r => r.getAs[Int]("cell") -> r.getSeq[Double](1).map(_.toFloat).toArray)
+        .toMap
+      centroids = centroids.indices.map(c => means.getOrElse(c, centroids(c))).toArray
+      iter += 1
+    }
+    val assigned = corpus.withColumn("cell", assignUdf(centroids)(col("embedding")))
+    (centroids, assigned)
+  }
+
+  /** IVF top-k: each query probes its `nProbe` nearest cells, exact-reranks
+    * within them. Cell filtering happens before any scoring — at scale the
+    * corpus is partitioned by cell so probes touch only those partitions.
+    */
+  def ivfTopK(
+      queries: DataFrame,
+      assignedCorpus: DataFrame,
+      centroids: Array[Array[Float]],
+      k: Int,
+      nProbe: Int = 3): DataFrame = {
+    val dim = centroids.head.length
+    val probeUdf = udf { (v: Seq[Float]) =>
+      centroids.indices.map { c =>
+        var dot = 0.0; var na = 0.0; var nb = 0.0
+        var i = 0
+        while (i < dim) {
+          val x = v(i).toDouble; val y = centroids(c)(i).toDouble
+          dot += x * y; na += x * x; nb += y * y
+          i += 1
+        }
+        val den = math.sqrt(na) * math.sqrt(nb)
+        (if (den == 0) 0.0 else dot / den, c)
+      }.sortBy(p => (-p._1, p._2)).take(nProbe).map(_._2).toArray
+    }
+    val probed = queries.withColumn("cell", explode(probeUdf(col("q_embedding"))))
+    val cands = assignedCorpus.join(broadcast(probed), "cell")
+      .withColumn("sim", VectorExpressions.cosineSim(col("q_embedding"), col("embedding")))
+    val w = Window.partitionBy("query_id").orderBy(desc("sim"), asc("vec_id"))
+    cands
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "vec_id", "sim")
+  }
+}

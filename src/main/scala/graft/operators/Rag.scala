@@ -1,0 +1,105 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.functions.HashEmbedder
+
+/** The full §3.1 chat read path as one batch lineage
+  * (reference: main.py:190-303 + langchain_utils.py:209-256):
+  *
+  *   validate → history window → reformulate (LLM) → embed → k-NN retrieve
+  *   → stuff context → answer (LLM) → parse/normalize → loggable rows.
+  *
+  * The two LLM stages (T-8 reformulate, T-9 answer) are network model
+  * calls in the reference; here they are a pluggable [[Rag.LlmClient]]
+  * applied per-partition, with a deterministic local default so the whole
+  * pipeline is testable. Swap in a remote client (batched HTTP inside
+  * `mapPartitions`) for production — the plan shape is unchanged.
+  */
+object Rag {
+
+  /** Pluggable LLM boundary (T-8/T-9). Implementations must be
+    * serializable: they ship to executors.
+    */
+  trait LlmClient extends Serializable {
+    /** History-aware question reformulation (langchain_utils.py:16-27). */
+    def reformulate(history: Seq[String], question: String): String
+    /** Context-stuffed answer generation returning the JSON envelope
+      * `{"answer": ..., "emotion": ...}` (langchain_utils.py:29-103).
+      */
+    def answer(context: String, question: String): String
+  }
+
+  /** Deterministic local stub: identity reformulation; answer echoes the
+    * question plus a stable digest of the context, always valid JSON.
+    */
+  object DeterministicLlm extends LlmClient {
+    override def reformulate(history: Seq[String], question: String): String = question
+    override def answer(context: String, question: String): String = {
+      val digest = Integer.toHexString(scala.util.hashing.MurmurHash3.stringHash(context, 7))
+      s"""{"answer": "Re: $question [ctx:$digest]", "emotion": "explaining"}"""
+    }
+  }
+
+  /** Run the chat pipeline for a batch of questions.
+    *
+    * @param questions (query_id, user_id, question)
+    * @param logs      chat log table (user_id, ts, event_id, event_type, props)
+    * @param chunks    vector store (vec_id, embedding, text)
+    * @param k         retriever fan-in (config.py:34: 2)
+    * @param historyN  history window (config.py:43: 10)
+    * @return one row per query: question, context, answer, emotion
+    */
+  def chatPipeline(
+      questions: DataFrame,
+      logs: DataFrame,
+      chunks: DataFrame,
+      llm: LlmClient = DeterministicLlm,
+      k: Int = 2,
+      historyN: Int = 10): DataFrame = {
+
+    // 1. admission (P-5/P-6: length + non-blank; invalid rows are dropped
+    //    where the reference returns 4xx)
+    val admitted = questions.filter(Ingest.validQuery(col("question")))
+
+    // 2. per-user history digest (S-1 last-N, chronological), joined to
+    //    the query; the digest is what reformulation conditions on
+    val history = Sessions.lastNPerSession(logs, historyN)
+      .groupBy("user_id")
+      .agg(concat_ws("\n",
+        transform(
+          array_sort(collect_list(struct(col("ts"), col("event_id"), col("event_type")))),
+          s => s.getField("event_type"))).as("history"))
+
+    val withHistory = admitted.join(history, Seq("user_id"), "left")
+      .withColumn("history", coalesce(col("history"), lit("")))
+
+    // 3. T-8 reformulate (pluggable LLM; identity in the deterministic stub)
+    val reformulateUdf = udf((h: String, q: String) =>
+      llm.reformulate(Option(h).toSeq.flatMap(_.split("\n")), q))
+    val reformulated = withHistory
+      .withColumn("standalone_question", reformulateUdf(col("history"), col("question")))
+
+    // 4. T-3 embed the standalone question
+    val embedded = reformulated
+      .withColumn("q_embedding", HashEmbedder.embedCol(col("standalone_question")))
+
+    // 5-6. T-4 retrieve top-k + T-7 stuff context (rank-ordered fold)
+    val topk = Retrieval.knnJoin(
+      embedded.select(col("query_id"), col("q_embedding")), chunks, k)
+      .join(chunks.select(col("vec_id"), col("text")), "vec_id")
+    val contexts = Retrieval.stuffContext(topk)
+
+    // 7. T-9 answer (pluggable LLM) + 8. T-10/P-10 parse + normalize
+    val answerUdf = udf((ctx: String, q: String) => llm.answer(Option(ctx).getOrElse(""), q))
+    embedded.join(contexts, Seq("query_id"), "left")
+      .withColumn("context", coalesce(col("context"), lit("")))
+      .withColumn("raw_response", answerUdf(col("context"), col("standalone_question")))
+      .withColumn("parsed", Retrieval.parseLlmResponse(col("raw_response")))
+      .select(
+        col("query_id"), col("user_id"), col("question"),
+        col("standalone_question"), col("context"),
+        col("parsed.answer").as("answer"),
+        col("parsed.emotion").as("emotion"))
+  }
+}

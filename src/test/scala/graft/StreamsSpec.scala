@@ -1,0 +1,83 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import graft.streaming.Streams
+import graft.streaming.Streams.SessionEvent
+import java.sql.Timestamp
+
+/** Streaming analogs (SURVEY.md §2.9) driven through MemoryStream —
+  * the transforms themselves are batch/stream agnostic.
+  */
+class StreamsSpec extends AnyFunSuite with SparkTestSession {
+  import spark.implicits._
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  private def eventsDf(rows: Seq[(String, Long, String)]) =
+    rows.toDF("t", "user_id", "event_type")
+      .withColumn("ts", col("t").cast("timestamp")).drop("t")
+
+  test("rate limiting: a burst inside one sliding window is flagged") {
+    val burst = (1 to 40).map(i => (f"2024-01-01 10:00:${i % 50}%02d", 7L, "chat"))
+    val calm = (1 to 5).map(i => (s"2024-01-01 11:0$i:00", 8L, "chat"))
+    val out = Streams.rateLimitViolations(eventsDf(burst ++ calm), maxPerWindow = 30)
+      .collect()
+    assert(out.nonEmpty)
+    assert(out.forall(_.getAs[Long]("user_id") == 7L))
+    assert(out.forall(_.getAs[Long]("n_requests") > 30))
+  }
+
+  test("session windows split on the gap") {
+    val rows = Seq(
+      ("2024-01-01 10:00:00", 1L, "a"), ("2024-01-01 10:30:00", 1L, "b"),
+      ("2024-01-03 09:00:00", 1L, "c")) // > 24h later: new session
+    val out = Streams.sessionWindows(eventsDf(rows), gap = "24 hours").collect()
+    assert(out.length == 2)
+    assert(out.map(_.getAs[Long]("n_events")).sorted.toSeq == Seq(1L, 2L))
+  }
+
+  test("running counters via a real streaming query (MemoryStream)") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long, String)]
+    val events = input.toDF().toDF("ts", "user_id", "event_type")
+    val query = Streams.runningCounters(events)
+      .writeStream.format("memory").queryName("counters")
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      input.addData(
+        (ts("2024-01-01 10:00:00"), 1L, "chat"),
+        (ts("2024-01-01 10:00:01"), 2L, "chat"),
+        (ts("2024-01-01 10:00:02"), 1L, "error"))
+      query.processAllAvailable()
+      val counts = spark.table("counters")
+        .collect().map(r => r.getAs[String]("event_type") -> r.getAs[Long]("n_requests")).toMap
+      assert(counts == Map("chat" -> 2L, "error" -> 1L))
+    } finally query.stop()
+  }
+
+  test("stateful session tracking accumulates across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[SessionEvent]
+    val query = Streams.trackSessions(input.toDS())
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      input.addData(SessionEvent(ts("2024-01-01 10:00:00"), 1L, "a"))
+      query.processAllAvailable()
+      input.addData(
+        SessionEvent(ts("2024-01-01 10:01:00"), 1L, "b"),
+        SessionEvent(ts("2024-01-01 10:02:00"), 2L, "c"))
+      query.processAllAvailable()
+      val states = spark.table("sessions")
+        .collect().map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("count")))
+      // update mode: state accumulates across micro-batches; user 1 saw
+      // one event in batch 1 and one in batch 2 -> final count 2
+      assert(states.contains((1L, 1L)))
+      assert(states.contains((1L, 2L)))
+      assert(states.contains((2L, 1L)))
+    } finally query.stop()
+  }
+}
