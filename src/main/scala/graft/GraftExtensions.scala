@@ -1,0 +1,33 @@
+package graft
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import graft.expressions.CosineSimilarity
+
+/** Session extension registering the engine's custom expressions on the
+  * SQL surface, so `spark.sql("... cosine_sim(a, b) ...")` plans the
+  * codegen kernel. Install at build time:
+  *
+  * {{{
+  *   SparkSession.builder().withExtensions(new GraftExtensions)...
+  *   // or: .config("spark.sql.extensions", "graft.GraftExtensions")
+  * }}}
+  *
+  * or on a live session via [[GraftExtensions.register]].
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectFunction((
+      new FunctionIdentifier("cosine_sim"),
+      new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
+      (exprs: Seq[Expression]) => CosineSimilarity(exprs(0), exprs(1))))
+  }
+}
+
+object GraftExtensions {
+  /** Runtime registration on an existing session. */
+  def register(spark: SparkSession): Unit =
+    org.apache.spark.sql.graftshim.GraftSqlShim.registerFunction(
+      spark, "cosine_sim", exprs => CosineSimilarity(exprs(0), exprs(1)))
+}

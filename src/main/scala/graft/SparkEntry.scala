@@ -125,7 +125,10 @@ object SparkEntry {
     }),
 
     "o13_retention" -> ((s, dir) => {
-      Sessions.retain(Tables.events(s, dir), RetentionCutoff)
+      // Cutoff applied in raw nanos space so it reaches PushedFilters
+      // (see Tables.eventsSince) — at scale this is row-group pruning
+      // instead of a full scan.
+      Tables.eventsSince(s, dir, RetentionCutoff)
         .select("event_id", "ts", "user_id", "event_type", "value")
         .orderBy("event_id")
     }),

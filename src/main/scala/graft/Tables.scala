@@ -33,6 +33,23 @@ object Tables {
       .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
         org.apache.spark.sql.functions.expr("ts div 1000")))
   }
+
+  /** Events with a time-range predicate applied in raw nanos space, BEFORE
+    * the µs conversion: `timestamp_micros(ts div 1000) >= cutoff` wraps the
+    * column in an expression Catalyst cannot push to parquet (the scan
+    * would read everything — a full-table scan at 100 TB), whereas the
+    * equivalent raw comparison `ts_ns >= cutoff_ns` reaches PushedFilters
+    * and prunes row groups via min/max stats. The rewrite is sound because
+    * ns→µs truncation is monotone and cutoffs are whole seconds.
+    */
+  def eventsSince(spark: SparkSession, dir: String, cutoff: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val cutoffNs = java.sql.Timestamp.valueOf(cutoff).getTime * 1000000L
+    table(spark, dir, "events")
+      .filter(col("ts") >= lit(cutoffNs))
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
   def documents(spark: SparkSession, dir: String): DataFrame  = table(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")
 }

@@ -1,0 +1,55 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew- and scale-handling building blocks. None of these change operator
+  * semantics — they reshape the physical plan for hot keys and very large
+  * cardinalities, the situations AQE's runtime skew handling can't always
+  * cover (e.g. a single session id holding 1% of a 100 TB log table).
+  */
+object Scale {
+
+  /** Two-phase (salted) aggregation: spread a skewed group key over
+    * `saltBuckets` partial groups, aggregate, then merge. Identical result
+    * to a direct groupBy-count, but the first shuffle distributes a hot
+    * key across `saltBuckets` reducers instead of one.
+    */
+  def saltedCount(df: DataFrame, key: String, saltBuckets: Int = 16): DataFrame =
+    df.withColumn("_salt", pmod(spark_partition_id() + monotonically_increasing_id(), lit(saltBuckets)))
+      .groupBy(col(key), col("_salt"))
+      .agg(count(lit(1)).as("_partial"))
+      .groupBy(col(key))
+      .agg(sum("_partial").as("n"))
+
+  /** Salted broadcast-free join for one skewed build side: replicate each
+    * `small` row `saltBuckets` times and salt the large side's key, so the
+    * hot key's rows land on `saltBuckets` different reducers. Result equals
+    * `large.join(small, key)`.
+    */
+  def saltedJoin(large: DataFrame, small: DataFrame, key: String, saltBuckets: Int = 16): DataFrame = {
+    val saltedLarge = large.withColumn("_salt",
+      pmod(spark_partition_id() + monotonically_increasing_id(), lit(saltBuckets)))
+    val replicatedSmall = small
+      .withColumn("_salt", explode(sequence(lit(0), lit(saltBuckets - 1))))
+      .withColumn("_salt", col("_salt").cast("long"))
+    saltedLarge.join(replicatedSmall, Seq(key, "_salt")).drop("_salt")
+  }
+
+  /** HyperLogLog distinct for 100 TB cardinalities (A-2's scale form):
+    * one pass, fixed memory, mergeable across partitions.
+    */
+  def approxDistinct(df: DataFrame, col_ : Column, rsd: Double = 0.01): DataFrame =
+    df.agg(approx_count_distinct(col_, rsd).as("approx_distinct"))
+
+  /** Range-partitioned write layout for a log table: partition by day so
+    * time predicates become partition pruning, sort within partitions by
+    * the session key so per-session scans are sequential. (The 100 TB
+    * layout the reference's B-tree indexes map to — SURVEY.md §4.)
+    */
+  def writeTimePartitioned(df: DataFrame, tsCol: String, sessionCol: String, path: String): Unit =
+    df.withColumn("_day", to_date(col(tsCol)))
+      .repartition(col("_day"))
+      .sortWithinPartitions(col(sessionCol), col(tsCol))
+      .write.partitionBy("_day").mode("overwrite").parquet(path)
+}

@@ -1,0 +1,78 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.Scale
+
+class ScaleSpec extends AnyFunSuite with SparkTestSession {
+  import spark.implicits._
+
+  // skewed: key "hot" holds most rows
+  private def skewed = ((1 to 500).map(i => ("hot", i)) ++ (1 to 50).map(i => (s"k${i % 7}", i)))
+    .toDF("key", "v")
+
+  test("salted count equals direct groupBy count") {
+    val direct = skewed.groupBy("key").agg(count(lit(1)).as("n"))
+      .as[(String, Long)].collect().toMap
+    val salted = Scale.saltedCount(skewed, "key")
+      .as[(String, Long)].collect().toMap
+    assert(salted == direct)
+  }
+
+  test("salted join equals direct join") {
+    val dims = Seq(("hot", "H"), ("k1", "A"), ("k2", "B")).toDF("key", "label")
+    val direct = skewed.join(dims, "key").agg(count(lit(1))).as[Long].collect().head
+    val salted = Scale.saltedJoin(skewed, dims, "key").agg(count(lit(1))).as[Long].collect().head
+    assert(salted == direct)
+    // row-level equality too
+    val d = skewed.join(dims, "key").select("key", "v", "label")
+      .as[(String, Int, String)].collect().sorted.toSeq
+    val s = Scale.saltedJoin(skewed, dims, "key").select("key", "v", "label")
+      .as[(String, Int, String)].collect().sorted.toSeq
+    assert(s == d)
+  }
+
+  test("approx distinct is close to exact") {
+    val df = (1 to 2000).map(i => i % 731).toDF("x")
+    val approx = Scale.approxDistinct(df, col("x")).as[Long].collect().head
+    assert(math.abs(approx - 731) <= 40, s"approx=$approx")
+  }
+
+  test("time-partitioned layout prunes by day and orders by session") {
+    val path = java.nio.file.Files.createTempDirectory("graft-layout").toString + "/logs"
+    val rows = Seq(
+      ("2024-01-01 10:00:00", 1L), ("2024-01-01 11:00:00", 2L),
+      ("2024-01-02 10:00:00", 1L)).toDF("t", "user_id")
+      .withColumn("ts", $"t".cast("timestamp")).drop("t")
+    Scale.writeTimePartitioned(rows, "ts", "user_id", path)
+    val back = spark.read.parquet(path)
+    assert(back.count() == 3)
+    // day-partition pruning: the day predicate becomes a PartitionFilter,
+    // not a data filter (inputFiles reflects the pre-pruning index, so
+    // assert on the executed plan instead)
+    val oneDay = back.filter($"_day" === "2024-01-01")
+    assert(oneDay.count() == 2)
+    val plan = oneDay.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("_day"))
+  }
+}
+
+class GraftExtensionsSpec extends AnyFunSuite with SparkTestSession {
+  import spark.implicits._
+
+  test("cosine_sim is callable from SQL after registration") {
+    GraftExtensions.register(spark)
+    val out = spark.sql(
+      "SELECT cosine_sim(array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT)), " +
+        "array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT))) AS s")
+      .as[Double].collect().head
+    assert(out == 1.0)
+  }
+
+  test("extension class injects the function at builder time") {
+    // unit-level: applying the extension to a fresh extensions container
+    // must not throw (builder-time integration is config-driven)
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new GraftExtensions()(ext)
+  }
+}
