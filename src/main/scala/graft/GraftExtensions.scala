@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.expressions.CosineSimilarity
+import graft.expressions.{CosineSimilarity, SplitChunks}
 
 /** Session extension registering the engine's custom expressions on the
   * SQL surface, so `spark.sql("... cosine_sim(a, b) ...")` plans the
@@ -22,12 +22,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
       (exprs: Seq[Expression]) => CosineSimilarity(exprs(0), exprs(1))))
+    e.injectFunction((
+      new FunctionIdentifier("split_chunks"),
+      new ExpressionInfo(classOf[SplitChunks].getName, "split_chunks"),
+      (exprs: Seq[Expression]) => SplitChunks.fromArgs(exprs)))
   }
 }
 
 object GraftExtensions {
   /** Runtime registration on an existing session. */
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     org.apache.spark.sql.graftshim.GraftSqlShim.registerFunction(
       spark, "cosine_sim", exprs => CosineSimilarity(exprs(0), exprs(1)))
+    org.apache.spark.sql.graftshim.GraftSqlShim.registerFunction(
+      spark, "split_chunks", exprs => SplitChunks.fromArgs(exprs))
+  }
 }

@@ -95,7 +95,10 @@ object Ann {
       corpus: DataFrame,
       nCells: Int,
       maxIter: Int = 5): (Array[Array[Float]], DataFrame) = {
-    val seeds = corpus.orderBy("vec_id").limit(nCells)
+    // Each Lloyd iteration re-scans the corpus; cache it for the build
+    // (at scale: persist to MEMORY_AND_DISK or sample the corpus instead).
+    val cached = corpus.cache()
+    val seeds = cached.orderBy("vec_id").limit(nCells)
       .select("embedding").collect()
       .map(_.getSeq[Float](0).toArray)
     var centroids = seeds
@@ -122,7 +125,7 @@ object Ann {
 
     var iter = 0
     while (iter < maxIter) {
-      val assigned = corpus.withColumn("cell", assignUdf(centroids)(col("embedding")))
+      val assigned = cached.withColumn("cell", assignUdf(centroids)(col("embedding")))
       val means = assigned.groupBy("cell")
         .agg(array((0 until dim).map(i =>
           avg(col("embedding").getItem(i))): _*).as("centroid"))
@@ -132,7 +135,7 @@ object Ann {
       centroids = centroids.indices.map(c => means.getOrElse(c, centroids(c))).toArray
       iter += 1
     }
-    val assigned = corpus.withColumn("cell", assignUdf(centroids)(col("embedding")))
+    val assigned = cached.withColumn("cell", assignUdf(centroids)(col("embedding")))
     (centroids, assigned)
   }
 
