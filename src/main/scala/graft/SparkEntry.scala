@@ -357,6 +357,92 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- additional relational coverage (conditional agg, having,
+    //      rollup, analytic windows, sliding windows)
+    "q6_revenue_forecast" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+          col("l_discount").between(0.03, 0.07) && col("l_quantity") < 24)
+        .agg(round(sum(col("l_extendedprice") * col("l_discount")), 4).as("revenue"))
+    }),
+
+    "q12_conditional_agg" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+        .groupBy("l_returnflag")
+        .agg(
+          count(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1)).as("high_count"),
+          count(when(!col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1)).as("low_count"))
+        .orderBy("l_returnflag")
+    }),
+
+    "q14_promo_ratio" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .join(broadcast(Tables.part(s, dir)), col("l_partkey") === col("p_partkey"))
+        .agg((lit(100.0) *
+          sum(when(col("p_type").startsWith("PROMO"),
+            col("l_extendedprice") * (lit(1.0) - col("l_discount"))).otherwise(0.0)) /
+          sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+          .as("promo_revenue_pct"))
+        .select(round(col("promo_revenue_pct"), 6).as("promo_revenue_pct"))
+    }),
+
+    "q18_large_orders" -> ((s, dir) => {
+      val l = Tables.lineitem(s, dir)
+      val big = l.groupBy("l_orderkey")
+        .agg(sum("l_quantity").as("total_qty"))
+        .filter(col("total_qty") > 300)
+      big.join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+          round(col("total_qty"), 4).as("total_qty"))
+        .orderBy(desc("o_totalprice"), col("o_orderkey"))
+        .limit(20)
+    }),
+
+    "w1_event_gaps" -> ((s, dir) => {
+      // lag window: inter-event gap per session (sessionization building
+      // block for training-data pipelines)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("ts", "event_id")
+      Tables.events(s, dir)
+        .withColumn("prev_ts", lag("ts", 1).over(w))
+        .withColumn("gap_seconds",
+          when(col("prev_ts").isNull, lit(null).cast("long"))
+            .otherwise(col("ts").cast("long") - col("prev_ts").cast("long")))
+        .select("user_id", "event_id", "gap_seconds")
+        .orderBy("user_id", "event_id")
+    }),
+
+    "w2_rollup_daily" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .withColumn("day", to_date(col("ts")).cast("string"))
+        .rollup("day", "event_type")
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("day").asc_nulls_first, col("event_type").asc_nulls_first)
+    }),
+
+    "w3_sliding_rate" -> ((s, dir) => {
+      // The §2.9 rate limiter as a batch query: 1h windows sliding by
+      // 10 min (epoch-aligned exactly like Spark's streaming window());
+      // (window, user) pairs above the threshold are throttle candidates.
+      Tables.events(s, dir)
+        .groupBy(window(col("ts"), "3600 seconds", "600 seconds"), col("user_id"))
+        .agg(count(lit(1)).as("n_requests"))
+        .filter(col("n_requests") > 1)
+        .select(col("window.start").as("window_start"), col("user_id"), col("n_requests"))
+        .orderBy("window_start", "user_id")
+    }),
+
+    "t10b_props_struct" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .withColumn("parsed", from_json(col("props"),
+          org.apache.spark.sql.types.StructType.fromDDL("k INT")))
+        .select(col("event_id"), col("parsed.k").as("k"),
+          (col("parsed.k") >= 50).as("k_high"))
+        .orderBy("event_id")
+    }),
+
     // ---- write-path analogs (O-10; other sinks exercised in StoreSpec)
     "o10_delete_by_key" -> ((s, dir) => {
       import s.implicits._
@@ -724,6 +810,66 @@ object SparkEntry {
         |      + greatest(0.0, 1.0 - punct_ratio * 5.0) * 0.3
         |      + least(stopword_ratio * 2.5, 1.0) * 0.3, 6) AS quality
         |FROM t ORDER BY doc_id""".stripMargin,
+
+    "q6_revenue_forecast" ->
+      """SELECT round(sum(l_extendedprice * l_discount), 4) AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_discount BETWEEN 0.03 AND 0.07
+        |  AND l_quantity < 24""".stripMargin,
+
+    "q12_conditional_agg" ->
+      """SELECT l_returnflag,
+        |  count(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 END) AS high_count,
+        |  count(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 END) AS low_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q14_promo_ratio" ->
+      """SELECT round(100.0 *
+        |  sum(CASE WHEN p_type LIKE 'PROMO%'
+        |      THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END) /
+        |  sum(l_extendedprice * (1.0 - l_discount)), 6) AS promo_revenue_pct
+        |FROM lineitem JOIN part ON l_partkey = p_partkey""".stripMargin,
+
+    "q18_large_orders" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice, round(total_qty, 4) AS total_qty
+        |FROM (
+        |  SELECT l_orderkey, sum(l_quantity) AS total_qty
+        |  FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 300) big
+        |JOIN orders ON l_orderkey = o_orderkey
+        |ORDER BY o_totalprice DESC, o_orderkey
+        |LIMIT 20""".stripMargin,
+
+    "w1_event_gaps" ->
+      """SELECT user_id, event_id,
+        |  CAST(floor(epoch(ts)) AS BIGINT)
+        |    - CAST(floor(epoch(lag(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id))) AS BIGINT)
+        |    AS gap_seconds
+        |FROM events ORDER BY user_id, event_id""".stripMargin,
+
+    "w2_rollup_daily" ->
+      """SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day, event_type, count(*) AS n
+        |FROM events
+        |GROUP BY ROLLUP(CAST(CAST(ts AS DATE) AS VARCHAR), event_type)
+        |ORDER BY day ASC NULLS FIRST, event_type ASC NULLS FIRST""".stripMargin,
+
+    "w3_sliding_rate" ->
+      """WITH w AS (
+        |  SELECT user_id,
+        |    ((CAST(floor(epoch(ts)) AS BIGINT) // 600) - k) * 600 AS ws
+        |  FROM events, UNNEST(range(6)) AS t(k)),
+        |c AS (SELECT ws, user_id, count(*) AS n_requests FROM w GROUP BY ws, user_id)
+        |SELECT TIMESTAMP '1970-01-01 00:00:00' + ws * INTERVAL 1 SECOND AS window_start,
+        |  user_id, n_requests
+        |FROM c WHERE n_requests > 1
+        |ORDER BY window_start, user_id""".stripMargin,
+
+    "t10b_props_struct" ->
+      """SELECT event_id, CAST(props->>'$.k' AS INT) AS k,
+        |  CAST(props->>'$.k' AS INT) >= 50 AS k_high
+        |FROM events ORDER BY event_id""".stripMargin,
 
     "o10_delete_by_key" ->
       """SELECT event_id, user_id, event_type FROM events
