@@ -443,6 +443,27 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    // ---- point lookup (db_utils.py:264 get_document_by_id), full sort
+    //      (S-2), and salted aggregation (correctness of the skew path)
+    "j5_point_lookup" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .filter(col("doc_id") === 42L)
+        .select("doc_id", "source", "lang", "n_chars")
+    }),
+
+    "s2_full_sort" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .filter(col("user_id") === 7L)
+        .select("event_id", "ts", "event_type")
+        .orderBy("ts", "event_id")
+    }),
+
+    "scale_salted_count" -> ((s, dir) => {
+      operators.Scale.saltedCount(Tables.events(s, dir), "user_id")
+        .withColumn("n", col("n").cast("long"))
+        .orderBy("user_id")
+    }),
+
     // ---- write-path analogs (O-10; other sinks exercised in StoreSpec)
     "o10_delete_by_key" -> ((s, dir) => {
       import s.implicits._
@@ -870,6 +891,17 @@ object SparkEntry {
       """SELECT event_id, CAST(props->>'$.k' AS INT) AS k,
         |  CAST(props->>'$.k' AS INT) >= 50 AS k_high
         |FROM events ORDER BY event_id""".stripMargin,
+
+    "j5_point_lookup" ->
+      """SELECT doc_id, source, lang, n_chars FROM documents WHERE doc_id = 42""".stripMargin,
+
+    "s2_full_sort" ->
+      """SELECT event_id, ts, event_type FROM events
+        |WHERE user_id = 7 ORDER BY ts, event_id""".stripMargin,
+
+    "scale_salted_count" ->
+      """SELECT user_id, count(*) AS n FROM events
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "o10_delete_by_key" ->
       """SELECT event_id, user_id, event_type FROM events
