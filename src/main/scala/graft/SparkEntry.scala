@@ -534,6 +534,31 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // ---- T-11 markdown strip + corpus length distribution stats
+    "t11_markdown_strip" -> ((s, dir) => {
+      // Synthesize markdown from document columns, then strip it — the
+      // regex chain is lookaround-free so Java regex (Spark) and RE2
+      // (DuckDB) agree and the query stays oracle-checkable.
+      val md = concat(
+        lit("# "), col("source"), lit("\n**"), substring(col("text"), 1, 30),
+        lit("** and `"), col("lang"), lit("` [link](http://example.com/"),
+        col("doc_id"), lit(")\n- item\n> quote"))
+      Tables.documents(s, dir)
+        .select(col("doc_id"), TextAnalysis.stripMarkdown(md).as("plain"))
+        .orderBy("doc_id")
+    }),
+
+    "text_length_stats" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .agg(
+          count(lit(1)).as("n_docs"),
+          round(avg("n_chars"), 4).as("mean_chars"),
+          round(stddev_samp(col("n_chars")), 4).as("sd_chars"),
+          round(expr("percentile(n_chars, 0.5)"), 4).as("p50"),
+          round(expr("percentile(n_chars, 0.9)"), 4).as("p90"),
+          round(expr("percentile(n_chars, 0.99)"), 4).as("p99"))
+    }),
+
     // ---- multimodal plumbing (binary columns, batched feature extraction)
     "multimodal_features" -> ((s, dir) => {
       val assets = Tables.documents(s, dir).select(
@@ -930,6 +955,42 @@ object SparkEntry {
         |      date_trunc('day', pt_wall) + INTERVAL 1 DAY))) AS BIGINT)
         |  - CAST(floor(epoch(timezone('UTC', ts))) AS BIGINT) AS seconds_to_reset
         |FROM x ORDER BY event_id""".stripMargin,
+
+    "t11_markdown_strip" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |    '# ' || source || chr(10) || '**' || substr(text, 1, 30) ||
+        |    '** and `' || lang || '` [link](http://example.com/' ||
+        |    CAST(doc_id AS VARCHAR) || ')' || chr(10) || '- item' || chr(10) || '> quote' AS md
+        |  FROM documents)
+        |SELECT doc_id,
+        |  trim(regexp_replace(
+        |    regexp_replace(
+        |      regexp_replace(
+        |        regexp_replace(
+        |          regexp_replace(
+        |            regexp_replace(
+        |              regexp_replace(
+        |                regexp_replace(
+        |                  regexp_replace(md, '!\[([^\]]*)\]\([^)]*\)', '\1', 'g'),
+        |                  '\[([^\]]*)\]\([^)]*\)', '\1', 'g'),
+        |                '```[a-zA-Z]*', '', 'g'),
+        |              '`', '', 'g'),
+        |            '(?m)^#{1,6}[ \t]*', '', 'g'),
+        |          '(?m)^>[ \t]*', '', 'g'),
+        |        '(?m)^[ \t]*[-*+][ \t]+', '', 'g'),
+        |      '(\*\*|__|\*|_)', '', 'g'),
+        |    '[ \t]+', ' ', 'g')) AS plain
+        |FROM m ORDER BY doc_id""".stripMargin,
+
+    "text_length_stats" ->
+      """SELECT count(*) AS n_docs,
+        |  round(avg(n_chars), 4) AS mean_chars,
+        |  round(stddev_samp(n_chars), 4) AS sd_chars,
+        |  round(quantile_cont(n_chars, 0.5), 4) AS p50,
+        |  round(quantile_cont(n_chars, 0.9), 4) AS p90,
+        |  round(quantile_cont(n_chars, 0.99), 4) AS p99
+        |FROM documents""".stripMargin,
 
     "text_tokens" ->
       """SELECT doc_id,

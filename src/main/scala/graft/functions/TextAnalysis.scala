@@ -98,6 +98,23 @@ object TextAnalysis extends Serializable {
   def detectLanguageUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
     udf((s: String) => detectLanguage(s))
 
+  // ------------------------------------------------------- markdown strip
+  /** T-11 (ChatInterface.js:224 `removeMd` before TTS): strip markdown
+    * syntax to plain prose. Pure regexp_replace chain (no lookarounds, so
+    * the same patterns run under Java regex and RE2 — oracle-checkable).
+    */
+  def stripMarkdown(text: Column): Column = {
+    val noImages = regexp_replace(text, "!\\[([^\\]]*)\\]\\([^)]*\\)", "$1")
+    val noLinks = regexp_replace(noImages, "\\[([^\\]]*)\\]\\([^)]*\\)", "$1")
+    val noFences = regexp_replace(noLinks, "```[a-zA-Z]*", "")
+    val noInlineCode = regexp_replace(noFences, "`", "")
+    val noHeaders = regexp_replace(noInlineCode, "(?m)^#{1,6}[ \\t]*", "")
+    val noQuotes = regexp_replace(noHeaders, "(?m)^>[ \\t]*", "")
+    val noLists = regexp_replace(noQuotes, "(?m)^[ \\t]*[-*+][ \\t]+", "")
+    val noEmphasis = regexp_replace(noLists, "(\\*\\*|__|\\*|_)", "")
+    trim(regexp_replace(noEmphasis, "[ \\t]+", " "))
+  }
+
   // ----------------------------------------------------------- fingerprint
   /** 64-bit rolling polynomial document fingerprint (Rabin-Karp style) over
     * the normalized text — a cheap content identity for exact-dup detection

@@ -58,21 +58,49 @@ object Retrieval {
           array_sort(collect_list(struct(col("rank"), col("text")))),
           s => s.getField("text"))).as("context"))
 
-  /** T-10: defensive LLM-response parse (langchain_utils.py:105-206):
-    * strip code fences / leading prose, extract the outermost JSON object,
-    * parse `{answer, emotion}`, fall back to the raw text as the answer and
-    * normalize the emotion domain (P-10, :177-182).
+  /** T-10: defensive LLM-response parse, mirroring the reference ladder
+    * (langchain_utils.py:105-206) step for step:
+    *  1. trim; strip known LLM prefixes (anchored, case-insensitive, :126-139);
+    *  2. strip leading ```json / ``` and trailing ``` fences (:141-147);
+    *  3. extract first `{` .. last `}` (:149-155);
+    *  4. parse `{answer, emotion}`; invalid JSON or missing answer → fall
+    *     back to the extracted substring (or the defenced text when no
+    *     braces were found), emotion neutral (:160-162, :191-206);
+    *  5. clean brace artifacts out of the answer (:167-175);
+    *  6. lower+trim emotion, closed-domain validate → neutral (:177-182,
+    *     = P-10);
+    *  7. empty input → the apology string (:196-199).
     */
   def parseLlmResponse(raw: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
-    val defenced = regexp_replace(raw, "(?s)```(?:json)?|```", "")
+    val prefixes = Seq(
+      "Here's the answer:", "Here's my response:", "Sure, here you go:",
+      "The answer is:", "Answer:", "\\{answer:", "answer:\\}", "emotion:")
+    val prefixStripped = prefixes.foldLeft(trim(raw)) { (c, p) =>
+      trim(regexp_replace(c, "(?i)^" + p, ""))
+    }
+    val defenced = trim(regexp_replace(
+      trim(regexp_replace(trim(regexp_replace(prefixStripped, "^```json", "")), "^```", "")),
+      "```$", ""))
     val jsonBody = regexp_extract(defenced, "(?s)(\\{.*\\})", 1)
+    val fallbackText = when(length(jsonBody) > 0, jsonBody).otherwise(defenced)
     val parsed = from_json(jsonBody,
       org.apache.spark.sql.types.StructType.fromDDL("answer STRING, emotion STRING"))
-    val answer = coalesce(parsed.getField("answer"), raw)
+
+    val rawAnswer = trim(parsed.getField("answer"))
+    val cleanedAnswer =
+      when(rawAnswer.startsWith("{") || rawAnswer.endsWith("}"),
+        trim(translate(rawAnswer, "{}", ""))).otherwise(rawAnswer)
+    val apology = lit("I apologize, I encountered an error generating a response.")
+    val answer =
+      when(parsed.getField("answer").isNotNull, cleanedAnswer)
+        .when(length(fallbackText) > 0, fallbackText)
+        .otherwise(apology)
+
     val validEmotions = Seq("happy", "explaining", "thinking", "encouraging", "neutral")
-    val emotion = when(
-      lower(parsed.getField("emotion")).isin(validEmotions: _*),
-      lower(parsed.getField("emotion"))).otherwise("neutral")
+    val emotionRaw = lower(trim(parsed.getField("emotion")))
+    val emotion = when(parsed.getField("answer").isNull, "neutral")
+      .when(emotionRaw.isin(validEmotions: _*), emotionRaw)
+      .otherwise("neutral")
     struct(answer.as("answer"), emotion.as("emotion"))
   }
 }

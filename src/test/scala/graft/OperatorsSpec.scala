@@ -155,14 +155,19 @@ class RetrievalSpec extends AnyFunSuite with SparkTestSession {
     assert(ctx == ((10L, "first\n\nsecond")))
   }
 
-  test("T-10: LLM response parse ladder") {
+  test("T-10: LLM response parse ladder (langchain_utils.py:105-206)") {
     val cases = Seq(
       """{"answer": "plain", "emotion": "happy"}""",
       "```json\n{\"answer\": \"fenced\", \"emotion\": \"thinking\"}\n```",
       """Here's the answer: {"answer": "prefixed", "emotion": "explaining"}""",
       """{"answer": "no emotion"}""",
       """{"answer": "bad emotion", "emotion": "angry"}""",
-      """total garbage, not json""")
+      """total garbage, not json""",
+      """The answer is: {"answer": "listed prefix", "emotion": "HAPPY "}""",
+      """{"answer": "{leaky braces}", "emotion": "happy"}""",
+      """{"emotion": "happy"}""", // missing answer -> fallback + neutral
+      """prose before {"answer": "embedded", "emotion": "thinking"} prose after""",
+      "")
     val out = cases.toDF("raw")
       .select(Retrieval.parseLlmResponse($"raw").as("p"))
       .select("p.answer", "p.emotion")
@@ -173,6 +178,23 @@ class RetrievalSpec extends AnyFunSuite with SparkTestSession {
     assert(out(3) == (("no emotion", "neutral")))
     assert(out(4) == (("bad emotion", "neutral")))
     assert(out(5) == (("total garbage, not json", "neutral")))
+    assert(out(6) == (("listed prefix", "happy"))) // prefix stripped, emotion trimmed+lowered
+    assert(out(7) == (("leaky braces", "happy"))) // brace artifacts cleaned
+    assert(out(8) == (("""{"emotion": "happy"}""", "neutral"))) // missing answer -> extracted text, neutral
+    assert(out(9) == (("embedded", "thinking"))) // first { .. last } extraction
+    assert(out(10) == (("I apologize, I encountered an error generating a response.", "neutral")))
+  }
+
+  test("T-11: markdown strip for TTS (ChatInterface.js:224)") {
+    val md = "# Title\n**bold** and *italic* with `code` and [a link](http://x.y) " +
+      "plus ![img](http://z)\n> quoted\n- item one\n```scala\nval x = 1\n```"
+    val out = Seq(md).toDF("t")
+      .select(graft.functions.TextAnalysis.stripMarkdown($"t")).as[String].collect().head
+    assert(!out.contains("#") && !out.contains("*") && !out.contains("`") &&
+      !out.contains("[") && !out.contains(">"))
+    assert(out.contains("bold") && out.contains("italic") && out.contains("code") &&
+      out.contains("a link") && out.contains("img") && out.contains("quoted") &&
+      out.contains("item one"))
   }
 }
 
