@@ -559,6 +559,39 @@ object SparkEntry {
           round(expr("percentile(n_chars, 0.99)"), 4).as("p99"))
     }),
 
+    // ---- PII scrub, contamination check, chunk-level dedup
+    "text_redact_pii" -> ((s, dir) => {
+      // Synthesize PII into the corpus, then scrub it.
+      val dirty = concat(
+        substring(col("text"), 1, 40),
+        lit(" contact user"), col("doc_id"), lit("@example.com or "),
+        lit("555-123-4567, ssn 123-45-6789, host 10.0.0."), col("doc_id") % 256)
+      Tables.documents(s, dir)
+        .select(col("doc_id"), TextAnalysis.redactPii(dirty).as("scrubbed"))
+        .orderBy("doc_id")
+    }),
+
+    "text_contamination" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      operators.Dedup.contaminationCheck(
+        docs.filter(col("doc_id") < 450),
+        docs.filter(col("doc_id") >= 450 && col("doc_id") < 500), n = 13)
+        .filter(col("n_shared_shingles") >= 3)
+        .orderBy("doc_id", "bench_id")
+    }),
+
+    "dedup_chunk_level" -> ((s, dir) => {
+      // Paragraph/chunk-granularity exact dedup: split, hash each chunk,
+      // keep hashes seen in more than one place (cross- or intra-doc).
+      Ingest.splitIntoChunks(Tables.documents(s, dir), chunkSize = 100, overlap = 20)
+        .groupBy(sha2(col("chunk_text"), 256).as("chunk_hash"))
+        .agg(count(lit(1)).as("occurrences"),
+          countDistinct(col("file_id")).as("n_docs"),
+          min(col("chunk_id")).as("first_chunk_id"))
+        .filter(col("occurrences") > 1)
+        .orderBy("chunk_hash")
+    }),
+
     // ---- multimodal plumbing (binary columns, batched feature extraction)
     "multimodal_features" -> ((s, dir) => {
       val assets = Tables.documents(s, dir).select(
@@ -991,6 +1024,40 @@ object SparkEntry {
         |  round(quantile_cont(n_chars, 0.9), 4) AS p90,
         |  round(quantile_cont(n_chars, 0.99), 4) AS p99
         |FROM documents""".stripMargin,
+
+    "text_redact_pii" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    substr(text, 1, 40) || ' contact user' || CAST(doc_id AS VARCHAR) ||
+        |    '@example.com or 555-123-4567, ssn 123-45-6789, host 10.0.0.' ||
+        |    CAST(doc_id % 256 AS VARCHAR) AS dirty
+        |  FROM documents)
+        |SELECT doc_id,
+        |  regexp_replace(
+        |    regexp_replace(
+        |      regexp_replace(
+        |        regexp_replace(dirty,
+        |          '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |        '([0-9]{1,3}\.){3}[0-9]{1,3}', '<IP>', 'g'),
+        |      '[0-9]{3}-[0-9]{2}-[0-9]{4}', '<SSN>', 'g'),
+        |    '(\+?[0-9]{1,2}[-. ])?\(?[0-9]{3}\)?[-. ][0-9]{3}[-. ][0-9]{4}', '<PHONE>', 'g')
+        |    AS scrubbed
+        |FROM d ORDER BY doc_id""".stripMargin,
+
+    "text_contamination" ->
+      """WITH c AS (
+        |  SELECT doc_id, unnest(list_distinct(
+        |    [substr(text, i + 1, 13) FOR i IN range(length(text) - 12)])) AS shingle
+        |  FROM documents WHERE doc_id < 450 AND length(text) >= 13),
+        |b AS (
+        |  SELECT doc_id AS bench_id, unnest(list_distinct(
+        |    [substr(text, i + 1, 13) FOR i IN range(length(text) - 12)])) AS shingle
+        |  FROM documents WHERE doc_id >= 450 AND doc_id < 500 AND length(text) >= 13)
+        |SELECT c.doc_id, b.bench_id, count(*) AS n_shared_shingles
+        |FROM c JOIN b ON c.shingle = b.shingle
+        |GROUP BY c.doc_id, b.bench_id
+        |HAVING count(*) >= 3
+        |ORDER BY c.doc_id, b.bench_id""".stripMargin,
 
     "text_tokens" ->
       """SELECT doc_id,

@@ -98,6 +98,22 @@ object TextAnalysis extends Serializable {
   def detectLanguageUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
     udf((s: String) => detectLanguage(s))
 
+  // --------------------------------------------------------- PII redaction
+  /** Redact common PII patterns (emails, phone numbers, IPv4, SSN-shaped
+    * ids) to typed placeholder tokens — a standard pretraining-corpus
+    * scrub. Lookaround-free patterns, identical under Java regex and RE2.
+    */
+  def redactPii(text: Column): Column = {
+    val email = regexp_replace(text,
+      "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>")
+    val ipv4 = regexp_replace(email,
+      "([0-9]{1,3}\\.){3}[0-9]{1,3}", "<IP>")
+    val ssn = regexp_replace(ipv4,
+      "[0-9]{3}-[0-9]{2}-[0-9]{4}", "<SSN>")
+    regexp_replace(ssn,
+      "(\\+?[0-9]{1,2}[-. ])?\\(?[0-9]{3}\\)?[-. ][0-9]{3}[-. ][0-9]{4}", "<PHONE>")
+  }
+
   // ------------------------------------------------------- markdown strip
   /** T-11 (ChatInterface.js:224 `removeMd` before TTS): strip markdown
     * syntax to plain prose. Pure regexp_replace chain (no lookarounds, so

@@ -237,6 +237,31 @@ class DedupSpec extends AnyFunSuite with SparkTestSession {
     assert(dup.get.getAs[Int]("hamming") == 0)
   }
 
+  test("PII redaction scrubs emails, phones, IPs, SSNs and leaves prose") {
+    import org.apache.spark.sql.functions.col
+    val dirty = "reach me at jane.doe+x@corp.example.org or (555) 123-4567, " +
+      "server 192.168.1.200, ssn 987-65-4321, just prose 2024 stays"
+    val out = Seq(dirty).toDF("t")
+      .select(graft.functions.TextAnalysis.redactPii(col("t"))).as[String].collect().head
+    assert(out.contains("<EMAIL>") && out.contains("<PHONE>") &&
+      out.contains("<IP>") && out.contains("<SSN>"))
+    assert(!out.contains("jane.doe") && !out.contains("123-4567") &&
+      !out.contains("192.168") && !out.contains("987-65"))
+    assert(out.contains("just prose 2024 stays"))
+  }
+
+  test("contamination check finds docs sharing shingles with the benchmark") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog tonight"),
+      (2L, "completely unrelated text about database engines")).toDF("doc_id", "text")
+    val bench = Seq(
+      (100L, "quick brown fox jumps over the lazy")).toDF("doc_id", "text")
+    val hits = Dedup.contaminationCheck(corpus, bench, n = 13)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("bench_id"))).toSet
+    assert(hits.contains((1L, 100L)))
+    assert(!hits.exists(_._1 == 2L))
+  }
+
   test("embedding near-dup finds only above-threshold pairs") {
     val vecs = Seq(
       (0L, Array(1f, 0f)), (1L, Array(0.99f, 0.14f)), (2L, Array(0f, 1f)))
