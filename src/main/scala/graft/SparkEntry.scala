@@ -559,6 +559,19 @@ object SparkEntry {
           round(expr("percentile(n_chars, 0.99)"), 4).as("p99"))
     }),
 
+    // ---- referential-integrity audit (pipeline data-quality op)
+    "audit_orphans" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val o = Tables.orders(s, dir)
+      val c = Tables.customer(s, dir)
+      val orphanLi = li.join(o, li("l_orderkey") === o("o_orderkey"), "left_anti").count()
+      val orphanO = o.join(c, o("o_custkey") === c("c_custkey"), "left_anti").count()
+      import s.implicits._
+      Seq(
+        ("lineitem->orders", orphanLi),
+        ("orders->customer", orphanO)).toDF("fk_edge", "n_orphans").orderBy("fk_edge")
+    }),
+
     // ---- PII scrub, contamination check, chunk-level dedup
     "text_redact_pii" -> ((s, dir) => {
       // Synthesize PII into the corpus, then scrub it.
@@ -1024,6 +1037,16 @@ object SparkEntry {
         |  round(quantile_cont(n_chars, 0.9), 4) AS p90,
         |  round(quantile_cont(n_chars, 0.99), 4) AS p99
         |FROM documents""".stripMargin,
+
+    "audit_orphans" ->
+      """SELECT 'lineitem->orders' AS fk_edge,
+        |  (SELECT count(*) FROM lineitem l
+        |   WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)) AS n_orphans
+        |UNION ALL
+        |SELECT 'orders->customer',
+        |  (SELECT count(*) FROM orders o
+        |   WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+        |ORDER BY fk_edge""".stripMargin,
 
     "text_redact_pii" ->
       """WITH d AS (

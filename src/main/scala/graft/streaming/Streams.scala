@@ -59,6 +59,17 @@ object Streams {
       .select(col("session_window.start").as("session_start"),
         col("session_window.end").as("session_end"), col("user_id"), col("n_events"))
 
+  /** Streaming exact dedup: drop re-delivered events by id within the
+    * watermark horizon (the streaming form of T-6 — at-least-once sources
+    * become effectively-once downstream). State holds one key per event id
+    * and is evicted past the watermark, so memory is bounded by the
+    * horizon, not the stream.
+    */
+  def dedupEvents(events: DataFrame, idCol: String = "event_id",
+      watermark: String = "10 minutes"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(idCol)
+
   /** Custom per-session state via mapGroupsWithState: running message count
     * and last-seen timestamp per user, with an event-time timeout marking
     * the session expired (the reference's cleanup-expired-sessions logic as

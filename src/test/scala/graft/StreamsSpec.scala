@@ -58,6 +58,26 @@ class StreamsSpec extends AnyFunSuite with SparkTestSession {
     } finally query.stop()
   }
 
+  test("streaming dedup drops re-delivered event ids within the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long, Long)]
+    val events = input.toDF().toDF("ts", "event_id", "user_id")
+    val query = Streams.dedupEvents(events)
+      .writeStream.format("memory").queryName("deduped")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(
+        (ts("2024-01-01 10:00:00"), 1L, 7L),
+        (ts("2024-01-01 10:00:01"), 1L, 7L), // duplicate delivery
+        (ts("2024-01-01 10:00:02"), 2L, 7L))
+      query.processAllAvailable()
+      input.addData((ts("2024-01-01 10:00:03"), 2L, 7L)) // dup across batches
+      query.processAllAvailable()
+      val ids = spark.table("deduped").collect().map(_.getAs[Long]("event_id")).sorted
+      assert(ids.toSeq == Seq(1L, 2L))
+    } finally query.stop()
+  }
+
   test("stateful session tracking accumulates across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[SessionEvent]
