@@ -559,6 +559,39 @@ object SparkEntry {
           round(expr("percentile(n_chars, 0.99)"), 4).as("p99"))
     }),
 
+    // ---- set operations, cube, min-per-group (§2.7 + grouping-set
+    //      coverage from Catalyst built-ins)
+    "set_ops_users" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+      def usersOf(t: String, minValue: Double) =
+        e.filter(col("event_type") === t && col("value") > minValue)
+          .select("user_id").distinct()
+      usersOf("click", 100.0).intersect(usersOf("purchase", 100.0))
+        .except(usersOf("error", 300.0))
+        .orderBy("user_id")
+    }),
+
+    "cube_counts" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .withColumn("day", to_date(col("ts")).cast("string"))
+        .filter(col("day") <= "2024-01-03")
+        .cube("day", "event_type")
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("day").asc_nulls_first, col("event_type").asc_nulls_first)
+    }),
+
+    "q2_min_per_group" -> ((s, dir) => {
+      // cheapest part per brand: window rewrite of the correlated-subquery
+      // min-per-group pattern, canonical row chosen deterministically
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("p_brand").orderBy(col("p_retailprice"), col("p_partkey"))
+      Tables.part(s, dir)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select("p_brand", "p_partkey", "p_retailprice")
+        .orderBy("p_brand")
+    }),
+
     // ---- referential-integrity audit (pipeline data-quality op)
     "audit_orphans" -> ((s, dir) => {
       val li = Tables.lineitem(s, dir)
@@ -1037,6 +1070,28 @@ object SparkEntry {
         |  round(quantile_cont(n_chars, 0.9), 4) AS p90,
         |  round(quantile_cont(n_chars, 0.99), 4) AS p99
         |FROM documents""".stripMargin,
+
+    "set_ops_users" ->
+      """(SELECT DISTINCT user_id FROM events WHERE event_type = 'click' AND value > 100.0
+        | INTERSECT
+        | SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase' AND value > 100.0)
+        |EXCEPT
+        |SELECT DISTINCT user_id FROM events WHERE event_type = 'error' AND value > 300.0
+        |ORDER BY user_id""".stripMargin,
+
+    "cube_counts" ->
+      """SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day, event_type, count(*) AS n
+        |FROM events
+        |WHERE CAST(CAST(ts AS DATE) AS VARCHAR) <= '2024-01-03'
+        |GROUP BY CUBE(CAST(CAST(ts AS DATE) AS VARCHAR), event_type)
+        |ORDER BY day ASC NULLS FIRST, event_type ASC NULLS FIRST""".stripMargin,
+
+    "q2_min_per_group" ->
+      """SELECT p_brand, p_partkey, p_retailprice FROM (
+        |  SELECT p_brand, p_partkey, p_retailprice,
+        |    row_number() OVER (PARTITION BY p_brand ORDER BY p_retailprice, p_partkey) AS rn
+        |  FROM part) t
+        |WHERE rn = 1 ORDER BY p_brand""".stripMargin,
 
     "audit_orphans" ->
       """SELECT 'lineitem->orders' AS fk_edge,
