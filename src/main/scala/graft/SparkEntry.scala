@@ -499,6 +499,17 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    // ---- full ingest path (§3.2: validate → hash → dedup-gate → split →
+    //      enrich → embed, one lineage)
+    "ingest_pipeline" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val catalog = docs.filter(col("doc_id") < 100)
+        .withColumn("file_hash", Ingest.contentHash(col("text")))
+      Ingest.ingest(docs.filter(col("doc_id") >= 100 && col("doc_id") < 200), catalog)
+        .select("chunk_id", "file_id", "chunk_index", "total_chunks", "source_file")
+        .orderBy("file_id", "chunk_index")
+    }),
+
     // ---- full RAG pipeline (§3.1; T-8/T-9 deterministic LLM stub)
     "rag_chat_pipeline" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
