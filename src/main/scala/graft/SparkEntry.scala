@@ -503,10 +503,18 @@ object SparkEntry {
     //      enrich → embed, one lineage)
     "ingest_pipeline" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
-      val catalog = docs.filter(col("doc_id") < 100)
+      // Catalog overlaps the incoming range (100-149) so the dedup gate
+      // actually drops rows; chunkSize=100 so these short docs actually
+      // split; the embedding column is kept (as a checksum) so the embed
+      // stage survives column pruning in Verify/Bench.
+      val catalog = docs.filter(col("doc_id") < 150)
         .withColumn("file_hash", Ingest.contentHash(col("text")))
-      Ingest.ingest(docs.filter(col("doc_id") >= 100 && col("doc_id") < 200), catalog)
-        .select("chunk_id", "file_id", "chunk_index", "total_chunks", "source_file")
+      Ingest.ingest(
+        docs.filter(col("doc_id") >= 100 && col("doc_id") < 200), catalog,
+        chunkSize = 100, overlap = 20)
+        .select(col("chunk_id"), col("file_id"), col("chunk_index"),
+          col("total_chunks"), col("source_file"),
+          round(graft.functions.VectorOps.l2Norm(col("embedding")), 4).as("emb_norm"))
         .orderBy("file_id", "chunk_index")
     }),
 

@@ -92,13 +92,19 @@ object Ingest {
     chunks.withColumn("embedding", HashEmbedder.embedCol(col(textCol)))
 
   /** Full ingest: validate+hash+dedup+split+embed over a raw documents table
-    * with (doc_id, text, source, n_chars).
+    * with (doc_id, text, source, n_chars). Chunking parameters default to
+    * the reference's config (1000/200, config.py:32-33) but are exposed so
+    * short-document corpora can exercise real splitting.
     */
-  def ingest(docs: DataFrame, catalog: DataFrame): DataFrame = {
+  def ingest(
+      docs: DataFrame,
+      catalog: DataFrame,
+      chunkSize: Int = TextSplit.DefaultChunkSize,
+      overlap: Int = TextSplit.DefaultChunkOverlap): DataFrame = {
     val validated = docs
       .withColumn("file_hash", contentHash(col("text")))
       .filter(validSize(col("n_chars")))
     val fresh = dedupGate(validated, catalog, "file_hash")
-    embedChunks(splitIntoChunks(fresh))
+    embedChunks(splitIntoChunks(fresh, chunkSize, overlap))
   }
 }
