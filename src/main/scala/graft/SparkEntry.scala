@@ -329,8 +329,8 @@ object SparkEntry {
       d.select(
         col("doc_id"),
         TextAnalysis.tokenCount(col("text")).as("n_tokens"),
-        round(TextAnalysis.punctRatio(col("text")), 6).as("punct_ratio"),
-        round(TextAnalysis.stopwordRatio(col("text")), 6).as("stopword_ratio"),
+        TextAnalysis.floorScale(TextAnalysis.punctRatio(col("text")), 6).as("punct_ratio"),
+        TextAnalysis.floorScale(TextAnalysis.stopwordRatio(col("text")), 6).as("stopword_ratio"),
         TextAnalysis.qualityScore(col("text")).as("quality"))
         .orderBy("doc_id")
     }),
@@ -948,11 +948,11 @@ object SparkEntry {
         |              / CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE) END AS stopword_ratio
         |  FROM documents)
         |SELECT doc_id, n_tokens,
-        |  round(punct_ratio, 6) AS punct_ratio,
-        |  round(stopword_ratio, 6) AS stopword_ratio,
-        |  round(least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) * 0.4
+        |  floor(punct_ratio * 1000000.0) / 1000000.0 AS punct_ratio,
+        |  floor(stopword_ratio * 1000000.0) / 1000000.0 AS stopword_ratio,
+        |  floor((least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) * 0.4
         |      + greatest(0.0, 1.0 - punct_ratio * 5.0) * 0.3
-        |      + least(stopword_ratio * 2.5, 1.0) * 0.3, 6) AS quality
+        |      + least(stopword_ratio * 2.5, 1.0) * 0.3) * 1000000.0) / 1000000.0 AS quality
         |FROM t ORDER BY doc_id""".stripMargin,
 
     "q6_revenue_forecast" ->

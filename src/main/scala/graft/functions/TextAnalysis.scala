@@ -61,7 +61,20 @@ object TextAnalysis extends Serializable {
     val lenScore = least(length(text).cast("double") / lit(500.0), lit(1.0))
     val punctPenalty = greatest(lit(0.0), lit(1.0) - punctRatio(text) * 5.0)
     val stopScore = least(stopwordRatio(text) * 2.5, lit(1.0))
-    round((lenScore * 0.4 + punctPenalty * 0.3 + stopScore * 0.3), 6)
+    // floor-scale instead of round(): Spark's round() goes through the
+    // shortest decimal string (BigDecimal HALF_UP) while DuckDB rounds the
+    // binary double, so values landing exactly on a …5e-7 boundary split
+    // between engines; floor is a pure function of the double and both
+    // engines agree bit-for-bit.
+    floorScale(lenScore * 0.4 + punctPenalty * 0.3 + stopScore * 0.3, 6)
+  }
+
+  /** Cross-engine-stable truncation to `digits` decimals (see
+    * [[qualityScore]] for why this beats `round` for oracle parity).
+    */
+  def floorScale(c: Column, digits: Int): Column = {
+    val f = math.pow(10, digits)
+    floor(c * f) / f
   }
 
   // ---------------------------------------------------------------- langid
