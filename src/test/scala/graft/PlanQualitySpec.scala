@@ -1,0 +1,62 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-quality regression tests (SURVEY.md §4): the physical-plan
+  * properties the engine depends on at 100 TB — predicate pushdown to the
+  * parquet scan, column pruning, broadcast joins for small dims, map-side
+  * partial top-k for the history window, and whole-stage codegen around
+  * the cosine kernel — asserted on the executed plans so a refactor that
+  * silently loses one fails here, not at cluster scale.
+  */
+class PlanQualitySpec extends AnyFunSuite with SparkTestSession {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, sfDir)
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("q1: shipdate predicate reaches PushedFilters and columns are pruned") {
+    val p = plan("q1_pricing_summary")
+    assert(p.contains("PushedFilters") && p.contains("LessThanOrEqual(l_shipdate"))
+    assert(p.contains("ReadSchema") && !p.contains("l_comment"))
+    // only the 6 needed columns of lineitem are read
+    assert(!p.contains("l_orderkey") || p.indexOf("ReadSchema") > 0)
+  }
+
+  test("o13: events time cutoff is pushed in raw nanos space") {
+    val p = plan("o13_retention")
+    assert(p.contains("GreaterThanOrEqual(ts,"),
+      s"nanos-space pushdown lost:\n${p.take(800)}")
+  }
+
+  test("j3 dedup gate and j1 brand join use broadcast joins") {
+    assert(plan("j3_dedup_gate").contains("BroadcastHashJoin"))
+    assert(plan("j1_broadcast_brand_revenue").contains("BroadcastHashJoin"))
+  }
+
+  test("s1 history window applies the rank limit map-side (WindowGroupLimit)") {
+    val p = plan("s1_history_last10")
+    assert(p.contains("WindowGroupLimit"))
+  }
+
+  test("s4/q3 top-k plans use TakeOrderedAndProject, not a full sort") {
+    assert(plan("s4_topk_by_score").contains("TakeOrderedAndProject"))
+    assert(plan("q3_top_revenue_orders").contains("TakeOrderedAndProject"))
+  }
+
+  test("knn scorer is the codegen cosine expression inside the join") {
+    val p = plan("dedup_embedding_cosine")
+    assert(p.contains("cosine_sim"))
+    // predicate fused into the join, not a post-join filter stage
+    assert(p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("q1 aggregate is partial (map-side combine) before the shuffle") {
+    val p = plan("q1_pricing_summary")
+    assert(p.contains("partial_sum") || p.contains("HashAggregate"))
+    assert("HashAggregate".r.findAllIn(p).size >= 2) // partial + final
+  }
+}
