@@ -58,6 +58,26 @@ class StreamsSpec extends AnyFunSuite with SparkTestSession {
     } finally query.stop()
   }
 
+  test("session windows merge late-but-within-watermark events across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long, String)]
+    val events = input.toDF().toDF("ts", "user_id", "event_type")
+    val query = Streams.sessionWindows(events, gap = "10 minutes", watermark = "1 hour")
+      .writeStream.format("memory").queryName("sess_late")
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      input.addData((ts("2024-01-01 10:00:00"), 1L, "a"))
+      query.processAllAvailable()
+      // late event (5 min earlier than max seen) still inside the 1h
+      // watermark: must merge into the same session window
+      input.addData((ts("2024-01-01 09:55:00"), 1L, "b"))
+      query.processAllAvailable()
+      val rows = spark.table("sess_late").collect()
+      assert(rows.length == 1, s"late event split the session: ${rows.toSeq}")
+      assert(rows.head.getAs[Long]("n_events") == 2L)
+    } finally query.stop()
+  }
+
   test("streaming dedup drops re-delivered event ids within the watermark") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Timestamp, Long, Long)]
