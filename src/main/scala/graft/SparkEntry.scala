@@ -256,12 +256,16 @@ object SparkEntry {
 
     "t1b_chunk_fixed" -> ((s, dir) => {
       // Fixed-width non-overlapping chunker (ANSI-SQL-expressible variant).
+      // Empty text must yield an empty array — sequence(0, -1) would
+      // DESCEND and emit two bogus rows.
+      val nChunks = (length(col("text")) + 99).divide(100).cast("int")
+      val chunks = when(nChunks <= 0, array().cast("array<string>"))
+        .otherwise(transform(
+          sequence(lit(0), nChunks - 1),
+          i => col("text").substr(i * 100 + 1, lit(100))))
       Tables.documents(s, dir)
         .select(col("doc_id"),
-          posexplode(transform(
-            sequence(lit(0), (length(col("text")) + 99).divide(100).cast("int") - 1),
-            i => col("text").substr(i * 100 + 1, lit(100))))
-            .as(Seq("chunk_index", "chunk_text")))
+          posexplode(chunks).as(Seq("chunk_index", "chunk_text")))
         .orderBy("doc_id", "chunk_index")
     }),
 

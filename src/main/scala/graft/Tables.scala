@@ -45,7 +45,12 @@ object Tables {
   def eventsSince(spark: SparkSession, dir: String, cutoff: String): DataFrame = {
     import org.apache.spark.sql.functions._
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val cutoffNs = java.sql.Timestamp.valueOf(cutoff).getTime * 1000000L
+    // Parse the cutoff explicitly as UTC — Timestamp.valueOf would use the
+    // JVM default timezone and shift the pushed filter by the host offset.
+    val cutoffNs = java.time.LocalDateTime
+      .parse(cutoff.replace(' ', 'T'))
+      .toInstant(java.time.ZoneOffset.UTC)
+      .toEpochMilli * 1000000L
     table(spark, dir, "events")
       .filter(col("ts") >= lit(cutoffNs))
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))

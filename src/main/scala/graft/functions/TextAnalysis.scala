@@ -211,6 +211,9 @@ object TextAnalysis extends Serializable {
     * (bandIndex, hashOfBandRows). Docs sharing any band hash are candidates.
     */
   def bandHashes(sig: Array[Long], bands: Int): Array[(Int, Long)] = {
+    require(bands > 0 && bands <= sig.length && sig.length % bands == 0,
+      s"bands ($bands) must evenly divide the signature length (${sig.length}) — " +
+        "otherwise trailing rows are silently ignored or all bands collapse to a constant")
     val rows = sig.length / bands
     Array.tabulate(bands) { b =>
       var h = 1469598103934665603L

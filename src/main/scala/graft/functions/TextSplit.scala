@@ -51,7 +51,7 @@ object TextSplit {
     val remaining = if (separators.isEmpty) Nil else separators.drop(sepIdx + 1)
 
     val pieces: Vector[String] =
-      if (sep.isEmpty) text.grouped(chunkSize).toVector
+      if (sep.isEmpty) slidingChunks(text, chunkSize, chunkOverlap)
       else text.split(java.util.regex.Pattern.quote(sep), -1).toVector.filter(_.nonEmpty)
 
     val out = ArrayBuffer.empty[String]
@@ -66,6 +66,23 @@ object TextSplit {
     }
     if (good.nonEmpty) out ++= merge(good.toVector, sep, chunkSize, chunkOverlap)
     out.toVector
+  }
+
+  /** Hard character split for unsplittable runs — WITH the overlap
+    * carry-over the chunking contract promises (grouped() would produce
+    * zero-overlap windows): windows of `chunkSize` advancing by
+    * `chunkSize - overlap`, dropping a trailing window that would sit
+    * entirely inside the previous chunk's overlap region.
+    */
+  private def slidingChunks(text: String, chunkSize: Int, overlap: Int): Vector[String] = {
+    if (text.length <= chunkSize) Vector(text)
+    else {
+      val stride = chunkSize - overlap
+      (0 until text.length by stride)
+        .filter(start => start == 0 || start < text.length - overlap)
+        .map(start => text.substring(start, math.min(start + chunkSize, text.length)))
+        .toVector
+    }
   }
 
   /** Greedy merge of small pieces into chunks <= chunkSize, joined with the

@@ -71,7 +71,8 @@ object Ann {
       probeBits: Int = 1): DataFrame = {
     val sigU = signatureUdf(nBits)
     val probesU = udf((v: Seq[Float]) =>
-      probeSignatures(signature(v, nBits), nBits, probeBits).toArray)
+      if (v == null) Array.empty[Int]
+      else probeSignatures(signature(v, nBits), nBits, probeBits).toArray)
     val bucketed = corpus.withColumn("sig", sigU(col("embedding")))
     val probed = queries
       .withColumn("sig", explode(probesU(col("q_embedding"))))
@@ -96,7 +97,9 @@ object Ann {
       nCells: Int,
       maxIter: Int = 5): (Array[Array[Float]], DataFrame) = {
     // Each Lloyd iteration re-scans the corpus; cache it for the build
-    // (at scale: persist to MEMORY_AND_DISK or sample the corpus instead).
+    // only (unpersisted before returning — the final assignment costs one
+    // re-scan at use, instead of pinning executor storage forever).
+    // At scale: persist MEMORY_AND_DISK or run Lloyd on a sample.
     val cached = corpus.cache()
     val seeds = cached.orderBy("vec_id").limit(nCells)
       .select("embedding").collect()
@@ -135,7 +138,8 @@ object Ann {
       centroids = centroids.indices.map(c => means.getOrElse(c, centroids(c))).toArray
       iter += 1
     }
-    val assigned = cached.withColumn("cell", assignUdf(centroids)(col("embedding")))
+    cached.unpersist()
+    val assigned = corpus.withColumn("cell", assignUdf(centroids)(col("embedding")))
     (centroids, assigned)
   }
 

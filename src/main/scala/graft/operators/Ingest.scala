@@ -40,8 +40,11 @@ object Ingest {
   def validQuery(q: Column): Column =
     (length(q) <= MaxQueryLen) && (trim(q) =!= "")
 
-  /** P-7: session-id charset (models.py:50-61). */
-  def validSessionId(s: Column): Column = s.rlike("^[A-Za-z0-9-]+$")
+  /** P-7: session-id charset (models.py:50-61). `\A..\z` anchors, not
+    * `^..$` — Java's `$` matches before a trailing newline, which would
+    * accept malformed ids and diverge from full-match oracle semantics.
+    */
+  def validSessionId(s: Column): Column = s.rlike("\\A[A-Za-z0-9-]+\\z")
 
   /** P-3: magic-number MIME sniff over leading bytes; fail-open (NULL/unknown
     * header → accepted), mirroring file_utils.py:115-121.

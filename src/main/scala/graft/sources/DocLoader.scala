@@ -43,8 +43,9 @@ object DocLoader {
     s.replaceAll("(?is)<(script|style)[^>]*>.*?</\\1>", " ")
       .replaceAll("(?s)<!--.*?-->", " ")
       .replaceAll("(?s)<[^>]+>", " ")
-      .replaceAll("&nbsp;", " ").replaceAll("&amp;", "&")
+      .replaceAll("&nbsp;", " ")
       .replaceAll("&lt;", "<").replaceAll("&gt;", ">")
+      .replaceAll("&amp;", "&") // decode &amp; LAST or "&amp;lt;" double-unescapes
       .replaceAll("\\s+", " ").trim
   }
 

@@ -35,15 +35,22 @@ object Streams {
       .select(col("window.start").as("window_start"),
         col("window.end").as("window_end"), col("user_id"), col("n_requests"))
 
-  /** Live metrics counters (main.py:92-113): running per-endpoint
+  /** Live metrics counters (main.py:92-113): running per-dimension
     * request/error counts — a streaming stateful aggregate in update mode.
+    * The dimension column and the error predicate are separate inputs:
+    * grouping by the same column the error predicate tests would make
+    * n_errors degenerate (all-or-nothing per group).
     */
-  def runningCounters(events: DataFrame, watermark: String = "10 minutes"): DataFrame =
+  def runningCounters(
+      events: DataFrame,
+      dimCol: String,
+      isError: org.apache.spark.sql.Column,
+      watermark: String = "10 minutes"): DataFrame =
     events
       .withWatermark("ts", watermark)
-      .groupBy(col("event_type"))
+      .groupBy(col(dimCol))
       .agg(count(lit(1)).as("n_requests"),
-        count(when(col("event_type") === "error", 1)).as("n_errors"))
+        count(when(isError, 1)).as("n_errors"))
 
   /** Session expiry via gap-based session windows (db_utils.py:304-348,
     * 24 h timeout): one row per (user, session burst) with bounds + count.
@@ -71,29 +78,42 @@ object Streams {
       .dropDuplicatesWithinWatermark(idCol)
 
   /** Custom per-session state via mapGroupsWithState: running message count
-    * and last-seen timestamp per user, with an event-time timeout marking
-    * the session expired (the reference's cleanup-expired-sessions logic as
-    * incremental state instead of a periodic scan).
+    * and last-seen timestamp per user, with a real event-time timeout —
+    * once the watermark passes lastSeen + gap, the session emits a final
+    * `expired = true` update and its state is REMOVED (bounded state; the
+    * reference's cleanup-expired-sessions scan, db_utils.py:304-348, as
+    * incremental state eviction).
     */
   case class SessionEvent(ts: Timestamp, user_id: Long, event_type: String)
   case class SessionState(count: Long, lastSeen: Timestamp)
   case class SessionUpdate(user_id: Long, count: Long, lastSeen: Timestamp, expired: Boolean)
 
-  def trackSessions(events: Dataset[SessionEvent]): Dataset[SessionUpdate] = {
+  def trackSessions(
+      events: Dataset[SessionEvent],
+      watermark: String = "1 hour",
+      gapMs: Long = 24L * 3600 * 1000): Dataset[SessionUpdate] = {
     import events.sparkSession.implicits._
     events
+      .withWatermark("ts", watermark)
       .groupByKey(_.user_id)
-      .mapGroupsWithState[SessionState, SessionUpdate](GroupStateTimeout.NoTimeout) {
+      .mapGroupsWithState[SessionState, SessionUpdate](GroupStateTimeout.EventTimeTimeout) {
         case (userId, rows, state: GroupState[SessionState]) =>
-          val prev = state.getOption.getOrElse(SessionState(0L, new Timestamp(0L)))
-          var count = prev.count
-          var last = prev.lastSeen
-          rows.foreach { e =>
-            count += 1
-            if (e.ts.after(last)) last = e.ts
+          if (state.hasTimedOut) {
+            val prev = state.get
+            state.remove()
+            SessionUpdate(userId, prev.count, prev.lastSeen, expired = true)
+          } else {
+            val prev = state.getOption.getOrElse(SessionState(0L, new Timestamp(0L)))
+            var count = prev.count
+            var last = prev.lastSeen
+            rows.foreach { e =>
+              count += 1
+              if (e.ts.after(last)) last = e.ts
+            }
+            state.update(SessionState(count, last))
+            state.setTimeoutTimestamp(last.getTime + gapMs)
+            SessionUpdate(userId, count, last, expired = false)
           }
-          state.update(SessionState(count, last))
-          SessionUpdate(userId, count, last, expired = false)
       }
   }
 }

@@ -43,7 +43,9 @@ class StreamsSpec extends AnyFunSuite with SparkTestSession {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Timestamp, Long, String)]
     val events = input.toDF().toDF("ts", "user_id", "event_type")
-    val query = Streams.runningCounters(events)
+    // dimension (user) and error predicate (event_type) are separate
+    // columns, so per-user error counts are meaningful
+    val query = Streams.runningCounters(events, "user_id", col("event_type") === "error")
       .writeStream.format("memory").queryName("counters")
       .outputMode(OutputMode.Complete()).start()
     try {
@@ -52,9 +54,30 @@ class StreamsSpec extends AnyFunSuite with SparkTestSession {
         (ts("2024-01-01 10:00:01"), 2L, "chat"),
         (ts("2024-01-01 10:00:02"), 1L, "error"))
       query.processAllAvailable()
-      val counts = spark.table("counters")
-        .collect().map(r => r.getAs[String]("event_type") -> r.getAs[Long]("n_requests")).toMap
-      assert(counts == Map("chat" -> 2L, "error" -> 1L))
+      val counts = spark.table("counters").collect()
+        .map(r => r.getAs[Long]("user_id") ->
+          ((r.getAs[Long]("n_requests"), r.getAs[Long]("n_errors")))).toMap
+      assert(counts == Map(1L -> ((2L, 1L)), 2L -> ((1L, 0L))))
+    } finally query.stop()
+  }
+
+  test("session tracking expires and evicts state once the watermark passes the gap") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[SessionEvent]
+    val query = Streams.trackSessions(input.toDS(), watermark = "0 seconds", gapMs = 60000L)
+      .writeStream.format("memory").queryName("sess_expire")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      input.addData(SessionEvent(ts("2024-01-01 10:00:00"), 1L, "a"))
+      query.processAllAvailable()
+      // advance the watermark far past user 1's lastSeen + 60s gap
+      input.addData(SessionEvent(ts("2024-01-01 11:00:00"), 2L, "b"))
+      query.processAllAvailable()
+      input.addData(SessionEvent(ts("2024-01-01 12:00:00"), 2L, "c"))
+      query.processAllAvailable()
+      val updates = spark.table("sess_expire").collect()
+        .map(r => (r.getAs[Long]("user_id"), r.getAs[Boolean]("expired")))
+      assert(updates.contains((1L, true)), s"no expiry emitted: ${updates.toSeq}")
     } finally query.stop()
   }
 

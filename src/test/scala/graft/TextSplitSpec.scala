@@ -35,10 +35,22 @@ class TextSplitSpec extends AnyFunSuite {
     assert(chunks.forall(_.length <= 40))
   }
 
-  test("unsplittable run falls back to hard character split") {
-    val text = "x" * 2500
+  test("unsplittable run falls back to hard character split WITH overlap") {
+    val text = (0 until 2500).map(i => ('a' + i % 26).toChar).mkString
     val chunks = TextSplit.splitText(text, 1000, 200)
-    assert(chunks == Vector("x" * 1000, "x" * 1000, "x" * 500))
+    // windows advance by chunkSize - overlap = 800: [0,1000), [800,1800), [1600,2500)
+    assert(chunks.map(_.length) == Vector(1000, 1000, 900))
+    assert(chunks(0).takeRight(200) == chunks(1).take(200)) // 200-char carry-over
+    assert(chunks(1).takeRight(200) == chunks(2).take(200))
+    assert(chunks(2).last == text.last)
+  }
+
+  test("hard split drops a trailing window inside the previous overlap") {
+    // len=250, size=100, overlap=20 -> starts 0,80,160 (240 is within the
+    // previous chunk's overlap region and must not produce a 4th chunk)
+    val text = "y" * 250
+    val chunks = TextSplit.splitText(text, 100, 20)
+    assert(chunks.map(_.length) == Vector(100, 100, 90))
   }
 
   test("adjacent chunks share overlap content") {
