@@ -1,0 +1,55 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The engine's SQL surface: the flagship §3.1 read path and the custom
+  * functions expressed entirely in `spark.sql`, proving a SQL-only user
+  * of the engine gets the same results as the DataFrame API.
+  */
+class SqlSurfaceSpec extends AnyFunSuite with SparkTestSession {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  test("flagship history window in pure SQL equals the DataFrame form") {
+    GraftExtensions.register(spark)
+    Tables.events(spark, sfDir).createOrReplaceTempView("events_v")
+    val sql = spark.sql(
+      """SELECT user_id, event_id, role, content FROM (
+        |  SELECT user_id, event_id, ts,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn,
+        |    event_type, props
+        |  FROM events_v) t
+        |LATERAL VIEW inline(array(
+        |  named_struct('role', 'human', 'content', event_type),
+        |  named_struct('role', 'ai', 'content', props))) m AS role, content
+        |WHERE rn <= 10
+        |ORDER BY user_id, ts, event_id, role DESC""".stripMargin).collect()
+    val df = SparkEntry.entry(spark)
+      .select("user_id", "event_id", "role", "content").collect()
+    assert(sql.length == df.length)
+    assert(sql.map(_.toSeq).toSeq == df.map(_.toSeq).toSeq)
+  }
+
+  test("retrieval top-k in pure SQL via cosine_sim matches knnJoin") {
+    GraftExtensions.register(spark)
+    Tables.embeddings(spark, sfDir).createOrReplaceTempView("emb_v")
+    val sql = spark.sql(
+      """SELECT query_id, rank, vec_id FROM (
+        |  SELECT q.vec_id AS query_id, e.vec_id,
+        |    row_number() OVER (PARTITION BY q.vec_id
+        |      ORDER BY cosine_sim(q.embedding, e.embedding) DESC, e.vec_id) AS rank
+        |  FROM emb_v q CROSS JOIN emb_v e
+        |  WHERE q.vec_id < 3) t
+        |WHERE rank <= 2 ORDER BY query_id, rank""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+    val emb = Tables.embeddings(spark, sfDir)
+    val queries = emb.filter(org.apache.spark.sql.functions.col("vec_id") < 3)
+      .select(
+        org.apache.spark.sql.functions.col("vec_id").as("query_id"),
+        org.apache.spark.sql.functions.col("embedding").as("q_embedding"))
+    val df = operators.Retrieval.knnJoin(queries, emb, 2)
+      .orderBy("query_id", "rank")
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rank"), r.getAs[Long]("vec_id"))).toSeq
+    assert(sql == df)
+  }
+}
