@@ -662,6 +662,21 @@ object SparkEntry {
     }),
 
     // ---- multimodal plumbing (binary columns, batched feature extraction)
+    "multimodal_near_dup" -> ((s, dir) => {
+      // Composition: binary assets → batched feature extraction → the
+      // same embedding-cosine near-dup operator used for text vectors.
+      val assets = Tables.documents(s, dir).filter(col("doc_id") < 200).select(
+        col("doc_id").as("asset_id"),
+        lit("image").as("modality"),
+        col("text").cast("binary").as("content"),
+        col("source").as("source_uri"))
+      val feats = multimodal.Multimodal.extractFeatures(assets).toDF()
+        .select(col("asset_id").as("vec_id"), col("embedding"))
+      operators.Dedup.embeddingNearDupPairs(feats, threshold = 0.98)
+        .withColumn("cos_sim", round(col("cos_sim"), 6))
+        .orderBy("id_a", "id_b")
+    }),
+
     "multimodal_features" -> ((s, dir) => {
       val assets = Tables.documents(s, dir).select(
         col("doc_id").as("asset_id"),

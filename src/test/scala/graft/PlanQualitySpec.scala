@@ -54,6 +54,11 @@ class PlanQualitySpec extends AnyFunSuite with SparkTestSession {
     assert(p.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("LSH ANN candidate join is a broadcast equi-join on the signature") {
+    val p = plan("ann_lsh_topk")
+    assert(p.contains("BroadcastHashJoin"), s"expected bucket equi-join:\n${p.take(600)}")
+  }
+
   test("q1 aggregate is partial (map-side combine) before the shuffle") {
     val p = plan("q1_pricing_summary")
     assert(p.contains("partial_sum") || p.contains("HashAggregate"))
