@@ -361,6 +361,13 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "text_fingerprint_mod" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          TextAnalysis.fingerprintModUdf(col("text")).as("fp"))
+        .orderBy("doc_id")
+    }),
+
     // ---- additional relational coverage (conditional agg, having,
     //      rollup, analytic windows, sliding windows)
     "q6_revenue_forecast" -> ((s, dir) => {
@@ -1140,6 +1147,17 @@ object SparkEntry {
         |  (SELECT count(*) FROM orders o
         |   WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
         |ORDER BY fk_edge""".stripMargin,
+
+    "text_fingerprint_mod" ->
+      """WITH n AS (
+        |  SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+        |  FROM documents)
+        |SELECT doc_id,
+        |  list_reduce(
+        |    list_prepend(CAST(7 AS BIGINT),
+        |      list_transform(range(length(t)), i -> CAST(unicode(t[i+1]) AS BIGINT))),
+        |    (a, b) -> (31 * a + b) % 2147483647) AS fp
+        |FROM n ORDER BY doc_id""".stripMargin,
 
     "text_redact_pii" ->
       """WITH d AS (

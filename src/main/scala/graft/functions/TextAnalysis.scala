@@ -162,6 +162,27 @@ object TextAnalysis extends Serializable {
   def fingerprintUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
     udf((s: String) => fingerprint(s))
 
+  /** Overflow-free variant of [[fingerprint]]: the same rolling
+    * polynomial reduced mod 2^31-1 at every step, so the arithmetic stays
+    * below 2^36 and is exactly reproducible in any engine with 64-bit
+    * integers (ANSI-SQL-expressible → oracle-checkable, unlike the
+    * wrap-around Long form).
+    */
+  def fingerprintMod(text: String): Long = {
+    if (text == null) return 0L
+    val norm = text.toLowerCase.replaceAll("\\s+", " ").trim
+    var h = 7L
+    var i = 0
+    while (i < norm.length) {
+      h = (31L * h + norm.codePointAt(i)) % 2147483647L
+      i += Character.charCount(norm.codePointAt(i))
+    }
+    h
+  }
+
+  def fingerprintModUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf((s: String) => fingerprintMod(s))
+
   // -------------------------------------------------------------- shingles
   /** Character n-gram shingle set as a native expression: distinct sorted
     * n-char substrings. Used by n-gram Jaccard dedup; expressible in ANSI
