@@ -635,6 +635,38 @@ object SparkEntry {
         ("orders->customer", orphanO)).toDF("fk_edge", "n_orphans").orderBy("fk_edge")
     }),
 
+    // ---- train/val/test sharding + repetition quality rule
+    "sample_split" -> ((s, dir) => {
+      // Deterministic hash-bucket split (80/10/10) — pure integer
+      // arithmetic so any engine reproduces the assignment exactly;
+      // stable under reshuffling/recomputation, unlike randomSplit.
+      val bucket = pmod(col("doc_id") * 2654435761L, lit(1000L))
+      Tables.documents(s, dir)
+        .withColumn("split",
+          when(bucket < 800, "train").when(bucket < 900, "val").otherwise("test"))
+        .groupBy("split")
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("total_chars"))
+        .withColumn("total_chars", col("total_chars").cast("long"))
+        .orderBy("split")
+    }),
+
+    "text_repetition" -> ((s, dir) => {
+      // Max single-word frequency ratio per document (Gopher-style
+      // repetition filter signal).
+      val words = Tables.documents(s, dir)
+        .select(col("doc_id"), explode(split(lower(trim(col("text"))), "\\s+")).as("w"))
+        .filter(col("w") =!= "")
+      val counts = words.groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+      counts.groupBy("doc_id")
+        .agg(max("c").as("max_word_count"), sum("c").as("n_words"))
+        .select(col("doc_id"), col("max_word_count"),
+          col("n_words").cast("long").as("n_words"),
+          TextAnalysis.floorScale(
+            col("max_word_count").cast("double") / col("n_words").cast("double"), 6)
+            .as("repetition_ratio"))
+        .orderBy("doc_id")
+    }),
+
     // ---- PII scrub, contamination check, chunk-level dedup
     "text_redact_pii" -> ((s, dir) => {
       // Synthesize PII into the corpus, then scrub it.
@@ -1147,6 +1179,26 @@ object SparkEntry {
         |  (SELECT count(*) FROM orders o
         |   WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
         |ORDER BY fk_edge""".stripMargin,
+
+    "sample_split" ->
+      """WITH b AS (
+        |  SELECT *, (doc_id * 2654435761) % 1000 AS bucket FROM documents)
+        |SELECT CASE WHEN bucket < 800 THEN 'train'
+        |            WHEN bucket < 900 THEN 'val' ELSE 'test' END AS split,
+        |  count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
+        |FROM b GROUP BY 1 ORDER BY split""".stripMargin,
+
+    "text_repetition" ->
+      """WITH w AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS w
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, w, count(*) AS c FROM w WHERE w <> '' GROUP BY doc_id, w)
+        |SELECT doc_id, max(c) AS max_word_count,
+        |  CAST(sum(c) AS BIGINT) AS n_words,
+        |  floor(CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE) * 1000000.0) / 1000000.0
+        |    AS repetition_ratio
+        |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "text_fingerprint_mod" ->
       """WITH n AS (
