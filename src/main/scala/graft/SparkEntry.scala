@@ -269,16 +269,36 @@ object SparkEntry {
         .orderBy("doc_id", "chunk_index")
     }),
 
+    "t1c_chunk_strided" -> ((s, dir) => {
+      // Strided overlap chunker (SQL-expressible; size 100, overlap 20):
+      // the oracle-checkable sibling of the recursive splitter above.
+      Ingest.chunkStrided(Tables.documents(s, dir), chunkSize = 100, overlap = 20)
+        .select("file_id", "chunk_index", "total_chunks", "chunk_id", "chunk_text")
+        .orderBy("file_id", "chunk_index")
+    }),
+
     "a7_chunks_per_file" -> ((s, dir) => {
-      Ingest.splitIntoChunks(Tables.documents(s, dir), chunkSize = 100, overlap = 20)
+      Ingest.chunkStrided(Tables.documents(s, dir), chunkSize = 100, overlap = 20)
         .groupBy("file_id")
         .agg(count(lit(1)).as("n_chunks"))
         .orderBy("file_id")
     }),
 
     "t3_embed_documents" -> ((s, dir) => {
+      // Scalar projections of the embedding (dim, norm, a component
+      // checksum) rather than the raw array: the driver's compare
+      // row-sorts in pandas and array cells are unsortable there.
+      val emb = HashEmbedder.embedCol(col("text"))
       Tables.documents(s, dir)
-        .select(col("doc_id"), HashEmbedder.embedCol(col("text")).as("embedding"))
+        .select(col("doc_id"), emb.as("embedding"))
+        .select(
+          col("doc_id"),
+          size(col("embedding")).as("emb_dim"),
+          round(graft.functions.VectorOps.l2Norm(col("embedding")), 4).as("emb_norm"),
+          size(filter(col("embedding"), x => x =!= 0f)).as("emb_nonzero"),
+          aggregate(col("embedding"), lit(0L),
+            (acc, x) => acc + floor(x.cast("double") * 1000).cast("long"))
+            .as("emb_checksum"))
         .orderBy("doc_id")
     }),
 
@@ -311,13 +331,16 @@ object SparkEntry {
     }),
 
     "dedup_minhash_lsh" -> ((s, dir) => {
-      Dedup.minHashLshPairs(Tables.documents(s, dir).filter(col("doc_id") < 200))
+      Dedup.minHashLshPairsPortable(Tables.documents(s, dir).filter(col("doc_id") < 200))
         .withColumn("est_jaccard", round(col("est_jaccard"), 6))
         .orderBy("doc_a", "doc_b")
     }),
 
     "dedup_simhash" -> ((s, dir) => {
-      Dedup.simHashPairs(Tables.documents(s, dir).filter(col("doc_id") < 200), maxHamming = 8)
+      // maxHamming 2 of 31 bits: the synthetic docs share vocabulary so
+      // random pairs center at distance ~7; 2 keeps the output a
+      // discriminating near-dup set rather than most of the cross product.
+      Dedup.simHashPairsExact(Tables.documents(s, dir).filter(col("doc_id") < 200), maxHamming = 2)
         .orderBy("doc_a", "doc_b")
     }),
 
@@ -349,15 +372,16 @@ object SparkEntry {
 
     "text_langid" -> ((s, dir) => {
       Tables.documents(s, dir)
-        .select(col("doc_id"), TextAnalysis.detectLanguageUdf(col("text")).as("lang_pred"))
+        .select(col("doc_id"), TextAnalysis.detectLanguageCol(col("text")).as("lang_pred"))
         .orderBy("doc_id")
     }),
 
     "text_fingerprint" -> ((s, dir) => {
+      // 64-bit wrap-around rolling fingerprint; oracle reproduces the Long
+      // overflow via 128-bit ints reduced mod 2^64.
       Tables.documents(s, dir)
         .select(col("doc_id"),
-          TextAnalysis.fingerprintUdf(col("text")).as("fingerprint"),
-          TextAnalysis.simHashUdf(col("text")).as("simhash"))
+          TextAnalysis.fingerprintUdf(col("text")).as("fingerprint"))
         .orderBy("doc_id")
     }),
 
@@ -691,7 +715,8 @@ object SparkEntry {
     "dedup_chunk_level" -> ((s, dir) => {
       // Paragraph/chunk-granularity exact dedup: split, hash each chunk,
       // keep hashes seen in more than one place (cross- or intra-doc).
-      Ingest.splitIntoChunks(Tables.documents(s, dir), chunkSize = 100, overlap = 20)
+      // Strided chunker so the whole operator is oracle-checkable.
+      Ingest.chunkStrided(Tables.documents(s, dir), chunkSize = 100, overlap = 20)
         .groupBy(sha2(col("chunk_text"), 256).as("chunk_hash"))
         .agg(count(lit(1)).as("occurrences"),
           countDistinct(col("file_id")).as("n_docs"),
@@ -717,13 +742,24 @@ object SparkEntry {
     }),
 
     "multimodal_features" -> ((s, dir) => {
+      // Decode-stub plumbing, fully oracle-checked: the stub derives
+      // dimensions from Arrays.hashCode(bytes) and a byte-histogram
+      // embedding, both re-computable in ANSI SQL over the UTF-8 bytes.
+      // Scalar embedding components (not the raw array) keep the output
+      // sortable by the driver's pandas compare.
       val assets = Tables.documents(s, dir).select(
         col("doc_id").as("asset_id"),
         element_at(array(lit("image"), lit("audio"), lit("video")),
           (col("doc_id") % 3 + 1).cast("int")).as("modality"),
         col("text").cast("binary").as("content"),
         col("source").as("source_uri"))
-      multimodal.Multimodal.extractFeatures(assets).toDF().orderBy("asset_id")
+      multimodal.Multimodal.extractFeatures(assets).toDF()
+        .select(
+          col("asset_id"), col("modality"), col("width"), col("height"),
+          col("durationMs").as("duration_ms"), col("nBytes").as("n_bytes"),
+          TextAnalysis.floorScale(element_at(col("embedding"), 1).cast("double"), 6).as("emb_0"),
+          TextAnalysis.floorScale(element_at(col("embedding"), 8).cast("double"), 6).as("emb_7"))
+        .orderBy("asset_id")
     })
   )
 
@@ -1250,6 +1286,209 @@ object SparkEntry {
         |  CASE WHEN length(trim(text)) = 0 THEN 0
         |       ELSE CAST(len(regexp_split_to_array(trim(text), '\s+')) AS INT) END AS ws_tokens,
         |  CAST(len(regexp_extract_all(text, ' ?[\p{L}]+| ?[\p{N}]+| ?[^\s\p{L}\p{N}]+')) AS INT) AS bpeish_tokens
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // Strided chunker: n = 1 + ceil((len-100)/80) for len > 100, i.e.
+    // 1 + floor((len-21)/80); chunk i = substr(text, 80i+1, 100).
+    "t1c_chunk_strided" ->
+      """WITH n AS (
+        |  SELECT doc_id, text,
+        |    CASE WHEN length(text) <= 0 THEN 0
+        |         WHEN length(text) <= 100 THEN 1
+        |         ELSE CAST(floor((length(text) - 21) / 80.0) AS INT) + 1 END AS total_chunks
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id AS file_id, total_chunks,
+        |    unnest(list_transform(range(total_chunks),
+        |      i -> struct_pack(ci := CAST(i AS INT), ct := substr(text, CAST(i * 80 + 1 AS INT), 100)))) AS u
+        |  FROM n WHERE total_chunks > 0)
+        |SELECT file_id, u.ci AS chunk_index, total_chunks,
+        |  CAST(file_id AS VARCHAR) || '_' || CAST(u.ci AS VARCHAR) AS chunk_id, u.ct AS chunk_text
+        |FROM c ORDER BY file_id, chunk_index""".stripMargin,
+
+    "a7_chunks_per_file" ->
+      """SELECT doc_id AS file_id,
+        |  CAST(CASE WHEN length(text) <= 100 THEN 1
+        |       ELSE CAST(floor((length(text) - 21) / 80.0) AS INT) + 1 END AS BIGINT) AS n_chunks
+        |FROM documents WHERE length(text) > 0 ORDER BY file_id""".stripMargin,
+
+    "dedup_chunk_level" ->
+      """WITH n AS (
+        |  SELECT doc_id, text,
+        |    CASE WHEN length(text) <= 0 THEN 0
+        |         WHEN length(text) <= 100 THEN 1
+        |         ELSE CAST(floor((length(text) - 21) / 80.0) AS INT) + 1 END AS nc
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(range(nc),
+        |      i -> struct_pack(ci := CAST(i AS INT), ct := substr(text, CAST(i * 80 + 1 AS INT), 100)))) AS u
+        |  FROM n WHERE nc > 0)
+        |SELECT sha256(u.ct) AS chunk_hash,
+        |  CAST(count(*) AS BIGINT) AS occurrences,
+        |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+        |  min(CAST(doc_id AS VARCHAR) || '_' || CAST(u.ci AS VARCHAR)) AS first_chunk_id
+        |FROM c GROUP BY 1 HAVING count(*) > 1 ORDER BY chunk_hash""".stripMargin,
+
+    // Generated from TextAnalysis.langProfiles — single source of truth
+    // for the gram lists on both engines.
+    "text_langid" -> {
+      def lst(gs: Seq[String]) = gs.map(g => s"'${g.replace("'", "''")}'").mkString("[", ",", "]")
+      def score(gs: Seq[String]) =
+        s"len(list_filter(tris, g -> list_contains(${lst(gs)}, g)))"
+      val structs = TextAnalysis.langProfiles.toSeq.sortBy(_._1)
+        .collect { case (l, gs) if gs.nonEmpty => s"struct_pack(s := ${score(gs)}, l := '$l')" }
+        .mkString(",\n      ")
+      s"""WITH n AS (
+         |  SELECT doc_id, text, ' ' || regexp_replace(lower(coalesce(text, '')), '\\s+', ' ', 'g') || ' ' AS t
+         |  FROM documents),
+         |g AS (
+         |  SELECT doc_id, text,
+         |    CASE WHEN length(t) < 3 THEN CAST([] AS VARCHAR[])
+         |         ELSE list_transform(range(length(t) - 2), i -> substr(t, CAST(i + 1 AS INT), 3)) END AS tris
+         |  FROM n),
+         |s AS (
+         |  SELECT doc_id, text,
+         |    list_max([
+         |      $structs]) AS best
+         |  FROM g)
+         |SELECT doc_id,
+         |  CASE WHEN length(trim(coalesce(text, ''))) = 0 THEN 'und'
+         |       WHEN 2 * length(regexp_replace(text, '[^\\x{4E00}-\\x{9FFF}\\x{3400}-\\x{4DBF}]', '', 'g')) >= length(text) THEN 'zh'
+         |       WHEN best.s = 0 THEN 'und'
+         |       ELSE best.l END AS lang_pred
+         |FROM s ORDER BY doc_id""".stripMargin
+    },
+
+    // Long wrap-around arithmetic reproduced via HUGEINT mod 2^64, then
+    // re-signed into BIGINT range.
+    "text_fingerprint" ->
+      """WITH n AS (
+        |  SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t FROM documents),
+        |u AS (
+        |  SELECT doc_id,
+        |    list_reduce(
+        |      list_prepend(CAST(1125899906842597 AS HUGEINT),
+        |        list_transform(range(length(t)), i -> CAST(unicode(t[CAST(i + 1 AS INT)]) AS HUGEINT))),
+        |      (a, b) -> (31 * a + b) % CAST('18446744073709551616' AS HUGEINT)) AS h
+        |  FROM n)
+        |SELECT doc_id,
+        |  CAST(CASE WHEN h >= CAST('9223372036854775808' AS HUGEINT)
+        |            THEN h - CAST('18446744073709551616' AS HUGEINT) ELSE h END AS BIGINT) AS fingerprint
+        |FROM u ORDER BY doc_id""".stripMargin,
+
+    // Portable MinHash (16 perms, 4 bands of 4): the banding is part of the
+    // semantics, so the oracle reproduces candidate generation too — pairs
+    // sharing at least one band, kept when signature agreement >= 0.5.
+    "dedup_minhash_lsh" ->
+      """WITH t AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^\p{L}\p{N}]+'), x -> x <> '') AS toks
+        |  FROM documents WHERE doc_id < 200),
+        |sh AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(toks) = 0 THEN CAST([] AS VARCHAR[])
+        |         WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+        |         ELSE list_transform(range(len(toks) - 2),
+        |           i -> toks[CAST(i+1 AS INT)] || ' ' || toks[CAST(i+2 AS INT)] || ' ' || toks[CAST(i+3 AS INT)]) END AS shingles
+        |  FROM t),
+        |hs AS (
+        |  SELECT doc_id,
+        |    list_transform(shingles, s ->
+        |      list_reduce(
+        |        list_prepend(CAST(7 AS BIGINT),
+        |          list_transform(range(length(s)), i -> CAST(unicode(s[CAST(i+1 AS INT)]) AS BIGINT))),
+        |        (a, b) -> (31 * a + b) % 2147483647)) AS hashes
+        |  FROM sh),
+        |sg AS (
+        |  SELECT doc_id,
+        |    list_transform(range(16), k -> coalesce(
+        |      list_min(list_transform(hashes,
+        |        h -> ((48271 * (k + 1)) % 2147483647 * h + (16807 * (k + 1) + 11) % 2147483647) % 2147483647)),
+        |      2147483647)) AS sig
+        |  FROM hs),
+        |bd AS (
+        |  SELECT doc_id, sig, unnest(range(4)) AS b FROM sg),
+        |bd2 AS (
+        |  SELECT doc_id, sig, b, sig[CAST(4*b+1 AS INT):CAST(4*b+4 AS INT)] AS band FROM bd),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.sig AS sig_a, b.sig AS sig_b
+        |  FROM bd2 a JOIN bd2 b ON a.b = b.b AND a.band = b.band AND a.doc_id < b.doc_id)
+        |SELECT doc_a, doc_b,
+        |  round(CAST(len(list_filter(range(16), i -> sig_a[CAST(i+1 AS INT)] = sig_b[CAST(i+1 AS INT)])) AS DOUBLE) / 16.0, 6) AS est_jaccard
+        |FROM cand
+        |WHERE CAST(len(list_filter(range(16), i -> sig_a[CAST(i+1 AS INT)] = sig_b[CAST(i+1 AS INT)])) AS DOUBLE) / 16.0 >= 0.5
+        |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // Portable 31-bit SimHash, exact all-pairs form (doc_id < 200 keeps the
+    // quadratic join bounded; the banded form is the scale path).
+    "dedup_simhash" ->
+      """WITH t AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^\p{L}\p{N}]+'), x -> x <> '') AS toks
+        |  FROM documents WHERE doc_id < 200),
+        |f AS (
+        |  SELECT doc_id, list_concat(toks,
+        |    CASE WHEN len(toks) > 1 THEN list_transform(range(len(toks) - 1),
+        |      i -> toks[CAST(i+1 AS INT)] || '_' || toks[CAST(i+2 AS INT)]) ELSE CAST([] AS VARCHAR[]) END) AS feats
+        |  FROM t),
+        |hs AS (
+        |  SELECT doc_id,
+        |    list_transform(feats, s ->
+        |      list_reduce(
+        |        list_prepend(CAST(7 AS BIGINT),
+        |          list_transform(range(length(s)), i -> CAST(unicode(s[CAST(i+1 AS INT)]) AS BIGINT))),
+        |        (a, b) -> (31 * a + b) % 2147483647)) AS hashes
+        |  FROM f),
+        |sm AS (
+        |  SELECT doc_id,
+        |    coalesce(list_sum(list_transform(range(31), b ->
+        |      CASE WHEN coalesce(list_sum(list_transform(hashes,
+        |             h -> ((h >> CAST(b AS INT)) & 1) * 2 - 1)), 0) > 0
+        |           THEN (CAST(1 AS BIGINT) << CAST(b AS INT)) ELSE 0 END)), 0) AS simhash
+        |  FROM hs)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+        |FROM sm a JOIN sm b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.simhash, b.simhash)) <= 2
+        |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // The decode STUB's exact arithmetic (Arrays.hashCode + byte histogram)
+    // over UTF-8 bytes, recovered from hex pairs.
+    "multimodal_features" ->
+      """WITH h AS (
+        |  SELECT doc_id,
+        |    CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS modality,
+        |    hex(encode(text)) AS hx,
+        |    octet_length(encode(text)) AS nb
+        |  FROM documents),
+        |b AS (
+        |  SELECT doc_id, modality, nb,
+        |    list_transform(range(nb), k ->
+        |      (strpos('0123456789ABCDEF', substr(hx, CAST(2*k+1 AS INT), 1)) - 1) * 16 +
+        |      (strpos('0123456789ABCDEF', substr(hx, CAST(2*k+2 AS INT), 1)) - 1)) AS bytes
+        |  FROM h),
+        |s AS (
+        |  SELECT doc_id, modality, nb, bytes,
+        |    list_reduce(
+        |      list_prepend(CAST(1 AS BIGINT),
+        |        list_transform(bytes, v -> CASE WHEN v > 127 THEN v - 256 ELSE v END)),
+        |      (a, c) -> (31 * a + c + 4294967296) % 4294967296) AS u
+        |  FROM b),
+        |t AS (
+        |  SELECT doc_id, modality, nb, u,
+        |    CASE WHEN u >= 2147483648 THEN u - 4294967296 ELSE u END AS sg,
+        |    len(list_filter(bytes, v -> v % 16 = 0)) AS h0,
+        |    len(list_filter(bytes, v -> v % 16 = 7)) AS h7,
+        |    list_sum(list_transform(range(16), j ->
+        |      CAST(len(list_filter(bytes, v -> v % 16 = j)) AS BIGINT)
+        |      * CAST(len(list_filter(bytes, v -> v % 16 = j)) AS BIGINT))) AS nrm2
+        |  FROM s)
+        |SELECT doc_id AS asset_id, modality,
+        |  CASE WHEN modality = 'image' THEN CAST(64 + u % 1024 AS INT) ELSE 0 END AS width,
+        |  CASE WHEN modality = 'image' THEN CAST(64 + ((CAST(floor(sg / 1024.0) AS BIGINT) % 1024) + 1024) % 1024 AS INT) ELSE 0 END AS height,
+        |  CASE WHEN modality = 'audio' THEN ((sg % 60000) + 60000) % 60000 + 100 ELSE 0 END AS duration_ms,
+        |  CAST(nb AS BIGINT) AS n_bytes,
+        |  CASE WHEN nrm2 > 0 THEN floor(CAST(CAST(h0 / sqrt(nrm2) AS REAL) AS DOUBLE) * 1000000) / 1000000 ELSE 0.0 END AS emb_0,
+        |  CASE WHEN nrm2 > 0 THEN floor(CAST(CAST(h7 / sqrt(nrm2) AS REAL) AS DOUBLE) * 1000000) / 1000000 ELSE 0.0 END AS emb_7
+        |FROM t ORDER BY asset_id""".stripMargin
   )
 }

@@ -89,6 +89,11 @@ object TextAnalysis extends Serializable {
     "zh" -> Seq() // handled by CJK codepoint detection
   )
 
+  /** Profiles, exposed so the DuckDB oracle SQL is generated from the same
+    * source of truth (no duplicate gram lists to drift apart).
+    */
+  def langProfiles: Map[String, Seq[String]] = LangProfiles
+
   /** Heuristic language ID over char trigrams; "und" when no profile hits. */
   def detectLanguage(text: String): String = {
     if (text == null || text.trim.isEmpty) return "und"
@@ -110,6 +115,31 @@ object TextAnalysis extends Serializable {
 
   def detectLanguageUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
     udf((s: String) => detectLanguage(s))
+
+  /** [[detectLanguage]] as a pure column expression (no UDF): trigram
+    * positions via `sequence`+`transform`, profile hits via `filter`+`size`,
+    * argmax via `array_max` over (score, lang) structs — all codegen'd.
+    * Counting positions whose trigram is in the profile set equals the
+    * scalar version's per-gram overlapping indexOf counts because each
+    * profile's grams are distinct. Semantically identical to the scalar
+    * form (spec-checked) and exactly reproducible in ANSI SQL.
+    */
+  def detectLanguageCol(text: Column): Column = {
+    val t = concat(lit(" "), regexp_replace(lower(coalesce(text, lit(""))), "\\s+", " "), lit(" "))
+    val tris = when(length(t) < 3, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(0), length(t) - 3), i => t.substr(i + 1, lit(3))))
+    val scored = array(LangProfiles.toSeq.sortBy(_._1).collect {
+      case (lang, grams) if grams.nonEmpty =>
+        struct(size(filter(tris, g => g.isin(grams: _*))).as("s"), lit(lang).as("l"))
+    }: _*)
+    val best = array_max(scored)
+    val cjk = length(regexp_replace(coalesce(text, lit("")),
+      "[^\\x{4E00}-\\x{9FFF}\\x{3400}-\\x{4DBF}]", ""))
+    when(length(trim(coalesce(text, lit("")))) === 0, lit("und"))
+      .when(cjk * 2 >= length(text), lit("zh"))
+      .when(best.getField("s") === 0, lit("und"))
+      .otherwise(best.getField("l"))
+  }
 
   // --------------------------------------------------------- PII redaction
   /** Redact common PII patterns (emails, phone numbers, IPv4, SSN-shaped
@@ -182,6 +212,91 @@ object TextAnalysis extends Serializable {
 
   def fingerprintModUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
     udf((s: String) => fingerprintMod(s))
+
+  // ------------------------------------------------- portable mod-p hashing
+  /** 2^31-1, the Mersenne prime all portable hashes reduce by: every
+    * intermediate stays under 2^62, so the identical arithmetic runs on
+    * any engine with 64-bit integers (the DuckDB oracle included).
+    */
+  val ModP: Long = 2147483647L
+
+  /** Rolling polynomial hash of a string mod [[ModP]] (base 31, seed 7) —
+    * the shared shingle/feature hash of the portable MinHash and SimHash
+    * below. Same construction as [[fingerprintMod]] minus the whitespace
+    * normalization (inputs here are already tokenized).
+    */
+  def hashMod(s: String): Long = {
+    var h = 7L
+    var i = 0
+    while (i < s.length) {
+      h = (31L * h + s.codePointAt(i)) % ModP
+      i += Character.charCount(s.codePointAt(i))
+    }
+    h
+  }
+
+  /** Sentinel for the MinHash of an empty shingle set: [[ModP]] itself,
+    * unreachable by any `x mod ModP`. Two empty docs therefore agree on
+    * every signature slot (estimated Jaccard 1), matching the convention
+    * that two empty sets are identical.
+    */
+  val EmptySigSlot: Long = ModP
+
+  /** Portable MinHash signature: permutation k is the affine map
+    * h -> (A_k·h + B_k) mod p with A_k = 48271(k+1) mod p,
+    * B_k = (16807(k+1)+11) mod p (both derived, no constant table to keep
+    * in sync with the oracle SQL). Exact same output in any 64-bit-integer
+    * engine; the murmur-based [[minHashSignature]] stays the scale default.
+    */
+  def minHashSignaturePortable(shingles: Array[String], numHashes: Int): Array[Long] = {
+    val sig = Array.fill(numHashes)(EmptySigSlot)
+    var i = 0
+    while (i < shingles.length) {
+      val h = hashMod(shingles(i))
+      var k = 0
+      while (k < numHashes) {
+        val a = (48271L * (k + 1)) % ModP
+        val b = (16807L * (k + 1) + 11L) % ModP
+        val v = (a * h + b) % ModP
+        if (v < sig(k)) sig(k) = v
+        k += 1
+      }
+      i += 1
+    }
+    sig
+  }
+
+  /** Portable 31-bit SimHash over word uni+bigram features (same feature
+    * set as [[simHash]], but [[hashMod]] instead of murmur so the value is
+    * engine-reproducible). Bit j set iff more feature hashes have bit j
+    * set than clear.
+    */
+  def simHashMod(text: String): Long = {
+    if (text == null) return 0L
+    val v = new Array[Int](31)
+    def add(f: String): Unit = {
+      val h = hashMod(f)
+      var b = 0
+      while (b < 31) {
+        if (((h >>> b) & 1L) == 1L) v(b) += 1 else v(b) -= 1
+        b += 1
+      }
+    }
+    val ts = HashEmbedder.tokens(text)
+    var i = 0
+    while (i < ts.length) {
+      add(ts(i))
+      if (i + 1 < ts.length) add(ts(i) + "_" + ts(i + 1))
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 31) { if (v(b) > 0) out |= (1L << b); b += 1 }
+    out
+  }
+
+  def simHashModUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf((s: String) => simHashMod(s))
 
   // -------------------------------------------------------------- shingles
   /** Character n-gram shingle set as a native expression: distinct sorted

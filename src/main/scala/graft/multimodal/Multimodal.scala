@@ -63,8 +63,10 @@ object Multimodal {
     while (i < bytes.length) { v(math.floorMod(bytes(i), FeatureDim)) += 1.0; i += 1 }
     var norm = 0.0
     v.foreach(x => norm += x * x)
-    val inv = if (norm > 0) 1.0 / math.sqrt(norm) else 0.0
-    v.map(x => (x * inv).toFloat)
+    // x / sqrt(norm) (not x * inv): one double rounding, bit-identical to
+    // any engine computing the quotient directly — keeps this oracle-able.
+    if (norm > 0) v.map(x => (x / math.sqrt(norm)).toFloat)
+    else v.map(_ => 0f)
   }
 
   /** Batched feature extraction: one pass per partition, decoding in

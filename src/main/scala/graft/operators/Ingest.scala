@@ -90,6 +90,33 @@ object Ingest {
       .withColumn("chunk_id", concat(col("file_id"), lit("_"), col("chunk_index")))
   }
 
+  /** SQL-expressible strided chunker: fixed `chunkSize` windows advancing
+    * by `chunkSize - overlap`. The closed-form cousin of the recursive
+    * splitter ([[splitIntoChunks]]): same chunk schema, but pure column
+    * arithmetic (`sequence` + `transform` + `posexplode`, whole-stage
+    * codegen, no UDF) and exactly reproducible in ANSI SQL — pipelines
+    * built on it stay oracle-checkable end-to-end.
+    */
+  def chunkStrided(docs: DataFrame, chunkSize: Int, overlap: Int): DataFrame = {
+    require(overlap >= 0 && overlap < chunkSize, "overlap must be in [0, chunkSize)")
+    val stride = chunkSize - overlap
+    val len = length(col("text"))
+    val n = when(len <= 0 || len.isNull, lit(0))
+      .when(len <= chunkSize, lit(1))
+      .otherwise(floor((len - chunkSize + stride - 1).cast("double") / stride).cast("int") + 1)
+    val chunks = when(n <= 0, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(0), n - 1),
+        i => col("text").substr(i * stride + 1, lit(chunkSize))))
+    docs
+      .withColumn("total_chunks", n)
+      .select(
+        col("doc_id").as("file_id"),
+        col("source").as("source_file"),
+        col("total_chunks"),
+        posexplode(chunks).as(Seq("chunk_index", "chunk_text")))
+      .withColumn("chunk_id", concat(col("file_id"), lit("_"), col("chunk_index")))
+  }
+
   /** T-3: attach an embedding column to chunk rows. */
   def embedChunks(chunks: DataFrame, textCol: String = "chunk_text"): DataFrame =
     chunks.withColumn("embedding", HashEmbedder.embedCol(col(textCol)))
