@@ -392,6 +392,25 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- lexical retrieval + corpus term statistics
+    "bm25_topk" -> ((s, dir) => {
+      import s.implicits._
+      val queries = Seq(
+        (0L, "fast sort merge"), (1L, "spark data query"), (2L, "join filter stream"))
+        .toDF("query_id", "qtext")
+      operators.TextRetrieval.bm25TopK(Tables.documents(s, dir), queries, k = 5)
+        .orderBy("query_id", "rank")
+    }),
+
+    "tfidf_top_terms" -> ((s, dir) => {
+      operators.TextRetrieval.tfidfTopTerms(Tables.documents(s, dir), k = 3)
+        .orderBy("doc_id", "rank")
+    }),
+
+    "ngram_top_bigrams" -> ((s, dir) => {
+      operators.TextRetrieval.topNgrams(Tables.documents(s, dir), n = 2, k = 20)
+    }),
+
     // ---- additional relational coverage (conditional agg, having,
     //      rollup, analytic windows, sliding windows)
     "q6_revenue_forecast" -> ((s, dir) => {
@@ -1287,6 +1306,73 @@ object SparkEntry {
         |       ELSE CAST(len(regexp_split_to_array(trim(text), '\s+')) AS INT) END AS ws_tokens,
         |  CAST(len(regexp_extract_all(text, ' ?[\p{L}]+| ?[\p{N}]+| ?[^\s\p{L}\p{N}]+')) AS INT) AS bpeish_tokens
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // BM25 with the exact float-literal discipline of the Spark side:
+    // k1=1.25, b=0.75 (binary-exact), idf = ln(1 + (N-df+0.5)/(df+0.5)),
+    // ranking on the 6-decimal floored score + doc_id tiebreak.
+    "bm25_topk" ->
+      """WITH q(query_id, qtext) AS (VALUES
+        |    (CAST(0 AS BIGINT), 'fast sort merge'),
+        |    (CAST(1 AS BIGINT), 'spark data query'),
+        |    (CAST(2 AS BIGINT), 'join filter stream')),
+        |tk AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^\p{L}\p{N}]+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |t AS (SELECT doc_id, unnest(toks) AS term FROM tk),
+        |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM t GROUP BY 1, 2),
+        |dl AS (SELECT doc_id, len(toks) AS dl FROM tk),
+        |corp AS (SELECT CAST(count(*) AS BIGINT) AS n_docs, avg(CAST(dl AS DOUBLE)) AS avgdl FROM dl),
+        |dfr AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+        |qt AS (SELECT DISTINCT query_id, term FROM
+        |  (SELECT query_id, unnest(list_filter(regexp_split_to_array(lower(qtext), '[^\p{L}\p{N}]+'), x -> x <> '')) AS term FROM q)),
+        |c AS (
+        |  SELECT qt.query_id, tf.doc_id,
+        |    ln(1.0 + (corp.n_docs - dfr.df + 0.5) / (dfr.df + 0.5))
+        |      * (tf.tf * (1.25 + 1)) / (tf.tf + 1.25 * (1 - 0.75 + 0.75 * dl.dl / corp.avgdl)) AS contrib
+        |  FROM qt JOIN tf USING (term) JOIN dfr USING (term)
+        |  JOIN dl ON tf.doc_id = dl.doc_id, corp),
+        |s AS (
+        |  SELECT query_id, doc_id, floor(sum(contrib) * 1000000) / 1000000 AS score
+        |  FROM c GROUP BY 1, 2),
+        |r AS (
+        |  SELECT query_id, doc_id, score,
+        |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS INT) AS rank
+        |  FROM s)
+        |SELECT query_id, rank, doc_id, score FROM r WHERE rank <= 5
+        |ORDER BY query_id, rank""".stripMargin,
+
+    "tfidf_top_terms" ->
+      """WITH tk AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^\p{L}\p{N}]+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |t AS (SELECT doc_id, unnest(toks) AS term FROM tk),
+        |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM t GROUP BY 1, 2),
+        |dfr AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+        |s AS (
+        |  SELECT doc_id, term,
+        |    floor(tf * ln(CAST(n_docs AS DOUBLE) / df) * 1000000) / 1000000 AS score
+        |  FROM tf JOIN dfr USING (term), n),
+        |r AS (
+        |  SELECT doc_id, term, score,
+        |    CAST(row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS INT) AS rank
+        |  FROM s)
+        |SELECT doc_id, rank, term, score FROM r WHERE rank <= 3
+        |ORDER BY doc_id, rank""".stripMargin,
+
+    "ngram_top_bigrams" ->
+      """WITH tk AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^\p{L}\p{N}]+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id,
+        |    unnest(CASE WHEN len(toks) < 2 THEN CAST([] AS VARCHAR[])
+        |      ELSE list_transform(range(len(toks) - 1),
+        |        i -> toks[CAST(i+1 AS INT)] || ' ' || toks[CAST(i+2 AS INT)]) END) AS gram
+        |  FROM tk)
+        |SELECT gram, CAST(count(*) AS BIGINT) AS n_occurrences
+        |FROM g GROUP BY gram
+        |ORDER BY n_occurrences DESC, gram LIMIT 20""".stripMargin,
 
     // Strided chunker: n = 1 + ceil((len-100)/80) for len > 100, i.e.
     // 1 + floor((len-21)/80); chunk i = substr(text, 80i+1, 100).

@@ -1,0 +1,124 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.TextAnalysis
+
+/** Lexical retrieval and term-statistics operators: BM25 top-k search,
+  * per-document TF-IDF key terms, and corpus n-gram statistics.
+  *
+  * The reference retrieves purely by embedding similarity
+  * (chroma_utils.py:237-263); production RAG stacks pair that with a
+  * lexical (BM25) channel, and pretraining-data pipelines need corpus
+  * term statistics — these are the scale-out batch forms.
+  *
+  * Design for 100 TB: everything is tokenize → explode → hash-partitioned
+  * aggregation on (term) or (doc, term) — no cross joins. The per-term
+  * document frequencies and corpus aggregates are tiny relative to the
+  * corpus (vocabulary-sized / scalar) and broadcast back; the only wide
+  * shuffles key on term or doc id. All hot-path expressions are native
+  * (codegen), no UDFs.
+  */
+object TextRetrieval {
+
+  /** Lowercased word tokens as a column (same tokenization as
+    * [[graft.functions.HashEmbedder.tokens]] — split on non-letter/digit).
+    */
+  def tokensCol(text: Column): Column =
+    filter(split(lower(text), "[^\\p{L}\\p{N}]+"), t => t =!= "")
+
+  /** (doc_id, term, tf) term frequencies. */
+  def termFrequencies(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), explode(tokensCol(col("text"))).as("term"))
+      .groupBy("doc_id", "term")
+      .agg(count(lit(1)).as("tf"))
+
+  /** BM25 top-k document retrieval for a table of keyword queries.
+    *
+    * Scoring: idf(t) = ln(1 + (N - df + 0.5)/(df + 0.5)) (the
+    * Robertson-Spärck-Jones form, always positive), tf saturation with
+    * k1/b length normalization. Distinct query terms (bag-of-words
+    * queries score each term once).
+    *
+    * Cross-engine determinism: ranking uses the 6-decimal floor of the
+    * score plus doc_id, so float fold-order noise below 1e-6 can't flip
+    * the cut between engines.
+    */
+  def bm25TopK(
+      docs: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      // 1.25/0.75: standard BM25 range, chosen exactly representable in
+      // binary so k1+1 and 1-b are literal-identical in any engine.
+      k1: Double = 1.25,
+      b: Double = 0.75): DataFrame = {
+    val tf = termFrequencies(docs)
+    val dl = docs.select(col("doc_id"), size(tokensCol(col("text"))).as("dl"))
+    val corpus = dl.agg(
+      count(lit(1)).as("n_docs"),
+      avg(col("dl").cast("double")).as("avgdl"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val qterms = queries
+      .select(col("query_id"), explode(tokensCol(col("qtext"))).as("term"))
+      .distinct()
+    val contrib = qterms
+      .join(tf, "term") // inverted-index equi-join on term
+      .join(broadcast(df), "term")
+      .join(broadcast(dl), "doc_id")
+      .crossJoin(broadcast(corpus))
+      .withColumn("idf",
+        log(lit(1.0) + (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5)))
+      .withColumn("contrib",
+        col("idf") * (col("tf") * lit(k1 + 1)) /
+          (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / col("avgdl"))))
+    val scored = contrib
+      .groupBy("query_id", "doc_id")
+      .agg(TextAnalysis.floorScale(sum("contrib"), 6).as("score"))
+    val w = Window.partitionBy("query_id").orderBy(desc("score"), asc("doc_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "doc_id", "score")
+  }
+
+  /** Top `k` characteristic terms per document by TF-IDF
+    * (idf = ln(N/df); ties broken by term). The batch form of
+    * keyword/topic extraction over a corpus.
+    */
+  def tfidfTopTerms(docs: DataFrame, k: Int): DataFrame = {
+    val tf = termFrequencies(docs)
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val scored = tf
+      .join(broadcast(df), "term")
+      .crossJoin(broadcast(n))
+      .withColumn("score",
+        TextAnalysis.floorScale(
+          col("tf") * log(col("n_docs").cast("double") / col("df")), 6))
+    val w = Window.partitionBy("doc_id").orderBy(desc("score"), asc("term"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("doc_id", "rank", "term", "score")
+  }
+
+  /** Corpus-wide top `k` word n-grams by occurrence count (ties broken by
+    * the n-gram string) — the standard corpus-statistics probe. Pure
+    * integer arithmetic; one shuffle on the n-gram, then a global top-k
+    * (TakeOrderedAndProject, no full sort).
+    */
+  def topNgrams(docs: DataFrame, n: Int, k: Int): DataFrame = {
+    val toks = docs.select(col("doc_id"), tokensCol(col("text")).as("toks"))
+    val grams = toks
+      .withColumn("gram",
+        explode(when(size(col("toks")) < n, array().cast("array<string>"))
+          .otherwise(transform(
+            sequence(lit(0), size(col("toks")) - n),
+            i => concat_ws(" ", (0 until n).map(j => element_at(col("toks"), i + j + 1)): _*)))))
+    grams.groupBy("gram")
+      .agg(count(lit(1)).as("n_occurrences"))
+      .orderBy(desc("n_occurrences"), asc("gram"))
+      .limit(k)
+  }
+}
