@@ -344,6 +344,16 @@ object SparkEntry {
         .orderBy("doc_a", "doc_b")
     }),
 
+    "dedup_clusters" -> ((s, dir) => {
+      // Pair generation -> connected components -> canonical survivor per
+      // duplicate group (what a retention pass actually consumes).
+      val pairs = Dedup.ngramJaccardPairs(
+        Tables.documents(s, dir).filter(col("doc_id") < 200), n = 3, threshold = 0.5)
+      Dedup.duplicateClusters(pairs)
+        .withColumn("is_canonical", col("doc_id") === col("cluster_id"))
+        .orderBy("doc_id")
+    }),
+
     "dedup_embedding_cosine" -> ((s, dir) => {
       Dedup.embeddingNearDupPairs(Tables.embeddings(s, dir), threshold = 0.4)
         .withColumn("cos_sim", round(col("cos_sim"), 6))
@@ -1373,6 +1383,35 @@ object SparkEntry {
         |SELECT gram, CAST(count(*) AS BIGINT) AS n_occurrences
         |FROM g GROUP BY gram
         |ORDER BY n_occurrences DESC, gram LIMIT 20""".stripMargin,
+
+    // Same pair generation as dedup_ngram_jaccard, then transitive
+    // closure via recursive CTE; min reachable id = cluster id (Spark
+    // converges min-label propagation to the same fixpoint).
+    "dedup_clusters" ->
+      """WITH RECURSIVE sh AS (
+        |  SELECT doc_id, unnest(list_distinct(
+        |    [substr(text, i + 1, 3) FOR i IN range(length(text) - 2)])) AS shingle
+        |  FROM documents WHERE doc_id < 200 AND length(text) >= 3),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id),
+        |pairs AS (
+        |  SELECT doc_a, doc_b FROM inter
+        |  JOIN sizes sa ON sa.doc_id = doc_a
+        |  JOIN sizes sb ON sb.doc_id = doc_b
+        |  WHERE CAST(inter AS DOUBLE) / CAST(sa.n + sb.n - inter AS DOUBLE) >= 0.5),
+        |edges AS (
+        |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+        |  UNION SELECT doc_b, doc_a FROM pairs),
+        |reach(node, r) AS (
+        |  SELECT DISTINCT src, src FROM edges
+        |  UNION
+        |  SELECT e.src, r.r FROM edges e JOIN reach r ON e.dst = r.node)
+        |SELECT node AS doc_id, min(r) AS cluster_id,
+        |  CAST(node = min(r) AS BOOLEAN) AS is_canonical
+        |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin,
 
     // Strided chunker: n = 1 + ceil((len-100)/80) for len > 100, i.e.
     // 1 + floor((len-21)/80); chunk i = substr(text, 80i+1, 100).

@@ -237,6 +237,30 @@ class DedupSpec extends AnyFunSuite with SparkTestSession {
     assert(dup.get.getAs[Int]("hamming") == 0)
   }
 
+  test("portable minhash/simhash agree with murmur variants on dup detection") {
+    val p = Dedup.minHashLshPairsPortable(docs, threshold = 0.5).collect()
+    val dup = p.find(r => r.getAs[Long]("doc_a") == 1L && r.getAs[Long]("doc_b") == 2L)
+    assert(dup.isDefined && dup.get.getAs[Double]("est_jaccard") == 1.0)
+    val s = Dedup.simHashPairsExact(docs, maxHamming = 0).collect()
+    assert(s.exists(r => r.getAs[Long]("doc_a") == 1L && r.getAs[Long]("doc_b") == 2L &&
+      r.getAs[Int]("hamming") == 0))
+  }
+
+  test("duplicate clusters: chain and isolated components get min-id labels") {
+    // chain 1-2, 2-5, plus component 7-9: component {1,2,5} -> 1, {7,9} -> 7
+    val pairs = Seq((1L, 2L), (2L, 5L), (7L, 9L)).toDF("doc_a", "doc_b")
+    val out = Dedup.duplicateClusters(pairs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_id")).toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 5L -> 1L, 7L -> 7L, 9L -> 7L))
+  }
+
+  test("duplicate clusters converge on a long chain (diameter > 2)") {
+    val pairs = (1L until 12L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val out = Dedup.duplicateClusters(pairs).collect()
+    assert(out.length == 12)
+    assert(out.forall(_.getAs[Long]("cluster_id") == 1L))
+  }
+
   test("PII redaction scrubs emails, phones, IPs, SSNs and leaves prose") {
     import org.apache.spark.sql.functions.col
     val dirty = "reach me at jane.doe+x@corp.example.org or (555) 123-4567, " +

@@ -64,4 +64,30 @@ class PlanQualitySpec extends AnyFunSuite with SparkTestSession {
     assert(p.contains("partial_sum") || p.contains("HashAggregate"))
     assert("HashAggregate".r.findAllIn(p).size >= 2) // partial + final
   }
+
+  test("bm25: vocabulary-side joins broadcast, top-k rank prunes map-side") {
+    val p = plan("bm25_topk")
+    assert(p.contains("BroadcastHashJoin"), "df/dl joins must broadcast")
+    assert(p.contains("WindowGroupLimit"), "rank<=k must prune before the final window")
+    assert(!p.contains("SortMergeJoin"), "no corpus-sized shuffle join expected")
+  }
+
+  test("tfidf/langid/strided-chunker plans are UDF-free native expressions") {
+    assert(!plan("tfidf_top_terms").contains("ScalaUDF"))
+    assert(!plan("text_langid").contains("ScalaUDF"))
+    assert(!plan("t1c_chunk_strided").contains("ScalaUDF"))
+    assert(!plan("ngram_top_bigrams").contains("ScalaUDF"))
+  }
+
+  test("ngram top-k is TakeOrderedAndProject over a partial-agg shuffle") {
+    val p = plan("ngram_top_bigrams")
+    assert(p.contains("TakeOrderedAndProject"), "global top-k must not full-sort")
+    assert("HashAggregate".r.findAllIn(p).size >= 2)
+  }
+
+  test("strided chunker reads only the columns it emits") {
+    val p = plan("t1c_chunk_strided")
+    assert(p.contains("ReadSchema"))
+    assert(!p.contains("lang"), "unused documents columns must be pruned")
+  }
 }
