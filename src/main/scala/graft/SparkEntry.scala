@@ -617,6 +617,14 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    "ann_quantized_topk" -> ((s, dir) => {
+      // int8-quantized cosine scan: the 4×-smaller code table is what
+      // streams at scale; integer dots are exact, so fully oracle-checked.
+      val quantized = operators.Ann.quantizeInt8(Tables.embeddings(s, dir))
+      operators.Ann.quantizedTopK(quantized, nQueries = 5, k = 2)
+        .orderBy("query_id", "rank")
+    }),
+
     // ---- T-11 markdown strip + corpus length distribution stats
     "t11_markdown_strip" -> ((s, dir) => {
       // Synthesize markdown from document columns, then strip it — the
@@ -1575,6 +1583,76 @@ object SparkEntry {
         |FROM sm a JOIN sm b ON a.doc_id < b.doc_id
         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 2
         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // Quantize (floor(x·127/max|x|)) → integer dot → floored-sim ranking;
+    // every step is exact or single-rounded identically on both engines.
+    "ann_quantized_topk" ->
+      """WITH q AS (
+        |  SELECT vec_id,
+        |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS maxabs,
+        |    embedding
+        |  FROM embeddings),
+        |qi AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding, x ->
+        |      CAST(floor(CAST(x AS DOUBLE) * 127 / maxabs) AS BIGINT)) AS qv
+        |  FROM q WHERE maxabs > 0),
+        |nrm AS (
+        |  SELECT vec_id, qv,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(qv, x -> x * x)), (a, b) -> a + b) AS n2
+        |  FROM qi),
+        |pairs AS (
+        |  SELECT a.vec_id AS query_id, b.vec_id AS vec_id,
+        |    floor(
+        |      CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |        list_transform(range(64), i -> a.qv[i+1] * b.qv[i+1])), (x, y) -> x + y) AS DOUBLE)
+        |      / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE))) * 1000000) / 1000000 AS approx_sim
+        |  FROM nrm a JOIN nrm b ON b.vec_id <> a.vec_id
+        |  WHERE a.vec_id < 5),
+        |r AS (
+        |  SELECT query_id, vec_id, approx_sim,
+        |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY approx_sim DESC, vec_id) AS INT) AS rank
+        |  FROM pairs)
+        |SELECT query_id, rank, vec_id, approx_sim FROM r WHERE rank <= 2
+        |ORDER BY query_id, rank""".stripMargin,
+
+    // Byte-histogram features (same arithmetic as multimodal_features'
+    // stub) -> the established cosine fold -> 0.98 near-dup threshold.
+    "multimodal_near_dup" ->
+      """WITH h AS (
+        |  SELECT doc_id, hex(encode(text)) AS hx, octet_length(encode(text)) AS nb
+        |  FROM documents WHERE doc_id < 200),
+        |b AS (
+        |  SELECT doc_id,
+        |    list_transform(range(nb), k ->
+        |      (strpos('0123456789ABCDEF', substr(hx, CAST(2*k+1 AS INT), 1)) - 1) * 16 +
+        |      (strpos('0123456789ABCDEF', substr(hx, CAST(2*k+2 AS INT), 1)) - 1)) AS bytes
+        |  FROM h),
+        |f AS (
+        |  SELECT doc_id AS vec_id,
+        |    list_transform(range(16), j ->
+        |      CAST(CASE WHEN nrm2 > 0 THEN hist[CAST(j+1 AS INT)] / sqrt(nrm2) ELSE 0 END AS REAL)) AS embedding
+        |  FROM (
+        |    SELECT doc_id,
+        |      list_transform(range(16), j -> CAST(len(list_filter(bytes, v -> v % 16 = j)) AS BIGINT)) AS hist,
+        |      list_sum(list_transform(range(16), j ->
+        |        CAST(len(list_filter(bytes, v -> v % 16 = j)) AS BIGINT)
+        |        * CAST(len(list_filter(bytes, v -> v % 16 = j)) AS BIGINT))) AS nrm2
+        |    FROM b)),
+        |p AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |    list_reduce(list_prepend(0.0,
+        |      list_transform(range(16),
+        |        i -> CAST(a.embedding[i+1] AS DOUBLE) * CAST(b.embedding[i+1] AS DOUBLE))),
+        |      (x, y) -> x + y)
+        |    / (sqrt(list_reduce(list_prepend(0.0,
+        |         list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (x, y) -> x + y))
+        |     * sqrt(list_reduce(list_prepend(0.0,
+        |         list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (x, y) -> x + y)))
+        |    AS cos_sim
+        |  FROM f a JOIN f b ON a.vec_id < b.vec_id)
+        |SELECT id_a, id_b, round(cos_sim, 6) AS cos_sim FROM p
+        |WHERE cos_sim >= 0.98 ORDER BY id_a, id_b""".stripMargin,
 
     // The decode STUB's exact arithmetic (Arrays.hashCode + byte histogram)
     // over UTF-8 bytes, recovered from hex pairs.

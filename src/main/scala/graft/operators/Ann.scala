@@ -176,4 +176,41 @@ object Ann {
       .filter(col("rank") <= k)
       .select("query_id", "rank", "vec_id", "sim")
   }
+
+  /** Per-vector symmetric int8 quantization: scale by 127/max|x| and
+    * floor. 4× less storage/bandwidth than float32 — at 100 TB the
+    * quantized corpus is what streams through the similarity scan, with
+    * float re-rank only on the survivors. Pure column arithmetic
+    * (`floor`, not a round mode that differs between engines), so the
+    * whole quantize → integer-dot → top-k path is oracle-checkable.
+    * Emits (vec_id, qv int8-range longs, qnorm2).
+    */
+  def quantizeInt8(vecs: DataFrame): DataFrame =
+    vecs
+      .withColumn("maxabs", array_max(transform(col("embedding"), x => abs(x.cast("double")))))
+      .filter(col("maxabs") > 0) // zero vectors have no direction to keep
+      .withColumn("qv", transform(col("embedding"),
+        x => floor(x.cast("double") * 127 / col("maxabs")).cast("long")))
+      .withColumn("qnorm2", aggregate(col("qv"), lit(0L), (acc, x) => acc + x * x))
+      .select("vec_id", "qv", "qnorm2")
+
+  /** Top-k by quantized cosine: exact integer dot products over the int8
+    * codes, normalized by the integer norms. Queries are the quantized
+    * vectors with `vec_id` < the probe bound (self-matches excluded);
+    * ranking uses the 6-decimal floored similarity + vec_id so the cut is
+    * engine-stable.
+    */
+  def quantizedTopK(quantized: DataFrame, nQueries: Int, k: Int): DataFrame = {
+    val q = quantized.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("qv").as("q_qv"), col("qnorm2").as("q_n2"))
+    val dot = aggregate(
+      zip_with(col("q_qv"), col("qv"), (x, y) => x * y), lit(0L), (acc, v) => acc + v)
+    quantized.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .withColumn("approx_sim", graft.functions.TextAnalysis.floorScale(
+        dot.cast("double") / (sqrt(col("q_n2").cast("double")) * sqrt(col("qnorm2").cast("double"))), 6))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("query_id").orderBy(desc("approx_sim"), asc("vec_id"))))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "vec_id", "approx_sim")
+  }
 }

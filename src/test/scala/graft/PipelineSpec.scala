@@ -122,6 +122,29 @@ class AnnSpec extends AnyFunSuite with SparkTestSession {
     assert(r8 >= r1)
     assert(r1 >= 0.2, s"single-cell recall suspiciously low: $r1")
   }
+
+  test("int8 quantization: codes bounded, norms exact, high top-k recall") {
+    val quantized = Ann.quantizeInt8(corpus).cache()
+    val rows = quantized.collect()
+    assert(rows.length == corpus.count())
+    rows.foreach { r =>
+      val qv = r.getSeq[Long](r.fieldIndex("qv"))
+      assert(qv.forall(v => v >= -127 && v <= 127), "codes must stay in int8 range")
+      assert(r.getAs[Long]("qnorm2") == qv.map(v => v * v).sum)
+    }
+    // quantized top-5 should mostly agree with the exact float top-5
+    val approx = Ann.quantizedTopK(quantized, nQueries = 20, k = 5)
+      .select("query_id", "vec_id").as[(Long, Long)].collect()
+    val exactNoSelf = Retrieval.knnJoin(queries, corpus, k = 6)
+      .filter($"query_id" =!= $"vec_id")
+      .select("query_id", "vec_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).take(5).toSet).toMap
+    val byQ = approx.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val hits = exactNoSelf.map { case (q, truth) =>
+      truth.intersect(byQ.getOrElse(q, Set.empty)).size.toDouble / truth.size }
+    val r = hits.sum / hits.size
+    assert(r >= 0.7, s"int8 recall vs float exact too low: $r")
+  }
 }
 
 class RagSpec extends AnyFunSuite with SparkTestSession {
