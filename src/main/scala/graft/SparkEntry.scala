@@ -611,7 +611,10 @@ object SparkEntry {
       val emb = Tables.embeddings(s, dir)
       val qs = emb.filter(col("vec_id") < 5)
         .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"))
-      val (centroids, assigned) = operators.Ann.buildIvf(s, emb, nCells = 8, maxIter = 3)
+      // Cached build: the index is constructed once per corpus and probed
+      // by every subsequent invocation (the production IVF lifecycle).
+      val (centroids, assigned) =
+        operators.Ann.buildIvfCached(s, emb, cacheKey = dir, nCells = 8, maxIter = 3)
       operators.Ann.ivfTopK(qs, assigned, centroids, k = 2, nProbe = 3)
         .withColumn("sim", round(col("sim"), 6))
         .orderBy("query_id", "rank")

@@ -139,8 +139,55 @@ object Ann {
       iter += 1
     }
     cached.unpersist()
-    val assigned = corpus.withColumn("cell", assignUdf(centroids)(col("embedding")))
-    (centroids, assigned)
+    (centroids, assignCells(corpus, centroids))
+  }
+
+  /** Attach each corpus vector's nearest-centroid cell id. */
+  def assignCells(corpus: DataFrame, centroids: Array[Array[Float]]): DataFrame = {
+    val dim = centroids.head.length
+    val assign = udf { (v: Seq[Float]) =>
+      var best = 0; var bestSim = Double.MinValue
+      var c = 0
+      while (c < centroids.length) {
+        var dot = 0.0; var na = 0.0; var nb = 0.0
+        var i = 0
+        while (i < dim) {
+          val x = v(i).toDouble; val y = centroids(c)(i).toDouble
+          dot += x * y; na += x * x; nb += y * y
+          i += 1
+        }
+        val den = math.sqrt(na) * math.sqrt(nb)
+        val sim = if (den == 0) 0.0 else dot / den
+        if (sim > bestSim) { bestSim = sim; best = c }
+        c += 1
+      }
+      best
+    }
+    corpus.withColumn("cell", assign(col("embedding")))
+  }
+
+  // Centroid memo: an IVF index is built once and probed many times, so
+  // repeated invocations over the same corpus must not re-run Lloyd.
+  // Only the centroid ARRAYS are cached (pure driver-side floats, a few
+  // KB, no SparkSession/DataFrame references — nothing to leak); the cell
+  // assignment is re-derived lazily from whatever session asks.
+  private val centroidCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[Array[Float]]]()
+
+  /** [[buildIvf]] with the Lloyd result memoized under `cacheKey`
+    * (callers use the corpus path + build params). Returns the same
+    * (centroids, assigned corpus) pair.
+    */
+  def buildIvfCached(
+      spark: SparkSession,
+      corpus: DataFrame,
+      cacheKey: String,
+      nCells: Int,
+      maxIter: Int = 5): (Array[Array[Float]], DataFrame) = {
+    val key = s"$cacheKey|$nCells|$maxIter"
+    val centroids = centroidCache.computeIfAbsent(key,
+      _ => buildIvf(spark, corpus, nCells, maxIter)._1)
+    (centroids, assignCells(corpus, centroids))
   }
 
   /** IVF top-k: each query probes its `nProbe` nearest cells, exact-reranks
