@@ -563,6 +563,27 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    // ---- P-3: magic-number MIME sniff, fail-open (file_utils.py:115-121)
+    "p3_mime_sniff" -> ((s, dir) => {
+      // Synthesize binary headers cycling through pdf/zip/html/junk with
+      // an independently-cycling claimed extension, so match, mismatch
+      // and unknown-header (fail-open accept) rows all occur.
+      // "PK" is the real ZIP local-file-header magic the
+      // sniffer requires — bare "PK" text must fail open, not match.
+      val header = element_at(
+        array(lit("%PDF-1.7"), lit("PKzip0"), lit("<html>x "), lit("JUNKJUNK")),
+        (col("doc_id") % 4 + 1).cast("int"))
+      val ext = element_at(
+        array(lit(".pdf"), lit(".docx"), lit(".html")),
+        (col("doc_id") % 3 + 1).cast("int"))
+      Tables.documents(s, dir)
+        .select(col("doc_id"), ext.as("ext"),
+          concat(header, substring(col("text"), 1, 40)).cast("binary").as("content"))
+        .select(col("doc_id"), col("ext"),
+          Ingest.mimeMatches(col("content"), col("ext")).as("accepted"))
+        .orderBy("doc_id")
+    }),
+
     // ---- full ingest path (§3.2: validate → hash → dedup-gate → split →
     //      enrich → embed, one lineage)
     "ingest_pipeline" -> ((s, dir) => {
@@ -579,6 +600,26 @@ object SparkEntry {
         .select(col("chunk_id"), col("file_id"), col("chunk_index"),
           col("total_chunks"), col("source_file"),
           round(graft.functions.VectorOps.l2Norm(col("embedding")), 4).as("emb_norm"))
+        .orderBy("file_id", "chunk_index")
+    }),
+
+    "ingest_pipeline_sql" -> ((s, dir) => {
+      // The §3.2 lineage with every stage ANSI-expressible (strided
+      // chunker + content hashes instead of embeddings), so the WHOLE
+      // pipeline — validate → hash → dedup-gate → split → enrich — is
+      // hash-checked end-to-end. The embed-stage variant above stays the
+      // production shape.
+      val docs = Tables.documents(s, dir)
+      val catalog = docs.filter(col("doc_id") < 150)
+        .withColumn("file_hash", Ingest.contentHash(col("text")))
+      val incoming = docs.filter(col("doc_id") >= 100 && col("doc_id") < 200)
+        .withColumn("file_hash", Ingest.contentHash(col("text")))
+        .filter(Ingest.validSize(col("n_chars")))
+      val fresh = Ingest.dedupGate(incoming, catalog, "file_hash")
+      Ingest.chunkStrided(fresh, chunkSize = 100, overlap = 20)
+        .select(col("chunk_id"), col("file_id"), col("chunk_index"),
+          col("total_chunks"), col("source_file"),
+          sha2(col("chunk_text"), 256).as("chunk_hash"))
         .orderBy("file_id", "chunk_index")
     }),
 
@@ -1586,6 +1627,52 @@ object SparkEntry {
         |FROM sm a JOIN sm b ON a.doc_id < b.doc_id
         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 2
         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // Same header/extension synthesis; fail-open = accepted when the
+    // sniffed type is NULL (unknown magic number).
+    "p3_mime_sniff" ->
+      """WITH a AS (
+        |  SELECT doc_id,
+        |    ['%PDF-1.7', 'PK' || chr(3) || chr(4) || 'zip0', '<html>x ', 'JUNKJUNK'][CAST(doc_id % 4 + 1 AS INT)]
+        |      || substr(text, 1, 40) AS content,
+        |    ['.pdf', '.docx', '.html'][CAST(doc_id % 3 + 1 AS INT)] AS ext
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, ext, substr(content, 1, 8) AS hdr FROM a)
+        |SELECT doc_id, ext,
+        |  coalesce(
+        |    CASE WHEN starts_with(hdr, '%PDF') THEN '.pdf'
+        |         WHEN starts_with(hdr, 'PK' || chr(3) || chr(4)) THEN '.docx'
+        |         WHEN starts_with(lower(hdr), '<') THEN '.html'
+        |         ELSE NULL END = lower(ext),
+        |    TRUE) AS accepted
+        |FROM s ORDER BY doc_id""".stripMargin,
+
+    // Every stage of the §3.2 lineage mirrored: sha256 identity, anti-join
+    // dedup gate against the overlapping catalog, strided split + enrich.
+    "ingest_pipeline_sql" ->
+      """WITH cat AS (
+        |  SELECT sha256(text) AS file_hash FROM documents WHERE doc_id < 150),
+        |fresh AS (
+        |  SELECT d.doc_id, d.text, d.source FROM documents d
+        |  WHERE d.doc_id >= 100 AND d.doc_id < 200
+        |    AND d.n_chars <= 10485760
+        |    AND NOT EXISTS (SELECT 1 FROM cat c WHERE c.file_hash = sha256(d.text))),
+        |n AS (
+        |  SELECT doc_id, text, source,
+        |    CASE WHEN length(text) <= 0 THEN 0
+        |         WHEN length(text) <= 100 THEN 1
+        |         ELSE CAST(floor((length(text) - 21) / 80.0) AS INT) + 1 END AS total_chunks
+        |  FROM fresh),
+        |c AS (
+        |  SELECT doc_id AS file_id, source AS source_file, total_chunks,
+        |    unnest(list_transform(range(total_chunks),
+        |      i -> struct_pack(ci := CAST(i AS INT), ct := substr(text, CAST(i * 80 + 1 AS INT), 100)))) AS u
+        |  FROM n WHERE total_chunks > 0)
+        |SELECT CAST(file_id AS VARCHAR) || '_' || CAST(u.ci AS VARCHAR) AS chunk_id,
+        |  file_id, u.ci AS chunk_index, total_chunks, source_file,
+        |  sha256(u.ct) AS chunk_hash
+        |FROM c ORDER BY file_id, chunk_index""".stripMargin,
 
     // Quantize (floor(x·127/max|x|)) → integer dot → floored-sim ranking;
     // every step is exact or single-rounded identically on both engines.
