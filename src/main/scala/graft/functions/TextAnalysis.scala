@@ -97,9 +97,13 @@ object TextAnalysis extends Serializable {
   /** Heuristic language ID over char trigrams; "und" when no profile hits. */
   def detectLanguage(text: String): String = {
     if (text == null || text.trim.isEmpty) return "und"
-    val cjk = text.codePoints().toArray.count(cp =>
+    val cps = text.codePoints().toArray
+    val cjk = cps.count(cp =>
       (cp >= 0x4E00 && cp <= 0x9FFF) || (cp >= 0x3400 && cp <= 0x4DBF))
-    if (cjk * 2 >= text.length) return "zh"
+    // codepoint-denominated (not UTF-16 units), matching the column form
+    // and any engine that counts characters — astral-plane text would
+    // otherwise split the two implementations
+    if (cjk * 2 >= cps.length) return "zh"
     val t = " " + text.toLowerCase.replaceAll("\\s+", " ") + " "
     val scores = LangProfiles.collect { case (lang, grams) if grams.nonEmpty =>
       var s = 0

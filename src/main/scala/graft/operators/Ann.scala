@@ -107,28 +107,9 @@ object Ann {
     var centroids = seeds
     val dim = centroids.head.length
 
-    def assignUdf(cents: Array[Array[Float]]) = udf { (v: Seq[Float]) =>
-      var best = 0; var bestSim = Double.MinValue
-      var c = 0
-      while (c < cents.length) {
-        var dot = 0.0; var na = 0.0; var nb = 0.0
-        var i = 0
-        while (i < dim) {
-          val x = v(i).toDouble; val y = cents(c)(i).toDouble
-          dot += x * y; na += x * x; nb += y * y
-          i += 1
-        }
-        val den = math.sqrt(na) * math.sqrt(nb)
-        val sim = if (den == 0) 0.0 else dot / den
-        if (sim > bestSim) { bestSim = sim; best = c }
-        c += 1
-      }
-      best
-    }
-
     var iter = 0
     while (iter < maxIter) {
-      val assigned = cached.withColumn("cell", assignUdf(centroids)(col("embedding")))
+      val assigned = assignCells(cached, centroids)
       val means = assigned.groupBy("cell")
         .agg(array((0 until dim).map(i =>
           avg(col("embedding").getItem(i))): _*).as("centroid"))
@@ -174,9 +155,15 @@ object Ann {
   private val centroidCache =
     new java.util.concurrent.ConcurrentHashMap[String, Array[Array[Float]]]()
 
-  /** [[buildIvf]] with the Lloyd result memoized under `cacheKey`
-    * (callers use the corpus path + build params). Returns the same
-    * (centroids, assigned corpus) pair.
+  /** [[buildIvf]] with the Lloyd result memoized under `cacheKey`.
+    *
+    * CONTRACT: `cacheKey` must uniquely identify the corpus CONTENT —
+    * callers use the immutable corpus path. Passing a different or
+    * mutated corpus under a reused key returns centroids built from the
+    * old data: cell assignment still succeeds but probe recall silently
+    * degrades. When the corpus version is not encoded in its path,
+    * include a version/snapshot id in the key (or call [[buildIvf]]
+    * directly and manage the index lifecycle explicitly).
     */
   def buildIvfCached(
       spark: SparkSession,

@@ -39,7 +39,8 @@ object TextRetrieval {
     * Scoring: idf(t) = ln(1 + (N - df + 0.5)/(df + 0.5)) (the
     * Robertson-Spärck-Jones form, always positive), tf saturation with
     * k1/b length normalization. Distinct query terms (bag-of-words
-    * queries score each term once).
+    * queries score each term once). N and avgdl range over documents
+    * with at least one token (token-less docs can never match a term).
     *
     * Cross-engine determinism: ranking uses the 6-decimal floor of the
     * score plus doc_id, so float fold-order noise below 1e-6 can't flip
@@ -54,7 +55,12 @@ object TextRetrieval {
       k1: Double = 1.25,
       b: Double = 0.75): DataFrame = {
     val tf = termFrequencies(docs)
-    val dl = docs.select(col("doc_id"), size(tokensCol(col("text"))).as("dl"))
+    // Document lengths derived from tf (sum of a doc's term counts == its
+    // token count): no second tokenization scan, and docs with zero
+    // tokens can never score anyway. dl is corpus-cardinality, so it is
+    // NEVER broadcast — the doc_id join shuffles (or broadcasts only when
+    // the planner's size stats justify it).
+    val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
     val corpus = dl.agg(
       count(lit(1)).as("n_docs"),
       avg(col("dl").cast("double")).as("avgdl"))
@@ -64,8 +70,8 @@ object TextRetrieval {
       .distinct()
     val contrib = qterms
       .join(tf, "term") // inverted-index equi-join on term
-      .join(broadcast(df), "term")
-      .join(broadcast(dl), "doc_id")
+      .join(broadcast(df), "term") // vocabulary-sized: broadcast is safe
+      .join(dl, "doc_id")
       .crossJoin(broadcast(corpus))
       .withColumn("idf",
         log(lit(1.0) + (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5)))
