@@ -288,13 +288,17 @@ object SparkEntry {
       // Scalar projections of the embedding (dim, norm, a component
       // checksum) rather than the raw array: the driver's compare
       // row-sorts in pandas and array cells are unsortable there.
+      // Oracle-checked: the oracle replicates scala.util.hashing
+      // .MurmurHash3.stringHash in SQL (32-bit wrap mults via HUGEINT),
+      // so the feature-hash embedding itself is verified cross-engine.
       val emb = HashEmbedder.embedCol(col("text"))
       Tables.documents(s, dir)
         .select(col("doc_id"), emb.as("embedding"))
         .select(
           col("doc_id"),
           size(col("embedding")).as("emb_dim"),
-          round(graft.functions.VectorOps.l2Norm(col("embedding")), 4).as("emb_norm"),
+          TextAnalysis.floorScale(graft.functions.VectorOps.l2Norm(col("embedding")), 4)
+            .as("emb_norm"),
           size(filter(col("embedding"), x => x =!= 0f)).as("emb_nonzero"),
           aggregate(col("embedding"), lit(0L),
             (acc, x) => acc + floor(x.cast("double") * 1000).cast("long"))
@@ -848,7 +852,87 @@ object SparkEntry {
   //  DuckDB oracle SQL (ANSI), one per SQL-expressible query above.    //
   // ------------------------------------------------------------------ //
 
+  /** Oracle for t3_embed_documents: scala.util.hashing.MurmurHash3
+    * .stringHash re-expressed in SQL — 32-bit wrap-around multiplies via
+    * HUGEINT `% 2^32`, rotations as shift-add, the avalanche as repeated
+    * xor/shift — generated here so the constants exist in one place.
+    * The 64-dim signed-histogram embedding is then scattered onto a
+    * dense (doc, j) grid; the norm folds the squares in j order (exactly
+    * [[graft.functions.VectorOps.l2Norm]]'s fold), the checksum and
+    * nonzero counts are order-free integer aggregates.
+    */
+  private def t3EmbedOracleSql: String = {
+    def mul32(a: String, c: Long) =
+      s"CAST((CAST($a AS HUGEINT) * $c) % 4294967296 AS BIGINT)"
+    def rotl(x: String, r: Int) =
+      s"((($x) * ${1L << r}) % 4294967296 + ($x) // ${1L << (32 - r)})"
+    def xr(a: String, b: String) = s"xor($a, $b)"
+    def mix(h: String, k: String) = {
+      val k3 = mul32(rotl(mul32(k, 0xcc9e2d51L), 15), 0x1b873593L)
+      s"((${rotl(xr(h, k3), 13)}) * 5 + 3864292196) % 4294967296"
+    }
+    def mixLast(h: String, k: String) =
+      xr(h, mul32(rotl(mul32(k, 0xcc9e2d51L), 15), 0x1b873593L))
+    def finalize(h: String, len: String) = {
+      val f1 = s"xor(xor($h, $len), xor($h, $len) // 65536)"
+      val f2 = mul32(f1, 0x85ebca6bL)
+      val f3 = s"xor($f2, ($f2) // 8192)"
+      val f4 = mul32(f3, 0xc2b2ae35L)
+      s"xor($f4, ($f4) // 65536)"
+    }
+    val seed = 0x5eed42 // HashEmbedder.Seed
+    val body =
+      s"""list_reduce(list_prepend(CAST($seed AS BIGINT),
+         |      list_transform(range(length(f) // 2), p ->
+         |        cp[CAST(2*p+1 AS INT)] * 65536 + cp[CAST(2*p+2 AS INT)])),
+         |      (mh, mk) -> ${mix("mh", "mk")})""".stripMargin
+    val tail =
+      s"""CASE WHEN length(f) % 2 = 1
+         |      THEN ${mixLast(s"($body)", "cp[CAST(length(f) AS INT)]")}
+         |      ELSE $body END""".stripMargin
+    val u = finalize(s"($tail)", "length(f)")
+    s"""WITH tk AS (
+       |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^\\p{L}\\p{N}]+'), x -> x <> '') AS toks
+       |  FROM documents),
+       |ft AS (
+       |  SELECT doc_id, unnest(list_concat(toks,
+       |    CASE WHEN len(toks) > 1 THEN list_transform(range(len(toks) - 1),
+       |      i -> toks[CAST(i+1 AS INT)] || '_' || toks[CAST(i+2 AS INT)]) ELSE CAST([] AS VARCHAR[]) END)) AS f
+       |  FROM tk),
+       |cpt AS (
+       |  SELECT doc_id, f,
+       |    list_transform(range(length(f)), ci -> CAST(unicode(f[CAST(ci + 1 AS INT)]) AS BIGINT)) AS cp
+       |  FROM ft),
+       |hu AS (SELECT doc_id, $u AS u FROM cpt),
+       |sg AS (
+       |  SELECT doc_id, CAST(u % 64 AS INT) AS idx,
+       |    CASE WHEN u < 2147483648 THEN 1 ELSE -1 END AS sign
+       |  FROM hu),
+       |vv AS (SELECT doc_id, idx, CAST(sum(sign) AS BIGINT) AS v FROM sg GROUP BY 1, 2),
+       |grid AS (SELECT d.doc_id, CAST(t.j AS INT) AS j FROM documents d, range(64) t(j)),
+       |cell AS (
+       |  SELECT g.doc_id, g.j, coalesce(vv.v, 0) AS v
+       |  FROM grid g LEFT JOIN vv ON vv.doc_id = g.doc_id AND vv.idx = g.j),
+       |n2 AS (SELECT doc_id, CAST(sum(v * v) AS BIGINT) AS norm2 FROM cell GROUP BY 1),
+       |x AS (
+       |  SELECT c.doc_id, c.j,
+       |    CASE WHEN n2.norm2 > 0 THEN CAST(c.v / sqrt(CAST(n2.norm2 AS DOUBLE)) AS REAL)
+       |         ELSE CAST(0 AS REAL) END AS xf
+       |  FROM cell c JOIN n2 USING (doc_id)),
+       |f2 AS (
+       |  SELECT doc_id,
+       |    list(CAST(xf AS DOUBLE) * CAST(xf AS DOUBLE) ORDER BY j) AS sq,
+       |    CAST(sum(CAST(floor(CAST(xf AS DOUBLE) * 1000) AS BIGINT)) AS BIGINT) AS emb_checksum,
+       |    CAST(count(*) FILTER (WHERE xf <> 0) AS INT) AS emb_nonzero
+       |  FROM x GROUP BY doc_id)
+       |SELECT doc_id, 64 AS emb_dim,
+       |  floor(sqrt(list_reduce(sq, (sa, sb) -> sa + sb)) * 10000) / 10000 AS emb_norm,
+       |  emb_nonzero, emb_checksum
+       |FROM f2 ORDER BY doc_id""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
+    "t3_embed_documents" -> t3EmbedOracleSql,
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  round(sum(l_quantity), 4) AS sum_qty,

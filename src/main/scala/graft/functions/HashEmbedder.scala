@@ -43,10 +43,13 @@ object HashEmbedder extends Serializable {
     var norm = 0.0
     i = 0
     while (i < dim) { norm += v(i) * v(i); i += 1 }
-    val inv = if (norm > 0) 1.0 / math.sqrt(norm) else 0.0
+    // x / sqrt(norm) (not x * (1/sqrt)): one double rounding, bit-identical
+    // to any engine computing the quotient directly — keeps embedding-
+    // derived outputs oracle-checkable.
+    val s = if (norm > 0) math.sqrt(norm) else 0.0
     val out = new Array[Float](dim)
     i = 0
-    while (i < dim) { out(i) = (v(i) * inv).toFloat; i += 1 }
+    while (i < dim) { out(i) = if (norm > 0) (v(i) / s).toFloat else 0f; i += 1 }
     out
   }
 
