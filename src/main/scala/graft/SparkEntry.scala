@@ -852,45 +852,59 @@ object SparkEntry {
   //  DuckDB oracle SQL (ANSI), one per SQL-expressible query above.    //
   // ------------------------------------------------------------------ //
 
-  /** Oracle for t3_embed_documents: scala.util.hashing.MurmurHash3
-    * .stringHash re-expressed in SQL — 32-bit wrap-around multiplies via
-    * HUGEINT `% 2^32`, rotations as shift-add, the avalanche as repeated
-    * xor/shift — generated here so the constants exist in one place.
-    * The 64-dim signed-histogram embedding is then scattered onto a
-    * dense (doc, j) grid; the norm folds the squares in j order (exactly
-    * [[graft.functions.VectorOps.l2Norm]]'s fold), the checksum and
-    * nonzero counts are order-free integer aggregates.
+  /** SQL generator for scala.util.hashing.MurmurHash3.stringHash:
+    * 32-bit wrap-around multiplies via HUGEINT `% 2^32`, rotations as
+    * shift-add, the avalanche as repeated xor/shift — one generator so
+    * the constants cannot drift between oracles. [[murmur]] emits the
+    * hash of string column `col`; a codepoint-list column `cp` of the
+    * same string must be in scope.
     */
-  private def t3EmbedOracleSql: String = {
+  private object MurmurSql {
     def mul32(a: String, c: Long) =
       s"CAST((CAST($a AS HUGEINT) * $c) % 4294967296 AS BIGINT)"
     def rotl(x: String, r: Int) =
       s"((($x) * ${1L << r}) % 4294967296 + ($x) // ${1L << (32 - r)})"
     def xr(a: String, b: String) = s"xor($a, $b)"
-    def mix(h: String, k: String) = {
+    def mix(h: String, k: String): String = {
       val k3 = mul32(rotl(mul32(k, 0xcc9e2d51L), 15), 0x1b873593L)
       s"((${rotl(xr(h, k3), 13)}) * 5 + 3864292196) % 4294967296"
     }
-    def mixLast(h: String, k: String) =
+    def mixLast(h: String, k: String): String =
       xr(h, mul32(rotl(mul32(k, 0xcc9e2d51L), 15), 0x1b873593L))
-    def finalize(h: String, len: String) = {
+    def fin(h: String, len: String): String = {
       val f1 = s"xor(xor($h, $len), xor($h, $len) // 65536)"
       val f2 = mul32(f1, 0x85ebca6bL)
       val f3 = s"xor($f2, ($f2) // 8192)"
       val f4 = mul32(f3, 0xc2b2ae35L)
       s"xor($f4, ($f4) // 65536)"
     }
-    val seed = 0x5eed42 // HashEmbedder.Seed
-    val body =
-      s"""list_reduce(list_prepend(CAST($seed AS BIGINT),
-         |      list_transform(range(length(f) // 2), p ->
-         |        cp[CAST(2*p+1 AS INT)] * 65536 + cp[CAST(2*p+2 AS INT)])),
-         |      (mh, mk) -> ${mix("mh", "mk")})""".stripMargin
-    val tail =
-      s"""CASE WHEN length(f) % 2 = 1
-         |      THEN ${mixLast(s"($body)", "cp[CAST(length(f) AS INT)]")}
-         |      ELSE $body END""".stripMargin
-    val u = finalize(s"($tail)", "length(f)")
+    /** Unsigned 32-bit murmur of `col` (chars folded pairwise, odd tail
+      * via mixLast, finalized with the length), as one SQL expression.
+      */
+    def murmur(col: String, seed: Long): String = {
+      val body =
+        s"""list_reduce(list_prepend(CAST($seed AS BIGINT),
+           |      list_transform(range(length($col) // 2), p ->
+           |        cp[CAST(2*p+1 AS INT)] * 65536 + cp[CAST(2*p+2 AS INT)])),
+           |      (mh, mk) -> ${mix("mh", "mk")})""".stripMargin
+      val tail =
+        s"""CASE WHEN length($col) % 2 = 1
+           |      THEN ${mixLast(s"($body)", s"cp[CAST(length($col) AS INT)]")}
+           |      ELSE $body END""".stripMargin
+      fin(s"($tail)", s"length($col)")
+    }
+  }
+
+  /** Oracle for t3_embed_documents: the murmur feature-hash embedding
+    * re-derived in SQL. The 64-dim signed-histogram embedding is
+    * scattered onto a dense (doc, j) grid (plain joins — DuckDB's
+    * list_reduce rejects transform-derived lists); the norm folds the
+    * squares in j order (exactly [[graft.functions.VectorOps.l2Norm]]'s
+    * fold), the checksum and nonzero counts are order-free integer
+    * aggregates.
+    */
+  private def t3EmbedOracleSql: String = {
+    val u = MurmurSql.murmur("f", 0x5eed42L) // HashEmbedder.Seed
     s"""WITH tk AS (
        |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^\\p{L}\\p{N}]+'), x -> x <> '') AS toks
        |  FROM documents),
@@ -931,8 +945,85 @@ object SparkEntry {
        |FROM f2 ORDER BY doc_id""".stripMargin
   }
 
+  /** Oracle for rag_chat_pipeline — the §3.1 flagship, end-to-end: the
+    * deterministic-stub pipeline is pure arithmetic all the way down, so
+    * the oracle recomputes every stage: admission guards, murmur-embed of
+    * the question, cosine top-2 retrieval (same fold as t4), rank-ordered
+    * context stuffing, and the stub answer's murmur digest of the context
+    * (`Integer.toHexString` == printf('%x', u)). The reformulation stage
+    * is the identity stub, and the parse ladder over the stub's
+    * well-formed JSON reduces to its fields.
+    */
+  private def ragChatOracleSql: String = {
+    val cos =
+      """list_reduce(list_prepend(0.0,
+        |      list_transform(range(64), i -> CAST(qe[i+1] AS DOUBLE) * CAST(ch.embedding[i+1] AS DOUBLE))),
+        |      (ca, cb) -> ca + cb)
+        |    / (sqrt(list_reduce(list_prepend(0.0,
+        |         list_transform(qe, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (ca, cb) -> ca + cb))
+        |     * sqrt(list_reduce(list_prepend(0.0,
+        |         list_transform(ch.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (ca, cb) -> ca + cb)))""".stripMargin
+    s"""WITH q0 AS (
+       |  SELECT doc_id + 1000 AS query_id, doc_id % 5 AS user_id, substr(text, 1, 80) AS question
+       |  FROM documents WHERE doc_id < 3),
+       |adm AS (SELECT * FROM q0 WHERE length(question) <= 2000 AND trim(question) <> ''),
+       |tk AS (
+       |  SELECT query_id, list_filter(regexp_split_to_array(lower(question), '[^\\p{L}\\p{N}]+'), x -> x <> '') AS toks
+       |  FROM adm),
+       |ft AS (
+       |  SELECT query_id, unnest(list_concat(toks,
+       |    CASE WHEN len(toks) > 1 THEN list_transform(range(len(toks) - 1),
+       |      i -> toks[CAST(i+1 AS INT)] || '_' || toks[CAST(i+2 AS INT)]) ELSE CAST([] AS VARCHAR[]) END)) AS f
+       |  FROM tk),
+       |cpt AS (
+       |  SELECT query_id, f,
+       |    list_transform(range(length(f)), ci -> CAST(unicode(f[CAST(ci + 1 AS INT)]) AS BIGINT)) AS cp
+       |  FROM ft),
+       |hu AS (SELECT query_id, ${MurmurSql.murmur("f", 0x5eed42L)} AS u FROM cpt),
+       |sg AS (
+       |  SELECT query_id, CAST(u % 64 AS INT) AS idx,
+       |    CASE WHEN u < 2147483648 THEN 1 ELSE -1 END AS sign FROM hu),
+       |vv AS (SELECT query_id, idx, CAST(sum(sign) AS BIGINT) AS v FROM sg GROUP BY 1, 2),
+       |grid AS (SELECT a.query_id, CAST(t.j AS INT) AS j FROM adm a, range(64) t(j)),
+       |cell AS (
+       |  SELECT g.query_id, g.j, coalesce(vv.v, 0) AS v
+       |  FROM grid g LEFT JOIN vv ON vv.query_id = g.query_id AND vv.idx = g.j),
+       |n2 AS (SELECT query_id, CAST(sum(v * v) AS BIGINT) AS norm2 FROM cell GROUP BY 1),
+       |qemb AS (
+       |  SELECT c.query_id,
+       |    list(CASE WHEN n2.norm2 > 0 THEN CAST(c.v / sqrt(CAST(n2.norm2 AS DOUBLE)) AS REAL)
+       |              ELSE CAST(0 AS REAL) END ORDER BY c.j) AS qe
+       |  FROM cell c JOIN n2 USING (query_id) GROUP BY c.query_id),
+       |chunks AS (
+       |  SELECT e.vec_id, e.embedding, d.text FROM embeddings e
+       |  JOIN documents d ON d.doc_id = e.vec_id),
+       |scored AS (
+       |  SELECT q.query_id, ch.vec_id, ch.text, $cos AS sim
+       |  FROM qemb q CROSS JOIN chunks ch),
+       |ranked AS (
+       |  SELECT query_id, vec_id, text, sim,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rank
+       |  FROM scored),
+       |ctx AS (
+       |  SELECT query_id, array_to_string(list(text ORDER BY rank), chr(10) || chr(10)) AS context
+       |  FROM ranked WHERE rank <= 2 GROUP BY query_id),
+       |withcp AS (
+       |  SELECT a.query_id, a.user_id, a.question, coalesce(c.context, '') AS context,
+       |    list_transform(range(length(coalesce(c.context, ''))),
+       |      ci -> CAST(unicode(coalesce(c.context, '')[CAST(ci + 1 AS INT)]) AS BIGINT)) AS cp
+       |  FROM adm a LEFT JOIN ctx c USING (query_id)),
+       |ans AS (
+       |  SELECT query_id, user_id, question, context,
+       |    'Re: ' || question || ' [ctx:' || printf('%x', ${MurmurSql.murmur("context", 7L)}) || ']' AS answer
+       |  FROM withcp)
+       |SELECT query_id, user_id, question, question AS standalone_question, context, answer,
+       |  'explaining' AS emotion
+       |FROM ans ORDER BY query_id""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
     "t3_embed_documents" -> t3EmbedOracleSql,
+    "rag_chat_pipeline" -> ragChatOracleSql,
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  round(sum(l_quantity), 4) AS sum_qty,
