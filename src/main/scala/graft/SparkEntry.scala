@@ -425,6 +425,11 @@ object SparkEntry {
       operators.TextRetrieval.topNgrams(Tables.documents(s, dir), n = 2, k = 20)
     }),
 
+    "pack_sequences" -> ((s, dir) => {
+      operators.Scale.packSequences(Tables.documents(s, dir), budgetTokens = 512)
+        .orderBy("shard", "bin_id")
+    }),
+
     // ---- additional relational coverage (conditional agg, having,
     //      rollup, analytic windows, sliding windows)
     "q6_revenue_forecast" -> ((s, dir) => {
@@ -1802,6 +1807,26 @@ object SparkEntry {
         |FROM sm a JOIN sm b ON a.doc_id < b.doc_id
         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 2
         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // Shard-parallel contiguous packing: running token sum per shard in
+    // doc_id order, bin = floor(cum_before / budget).
+    "pack_sequences" ->
+      """WITH t AS (
+        |  SELECT doc_id, doc_id % 8 AS shard,
+        |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+        |         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, shard, n_tokens,
+        |    coalesce(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+        |  FROM t)
+        |SELECT shard, CAST(floor(cum_before / 512) AS BIGINT) AS bin_id,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+        |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+        |FROM c GROUP BY shard, bin_id
+        |ORDER BY shard, bin_id""".stripMargin,
 
     // Same header/extension synthesis; fail-open = accepted when the
     // sniffed type is NULL (unknown magic number).

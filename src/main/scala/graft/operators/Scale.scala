@@ -10,6 +10,38 @@ import org.apache.spark.sql.functions._
   */
 object Scale {
 
+  /** Deterministic sequence packing for pretraining batches: documents
+    * are packed in doc_id order into bins of ~`budgetTokens` whitespace
+    * tokens (a bin may overflow by less than one document — contiguous
+    * fixed-budget packing). Packing runs independently within each of
+    * `shards` hash shards, so the running-sum window parallelizes: the
+    * two-level shard→bin scheme is how packing stays shard-parallel at
+    * 100 TB instead of serializing behind one global ordered window.
+    * Emits per-bin stats: (shard, bin_id, n_docs, total_tokens,
+    * first_doc, last_doc).
+    */
+  def packSequences(
+      docs: DataFrame,
+      budgetTokens: Long,
+      shards: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs.select(
+      col("doc_id"),
+      pmod(col("doc_id"), lit(shards.toLong)).as("shard"),
+      graft.functions.TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"))
+    val w = Window.partitionBy("shard").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    toks
+      .withColumn("cum_before", coalesce(sum("n_tokens").over(w), lit(0L)))
+      .withColumn("bin_id", floor(col("cum_before") / budgetTokens).cast("long"))
+      .groupBy("shard", "bin_id")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_tokens").as("total_tokens"),
+        min("doc_id").as("first_doc"),
+        max("doc_id").as("last_doc"))
+  }
+
   /** Two-phase (salted) aggregation: spread a skewed group key over
     * `saltBuckets` partial groups, aggregate, then merge. Identical result
     * to a direct groupBy-count, but the first shuffle distributes a hot
