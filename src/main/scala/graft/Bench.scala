@@ -21,7 +21,8 @@ object Bench {
     "t1_split_chunks", "t4_knn_cosine", "t7_stuff_context",
     "t6_exact_dedup", "dedup_ngram_jaccard", "dedup_minhash_lsh",
     "dedup_simhash", "dedup_embedding_cosine",
-    "ann_lsh_topk", "ann_ivf_topk",
+    "ann_lsh_topk", "ann_ivf_topk", "ann_quantized_topk",
+    "bm25_topk", "tfidf_top_terms", "dedup_clusters", "pack_sequences",
     "text_quality", "text_tokens", "text_contamination",
     "ingest_pipeline", "rag_chat_pipeline", "multimodal_near_dup")
 
