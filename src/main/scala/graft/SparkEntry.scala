@@ -860,9 +860,13 @@ object SparkEntry {
   /** SQL generator for scala.util.hashing.MurmurHash3.stringHash:
     * 32-bit wrap-around multiplies via HUGEINT `% 2^32`, rotations as
     * shift-add, the avalanche as repeated xor/shift — one generator so
-    * the constants cannot drift between oracles. [[murmur]] emits the
-    * hash of string column `col`; a codepoint-list column `cp` of the
-    * same string must be in scope.
+    * the constants cannot drift between oracles.
+    *
+    * BMP-only: Scala hashes UTF-16 code units while the SQL iterates
+    * codepoints, so the two agree exactly iff the input has no
+    * supplementary-plane characters (asserted true for the current
+    * fixtures — max codepoint 121; re-check before pointing these
+    * oracles at a regenerated corpus).
     */
   private object MurmurSql {
     def mul32(a: String, c: Long) =
@@ -883,22 +887,59 @@ object SparkEntry {
       val f4 = mul32(f3, 0xc2b2ae35L)
       s"xor($f4, ($f4) // 65536)"
     }
-    /** Unsigned 32-bit murmur of `col` (chars folded pairwise, odd tail
-      * via mixLast, finalized with the length), as one SQL expression.
+    /** A staged sub-select computing the unsigned 32-bit murmur of string
+      * column `strCol` from relation `src`, emitted as column `u`
+      * alongside the `keep` columns. The expensive pairwise list_reduce
+      * is evaluated ONCE as a column; the odd-tail and avalanche stages
+      * are cheap scalar expressions layered over it (splicing the reduce
+      * into the avalanche textually would re-evaluate it ~16×).
       */
-    def murmur(col: String, seed: Long): String = {
-      val body =
-        s"""list_reduce(list_prepend(CAST($seed AS BIGINT),
-           |      list_transform(range(length($col) // 2), p ->
-           |        cp[CAST(2*p+1 AS INT)] * 65536 + cp[CAST(2*p+2 AS INT)])),
-           |      (mh, mk) -> ${mix("mh", "mk")})""".stripMargin
-      val tail =
-        s"""CASE WHEN length($col) % 2 = 1
-           |      THEN ${mixLast(s"($body)", s"cp[CAST(length($col) AS INT)]")}
-           |      ELSE $body END""".stripMargin
-      fin(s"($tail)", s"length($col)")
+    def murmurSelect(src: String, keep: Seq[String], strCol: String, seed: Long): String = {
+      val ks = keep.map(_ + ", ").mkString
+      s"""SELECT $ks${fin("ht", s"length($strCol)")} AS u FROM (
+         |  SELECT $ks$strCol, CASE WHEN length($strCol) % 2 = 1
+         |      THEN ${mixLast("hb", s"cp[CAST(length($strCol) AS INT)]")}
+         |      ELSE hb END AS ht FROM (
+         |    SELECT $ks$strCol, cp,
+         |      list_reduce(list_prepend(CAST($seed AS BIGINT),
+         |        list_transform(range(length($strCol) // 2), p ->
+         |          cp[CAST(2*p+1 AS INT)] * 65536 + cp[CAST(2*p+2 AS INT)])),
+         |        (mh, mk) -> ${mix("mh", "mk")}) AS hb FROM (
+         |      SELECT $ks$strCol,
+         |        list_transform(range(length($strCol)), ci -> CAST(unicode($strCol[CAST(ci + 1 AS INT)]) AS BIGINT)) AS cp
+         |      FROM $src)))""".stripMargin
     }
   }
+
+  /** Shared CTE chain deriving the murmur feature-hash embedding
+    * ([[graft.functions.HashEmbedder]]) for each row of `baseRel`
+    * (exposing `idCol` and string `txtCol`): tokenize → uni+bigram
+    * features → murmur → signed-histogram scatter onto a dense (id, j)
+    * grid (plain joins — DuckDB's list_reduce rejects transform-derived
+    * lists). Ends with CTEs `cell` (idCol, j, v) and `n2` (idCol,
+    * norm2); callers append their tail. One generator feeds both the
+    * t3 and rag oracles so the embedding semantics cannot drift.
+    */
+  private def embedChainSql(baseRel: String, idCol: String, txtCol: String): String =
+    s"""tk AS (
+       |  SELECT $idCol, list_filter(regexp_split_to_array(lower($txtCol), '[^\\p{L}\\p{N}]+'), x -> x <> '') AS toks
+       |  FROM $baseRel),
+       |ft AS (
+       |  SELECT $idCol, unnest(list_concat(toks,
+       |    CASE WHEN len(toks) > 1 THEN list_transform(range(len(toks) - 1),
+       |      i -> toks[CAST(i+1 AS INT)] || '_' || toks[CAST(i+2 AS INT)]) ELSE CAST([] AS VARCHAR[]) END)) AS f
+       |  FROM tk),
+       |hu AS (${MurmurSql.murmurSelect("ft", Seq(idCol), "f", 0x5eed42L)}),
+       |sg AS (
+       |  SELECT $idCol, CAST(u % 64 AS INT) AS idx,
+       |    CASE WHEN u < 2147483648 THEN 1 ELSE -1 END AS sign
+       |  FROM hu),
+       |vv AS (SELECT $idCol, idx, CAST(sum(sign) AS BIGINT) AS v FROM sg GROUP BY 1, 2),
+       |grid AS (SELECT b.$idCol, CAST(t.j AS INT) AS j FROM $baseRel b, range(64) t(j)),
+       |cell AS (
+       |  SELECT g.$idCol, g.j, coalesce(vv.v, 0) AS v
+       |  FROM grid g LEFT JOIN vv ON vv.$idCol = g.$idCol AND vv.idx = g.j),
+       |n2 AS (SELECT $idCol, CAST(sum(v * v) AS BIGINT) AS norm2 FROM cell GROUP BY 1)""".stripMargin
 
   /** Oracle for t3_embed_documents: the murmur feature-hash embedding
     * re-derived in SQL. The 64-dim signed-histogram embedding is
@@ -909,30 +950,7 @@ object SparkEntry {
     * aggregates.
     */
   private def t3EmbedOracleSql: String = {
-    val u = MurmurSql.murmur("f", 0x5eed42L) // HashEmbedder.Seed
-    s"""WITH tk AS (
-       |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^\\p{L}\\p{N}]+'), x -> x <> '') AS toks
-       |  FROM documents),
-       |ft AS (
-       |  SELECT doc_id, unnest(list_concat(toks,
-       |    CASE WHEN len(toks) > 1 THEN list_transform(range(len(toks) - 1),
-       |      i -> toks[CAST(i+1 AS INT)] || '_' || toks[CAST(i+2 AS INT)]) ELSE CAST([] AS VARCHAR[]) END)) AS f
-       |  FROM tk),
-       |cpt AS (
-       |  SELECT doc_id, f,
-       |    list_transform(range(length(f)), ci -> CAST(unicode(f[CAST(ci + 1 AS INT)]) AS BIGINT)) AS cp
-       |  FROM ft),
-       |hu AS (SELECT doc_id, $u AS u FROM cpt),
-       |sg AS (
-       |  SELECT doc_id, CAST(u % 64 AS INT) AS idx,
-       |    CASE WHEN u < 2147483648 THEN 1 ELSE -1 END AS sign
-       |  FROM hu),
-       |vv AS (SELECT doc_id, idx, CAST(sum(sign) AS BIGINT) AS v FROM sg GROUP BY 1, 2),
-       |grid AS (SELECT d.doc_id, CAST(t.j AS INT) AS j FROM documents d, range(64) t(j)),
-       |cell AS (
-       |  SELECT g.doc_id, g.j, coalesce(vv.v, 0) AS v
-       |  FROM grid g LEFT JOIN vv ON vv.doc_id = g.doc_id AND vv.idx = g.j),
-       |n2 AS (SELECT doc_id, CAST(sum(v * v) AS BIGINT) AS norm2 FROM cell GROUP BY 1),
+    s"""WITH ${embedChainSql("documents", "doc_id", "text")},
        |x AS (
        |  SELECT c.doc_id, c.j,
        |    CASE WHEN n2.norm2 > 0 THEN CAST(c.v / sqrt(CAST(n2.norm2 AS DOUBLE)) AS REAL)
@@ -960,40 +978,11 @@ object SparkEntry {
     * well-formed JSON reduces to its fields.
     */
   private def ragChatOracleSql: String = {
-    val cos =
-      """list_reduce(list_prepend(0.0,
-        |      list_transform(range(64), i -> CAST(qe[i+1] AS DOUBLE) * CAST(ch.embedding[i+1] AS DOUBLE))),
-        |      (ca, cb) -> ca + cb)
-        |    / (sqrt(list_reduce(list_prepend(0.0,
-        |         list_transform(qe, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (ca, cb) -> ca + cb))
-        |     * sqrt(list_reduce(list_prepend(0.0,
-        |         list_transform(ch.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (ca, cb) -> ca + cb)))""".stripMargin
     s"""WITH q0 AS (
        |  SELECT doc_id + 1000 AS query_id, doc_id % 5 AS user_id, substr(text, 1, 80) AS question
        |  FROM documents WHERE doc_id < 3),
        |adm AS (SELECT * FROM q0 WHERE length(question) <= 2000 AND trim(question) <> ''),
-       |tk AS (
-       |  SELECT query_id, list_filter(regexp_split_to_array(lower(question), '[^\\p{L}\\p{N}]+'), x -> x <> '') AS toks
-       |  FROM adm),
-       |ft AS (
-       |  SELECT query_id, unnest(list_concat(toks,
-       |    CASE WHEN len(toks) > 1 THEN list_transform(range(len(toks) - 1),
-       |      i -> toks[CAST(i+1 AS INT)] || '_' || toks[CAST(i+2 AS INT)]) ELSE CAST([] AS VARCHAR[]) END)) AS f
-       |  FROM tk),
-       |cpt AS (
-       |  SELECT query_id, f,
-       |    list_transform(range(length(f)), ci -> CAST(unicode(f[CAST(ci + 1 AS INT)]) AS BIGINT)) AS cp
-       |  FROM ft),
-       |hu AS (SELECT query_id, ${MurmurSql.murmur("f", 0x5eed42L)} AS u FROM cpt),
-       |sg AS (
-       |  SELECT query_id, CAST(u % 64 AS INT) AS idx,
-       |    CASE WHEN u < 2147483648 THEN 1 ELSE -1 END AS sign FROM hu),
-       |vv AS (SELECT query_id, idx, CAST(sum(sign) AS BIGINT) AS v FROM sg GROUP BY 1, 2),
-       |grid AS (SELECT a.query_id, CAST(t.j AS INT) AS j FROM adm a, range(64) t(j)),
-       |cell AS (
-       |  SELECT g.query_id, g.j, coalesce(vv.v, 0) AS v
-       |  FROM grid g LEFT JOIN vv ON vv.query_id = g.query_id AND vv.idx = g.j),
-       |n2 AS (SELECT query_id, CAST(sum(v * v) AS BIGINT) AS norm2 FROM cell GROUP BY 1),
+       |${embedChainSql("adm", "query_id", "question")},
        |qemb AS (
        |  SELECT c.query_id,
        |    list(CASE WHEN n2.norm2 > 0 THEN CAST(c.v / sqrt(CAST(n2.norm2 AS DOUBLE)) AS REAL)
@@ -1003,8 +992,18 @@ object SparkEntry {
        |  SELECT e.vec_id, e.embedding, d.text FROM embeddings e
        |  JOIN documents d ON d.doc_id = e.vec_id),
        |scored AS (
-       |  SELECT q.query_id, ch.vec_id, ch.text, $cos AS sim
-       |  FROM qemb q CROSS JOIN chunks ch),
+       |  SELECT query_id, vec_id, text,
+       |    CASE WHEN den = 0 THEN 0.0 ELSE dot / den END AS sim
+       |  FROM (
+       |    SELECT q.query_id, ch.vec_id, ch.text,
+       |      list_reduce(list_prepend(0.0,
+       |        list_transform(range(64), i -> CAST(qe[i+1] AS DOUBLE) * CAST(ch.embedding[i+1] AS DOUBLE))),
+       |        (ca, cb) -> ca + cb) AS dot,
+       |      sqrt(list_reduce(list_prepend(0.0,
+       |          list_transform(qe, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (ca, cb) -> ca + cb))
+       |      * sqrt(list_reduce(list_prepend(0.0,
+       |          list_transform(ch.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (ca, cb) -> ca + cb)) AS den
+       |    FROM qemb q CROSS JOIN chunks ch)),
        |ranked AS (
        |  SELECT query_id, vec_id, text, sim,
        |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rank
@@ -1012,16 +1011,13 @@ object SparkEntry {
        |ctx AS (
        |  SELECT query_id, array_to_string(list(text ORDER BY rank), chr(10) || chr(10)) AS context
        |  FROM ranked WHERE rank <= 2 GROUP BY query_id),
-       |withcp AS (
-       |  SELECT a.query_id, a.user_id, a.question, coalesce(c.context, '') AS context,
-       |    list_transform(range(length(coalesce(c.context, ''))),
-       |      ci -> CAST(unicode(coalesce(c.context, '')[CAST(ci + 1 AS INT)]) AS BIGINT)) AS cp
+       |withctx AS (
+       |  SELECT a.query_id, a.user_id, a.question, coalesce(c.context, '') AS context
        |  FROM adm a LEFT JOIN ctx c USING (query_id)),
-       |ans AS (
-       |  SELECT query_id, user_id, question, context,
-       |    'Re: ' || question || ' [ctx:' || printf('%x', ${MurmurSql.murmur("context", 7L)}) || ']' AS answer
-       |  FROM withcp)
-       |SELECT query_id, user_id, question, question AS standalone_question, context, answer,
+       |ans AS (${MurmurSql.murmurSelect(
+                  "withctx", Seq("query_id", "user_id", "question", "context"), "context", 7L)})
+       |SELECT query_id, user_id, question, question AS standalone_question, context,
+       |  'Re: ' || question || ' [ctx:' || printf('%x', u) || ']' AS answer,
        |  'explaining' AS emotion
        |FROM ans ORDER BY query_id""".stripMargin
   }

@@ -31,13 +31,25 @@ object Rag {
   }
 
   /** Deterministic local stub: identity reformulation; answer echoes the
-    * question plus a stable digest of the context, always valid JSON.
+    * question plus a stable digest of the context, always valid JSON —
+    * the question is JSON-escaped so quotes/backslashes/control chars in
+    * user text cannot corrupt the envelope (which would silently flip the
+    * downstream parse ladder onto its fallback path).
     */
   object DeterministicLlm extends LlmClient {
+    private def jsonEscape(s: String): String = s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
     override def reformulate(history: Seq[String], question: String): String = question
     override def answer(context: String, question: String): String = {
       val digest = Integer.toHexString(scala.util.hashing.MurmurHash3.stringHash(context, 7))
-      s"""{"answer": "Re: $question [ctx:$digest]", "emotion": "explaining"}"""
+      s"""{"answer": "Re: ${jsonEscape(question)} [ctx:$digest]", "emotion": "explaining"}"""
     }
   }
 
