@@ -30,11 +30,22 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 }
 
 object GraftExtensions {
-  /** Runtime registration on an existing session. */
+  /** Runtime registration on an existing session: the two custom Catalyst
+    * expressions, plus the scalar text-analysis functions as SQL UDFs so
+    * `spark.sql` users get the full surface (`graft_` prefix keeps the
+    * global namespace clean).
+    */
   def register(spark: SparkSession): Unit = {
+    import graft.functions.TextAnalysis
     org.apache.spark.sql.graftshim.GraftSqlShim.registerFunction(
       spark, "cosine_sim", exprs => CosineSimilarity(exprs(0), exprs(1)))
     org.apache.spark.sql.graftshim.GraftSqlShim.registerFunction(
       spark, "split_chunks", exprs => SplitChunks.fromArgs(exprs))
+    spark.udf.register("graft_langid", (s: String) => TextAnalysis.detectLanguage(s))
+    spark.udf.register("graft_fingerprint", (s: String) => TextAnalysis.fingerprint(s))
+    spark.udf.register("graft_fingerprint_mod", (s: String) => TextAnalysis.fingerprintMod(s))
+    spark.udf.register("graft_simhash_mod", (s: String) => TextAnalysis.simHashMod(s))
+    spark.udf.register("graft_embed",
+      (s: String) => if (s == null) null else graft.functions.HashEmbedder.embed(s))
   }
 }

@@ -77,6 +77,27 @@ object Streams {
     events.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark(idCol)
 
+  /** Streaming document ingest — the §3.2 upload path as a stream:
+    * incoming (ts, doc_id, text, source) micro-batches are content-hashed,
+    * deduped on the hash within the watermark horizon (the streaming
+    * dedup gate: state holds one key per content hash, evicted past the
+    * watermark), then split with the strided chunker and enriched. The
+    * chunking stages are stateless column expressions, so they run
+    * identically in batch and streaming — only the dedup gate carries
+    * state, and it is bounded by the horizon.
+    */
+  def ingestStream(
+      docs: DataFrame,
+      chunkSize: Int = 100,
+      overlap: Int = 20,
+      watermark: String = "10 minutes"): DataFrame = {
+    val fresh = docs
+      .withColumn("file_hash", graft.operators.Ingest.contentHash(col("text")))
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("file_hash")
+    graft.operators.Ingest.chunkStrided(fresh, chunkSize, overlap)
+  }
+
   /** Custom per-session state via mapGroupsWithState: running message count
     * and last-seen timestamp per user, with a real event-time timeout —
     * once the watermark passes lastSeen + gap, the session emits a final

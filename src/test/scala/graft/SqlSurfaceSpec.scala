@@ -52,4 +52,19 @@ class SqlSurfaceSpec extends AnyFunSuite with SparkTestSession {
       .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rank"), r.getAs[Long]("vec_id"))).toSeq
     assert(sql == df)
   }
+
+  test("text-analysis scalar functions are registered on the SQL surface") {
+    GraftExtensions.register(spark)
+    val row = spark.sql(
+      """SELECT graft_langid('the cat and the dog went to the market and the house') AS lang,
+        |  graft_fingerprint_mod('hello world') AS fp,
+        |  graft_simhash_mod('hello world hello') AS sh,
+        |  size(graft_embed('spark engine')) AS dim""".stripMargin).collect().head
+    assert(row.getAs[String]("lang") == "en")
+    assert(row.getAs[Long]("fp") ==
+      graft.functions.TextAnalysis.fingerprintMod("hello world"))
+    assert(row.getAs[Long]("sh") ==
+      graft.functions.TextAnalysis.simHashMod("hello world hello"))
+    assert(row.getAs[Int]("dim") == graft.functions.HashEmbedder.Dim)
+  }
 }

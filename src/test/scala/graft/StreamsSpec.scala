@@ -121,6 +121,31 @@ class StreamsSpec extends AnyFunSuite with SparkTestSession {
     } finally query.stop()
   }
 
+  test("streaming ingest: dedup gate drops re-uploads, chunker runs per batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long, String, String)]
+    val docs = input.toDF().toDF("ts", "doc_id", "text", "source")
+    val query = Streams.ingestStream(docs, chunkSize = 10, overlap = 2)
+      .writeStream.format("memory").queryName("ingested")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(
+        (ts("2024-01-01 10:00:00"), 1L, "abcdefghijklmnop", "s1"), // 16 chars -> 2 chunks
+        (ts("2024-01-01 10:00:01"), 2L, "abcdefghijklmnop", "s2"), // same content -> dropped
+        (ts("2024-01-01 10:00:02"), 3L, "short", "s3"))            // 1 chunk
+      query.processAllAvailable()
+      input.addData((ts("2024-01-01 10:00:03"), 4L, "short", "s4")) // dup across batches
+      query.processAllAvailable()
+      val rows = spark.table("ingested").collect()
+      val byFile = rows.groupBy(_.getAs[Long]("file_id"))
+      assert(byFile.keySet == Set(1L, 3L)) // docs 2 and 4 deduped away
+      assert(byFile(1L).length == 2 && byFile(3L).length == 1)
+      val texts = byFile(1L).sortBy(_.getAs[Int]("chunk_index"))
+        .map(_.getAs[String]("chunk_text")).toSeq
+      assert(texts == Seq("abcdefghij", "ijklmnop")) // stride 8, size 10
+    } finally query.stop()
+  }
+
   test("stateful session tracking accumulates across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[SessionEvent]
