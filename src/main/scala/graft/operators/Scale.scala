@@ -84,4 +84,17 @@ object Scale {
       .repartition(col("_day"))
       .sortWithinPartitions(col(sessionCol), col(tsCol))
       .write.partitionBy("_day").mode("overwrite").parquet(path)
+
+  /** Bucketed layout for co-located joins: both sides of a recurring join
+    * written `bucketBy` the join key land the same keys in the same
+    * bucket files, so the join plans with ZERO shuffle exchanges — at
+    * 100 TB this turns every fact-to-fact join on the declared key from
+    * a full-corpus shuffle into a per-bucket merge. The layout decision
+    * is made once at write time (AQE cannot add it back at read time;
+    * see SCALE.md).
+    */
+  def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int): Unit =
+    df.write.mode("overwrite")
+      .bucketBy(buckets, key).sortBy(key)
+      .format("parquet").saveAsTable(table)
 }

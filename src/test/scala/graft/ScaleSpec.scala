@@ -55,6 +55,27 @@ class ScaleSpec extends AnyFunSuite with SparkTestSession {
     val plan = oneDay.queryExecution.executedPlan.toString
     assert(plan.contains("PartitionFilters") && plan.contains("_day"))
   }
+
+  test("bucketed layout joins without any shuffle exchange") {
+    val facts = (1 to 200).map(i => (i.toLong % 40, s"f$i")).toDF("k", "a")
+    val dims = (1 to 200).map(i => (i.toLong % 40, i)).toDF("k", "b")
+    Scale.writeBucketed(facts, "graft_bkt_a", "k", 8)
+    Scale.writeBucketed(dims, "graft_bkt_b", "k", 8)
+    try {
+      val a = spark.table("graft_bkt_a")
+      val b = spark.table("graft_bkt_b")
+      // force the join to be non-broadcast so the shuffle question is real
+      val joined = a.hint("merge").join(b, "k")
+      assert(joined.count() == 200L * 200 / 40)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"))
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"bucketed join must not shuffle:\n${plan.take(1200)}")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS graft_bkt_a")
+      spark.sql("DROP TABLE IF EXISTS graft_bkt_b")
+    }
+  }
 }
 
 class GraftExtensionsSpec extends AnyFunSuite with SparkTestSession {
