@@ -608,7 +608,11 @@ object SparkEntry {
         chunkSize = 100, overlap = 20)
         .select(col("chunk_id"), col("file_id"), col("chunk_index"),
           col("total_chunks"), col("source_file"),
-          round(graft.functions.VectorOps.l2Norm(col("embedding")), 4).as("emb_norm"))
+          // floorScale (not round): the norm clusters at ~1.0 where
+          // Spark's decimal-string rounding and DuckDB's binary rounding
+          // can split; floor is a pure function of the double.
+          TextAnalysis.floorScale(
+            graft.functions.VectorOps.l2Norm(col("embedding")), 4).as("emb_norm"))
         .orderBy("file_id", "chunk_index")
     }),
 
@@ -1022,9 +1026,113 @@ object SparkEntry {
        |FROM ans ORDER BY query_id""".stripMargin
   }
 
+  /** Oracle for t1_split_chunks — the recursive character splitter.
+    *
+    * On this corpus no "\n\n"/"\n" separator occurs and every
+    * space-delimited word is far below chunkSize, so
+    * [[graft.functions.TextSplit.splitText]] reduces exactly to its
+    * greedy merge loop over space-split words (the hard part: the
+    * overlap carry-back). The merge scan is sequential state, expressed
+    * here as a recursive CTE: the window of live words is contiguous
+    * [s..j), so the state is just (j, s); window totals come from
+    * prefix sums, and the pop-from-front loop collapses to a closed-form
+    * "first s2 where the pop condition fails" via list_min/list_filter
+    * (the condition is monotone in s2). The separator-recursion path that
+    * cannot fire here stays covered by TextSplitSpec's property tests;
+    * if regenerated fixtures ever contain newlines or >=chunkSize words,
+    * this oracle diverges loudly (Verify FAIL), not silently.
+    */
+  /** Reusable CTE chain for the recursive-splitter oracle: the greedy
+    * merge scan over `baseRel` (doc_id, text, source) as a recursive CTE
+    * (see [[t1SplitOracleSql]] for why the reduction is exact on this
+    * corpus), ending in `chunks0` (file_id, chunk_index, total_chunks,
+    * chunk_id, chunk_text, source_file).
+    */
+  private def splitChainSql(baseRel: String): String = {
+    // total chars of window [s2..j): prefix-sum diff + inner separators
+    def tot(s2: String) =
+      s"(p.cum[r.j+1] - p.cum[CAST($s2 AS INT)+1] + " +
+        s"CASE WHEN r.j - $s2 > 1 THEN r.j - $s2 - 1 ELSE 0 END)"
+    val nextLen = "p.cum[r.j+2] - p.cum[r.j+1]" // length of word j
+    val overflow = s"r.j > r.s AND ${tot("r.s")} + $nextLen + 1 > 100"
+    val popStop = // NOT (pop-while condition) at candidate start s2
+      s"NOT (${tot("s2")} > 20 OR (${tot("s2")} + $nextLen + 1 > 100 AND ${tot("s2")} > 0))"
+    s"""wl AS (
+       |  SELECT doc_id, source, string_split(text, ' ') AS ws,
+       |    len(string_split(text, ' ')) AS n,
+       |    list_transform(string_split(text, ' '), w -> CAST(length(w) AS BIGINT)) AS lens
+       |  FROM $baseRel),
+       |pre AS (
+       |  SELECT doc_id, source, ws, n,
+       |    list_transform(range(n + 1),
+       |      i -> CAST(coalesce(list_sum(lens[1:CAST(i AS INT)]), 0) AS BIGINT)) AS cum
+       |  FROM wl),
+       |rec(doc_id, j, s, emit_s, emit_e) AS (
+       |  SELECT doc_id, 0, 0, CAST(NULL AS INT), CAST(NULL AS INT) FROM pre WHERE n > 0
+       |  UNION ALL
+       |  SELECT r.doc_id, r.j + 1,
+       |    CASE WHEN NOT ($overflow) THEN r.s
+       |         ELSE CAST(list_min(list_filter(range(r.s, r.j + 1), s2 -> $popStop)) AS INT) END,
+       |    CASE WHEN $overflow THEN r.s END,
+       |    CASE WHEN $overflow THEN r.j END
+       |  FROM rec r JOIN pre p USING (doc_id)
+       |  WHERE r.j < p.n),
+       |em AS (
+       |  SELECT doc_id, emit_e AS ord, emit_s AS cs, emit_e AS ce FROM rec WHERE emit_s IS NOT NULL
+       |  UNION ALL
+       |  SELECT r.doc_id, p.n + 1, r.s, p.n FROM rec r JOIN pre p USING (doc_id) WHERE r.j = p.n),
+       |numbered AS (
+       |  SELECT doc_id, cs, ce,
+       |    CAST(row_number() OVER (PARTITION BY doc_id ORDER BY ord) - 1 AS INT) AS chunk_index,
+       |    CAST(count(*) OVER (PARTITION BY doc_id) AS INT) AS total_chunks
+       |  FROM em),
+       |chunks0 AS (
+       |  SELECT nb.doc_id AS file_id, nb.chunk_index, nb.total_chunks,
+       |    CAST(nb.doc_id AS VARCHAR) || '_' || CAST(nb.chunk_index AS VARCHAR) AS chunk_id,
+       |    trim(array_to_string(p.ws[nb.cs+1:nb.ce], ' ')) AS chunk_text,
+       |    p.source AS source_file
+       |  FROM numbered nb JOIN pre p ON p.doc_id = nb.doc_id)""".stripMargin
+  }
+
+  private def t1SplitOracleSql: String =
+    s"""WITH RECURSIVE ${splitChainSql("documents")}
+       |SELECT file_id, chunk_index, total_chunks, chunk_id, chunk_text
+       |FROM chunks0 ORDER BY file_id, chunk_index""".stripMargin
+
+  /** Oracle for ingest_pipeline — the §3.2 embed-stage variant, now fully
+    * composed from the verified generators: dedup gate (sha256 anti-join)
+    * → recursive-splitter chain → murmur-embed chain per chunk → floored
+    * L2 norm. With this, every pipeline in the registry is hash-checked;
+    * only the two honestly-approximate ANN paths remain rows-only.
+    */
+  private def ingestPipelineOracleSql: String =
+    s"""WITH RECURSIVE cat AS (
+       |  SELECT sha256(text) AS file_hash FROM documents WHERE doc_id < 150),
+       |fresh AS (
+       |  SELECT d.doc_id, d.text, d.source FROM documents d
+       |  WHERE d.doc_id >= 100 AND d.doc_id < 200
+       |    AND d.n_chars <= 10485760
+       |    AND NOT EXISTS (SELECT 1 FROM cat c WHERE c.file_hash = sha256(d.text))),
+       |${splitChainSql("fresh")},
+       |${embedChainSql("chunks0", "chunk_id", "chunk_text")},
+       |xn AS (
+       |  SELECT c.chunk_id, c.j,
+       |    CASE WHEN n2.norm2 > 0 THEN CAST(c.v / sqrt(CAST(n2.norm2 AS DOUBLE)) AS REAL)
+       |         ELSE CAST(0 AS REAL) END AS xf
+       |  FROM cell c JOIN n2 USING (chunk_id)),
+       |nrm AS (
+       |  SELECT chunk_id,
+       |    floor(sqrt(list_reduce(list(CAST(xf AS DOUBLE) * CAST(xf AS DOUBLE) ORDER BY j), (sa, sb) -> sa + sb)) * 10000) / 10000 AS emb_norm
+       |  FROM xn GROUP BY chunk_id)
+       |SELECT c.chunk_id, c.file_id, c.chunk_index, c.total_chunks, c.source_file, n.emb_norm
+       |FROM chunks0 c JOIN nrm n USING (chunk_id)
+       |ORDER BY c.file_id, c.chunk_index""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "t3_embed_documents" -> t3EmbedOracleSql,
     "rag_chat_pipeline" -> ragChatOracleSql,
+    "t1_split_chunks" -> t1SplitOracleSql,
+    "ingest_pipeline" -> ingestPipelineOracleSql,
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  round(sum(l_quantity), 4) AS sum_qty,
