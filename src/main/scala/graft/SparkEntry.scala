@@ -753,6 +753,22 @@ object SparkEntry {
         ("orders->customer", orphanO)).toDF("fk_edge", "n_orphans").orderBy("fk_edge")
     }),
 
+    "sample_stratified" -> ((s, dir) => {
+      // Deterministic stratified sampling: fixed N per stratum (source),
+      // selected by hash rank — reproducible under recomputation and
+      // balanced across strata, unlike a global random sample that
+      // starves small strata. One rank window per stratum; at scale the
+      // window partitions by the stratum key (no global sort).
+      val h = pmod(col("doc_id") * 2654435761L, lit(4294967296L))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("source").orderBy(h.asc, col("doc_id").asc)
+      Tables.documents(s, dir)
+        .withColumn("sample_rank", row_number().over(w))
+        .filter(col("sample_rank") <= 10)
+        .select("source", "sample_rank", "doc_id", "lang")
+        .orderBy("source", "sample_rank")
+    }),
+
     // ---- train/val/test sharding + repetition quality rule
     "sample_split" -> ((s, dir) => {
       // Deterministic hash-bucket split (80/10/10) — pure integer
@@ -1580,6 +1596,15 @@ object SparkEntry {
         |  (SELECT count(*) FROM orders o
         |   WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
         |ORDER BY fk_edge""".stripMargin,
+
+    "sample_stratified" ->
+      """SELECT source, sample_rank, doc_id, lang FROM (
+        |  SELECT source, doc_id, lang,
+        |    CAST(row_number() OVER (PARTITION BY source
+        |      ORDER BY (doc_id * 2654435761) % 4294967296, doc_id) AS INT) AS sample_rank
+        |  FROM documents) t
+        |WHERE sample_rank <= 10
+        |ORDER BY source, sample_rank""".stripMargin,
 
     "sample_split" ->
       """WITH b AS (
