@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.{HashEmbedder, TextAnalysis}
-import graft.operators.{Dedup, Ingest, Retrieval, Sessions}
+import graft.operators.{Dedup, Ingest, Joins, Retrieval, Sessions}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -529,6 +529,68 @@ object SparkEntry {
         .filter(col("user_id") === 7L)
         .select("event_id", "ts", "event_type")
         .orderBy("ts", "event_id")
+    }),
+
+    // ---- time-correlation joins Spark lacks natively, rewritten into
+    //      shuffle-friendly shapes (Joins.scala scaladoc has the plans)
+    "j6_asof_attribution" -> ((s, dir) => {
+      // Purchase → latest view at-or-before it, per user (attribution):
+      // union + per-user ordered window — ONE shuffle, no row explosion,
+      // where the naive `p.ts >= v.ts` theta join plans as a nested loop.
+      // The view side is pre-reduced to one row per (user_id, ts) so the
+      // match is deterministic on both engines.
+      val ev = Tables.events(s, dir)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"), col("ts"))
+      val views = ev.filter(col("event_type") === "view")
+        .groupBy("user_id", "ts").agg(max("event_id").as("view_id"))
+      Joins.asofJoin(purchases, views, "user_id", "ts")
+        .select(
+          col("purchase_id"), col("user_id"),
+          coalesce(col("_match.view_id"), lit(-1L)).as("view_id"),
+          coalesce(unix_micros(col("ts")) - unix_micros(col("_match.ts")), lit(-1L))
+            .as("gap_us"))
+        .orderBy("purchase_id")
+    }),
+
+    "j7_range_band_join" -> ((s, dir) => {
+      import s.implicits._
+      // Overlapping price bands × parts — the bucketed theta→equi rewrite
+      // (Joins.rangeJoinBucketed): ranges explode into the fixed-width
+      // buckets they overlap, points equi-join on bucket id, exact
+      // [lo, hi) predicate re-checked after. Deci-dollar integer sums
+      // keep the aggregate order-independent across engines.
+      val bands = Seq(
+        (0L, 880.0, 910.0), (1L, 900.0, 950.0), (2L, 920.0, 940.0),
+        (3L, 925.0, 975.0), (4L, 950.0, 1000.0), (5L, 990.0, 1000.0)
+      ).toDF("band_id", "lo", "hi")
+      Joins.rangeJoinBucketed(Tables.part(s, dir), "p_retailprice", bands, "lo", "hi", 25.0)
+        .groupBy("band_id")
+        .agg(
+          count(lit(1)).as("n_parts"),
+          sum(round(col("p_retailprice") * 10).cast("long")).as("sum_deci"))
+        .orderBy("band_id")
+    }),
+
+    "mix_temperature_sample" -> ((s, dir) => {
+      // Temperature-flattened source mixing (multilingual pretraining
+      // recipe): per-language quota ∝ count^(1/2), so small languages keep
+      // proportionally more documents than a raw-frequency sample. Quota
+      // is the per-group floor(8·sqrt(n)) — no cross-group float sum, so
+      // it is bit-identical across engines; within-stratum selection is
+      // by hash rank (rerun-stable). Quotas are one row per language →
+      // broadcast; the rank window partitions by the stratum key.
+      val docs = Tables.documents(s, dir)
+      val quotas = docs.groupBy("lang")
+        .agg(floor(lit(8.0) * sqrt(count(lit(1)))).cast("int").as("quota"))
+      val h = pmod(col("doc_id") * 2654435761L, lit(4294967296L))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("lang").orderBy(h.asc, col("doc_id").asc)
+      docs.withColumn("mix_rank", row_number().over(w))
+        .join(broadcast(quotas), "lang")
+        .filter(col("mix_rank") <= col("quota"))
+        .select("lang", "mix_rank", "doc_id", "quota")
+        .orderBy("lang", "mix_rank")
     }),
 
     "scale_salted_count" -> ((s, dir) => {
@@ -1496,6 +1558,42 @@ object SparkEntry {
     "s2_full_sort" ->
       """SELECT event_id, ts, event_type FROM events
         |WHERE user_id = 7 ORDER BY ts, event_id""".stripMargin,
+
+    "j6_asof_attribution" ->
+      """WITH v AS (
+        |  SELECT user_id, ts, max(event_id) AS view_id
+        |  FROM events WHERE event_type = 'view' GROUP BY user_id, ts),
+        |p AS (
+        |  SELECT event_id AS purchase_id, user_id, ts
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT p.purchase_id, p.user_id,
+        |  coalesce(v.view_id, -1) AS view_id,
+        |  coalesce(epoch_us(p.ts) - epoch_us(v.ts), -1) AS gap_us
+        |FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts
+        |ORDER BY p.purchase_id""".stripMargin,
+
+    "j7_range_band_join" ->
+      """WITH bands(band_id, lo, hi) AS (VALUES
+        |  (0, 880.0, 910.0), (1, 900.0, 950.0), (2, 920.0, 940.0),
+        |  (3, 925.0, 975.0), (4, 950.0, 1000.0), (5, 990.0, 1000.0))
+        |SELECT CAST(band_id AS BIGINT) AS band_id, count(*) AS n_parts,
+        |  CAST(sum(CAST(round(p_retailprice * 10) AS BIGINT)) AS BIGINT) AS sum_deci
+        |FROM part JOIN bands ON p_retailprice >= lo AND p_retailprice < hi
+        |GROUP BY band_id ORDER BY band_id""".stripMargin,
+
+    "mix_temperature_sample" ->
+      """WITH q AS (
+        |  SELECT lang, CAST(floor(8.0 * sqrt(count(*))) AS INT) AS quota
+        |  FROM documents GROUP BY lang),
+        |r AS (
+        |  SELECT lang, doc_id,
+        |    CAST(row_number() OVER (PARTITION BY lang
+        |      ORDER BY (doc_id * 2654435761) % 4294967296, doc_id) AS INT) AS mix_rank
+        |  FROM documents)
+        |SELECT r.lang, r.mix_rank, r.doc_id, q.quota
+        |FROM r JOIN q USING (lang)
+        |WHERE r.mix_rank <= q.quota
+        |ORDER BY r.lang, r.mix_rank""".stripMargin,
 
     "scale_salted_count" ->
       """SELECT user_id, count(*) AS n FROM events
