@@ -24,7 +24,8 @@ object Bench {
     "ann_lsh_topk", "ann_ivf_topk", "ann_quantized_topk",
     "bm25_topk", "tfidf_top_terms", "dedup_clusters", "pack_sequences",
     "text_quality", "text_tokens", "text_contamination",
-    "ingest_pipeline", "rag_chat_pipeline", "multimodal_near_dup")
+    "ingest_pipeline", "rag_chat_pipeline", "multimodal_near_dup",
+    "j6_asof_attribution", "j7_range_band_join", "mix_temperature_sample")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
