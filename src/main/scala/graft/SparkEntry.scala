@@ -572,6 +572,48 @@ object SparkEntry {
         .orderBy("band_id")
     }),
 
+    "sketch_heavy_hitters" -> ((s, dir) => {
+      // Misra–Gries heavy hitters via a typed Aggregator (custom UDAF,
+      // functions/Sketches.scala): k bounded counters per partition,
+      // mergeable — frequent items over 100 TB without a full
+      // groupBy-count shuffle. k=8 >= the 5-value event_type domain, so
+      // the sketch is exact here and the oracle is a plain GROUP BY.
+      val mg = udaf(new graft.functions.MisraGries(8),
+        org.apache.spark.sql.Encoders.STRING)
+      Tables.events(s, dir)
+        .agg(mg(col("event_type")).as("sk"))
+        .select(col("sk.items").as("items"), col("sk.counts").as("counts"))
+        .select(explode(arrays_zip(col("items"), col("counts"))).as("e"))
+        .select(col("e.items").as("event_type"), col("e.counts").as("n"))
+        .orderBy("event_type")
+    }),
+
+    "text_rarity_score" -> ((s, dir) => {
+      // Unigram-LM quality filter (surprisal proxy): token rarity =
+      // corpus_tokens / freq(token). IEEE division is correctly rounded
+      // (unlike ln), and the per-doc sum runs over the SORTED rarity
+      // list (aggregate ∘ sort_array), so accumulation order — and the
+      // resulting double — is bit-identical across engines. The vocab
+      // join is broadcast here (synthetic vocab is tiny); at 100 TB it
+      // becomes a plain shuffle join on `tok` and only `total` stays
+      // broadcast.
+      val toks = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          explode(split(trim(lower(col("text"))), "\\s+")).as("tok"))
+      val freq = toks.groupBy("tok").agg(count(lit(1)).as("freq"))
+      val total = freq.agg(sum("freq").cast("double").as("total"))
+      toks.join(broadcast(freq), "tok")
+        .crossJoin(broadcast(total))
+        .withColumn("rarity", col("total") / col("freq").cast("double"))
+        .groupBy("doc_id")
+        .agg(
+          count(lit(1)).as("n_toks"),
+          aggregate(sort_array(collect_list(col("rarity"))), lit(0.0),
+            (acc, x) => acc + x).as("rarity_sum"))
+        .withColumn("mean_rarity", col("rarity_sum") / col("n_toks"))
+        .orderBy("doc_id")
+    }),
+
     "mix_temperature_sample" -> ((s, dir) => {
       // Temperature-flattened source mixing (multilingual pretraining
       // recipe): per-language quota ∝ count^(1/2), so small languages keep
@@ -1580,6 +1622,28 @@ object SparkEntry {
         |  CAST(sum(CAST(round(p_retailprice * 10) AS BIGINT)) AS BIGINT) AS sum_deci
         |FROM part JOIN bands ON p_retailprice >= lo AND p_retailprice < hi
         |GROUP BY band_id ORDER BY band_id""".stripMargin,
+
+    "sketch_heavy_hitters" ->
+      """SELECT event_type, count(*) AS n FROM events
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "text_rarity_score" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+        |  FROM documents),
+        |freq AS (SELECT tok, count(*) AS freq FROM toks GROUP BY tok),
+        |tot AS (SELECT CAST(sum(freq) AS DOUBLE) AS total FROM freq),
+        |r AS (
+        |  SELECT t.doc_id, tot.total / CAST(f.freq AS DOUBLE) AS rarity
+        |  FROM toks t JOIN freq f USING (tok) CROSS JOIN tot),
+        |d AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_toks,
+        |    list_reduce(list_prepend(0.0, list_sort(list(rarity))),
+        |                (a, b) -> a + b) AS rarity_sum
+        |  FROM r GROUP BY doc_id)
+        |SELECT doc_id, n_toks, rarity_sum, rarity_sum / n_toks AS mean_rarity
+        |FROM d ORDER BY doc_id""".stripMargin,
 
     "mix_temperature_sample" ->
       """WITH q AS (
