@@ -328,8 +328,13 @@ object SparkEntry {
 
     // ---- dedup family (training-data ops)
     "dedup_ngram_jaccard" -> ((s, dir) => {
+      // maxDf=150 (75% of the 200-doc slice): 3-gram shingles live in a
+      // tiny shared vocabulary here, so ubiquitous shingles both blow up
+      // the inverted-index join and drown the signal; Jaccard over the
+      // df-capped shingle universe is the production decontaminated form.
       Dedup.ngramJaccardPairs(
-        Tables.documents(s, dir).filter(col("doc_id") < 200), n = 3, threshold = 0.5)
+        Tables.documents(s, dir).filter(col("doc_id") < 200), n = 3, threshold = 0.5,
+        maxDf = 150)
         .withColumn("jaccard", round(col("jaccard"), 6))
         .orderBy("doc_a", "doc_b")
     }),
@@ -344,7 +349,10 @@ object SparkEntry {
       // maxHamming 2 of 31 bits: the synthetic docs share vocabulary so
       // random pairs center at distance ~7; 2 keeps the output a
       // discriminating near-dup set rather than most of the cross product.
-      Dedup.simHashPairsExact(Tables.documents(s, dir).filter(col("doc_id") < 200), maxHamming = 2)
+      // Banded form: 3-band pigeonhole makes it provably equal to the
+      // exact all-pairs result (which remains the oracle SQL), with an
+      // equi-join plan instead of the O(n²) theta self-join.
+      Dedup.simHashPairsBanded(Tables.documents(s, dir).filter(col("doc_id") < 200), maxHamming = 2)
         .orderBy("doc_a", "doc_b")
     }),
 
@@ -352,14 +360,20 @@ object SparkEntry {
       // Pair generation -> connected components -> canonical survivor per
       // duplicate group (what a retention pass actually consumes).
       val pairs = Dedup.ngramJaccardPairs(
-        Tables.documents(s, dir).filter(col("doc_id") < 200), n = 3, threshold = 0.5)
+        Tables.documents(s, dir).filter(col("doc_id") < 200), n = 3, threshold = 0.5,
+        maxDf = 150)
       Dedup.duplicateClusters(pairs)
         .withColumn("is_canonical", col("doc_id") === col("cluster_id"))
         .orderBy("doc_id")
     }),
 
     "dedup_embedding_cosine" -> ((s, dir) => {
-      Dedup.embeddingNearDupPairs(Tables.embeddings(s, dir), threshold = 0.4)
+      // LSH-bucketed candidate join (no cross join in the plan); 8 bands
+      // × 2 bits holds per-pair recall ≈98% at the loose 0.4 threshold.
+      // The oracle replicates signature+banding, so candidate generation
+      // itself is hash-checked; recall vs the exact form is spec-tested.
+      Dedup.embeddingNearDupBucketed(Tables.embeddings(s, dir), threshold = 0.4,
+        nBits = 16, bands = 8)
         .withColumn("cos_sim", round(col("cos_sim"), 6))
         .orderBy("id_a", "id_b")
     }),
@@ -919,9 +933,13 @@ object SparkEntry {
 
     "text_contamination" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
+      // maxDf=25 drops the handful of corpus-ubiquitous 13-grams (df tops
+      // out ~42 here) that fan the shingle equi-join out without carrying
+      // any contamination signal.
       operators.Dedup.contaminationCheck(
         docs.filter(col("doc_id") < 450),
-        docs.filter(col("doc_id") >= 450 && col("doc_id") < 500), n = 13)
+        docs.filter(col("doc_id") >= 450 && col("doc_id") < 500), n = 13,
+        maxDf = 25)
         .filter(col("n_shared_shingles") >= 3)
         .orderBy("doc_id", "bench_id")
     }),
@@ -950,7 +968,11 @@ object SparkEntry {
         col("source").as("source_uri"))
       val feats = multimodal.Multimodal.extractFeatures(assets).toDF()
         .select(col("asset_id").as("vec_id"), col("embedding"))
-      operators.Dedup.embeddingNearDupPairs(feats, threshold = 0.98)
+      // 4 wide bands (4 bits each): the 0.98 near-dup threshold sits deep
+      // in LSH's high-recall regime, so wide bands prune hard at ~99.7%
+      // per-pair recall. Same bucketed operator as dedup_embedding_cosine.
+      operators.Dedup.embeddingNearDupBucketed(feats, threshold = 0.98,
+        nBits = 16, bands = 4)
         .withColumn("cos_sim", round(col("cos_sim"), 6))
         .orderBy("id_a", "id_b")
     }),
@@ -1479,11 +1501,15 @@ object SparkEntry {
         |  string_agg(text, chr(10) || chr(10) ORDER BY rank) AS context
         |FROM topk GROUP BY query_id ORDER BY query_id""".stripMargin,
 
+    // df <= 150 cap mirrors ngramJaccardPairs(maxDf = 150): Jaccard over
+    // the capped shingle universe (sizes counted after the cap too).
     "dedup_ngram_jaccard" ->
-      """WITH sh AS (
+      """WITH sh0 AS (
         |  SELECT doc_id, unnest(list_distinct(
         |    [substr(text, i + 1, 3) FOR i IN range(length(text) - 2)])) AS shingle
         |  FROM documents WHERE doc_id < 200 AND length(text) >= 3),
+        |dfx AS (SELECT shingle, count(*) AS df FROM sh0 GROUP BY shingle),
+        |sh AS (SELECT sh0.* FROM sh0 JOIN dfx USING (shingle) WHERE df <= 150),
         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
         |inter AS (
         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
@@ -1497,19 +1523,42 @@ object SparkEntry {
         |WHERE CAST(inter AS DOUBLE) / CAST(sa.n + sb.n - inter AS DOUBLE) >= 0.5
         |ORDER BY doc_a, doc_b""".stripMargin,
 
+    // Step-for-step mirror of embeddingNearDupBucketed(nBits=16, bands=8):
+    // squared-Lehmer hyperplane components over index b*1024+i mapped to
+    // [-1,1), left-fold dot product (list_reduce == the Scala while-loop
+    // accumulation order), sign bit -> 16-bit signature, 8 two-bit band
+    // keys, band equi-join for candidates, exact cosine recheck. Candidate
+    // generation itself is oracle-checked, like dedup_minhash_lsh.
     "dedup_embedding_cosine" ->
-      """WITH p AS (
-        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+      """WITH s AS (
+        |  SELECT vec_id, embedding,
+        |    CAST(list_sum(list_transform(range(16), b ->
+        |      CASE WHEN list_reduce(list_prepend(0.0, list_transform(range(64), i ->
+        |          CAST(embedding[CAST(i+1 AS INT)] AS DOUBLE) *
+        |          (((((48271*(b*1024+i)+16807) % 2147483647) * ((48271*(b*1024+i)+16807) % 2147483647)) % 2147483647) * 2.0 / 2147483647 - 1))),
+        |        (x, y) -> x + y) >= 0
+        |      THEN CAST(1 AS BIGINT) << CAST(b AS INT) ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS sig
+        |  FROM embeddings),
+        |bd AS (
+        |  SELECT vec_id, embedding, unnest(list_transform(range(8), k ->
+        |    CAST(k AS VARCHAR) || '_' || CAST((sig >> CAST(2*k AS INT)) & 3 AS VARCHAR))) AS band
+        |  FROM s),
+        |cand AS (
+        |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b,
+        |    a.embedding AS emb_a, b.embedding AS emb_b
+        |  FROM bd a JOIN bd b ON a.band = b.band AND a.vec_id < b.vec_id),
+        |p AS (
+        |  SELECT id_a, id_b,
         |    list_reduce(list_prepend(0.0,
         |      list_transform(range(64),
-        |        i -> CAST(a.embedding[i+1] AS DOUBLE) * CAST(b.embedding[i+1] AS DOUBLE))),
+        |        i -> CAST(emb_a[i+1] AS DOUBLE) * CAST(emb_b[i+1] AS DOUBLE))),
         |      (x, y) -> x + y)
         |    / (sqrt(list_reduce(list_prepend(0.0,
-        |         list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (x,y) -> x+y))
+        |         list_transform(emb_a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (x,y) -> x+y))
         |     * sqrt(list_reduce(list_prepend(0.0,
-        |         list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (x,y) -> x+y)))
+        |         list_transform(emb_b, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (x,y) -> x+y)))
         |    AS cos_sim
-        |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+        |  FROM cand)
         |SELECT id_a, id_b, round(cos_sim, 6) AS cos_sim FROM p
         |WHERE cos_sim >= 0.4 ORDER BY id_a, id_b""".stripMargin,
 
@@ -1818,11 +1867,15 @@ object SparkEntry {
         |    AS scrubbed
         |FROM d ORDER BY doc_id""".stripMargin,
 
+    // df <= 25 cap on the corpus-side shingle index mirrors
+    // contaminationCheck(maxDf = 25).
     "text_contamination" ->
-      """WITH c AS (
+      """WITH c0 AS (
         |  SELECT doc_id, unnest(list_distinct(
         |    [substr(text, i + 1, 13) FOR i IN range(length(text) - 12)])) AS shingle
         |  FROM documents WHERE doc_id < 450 AND length(text) >= 13),
+        |dfx AS (SELECT shingle, count(*) AS df FROM c0 GROUP BY shingle),
+        |c AS (SELECT c0.* FROM c0 JOIN dfx USING (shingle) WHERE df <= 25),
         |b AS (
         |  SELECT doc_id AS bench_id, unnest(list_distinct(
         |    [substr(text, i + 1, 13) FOR i IN range(length(text) - 12)])) AS shingle
@@ -1911,10 +1964,12 @@ object SparkEntry {
     // closure via recursive CTE; min reachable id = cluster id (Spark
     // converges min-label propagation to the same fixpoint).
     "dedup_clusters" ->
-      """WITH RECURSIVE sh AS (
+      """WITH RECURSIVE sh0 AS (
         |  SELECT doc_id, unnest(list_distinct(
         |    [substr(text, i + 1, 3) FOR i IN range(length(text) - 2)])) AS shingle
         |  FROM documents WHERE doc_id < 200 AND length(text) >= 3),
+        |dfx AS (SELECT shingle, count(*) AS df FROM sh0 GROUP BY shingle),
+        |sh AS (SELECT sh0.* FROM sh0 JOIN dfx USING (shingle) WHERE df <= 150),
         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
         |inter AS (
         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
@@ -2198,7 +2253,9 @@ object SparkEntry {
         |ORDER BY query_id, rank""".stripMargin,
 
     // Byte-histogram features (same arithmetic as multimodal_features'
-    // stub) -> the established cosine fold -> 0.98 near-dup threshold.
+    // stub) -> the same portable-LSH banded candidate join as
+    // dedup_embedding_cosine (nBits=16, bands=4 wide bands for the 0.98
+    // near-dup threshold) -> exact cosine recheck.
     "multimodal_near_dup" ->
       """WITH h AS (
         |  SELECT doc_id, hex(encode(text)) AS hx, octet_length(encode(text)) AS nb
@@ -2220,18 +2277,35 @@ object SparkEntry {
         |        CAST(len(list_filter(bytes, v -> v % 16 = j)) AS BIGINT)
         |        * CAST(len(list_filter(bytes, v -> v % 16 = j)) AS BIGINT))) AS nrm2
         |    FROM b)),
+        |s AS (
+        |  SELECT vec_id, embedding,
+        |    CAST(list_sum(list_transform(range(16), b ->
+        |      CASE WHEN list_reduce(list_prepend(0.0, list_transform(range(16), i ->
+        |          CAST(embedding[CAST(i+1 AS INT)] AS DOUBLE) *
+        |          (((((48271*(b*1024+i)+16807) % 2147483647) * ((48271*(b*1024+i)+16807) % 2147483647)) % 2147483647) * 2.0 / 2147483647 - 1))),
+        |        (x, y) -> x + y) >= 0
+        |      THEN CAST(1 AS BIGINT) << CAST(b AS INT) ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS sig
+        |  FROM f),
+        |bd AS (
+        |  SELECT vec_id, embedding, unnest(list_transform(range(4), k ->
+        |    CAST(k AS VARCHAR) || '_' || CAST((sig >> CAST(4*k AS INT)) & 15 AS VARCHAR))) AS band
+        |  FROM s),
+        |cand AS (
+        |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b,
+        |    a.embedding AS emb_a, b.embedding AS emb_b
+        |  FROM bd a JOIN bd b ON a.band = b.band AND a.vec_id < b.vec_id),
         |p AS (
-        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  SELECT id_a, id_b,
         |    list_reduce(list_prepend(0.0,
         |      list_transform(range(16),
-        |        i -> CAST(a.embedding[i+1] AS DOUBLE) * CAST(b.embedding[i+1] AS DOUBLE))),
+        |        i -> CAST(emb_a[i+1] AS DOUBLE) * CAST(emb_b[i+1] AS DOUBLE))),
         |      (x, y) -> x + y)
         |    / (sqrt(list_reduce(list_prepend(0.0,
-        |         list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (x, y) -> x + y))
+        |         list_transform(emb_a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (x, y) -> x + y))
         |     * sqrt(list_reduce(list_prepend(0.0,
-        |         list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (x, y) -> x + y)))
+        |         list_transform(emb_b, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (x, y) -> x + y)))
         |    AS cos_sim
-        |  FROM f a JOIN f b ON a.vec_id < b.vec_id)
+        |  FROM cand)
         |SELECT id_a, id_b, round(cos_sim, 6) AS cos_sim FROM p
         |WHERE cos_sim >= 0.98 ORDER BY id_a, id_b""".stripMargin,
 

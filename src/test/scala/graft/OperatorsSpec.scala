@@ -294,6 +294,60 @@ class DedupSpec extends AnyFunSuite with SparkTestSession {
       .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
     assert(out == Set((0L, 1L)))
   }
+
+  test("banded simhash equals the exact all-pairs result (pigeonhole)") {
+    val corpus = docs.union(Seq(
+      (5L, "the quick brown fox leaps over the lazy dog near the river bank today"),
+      (6L, "columnar storage engines and query planners for analytical workloads"))
+      .toDF("doc_id", "text"))
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+        r.getAs[Int]("hamming"))).toSet
+    for (h <- Seq(0, 2, 4)) {
+      assert(pairs(Dedup.simHashPairsBanded(corpus, maxHamming = h)) ==
+        pairs(Dedup.simHashPairsExact(corpus, maxHamming = h)),
+        s"banded != exact at maxHamming=$h")
+    }
+  }
+
+  test("bucketed embedding near-dup: full recall on true near-dups, subset of exact") {
+    // 20 base vectors + 5 jittered copies: the 5 (base, copy) pairs are the
+    // true near-dups at 0.98; everything else is well below.
+    val rng = new scala.util.Random(7)
+    val base = (0 until 20).map(i =>
+      (i.toLong, Array.fill(16)(rng.nextFloat() * 2 - 1)))
+    val dups = (0 until 5).map(i =>
+      (100L + i, base(i)._2.map(x => x + 0.001f * (i + 1))))
+    val vecs = (base ++ dups).toDF("vec_id", "embedding")
+    val exact = Dedup.embeddingNearDupPairs(vecs, 0.98)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    val bucketed = Dedup.embeddingNearDupBucketed(vecs, 0.98, nBits = 16, bands = 4)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    assert(bucketed.subsetOf(exact), "bucketed must never invent pairs")
+    assert((0 until 5).forall(i => bucketed.contains((i.toLong, 100L + i))),
+      s"jittered near-dup pairs missed: $bucketed")
+  }
+
+  test("df cap leaves ngram-jaccard pairs unchanged when no shingle is hot") {
+    val uncapped = Dedup.ngramJaccardPairs(docs, 3, 0.5)
+      .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+        r.getAs[Double]("jaccard"))).toSet
+    val capped = Dedup.ngramJaccardPairs(docs, 3, 0.5, maxDf = 4)
+      .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+        r.getAs[Double]("jaccard"))).toSet
+    assert(capped == uncapped, "cap above every df must be a no-op")
+  }
+
+  test("df cap drops only hot-shingle matches from the contamination check") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog tonight"),
+      (2L, "completely unrelated text about database engines")).toDF("doc_id", "text")
+    val bench = Seq(
+      (100L, "quick brown fox jumps over the lazy")).toDF("doc_id", "text")
+    val hits = Dedup.contaminationCheck(corpus, bench, n = 13, maxDf = 1)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("bench_id"))).toSet
+    assert(hits == Set((1L, 100L)), "df=1 shingles all survive a maxDf=1 cap")
+  }
 }
 
 class VectorOpsSpec extends AnyFunSuite with SparkTestSession {

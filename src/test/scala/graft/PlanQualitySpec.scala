@@ -47,11 +47,23 @@ class PlanQualitySpec extends AnyFunSuite with SparkTestSession {
     assert(plan("q3_top_revenue_orders").contains("TakeOrderedAndProject"))
   }
 
-  test("knn scorer is the codegen cosine expression inside the join") {
+  test("embedding near-dup is a banded equi-join: no nested-loop/cartesian anywhere") {
     val p = plan("dedup_embedding_cosine")
-    assert(p.contains("cosine_sim"))
-    // predicate fused into the join, not a post-join filter stage
-    assert(p.contains("BroadcastNestedLoopJoin"))
+    assert(p.contains("cosine_sim"), "exact codegen cosine recheck expected")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"all-pairs join crept back into the bucketed path:\n${p.take(800)}")
+  }
+
+  test("multimodal near-dup shares the bucketed plan: no nested-loop/cartesian") {
+    val p = plan("multimodal_near_dup")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"all-pairs join crept back into the bucketed path:\n${p.take(800)}")
+  }
+
+  test("simhash is the banded form: equi-join on band keys, no theta self-join") {
+    val p = plan("dedup_simhash")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"quadratic theta self-join crept back:\n${p.take(800)}")
   }
 
   test("LSH ANN candidate join is a broadcast equi-join on the signature") {
