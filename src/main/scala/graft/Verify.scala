@@ -37,6 +37,32 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+
+    // ---- ANN recall gate: the two approximate-by-design queries have no
+    // DuckDB oracle row, so they get a hard in-driver gate instead of
+    // spec-only coverage — Verify FAILS (nonzero exit) on a recall
+    // regression vs the exact brute-force top-k over the same queries.
+    {
+      import org.apache.spark.sql.functions.col
+      val emb = Tables.embeddings(spark, sfDir)
+      val qs = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"))
+      val exact = operators.Retrieval.knnJoin(qs, emb, k = 2)
+        .select("query_id", "vec_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      // Thresholds sit under the measured values (LSH 0.7 @sf0.01 /
+      // 0.6 @sf0.1, IVF 1.0 at both) with margin for data drift, not so
+      // far under that a real regression (a broken probe or band join)
+      // slips through.
+      Seq("ann_lsh_topk" -> 0.5, "ann_ivf_topk" -> 0.8).foreach { case (name, thr) =>
+        val approx = SparkEntry.queries(name)(spark, sfDir)
+          .select("query_id", "vec_id").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        val recall = exact.count(approx.contains).toDouble / exact.size
+        println(f"[recall] $name = $recall%.3f (gate >= $thr)")
+        require(recall >= thr, s"$name recall $recall below gate $thr")
+      }
+    }
     spark.stop()
   }
 }

@@ -86,21 +86,36 @@ object Ann {
   }
 
   // ----------------------------------------------------------------- IVF
-  /** Deterministic Lloyd's k-means over the corpus (small driver-side
-    * centroid set; assignment is distributed). Seeds = vectors of the
-    * `nCells` smallest vec_ids (deterministic, data-independent of order).
+  /** Deterministic Lloyd's k-means over a HASH-SAMPLE of the corpus
+    * (small driver-side centroid set; assignment is distributed). Lloyd
+    * only needs enough points per cell to place centroids — re-scanning
+    * 100 TB per iteration buys nothing — so the iterations run over a
+    * deterministic murmur-hash sample (`pmod(hash(vec_id), d) < n`, no
+    * RNG state, stable across runs and partitionings) and only the FINAL
+    * cell assignment does one full-corpus pass. Seeds = vectors of the
+    * `nCells` smallest sampled vec_ids. Falls back to the full corpus
+    * when the sample holds fewer than `16 * nCells` points — below ~16
+    * points per cell the sampled centroids get noisy enough to cost
+    * probe recall (measured: 1.0 → 0.8 on the 500-vector sf0.01 corpus
+    * with a 125-point sample), and a corpus that small never needed
+    * sampling anyway. Total cost: maxIter sample passes + 1 full pass,
+    * vs (maxIter + 1) full passes before.
     * Returns (centroids, corpus + cell column).
     */
   def buildIvf(
       spark: SparkSession,
       corpus: DataFrame,
       nCells: Int,
-      maxIter: Int = 5): (Array[Array[Float]], DataFrame) = {
-    // Each Lloyd iteration re-scans the corpus; cache it for the build
-    // only (unpersisted before returning — the final assignment costs one
-    // re-scan at use, instead of pinning executor storage forever).
-    // At scale: persist MEMORY_AND_DISK or run Lloyd on a sample.
-    val cached = corpus.cache()
+      maxIter: Int = 5,
+      sampleNum: Int = 1,
+      sampleDenom: Int = 4): (Array[Array[Float]], DataFrame) = {
+    val sampled = corpus.filter(
+      pmod(hash(col("vec_id")), lit(sampleDenom)) < lit(sampleNum))
+    // Cache only the (much smaller) Lloyd working set for the build;
+    // unpersisted before returning so no executor storage stays pinned.
+    val cached = (if (sampleNum >= sampleDenom) sampled
+                  else if (sampled.count() >= 16L * nCells) sampled
+                  else corpus).cache()
     val seeds = cached.orderBy("vec_id").limit(nCells)
       .select("embedding").collect()
       .map(_.getSeq[Float](0).toArray)
