@@ -1,19 +1,22 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import java.nio.file.{Files, Paths}
 
-/** Benchmark main: times the headline queries (one per operator family)
-  * on SPARK_GRAFT_SF_DIR and prints ONE short JSON line.
+/** Benchmark main: times EVERY registry query on SPARK_GRAFT_SF_DIR and
+  * prints ONE short JSON line.
   *
-  * The driver captures only a bounded tail of stdout, so the line must
-  * stay well under 2000 chars: a curated headline subset (not all ~70
-  * registry queries) with seconds rounded to 3 decimals. Each query is
-  * timed over two iterations and the min is reported (steady-state:
-  * first iteration absorbs codegen/JIT for that plan shape).
+  * The driver captures only a bounded (~2000 char) tail of stdout, so the
+  * stdout line carries totals + the top-10 slowest queries, while the full
+  * per-query timing map goes to BENCH_full.json — previously only a
+  * 34-query headline subset was timed at all, leaving the other ~50
+  * registry queries free to regress silently. Each query is timed over two
+  * iterations and the min is reported (steady-state: first iteration
+  * absorbs codegen/JIT for that plan shape). `headline34` preserves the
+  * round-2 subset total so round-over-round comparison stays apples to
+  * apples.
   */
 object Bench {
-  /** Representative subset spanning scans/joins/aggs/windows, the RAG
-    * pipeline, dedup family, ANN, text analysis and multimodal plumbing.
-    */
+  /** The round-2 stdout subset, kept as a stable cross-round comparand. */
   val headline: Seq[String] = Seq(
     "q1_pricing_summary", "q3_top_revenue_orders", "q5_revenue_by_nation",
     "q18_large_orders", "cube_counts", "s1_history_last10", "w3_sliding_rate",
@@ -30,6 +33,7 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val fullOut = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_full.json")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -45,7 +49,10 @@ object Bench {
     val registry = SparkEntry.queries
     val missing = headline.filterNot(registry.contains)
     require(missing.isEmpty, s"headline names not in registry: $missing")
-    val results = headline.map { name =>
+    // Deterministic order: headline first (cross-round comparand timed
+    // under the same warm-up position as round 2), then the rest sorted.
+    val names = headline ++ registry.keys.toSeq.filterNot(headline.contains).sorted
+    val results = names.map { name =>
       val secs = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
         try { registry(name)(spark, sfDir).count() } catch { case _: Throwable => }
@@ -54,12 +61,19 @@ object Bench {
       name -> secs
     }
     def r3(v: Double): String = f"$v%.3f"
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + r3(v) }
-      .mkString("{", ",", "}")
+    def jmap(rs: Seq[(String, Double)]): String =
+      rs.map { case (k, v) => "\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
+    val h34 = results.filter(r => headline.contains(r._1)).map(_._2).sum
+    val top10 = results.sortBy(-_._2).take(10)
+    Files.writeString(Paths.get(fullOut),
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","iters":2,""" +
+        s""""n_queries":${results.size},"headline34":${r3(h34)},""" +
+        s""""queries":${jmap(results)},"sf":"$sfDir"}""" + "\n")
     val line =
       s"""{"metric":"total","value":${r3(total)},"unit":"sec","iters":2,""" +
-        s""""n_queries":${results.size},"queries":$qs,"sf":"$sfDir"}"""
+        s""""n_queries":${results.size},"headline34":${r3(h34)},""" +
+        s""""queries":${jmap(top10)},"full":"$fullOut","sf":"$sfDir"}"""
     // Hard guard: the driver's stdout tail capture is 2000 chars.
     require(line.length < 1800, s"bench JSON too long (${line.length})")
     println(line)

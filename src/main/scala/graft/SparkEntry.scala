@@ -368,12 +368,24 @@ object SparkEntry {
     }),
 
     "dedup_embedding_cosine" -> ((s, dir) => {
-      // LSH-bucketed candidate join (no cross join in the plan); 8 bands
-      // × 2 bits holds per-pair recall ≈98% at the loose 0.4 threshold.
-      // The oracle replicates signature+banding, so candidate generation
-      // itself is hash-checked; recall vs the exact form is spec-tested.
-      Dedup.embeddingNearDupBucketed(Tables.embeddings(s, dir), threshold = 0.4,
-        nBits = 16, bands = 8)
+      // Near-dup detection over a corpus that actually CONTAINS near-dups:
+      // each vector gets a deterministically jittered twin (±0.01
+      // alternating per component — exactly replicable in the oracle), so
+      // the 0.95 threshold has ground truth instead of fishing the random
+      // tail at 0.4, where no LSH scheme can prune (measured: banding at
+      // 0.4 keeps ~89% of all pairs as candidates). At 0.95 with 4 wide
+      // 7-bit bands the band join discards ~97% of random pairs before
+      // any cosine is computed; candidate generation is hash-checked via
+      // the signature-replicating oracle.
+      val emb = Tables.embeddings(s, dir).select("vec_id", "embedding")
+      val jit = emb.select(
+        (col("vec_id") + 1000000L).as("vec_id"),
+        transform(col("embedding"), (x, i) =>
+          (x.cast("double") +
+            when(pmod(i, lit(2)) === 0, lit(0.01)).otherwise(lit(-0.01)))
+            .cast("float")).as("embedding"))
+      Dedup.embeddingNearDupBucketed(emb.unionByName(jit), threshold = 0.95,
+        nBits = 28, bands = 4)
         .withColumn("cos_sim", round(col("cos_sim"), 6))
         .orderBy("id_a", "id_b")
     }),
@@ -1523,25 +1535,36 @@ object SparkEntry {
         |WHERE CAST(inter AS DOUBLE) / CAST(sa.n + sb.n - inter AS DOUBLE) >= 0.5
         |ORDER BY doc_a, doc_b""".stripMargin,
 
-    // Step-for-step mirror of embeddingNearDupBucketed(nBits=16, bands=8):
-    // squared-Lehmer hyperplane components over index b*1024+i mapped to
-    // [-1,1), left-fold dot product (list_reduce == the Scala while-loop
-    // accumulation order), sign bit -> 16-bit signature, 8 two-bit band
-    // keys, band equi-join for candidates, exact cosine recheck. Candidate
-    // generation itself is oracle-checked, like dedup_minhash_lsh.
+    // Step-for-step mirror of the registered query: jittered-twin union
+    // (±0.01 alternating per component, double-add then REAL cast ==
+    // Spark's cast chain), then embeddingNearDupBucketed(nBits=28,
+    // bands=4) — squared-Lehmer hyperplane components over index b*1024+i
+    // mapped to [-1,1), left-fold dot product (list_reduce == the Scala
+    // while-loop accumulation order), sign bit -> 28-bit signature, 4
+    // seven-bit band keys, band equi-join for candidates, exact cosine
+    // recheck. Candidate generation itself is oracle-checked, like
+    // dedup_minhash_lsh.
     "dedup_embedding_cosine" ->
-      """WITH s AS (
+      """WITH u AS (
+        |  SELECT vec_id, embedding FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 1000000 AS vec_id,
+        |    list_transform(range(64), i ->
+        |      CAST(CAST(embedding[CAST(i+1 AS INT)] AS DOUBLE) +
+        |        CASE WHEN i % 2 = 0 THEN 0.01 ELSE -0.01 END AS REAL)) AS embedding
+        |  FROM embeddings),
+        |s AS (
         |  SELECT vec_id, embedding,
-        |    CAST(list_sum(list_transform(range(16), b ->
+        |    CAST(list_sum(list_transform(range(28), b ->
         |      CASE WHEN list_reduce(list_prepend(0.0, list_transform(range(64), i ->
         |          CAST(embedding[CAST(i+1 AS INT)] AS DOUBLE) *
         |          (((((48271*(b*1024+i)+16807) % 2147483647) * ((48271*(b*1024+i)+16807) % 2147483647)) % 2147483647) * 2.0 / 2147483647 - 1))),
         |        (x, y) -> x + y) >= 0
         |      THEN CAST(1 AS BIGINT) << CAST(b AS INT) ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS sig
-        |  FROM embeddings),
+        |  FROM u),
         |bd AS (
-        |  SELECT vec_id, embedding, unnest(list_transform(range(8), k ->
-        |    CAST(k AS VARCHAR) || '_' || CAST((sig >> CAST(2*k AS INT)) & 3 AS VARCHAR))) AS band
+        |  SELECT vec_id, embedding, unnest(list_transform(range(4), k ->
+        |    CAST(k AS VARCHAR) || '_' || CAST((sig >> CAST(7*k AS INT)) & 127 AS VARCHAR))) AS band
         |  FROM s),
         |cand AS (
         |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b,
@@ -1560,7 +1583,7 @@ object SparkEntry {
         |    AS cos_sim
         |  FROM cand)
         |SELECT id_a, id_b, round(cos_sim, 6) AS cos_sim FROM p
-        |WHERE cos_sim >= 0.4 ORDER BY id_a, id_b""".stripMargin,
+        |WHERE cos_sim >= 0.95 ORDER BY id_a, id_b""".stripMargin,
 
     "text_quality" ->
       """WITH t AS (
