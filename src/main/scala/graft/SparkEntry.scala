@@ -367,6 +367,43 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "dedup_clusters_star" -> ((s, dir) => {
+      // Same pair generation and same oracle as dedup_clusters, clustered
+      // by the O(log n)-round large-star/small-star algorithm instead of
+      // O(diameter) min-label propagation — the adversarial-chain-safe
+      // form for 100 TB corpora.
+      val pairs = Dedup.ngramJaccardPairs(
+        Tables.documents(s, dir).filter(col("doc_id") < 200), n = 3, threshold = 0.5,
+        maxDf = 150)
+      Dedup.duplicateClustersStar(pairs)
+        .withColumn("is_canonical", col("doc_id") === col("cluster_id"))
+        .orderBy("doc_id")
+    }),
+
+    "health_probe" -> ((s, dir) => {
+      // Reference /health (backend/main.py:125-168) probes each backing
+      // service cheaply and rolls statuses up into one document;
+      // check_database_health (db_utils.py:386-394) is a trivial liveness
+      // select. Engine analog: count-probe every source table, map to
+      // operational/degraded, roll up an overall row.
+      val per = Seq(
+        "documents" -> Tables.documents(s, dir),
+        "embeddings" -> Tables.embeddings(s, dir),
+        "events" -> Tables.events(s, dir))
+        .map { case (name, df) =>
+          df.agg(count(lit(1)).as("n_rows")).select(lit(name).as("service"), col("n_rows"))
+        }
+        .reduce(_ unionByName _)
+        .withColumn("status",
+          when(col("n_rows") > 0, "operational").otherwise("degraded"))
+      per.unionByName(
+        per.agg(sum(col("n_rows")).as("n_rows"),
+            min(col("n_rows")).as("mn"))
+          .select(lit("overall").as("service"), col("n_rows"),
+            when(col("mn") > 0, "healthy").otherwise("degraded").as("status")))
+        .orderBy("service")
+    }),
+
     "dedup_embedding_cosine" -> ((s, dir) => {
       // Near-dup detection over a corpus that actually CONTAINS near-dups:
       // each vector gets a deterministically jittered twin (±0.01
@@ -2013,6 +2050,50 @@ object SparkEntry {
         |SELECT node AS doc_id, min(r) AS cluster_id,
         |  CAST(node = min(r) AS BOOLEAN) AS is_canonical
         |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin,
+
+    // Identical fixpoint to dedup_clusters (component-min labels), so the
+    // star algorithm shares the transitive-closure oracle verbatim.
+    "dedup_clusters_star" ->
+      """WITH RECURSIVE sh0 AS (
+        |  SELECT doc_id, unnest(list_distinct(
+        |    [substr(text, i + 1, 3) FOR i IN range(length(text) - 2)])) AS shingle
+        |  FROM documents WHERE doc_id < 200 AND length(text) >= 3),
+        |dfx AS (SELECT shingle, count(*) AS df FROM sh0 GROUP BY shingle),
+        |sh AS (SELECT sh0.* FROM sh0 JOIN dfx USING (shingle) WHERE df <= 150),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id),
+        |pairs AS (
+        |  SELECT doc_a, doc_b FROM inter
+        |  JOIN sizes sa ON sa.doc_id = doc_a
+        |  JOIN sizes sb ON sb.doc_id = doc_b
+        |  WHERE CAST(inter AS DOUBLE) / CAST(sa.n + sb.n - inter AS DOUBLE) >= 0.5),
+        |edges AS (
+        |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+        |  UNION SELECT doc_b, doc_a FROM pairs),
+        |reach(node, r) AS (
+        |  SELECT DISTINCT src, src FROM edges
+        |  UNION
+        |  SELECT e.src, r.r FROM edges e JOIN reach r ON e.dst = r.node)
+        |SELECT node AS doc_id, min(r) AS cluster_id,
+        |  CAST(node = min(r) AS BOOLEAN) AS is_canonical
+        |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin,
+
+    "health_probe" ->
+      """WITH per AS (
+        |  SELECT 'documents' AS service, CAST(count(*) AS BIGINT) AS n_rows FROM documents
+        |  UNION ALL SELECT 'embeddings', CAST(count(*) AS BIGINT) FROM embeddings
+        |  UNION ALL SELECT 'events', CAST(count(*) AS BIGINT) FROM events)
+        |SELECT service, n_rows,
+        |  CASE WHEN n_rows > 0 THEN 'operational' ELSE 'degraded' END AS status
+        |FROM per
+        |UNION ALL
+        |SELECT 'overall', CAST(sum(n_rows) AS BIGINT),
+        |  CASE WHEN min(n_rows) > 0 THEN 'healthy' ELSE 'degraded' END
+        |FROM per
+        |ORDER BY service""".stripMargin,
 
     // Strided chunker: n = 1 + ceil((len-100)/80) for len > 100, i.e.
     // 1 + floor((len-21)/80); chunk i = substr(text, 80i+1, 100).

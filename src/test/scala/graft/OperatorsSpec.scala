@@ -261,6 +261,30 @@ class DedupSpec extends AnyFunSuite with SparkTestSession {
     assert(out.forall(_.getAs[Long]("cluster_id") == 1L))
   }
 
+  test("star connected components equal min-label propagation on varied graphs") {
+    val shapes: Seq[Seq[(Long, Long)]] = Seq(
+      (1L until 12L).map(i => (i, i + 1)),                       // chain, diameter 11
+      Seq((1L, 2L), (2L, 3L), (1L, 3L), (10L, 11L)),             // clique + pair
+      Seq((5L, 9L), (9L, 1L), (3L, 7L), (7L, 3L), (8L, 4L), (4L, 6L)), // forest, dup edges, reversed ids
+      Seq((20L, 10L), (10L, 30L), (30L, 5L), (40L, 41L), (41L, 5L)))   // merges into one big component
+    for (ps <- shapes) {
+      val pairs = ps.toDF("doc_a", "doc_b")
+      def m(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_id")).toMap
+      assert(m(Dedup.duplicateClustersStar(pairs)) == m(Dedup.duplicateClusters(pairs)),
+        s"star != min-label on $ps")
+    }
+  }
+
+  test("star clustering needs few rounds where label propagation needs the diameter") {
+    // 40-node chain: min-label propagation would take ~40 join rounds;
+    // the star algorithm's default 25-round budget is ample (O(log n)).
+    val pairs = (1L until 40L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val out = Dedup.duplicateClustersStar(pairs).collect()
+    assert(out.length == 40)
+    assert(out.forall(_.getAs[Long]("cluster_id") == 1L))
+  }
+
   test("PII redaction scrubs emails, phones, IPs, SSNs and leaves prose") {
     import org.apache.spark.sql.functions.col
     val dirty = "reach me at jane.doe+x@corp.example.org or (555) 123-4567, " +
