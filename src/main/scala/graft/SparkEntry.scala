@@ -849,6 +849,16 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    "ann_quantized_rerank" -> ((s, dir) => {
+      // Two-stage production path: int8 coarse scan over-fetches 4k
+      // candidates, float cosine reranks only those — both stages
+      // deterministic, so the full pipeline is oracle-checked.
+      val emb = Tables.embeddings(s, dir)
+      operators.Ann.quantizedTopKReranked(
+        operators.Ann.quantizeInt8(emb), emb, nQueries = 5, k = 2, overfetch = 4)
+        .orderBy("query_id", "rank")
+    }),
+
     // ---- T-11 markdown strip + corpus length distribution stats
     "t11_markdown_strip" -> ((s, dir) => {
       // Synthesize markdown from document columns, then strip it — the
@@ -2354,6 +2364,59 @@ object SparkEntry {
         |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY approx_sim DESC, vec_id) AS INT) AS rank
         |  FROM pairs)
         |SELECT query_id, rank, vec_id, approx_sim FROM r WHERE rank <= 2
+        |ORDER BY query_id, rank""".stripMargin,
+
+    // Same int8 coarse chain, cut at rank <= 8 (k*overfetch), then exact
+    // float-cosine rerank of only those candidates (the established
+    // left-fold cosine + floor-1e-6 + vec_id tiebreak discipline).
+    "ann_quantized_rerank" ->
+      """WITH q AS (
+        |  SELECT vec_id,
+        |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS maxabs,
+        |    embedding
+        |  FROM embeddings),
+        |qi AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding, x ->
+        |      CAST(floor(CAST(x AS DOUBLE) * 127 / maxabs) AS BIGINT)) AS qv
+        |  FROM q WHERE maxabs > 0),
+        |nrm AS (
+        |  SELECT vec_id, qv,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(qv, x -> x * x)), (a, b) -> a + b) AS n2
+        |  FROM qi),
+        |pairs AS (
+        |  SELECT a.vec_id AS query_id, b.vec_id AS vec_id,
+        |    floor(
+        |      CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |        list_transform(range(64), i -> a.qv[i+1] * b.qv[i+1])), (x, y) -> x + y) AS DOUBLE)
+        |      / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE))) * 1000000) / 1000000 AS approx_sim
+        |  FROM nrm a JOIN nrm b ON b.vec_id <> a.vec_id
+        |  WHERE a.vec_id < 5),
+        |r AS (
+        |  SELECT query_id, vec_id, approx_sim,
+        |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY approx_sim DESC, vec_id) AS INT) AS rank
+        |  FROM pairs),
+        |cand AS (SELECT query_id, vec_id FROM r WHERE rank <= 8),
+        |x AS (
+        |  SELECT c.query_id, c.vec_id,
+        |    floor(
+        |      list_reduce(list_prepend(0.0,
+        |        list_transform(range(64),
+        |          i -> CAST(qe.embedding[i+1] AS DOUBLE) * CAST(ce.embedding[i+1] AS DOUBLE))),
+        |        (a, b) -> a + b)
+        |      / (sqrt(list_reduce(list_prepend(0.0,
+        |           list_transform(qe.embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))), (a, b) -> a + b))
+        |       * sqrt(list_reduce(list_prepend(0.0,
+        |           list_transform(ce.embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))), (a, b) -> a + b)))
+        |      * 1000000) / 1000000 AS sim
+        |  FROM cand c
+        |  JOIN embeddings qe ON qe.vec_id = c.query_id
+        |  JOIN embeddings ce ON ce.vec_id = c.vec_id),
+        |rr AS (
+        |  SELECT query_id, vec_id, sim,
+        |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS INT) AS rank
+        |  FROM x)
+        |SELECT query_id, rank, vec_id, sim FROM rr WHERE rank <= 2
         |ORDER BY query_id, rank""".stripMargin,
 
     // Byte-histogram features (same arithmetic as multimodal_features'

@@ -249,6 +249,37 @@ object Ann {
     * ranking uses the 6-decimal floored similarity + vec_id so the cut is
     * engine-stable.
     */
+  /** The documented follow-on to [[quantizedTopK]]: int8 coarse scan →
+    * over-fetch `k * overfetch` candidates per query → exact float-cosine
+    * rerank of just those → final top-k. This is the production shape at
+    * 100 TB: the 4×-smaller code table is the only thing that streams;
+    * the float vectors are touched for `nQueries × k × overfetch` rows
+    * via id equi-joins. Both stages are deterministic (floored scores +
+    * vec_id tiebreaks), so the whole two-stage path is oracle-checkable —
+    * unlike LSH/IVF there is no approximation blind spot: the only error
+    * source is a true neighbor falling outside the coarse over-fetch,
+    * which the exactness spec pins.
+    */
+  def quantizedTopKReranked(
+      quantized: DataFrame,
+      vecs: DataFrame,
+      nQueries: Int,
+      k: Int,
+      overfetch: Int = 4): DataFrame = {
+    val coarse = quantizedTopK(quantized, nQueries, k * overfetch)
+      .select("query_id", "vec_id")
+    coarse
+      .join(vecs.filter(col("vec_id") < nQueries)
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_emb")), "query_id")
+      .join(vecs.select(col("vec_id"), col("embedding").as("c_emb")), "vec_id")
+      .withColumn("sim", graft.functions.TextAnalysis.floorScale(
+        VectorExpressions.cosineSim(col("q_emb"), col("c_emb")), 6))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("query_id").orderBy(desc("sim"), asc("vec_id"))))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "vec_id", "sim")
+  }
+
   def quantizedTopK(quantized: DataFrame, nQueries: Int, k: Int): DataFrame = {
     val q = quantized.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("qv").as("q_qv"), col("qnorm2").as("q_n2"))

@@ -123,6 +123,34 @@ class AnnSpec extends AnyFunSuite with SparkTestSession {
     assert(r1 >= 0.2, s"single-cell recall suspiciously low: $r1")
   }
 
+  test("quantized rerank with full over-fetch equals exact float top-k") {
+    // Over-fetch the whole corpus: the coarse stage then only orders the
+    // candidate set, and the float rerank must reproduce brute force
+    // exactly (floored sims, vec_id tiebreak, self excluded).
+    val n = corpus.count().toInt
+    val k = 3
+    val out = Ann.quantizedTopKReranked(
+      Ann.quantizeInt8(corpus), corpus, nQueries = 5, k = k, overfetch = n)
+      .collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rank"),
+        r.getAs[Long]("vec_id"), r.getAs[Double]("sim")))
+    val vecs = corpus.select("vec_id", "embedding").collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getSeq[Float](1).map(_.toDouble).toArray)
+      .toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      math.floor(dot / (math.sqrt(na) * math.sqrt(nb)) * 1e6) / 1e6
+    }
+    for (q <- 0L until 5L) {
+      val truth = vecs.keys.filter(_ != q).toSeq
+        .map(v => (v, cos(vecs(q), vecs(v))))
+        .sortBy { case (v, s) => (-s, v) }.take(k)
+      val got = out.filter(_._1 == q).sortBy(_._2).map(r => (r._3, r._4)).toSeq
+      assert(got == truth, s"query $q: reranked != exact")
+    }
+  }
+
   test("int8 quantization: codes bounded, norms exact, high top-k recall") {
     val quantized = Ann.quantizeInt8(corpus).cache()
     val rows = quantized.collect()
