@@ -66,6 +66,12 @@ class PlanQualitySpec extends AnyFunSuite with SparkTestSession {
       s"quadratic theta self-join crept back:\n${p.take(800)}")
   }
 
+  test("quantized rerank: candidate re-attach joins broadcast, no corpus-sized shuffle join") {
+    val p = plan("ann_quantized_rerank")
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast re-attach:\n${p.take(600)}")
+    assert(!p.contains("SortMergeJoin"), "tiny candidate set must not shuffle-sort the corpus")
+  }
+
   test("LSH ANN candidate join is a broadcast equi-join on the signature") {
     val p = plan("ann_lsh_topk")
     assert(p.contains("BroadcastHashJoin"), s"expected bucket equi-join:\n${p.take(600)}")
