@@ -85,6 +85,55 @@ object Ann {
       .select("query_id", "rank", "vec_id", "sim")
   }
 
+  /** Write the corpus PARTITIONED BY its LSH signature bucket — the
+    * physical layout that turns [[lshTopK]]'s candidate pruning into a
+    * file-level skip at 100 TB: each signature value becomes a parquet
+    * partition directory, so a probe for a handful of signatures reads
+    * only those directories and the rest of the corpus contributes zero
+    * I/O. One-time layout cost, amortized over every subsequent query.
+    */
+  def writeSignaturePartitioned(
+      corpus: DataFrame, path: String, nBits: Int = 8): Unit =
+    corpus
+      .withColumn("sig", signatureUdf(nBits)(col("embedding")))
+      .write.mode("overwrite").partitionBy("sig").parquet(path)
+
+  /** [[lshTopK]] over a [[writeSignaturePartitioned]] layout. The probe
+    * signature set is tiny and driver-known (nQueries × probe fan-out),
+    * so it becomes a STATIC `isin` filter on the partition column —
+    * visible as `PartitionFilters` in the scan, i.e. genuine partition
+    * pruning, not a post-scan filter — followed by the same broadcast
+    * candidate join and exact cosine rerank. No corpus shuffle, no full
+    * scan, and results are identical to the in-memory [[lshTopK]] with
+    * the same parameters (spec-asserted).
+    */
+  def lshTopKPartitioned(
+      spark: SparkSession,
+      path: String,
+      queries: DataFrame,
+      k: Int,
+      nBits: Int = 8,
+      probeBits: Int = 1): DataFrame = {
+    import spark.implicits._
+    val qRows = queries.select("query_id", "q_embedding").collect()
+    val probes: Seq[(Long, Int)] = qRows.toSeq.flatMap { r =>
+      val emb = r.getSeq[Float](1)
+      probeSignatures(signature(emb, nBits), nBits, probeBits)
+        .map(s => (r.getLong(0), s))
+    }
+    val sigSet = probes.map(_._2).distinct
+    val corpus = spark.read.parquet(path).filter(col("sig").isin(sigSet: _*))
+    val probed = probes.toDF("query_id", "sig")
+      .join(queries, "query_id") // re-attach q_embedding (queries are small)
+    val cands = corpus.join(broadcast(probed), "sig")
+      .withColumn("sim", VectorExpressions.cosineSim(col("q_embedding"), col("embedding")))
+    val w = Window.partitionBy("query_id").orderBy(desc("sim"), asc("vec_id"))
+    cands
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "vec_id", "sim")
+  }
+
   // ----------------------------------------------------------------- IVF
   /** Deterministic Lloyd's k-means over a HASH-SAMPLE of the corpus
     * (small driver-side centroid set; assignment is distributed). Lloyd

@@ -98,6 +98,28 @@ object Streams {
     graft.operators.Ingest.chunkStrided(fresh, chunkSize, overlap)
   }
 
+  /** Streaming NEAR-dup gate: drop documents whose 31-bit portable
+    * SimHash fingerprint was already seen within the watermark horizon —
+    * the streaming companion of [[ingestStream]]'s exact-hash gate.
+    * Fingerprint collision (Hamming distance 0) is the zero-state-growth
+    * approximation of near-dup: it catches boilerplate re-uploads and
+    * reworded-whitespace twins that the exact SHA gate misses, while
+    * state stays one key per distinct fingerprint, evicted past the
+    * watermark. Banded multi-key matching (any shared SimHash band, the
+    * batch [[graft.operators.Dedup.simHashPairsBanded]] semantics) would
+    * need one state row per band and a post-aggregation across band
+    * verdicts — a documented extension, not attempted here because
+    * chained stateful aggregations constrain output modes.
+    */
+  def nearDupGate(
+      docs: DataFrame,
+      watermark: String = "10 minutes"): DataFrame =
+    docs
+      .withColumn("simhash",
+        graft.functions.TextAnalysis.simHashModUdf(col("text")))
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("simhash")
+
   /** Custom per-session state via mapGroupsWithState: running message count
     * and last-seen timestamp per user, with a real event-time timeout —
     * once the watermark passes lastSeen + gap, the session emits a final

@@ -123,6 +123,20 @@ class AnnSpec extends AnyFunSuite with SparkTestSession {
     assert(r1 >= 0.2, s"single-cell recall suspiciously low: $r1")
   }
 
+  test("signature-partitioned corpus: probes prune partitions, match in-memory LSH") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_sigpart").toString
+    Ann.writeSignaturePartitioned(corpus.select("vec_id", "embedding"), dir, nBits = 8)
+    val df = Ann.lshTopKPartitioned(spark, dir, queries, k = 5, nBits = 8, probeBits = 2)
+    val out = df.select("query_id", "rank", "vec_id")
+      .as[(Long, Int, Long)].collect().toSet
+    val mem = Ann.lshTopK(queries, corpus, k = 5, nBits = 8, probeBits = 2)
+      .select("query_id", "rank", "vec_id").as[(Long, Int, Long)].collect().toSet
+    assert(out == mem, "partitioned layout must not change results")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("sig"),
+      s"probe must prune partitions, not post-filter:\n${plan.take(800)}")
+  }
+
   test("quantized rerank with full over-fetch equals exact float top-k") {
     // Over-fetch the whole corpus: the coarse stage then only orders the
     // candidate set, and the float rerank must reproduce brute force

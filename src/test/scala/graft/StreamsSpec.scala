@@ -146,6 +146,28 @@ class StreamsSpec extends AnyFunSuite with SparkTestSession {
     } finally query.stop()
   }
 
+  test("streaming near-dup gate drops fingerprint twins, passes distinct docs") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long, String)]
+    val docs = input.toDF().toDF("ts", "doc_id", "text")
+    val query = Streams.nearDupGate(docs)
+      .writeStream.format("memory").queryName("neardup_gated")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      val boiler = "the quick brown fox jumps over the lazy dog again and again"
+      input.addData(
+        (ts("2024-01-01 10:00:00"), 1L, boiler),
+        (ts("2024-01-01 10:00:01"), 2L, boiler), // identical -> same fingerprint
+        (ts("2024-01-01 10:00:02"), 3L, "completely unrelated database engine text"))
+      query.processAllAvailable()
+      input.addData((ts("2024-01-01 10:00:03"), 4L, boiler)) // twin across batches
+      query.processAllAvailable()
+      val ids = spark.table("neardup_gated").collect()
+        .map(_.getAs[Long]("doc_id")).sorted.toSeq
+      assert(ids == Seq(1L, 3L))
+    } finally query.stop()
+  }
+
   test("stateful session tracking accumulates across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[SessionEvent]
