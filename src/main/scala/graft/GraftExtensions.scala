@@ -47,5 +47,9 @@ object GraftExtensions {
     spark.udf.register("graft_simhash_mod", (s: String) => TextAnalysis.simHashMod(s))
     spark.udf.register("graft_embed",
       (s: String) => if (s == null) null else graft.functions.HashEmbedder.embed(s))
+    spark.udf.register("graft_lsh_signature",
+      (v: Seq[Float], nBits: Int) =>
+        if (v == null) null
+        else Integer.valueOf(graft.operators.Dedup.portableSignature(v, nBits)))
   }
 }

@@ -352,6 +352,27 @@ class DedupSpec extends AnyFunSuite with SparkTestSession {
       s"jittered near-dup pairs missed: $bucketed")
   }
 
+  test("bucketed near-dup tolerates empty, single-vector and null-embedding corpora") {
+    val empty = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    assert(Dedup.embeddingNearDupBucketed(empty, 0.9).count() == 0)
+    val one = Seq((1L, Array(1f, 0f))).toDF("vec_id", "embedding")
+    assert(Dedup.embeddingNearDupBucketed(one, 0.9).count() == 0)
+    val withNull = Seq(
+      (1L, Array(1f, 0f)), (2L, null.asInstanceOf[Array[Float]]), (3L, Array(1f, 0.01f)))
+      .toDF("vec_id", "embedding")
+    val out = Dedup.embeddingNearDupBucketed(withNull, 0.9)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    assert(out == Set((1L, 3L)), "null embedding must drop out, not poison the join")
+  }
+
+  test("banded simhash and capped jaccard tolerate empty input") {
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(Dedup.simHashPairsBanded(empty).count() == 0)
+    assert(Dedup.ngramJaccardPairs(empty, 3, 0.5, maxDf = 10).count() == 0)
+    assert(Dedup.duplicateClustersStar(
+      Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")).count() == 0)
+  }
+
   test("df cap leaves ngram-jaccard pairs unchanged when no shingle is hot") {
     val uncapped = Dedup.ngramJaccardPairs(docs, 3, 0.5)
       .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),

@@ -67,4 +67,12 @@ class SqlSurfaceSpec extends AnyFunSuite with SparkTestSession {
       graft.functions.TextAnalysis.simHashMod("hello world hello"))
     assert(row.getAs[Int]("dim") == graft.functions.HashEmbedder.Dim)
   }
+
+  test("LSH signature is SQL-callable and matches the Scala kernel") {
+    GraftExtensions.register(spark)
+    val sig = spark.sql(
+      "SELECT graft_lsh_signature(array(CAST(0.5 AS FLOAT), CAST(-0.25 AS FLOAT)), 16) AS s")
+      .collect().head.getAs[Int]("s")
+    assert(sig == graft.operators.Dedup.portableSignature(Seq(0.5f, -0.25f), 16))
+  }
 }
