@@ -18,6 +18,7 @@ import graft.expressions.{CosineSimilarity, SplitChunks}
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectOptimizerRule(_ => graft.plans.HammingJoinRewrite)
     e.injectFunction((
       new FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
@@ -51,5 +52,8 @@ object GraftExtensions {
       (v: Seq[Float], nBits: Int) =>
         if (v == null) null
         else Integer.valueOf(graft.operators.Dedup.portableSignature(v, nBits)))
+    if (!spark.experimental.extraOptimizations.contains(graft.plans.HammingJoinRewrite))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.plans.HammingJoinRewrite
   }
 }
