@@ -367,6 +367,26 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "dedup_simhash_auto" -> ((s, dir) => {
+      // The OPTIMIZER-rule path: the join is written in the naive theta
+      // form (bit_count(xor) <= 2 straight in the condition) and
+      // HammingJoinRewrite — installed by GraftExtensions.register,
+      // idempotent — turns the plan into the banded equi-join. Same
+      // result as dedup_simhash by the pigeonhole argument, checked
+      // against the same exact-form oracle; PlanQualitySpec asserts the
+      // nested-loop join is gone.
+      GraftExtensions.register(s)
+      val hashed = Tables.documents(s, dir).filter(col("doc_id") < 200)
+        .select(col("doc_id"), TextAnalysis.simHashModUdf(col("text")).as("simhash"))
+      val a = hashed.select(col("doc_id").as("doc_a"), col("simhash").as("sim_a"))
+      val b = hashed.select(col("doc_id").as("doc_b"), col("simhash").as("sim_b"))
+      a.join(b, col("doc_a") < col("doc_b") &&
+          TextAnalysis.hamming(col("sim_a"), col("sim_b")) <= 2)
+        .withColumn("hamming", TextAnalysis.hamming(col("sim_a"), col("sim_b")))
+        .select("doc_a", "doc_b", "hamming")
+        .orderBy("doc_a", "doc_b")
+    }),
+
     "dedup_clusters_star" -> ((s, dir) => {
       // Same pair generation and same oracle as dedup_clusters, clustered
       // by the O(log n)-round large-star/small-star algorithm instead of
@@ -1329,7 +1349,12 @@ object SparkEntry {
        |FROM chunks0 c JOIN nrm n USING (chunk_id)
        |ORDER BY c.file_id, c.chunk_index""".stripMargin
 
-  def oracleSql: Map[String, String] = Map(
+  // The optimizer-rule variant computes the identical exact result, so it
+  // shares dedup_simhash's oracle verbatim.
+  def oracleSql: Map[String, String] =
+    oracleMap + ("dedup_simhash_auto" -> oracleMap("dedup_simhash"))
+
+  private val oracleMap: Map[String, String] = Map(
     "t3_embed_documents" -> t3EmbedOracleSql,
     "rag_chat_pipeline" -> ragChatOracleSql,
     "t1_split_chunks" -> t1SplitOracleSql,

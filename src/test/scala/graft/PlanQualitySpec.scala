@@ -66,6 +66,12 @@ class PlanQualitySpec extends AnyFunSuite with SparkTestSession {
       s"quadratic theta self-join crept back:\n${p.take(800)}")
   }
 
+  test("naively-written hamming join is rewritten by the optimizer rule") {
+    val p = plan("dedup_simhash_auto")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"HammingJoinRewrite did not fire:\n${p.take(800)}")
+  }
+
   test("quantized rerank: candidate re-attach joins broadcast, no corpus-sized shuffle join") {
     val p = plan("ann_quantized_rerank")
     assert(p.contains("BroadcastHashJoin"), s"expected broadcast re-attach:\n${p.take(600)}")
