@@ -848,6 +848,18 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    "ann_lsh_portable" -> ((s, dir) => {
+      // Verification twin of ann_lsh_topk: portable signature + bit-flip
+      // multiprobe + bucket join + floored cosine rerank, every stage
+      // replicated in the oracle — the approximate path itself is
+      // hash-checked, not just recall-gated.
+      val emb = Tables.embeddings(s, dir)
+      val qs = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"))
+      operators.Ann.lshTopKPortable(qs, emb, k = 2, nBits = 8, probeBits = 1)
+        .orderBy("query_id", "rank")
+    }),
+
     "ann_ivf_topk" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       val qs = emb.filter(col("vec_id") < 5)
@@ -2389,6 +2401,45 @@ object SparkEntry {
         |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY approx_sim DESC, vec_id) AS INT) AS rank
         |  FROM pairs)
         |SELECT query_id, rank, vec_id, approx_sim FROM r WHERE rank <= 2
+        |ORDER BY query_id, rank""".stripMargin,
+
+    // Portable-signature LSH ANN, fully hash-checked: corpus signatures,
+    // query multiprobe set (signature plus every single-bit flip),
+    // bucket equi-join, floored cosine rerank, rank cut — each stage the
+    // exact SQL mirror of lshTopKPortable.
+    "ann_lsh_portable" ->
+      """WITH s AS (
+        |  SELECT vec_id, embedding,
+        |    CAST(list_sum(list_transform(range(8), b ->
+        |      CASE WHEN list_reduce(list_prepend(0.0, list_transform(range(64), i ->
+        |          CAST(embedding[CAST(i+1 AS INT)] AS DOUBLE) *
+        |          (((((48271*(b*1024+i)+16807) % 2147483647) * ((48271*(b*1024+i)+16807) % 2147483647)) % 2147483647) * 2.0 / 2147483647 - 1))),
+        |        (x, y) -> x + y) >= 0
+        |      THEN CAST(1 AS BIGINT) << CAST(b AS INT) ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS sig
+        |  FROM embeddings),
+        |pr AS (
+        |  SELECT vec_id AS query_id, embedding AS qe,
+        |    unnest(list_prepend(sig, list_transform(range(8), b ->
+        |      xor(sig, CAST(1 AS BIGINT) << CAST(b AS INT))))) AS psig
+        |  FROM s WHERE vec_id < 5),
+        |x AS (
+        |  SELECT pr.query_id, s.vec_id,
+        |    floor(
+        |      list_reduce(list_prepend(0.0,
+        |        list_transform(range(64),
+        |          i -> CAST(pr.qe[i+1] AS DOUBLE) * CAST(s.embedding[i+1] AS DOUBLE))),
+        |        (a, b) -> a + b)
+        |      / (sqrt(list_reduce(list_prepend(0.0,
+        |           list_transform(pr.qe, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))), (a, b) -> a + b))
+        |       * sqrt(list_reduce(list_prepend(0.0,
+        |           list_transform(s.embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))), (a, b) -> a + b)))
+        |      * 1000000) / 1000000 AS sim
+        |  FROM s JOIN pr ON s.sig = pr.psig),
+        |r AS (
+        |  SELECT query_id, vec_id, sim,
+        |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS INT) AS rank
+        |  FROM x)
+        |SELECT query_id, rank, vec_id, sim FROM r WHERE rank <= 2
         |ORDER BY query_id, rank""".stripMargin,
 
     // Same int8 coarse chain, cut at rank <= 8 (k*overfetch), then exact

@@ -85,6 +85,39 @@ object Ann {
       .select("query_id", "rank", "vec_id", "sim")
   }
 
+  /** [[lshTopK]] with the PORTABLE squared-Lehmer signature
+    * ([[Dedup.portableSignature]]) instead of murmur hyperplanes: every
+    * stage — signature, the multiprobe bit-flip set, the bucket
+    * equi-join, the floored cosine rerank, the rank cut — is exactly
+    * reproducible in ANSI SQL, so the WHOLE approximate search path is
+    * hash-checked by the oracle (`ann_lsh_portable`), not just
+    * recall-gated. The murmur variant stays the scale default; this is
+    * its verification twin, the same relationship
+    * [[Dedup.minHashLshPairsPortable]] has to the murmur MinHash.
+    */
+  def lshTopKPortable(
+      queries: DataFrame,
+      corpus: DataFrame,
+      k: Int,
+      nBits: Int = 16,
+      probeBits: Int = 1): DataFrame = {
+    val sigU = udf((v: Seq[Float]) =>
+      if (v == null) null else Integer.valueOf(Dedup.portableSignature(v, nBits)))
+    val probesU = udf((v: Seq[Float]) =>
+      if (v == null) Array.empty[Int]
+      else probeSignatures(Dedup.portableSignature(v, nBits), nBits, probeBits).toArray)
+    val bucketed = corpus.withColumn("sig", sigU(col("embedding")))
+    val probed = queries.withColumn("sig", explode(probesU(col("q_embedding"))))
+    val cands = bucketed.join(broadcast(probed), "sig")
+      .withColumn("sim", graft.functions.TextAnalysis.floorScale(
+        VectorExpressions.cosineSim(col("q_embedding"), col("embedding")), 6))
+    val w = Window.partitionBy("query_id").orderBy(desc("sim"), asc("vec_id"))
+    cands
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "vec_id", "sim")
+  }
+
   /** Write the corpus PARTITIONED BY its LSH signature bucket — the
     * physical layout that turns [[lshTopK]]'s candidate pruning into a
     * file-level skip at 100 TB: each signature value becomes a parquet

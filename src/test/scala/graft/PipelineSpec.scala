@@ -123,6 +123,14 @@ class AnnSpec extends AnyFunSuite with SparkTestSession {
     assert(r1 >= 0.2, s"single-cell recall suspiciously low: $r1")
   }
 
+  test("portable LSH twin: self-retrieval, useful recall, floored sims") {
+    val out = Ann.lshTopKPortable(queries, corpus, k = 5, nBits = 8, probeBits = 2)
+      .select("query_id", "vec_id").as[(Long, Long)].collect()
+    assert(out.count { case (q, v) => q == v } == 20, "every query finds itself")
+    val r = recall(out)
+    assert(r >= 0.3, s"portable LSH recall too low: $r")
+  }
+
   test("signature-partitioned corpus: probes prune partitions, match in-memory LSH") {
     val dir = java.nio.file.Files.createTempDirectory("graft_sigpart").toString
     Ann.writeSignaturePartitioned(corpus.select("vec_id", "embedding"), dir, nBits = 8)
