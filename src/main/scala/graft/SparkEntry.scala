@@ -367,6 +367,54 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- classic analytics depth (TPC-H-shaped; semi-join, multiway
+    // join + topk, distinct rollup — the OLAP muscle a migrating user
+    // expects alongside the app-derived operators)
+    "q4_order_priority" -> ((s, dir) => {
+      // Q4 shape: orders in a quarter having at least one returned line
+      // — LEFT SEMI join (no row explosion, no dedup), then a
+      // partial-agg count per priority.
+      val o = Tables.orders(s, dir)
+        .filter(col("o_orderdate") >= lit("1995-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1996-01-01").cast("timestamp"))
+      val returned = Tables.lineitem(s, dir).filter(col("l_returnflag") === "R")
+      o.join(returned, col("o_orderkey") === col("l_orderkey"), "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy("o_orderpriority")
+    }),
+
+    "q10_returned_topk" -> ((s, dir) => {
+      // Q10 shape: revenue lost to returns per customer, two broadcast
+      // dims (customer, nation), TakeOrderedAndProject for the top 20.
+      val l = Tables.lineitem(s, dir).filter(col("l_returnflag") === "R")
+      val o = Tables.orders(s, dir)
+        .filter(col("o_orderdate") >= lit("1995-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1996-01-01").cast("timestamp"))
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables.customer(s, dir)), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4).as("revenue"))
+        .orderBy(desc("revenue"), col("c_custkey"))
+        .limit(20)
+        .select("c_custkey", "c_name", "n_name", "revenue")
+    }),
+
+    "q16_brand_suppliers" -> ((s, dir) => {
+      // Q16 shape (no partsupp table in this dataset): distinct suppliers
+      // observed shipping each brand, via the lineitem fact — a
+      // count-distinct that map-side partials can't fully pre-aggregate,
+      // exactly the shape HLL replaces at scale (scale_salted_count /
+      // approxDistinct cover that path).
+      Tables.lineitem(s, dir)
+        .join(broadcast(Tables.part(s, dir)), col("l_partkey") === col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(countDistinct(col("l_suppkey")).as("n_suppliers"),
+          count(lit(1)).as("n_lineitems"))
+        .orderBy("p_brand")
+    }),
+
     "dedup_simhash_auto" -> ((s, dir) => {
       // The OPTIMIZER-rule path: the join is written in the naive theta
       // form (bit_count(xor) <= 2 straight in the condition) and
@@ -1367,6 +1415,35 @@ object SparkEntry {
     oracleMap + ("dedup_simhash_auto" -> oracleMap("dedup_simhash"))
 
   private val oracleMap: Map[String, String] = Map(
+    "q4_order_priority" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+        |  AND o_orderdate < TIMESTAMP '1996-01-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q10_returned_topk" ->
+      """SELECT c_custkey, c_name, n_name,
+        |  round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE l_returnflag = 'R'
+        |  AND o_orderdate >= TIMESTAMP '1995-01-01'
+        |  AND o_orderdate < TIMESTAMP '1996-01-01'
+        |GROUP BY c_custkey, c_name, n_name
+        |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+
+    "q16_brand_suppliers" ->
+      """SELECT p_brand,
+        |  CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_suppliers,
+        |  CAST(count(*) AS BIGINT) AS n_lineitems
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+
     "t3_embed_documents" -> t3EmbedOracleSql,
     "rag_chat_pipeline" -> ragChatOracleSql,
     "t1_split_chunks" -> t1SplitOracleSql,
