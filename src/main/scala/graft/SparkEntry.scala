@@ -401,6 +401,24 @@ object SparkEntry {
         .select("c_custkey", "c_name", "n_name", "revenue")
     }),
 
+    "w4_cohort_retention" -> ((s, dir) => {
+      // Cohort retention: users bucketed by first-activity week, distinct
+      // actives per (cohort, week offset). Two shuffles on user_id (the
+      // cohort derivation and the enrich join share partitioning) + one
+      // on the cohort grain — the standard product-analytics rollup.
+      // Weekly grain: both engines truncate to Monday-start weeks, and
+      // the day-difference of truncated weeks is an exact multiple of 7.
+      val e = Tables.events(s, dir)
+      val cohorts = e.groupBy("user_id")
+        .agg(date_trunc("week", min(col("ts"))).as("cohort_week"))
+      e.join(cohorts, "user_id")
+        .withColumn("week_offset",
+          (datediff(date_trunc("week", col("ts")), col("cohort_week")) / 7).cast("int"))
+        .groupBy("cohort_week", "week_offset")
+        .agg(countDistinct(col("user_id")).as("active_users"))
+        .orderBy("cohort_week", "week_offset")
+    }),
+
     "q16_brand_suppliers" -> ((s, dir) => {
       // Q16 shape (no partsupp table in this dataset): distinct suppliers
       // observed shipping each brand, via the lineitem fact — a
@@ -1436,6 +1454,19 @@ object SparkEntry {
         |  AND o_orderdate < TIMESTAMP '1996-01-01'
         |GROUP BY c_custkey, c_name, n_name
         |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+
+    "w4_cohort_retention" ->
+      """WITH c AS (
+        |  SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+        |  FROM events GROUP BY user_id),
+        |a AS (
+        |  SELECT e.user_id, c.cohort_week, date_trunc('week', e.ts) AS activity_week
+        |  FROM events e JOIN c USING (user_id))
+        |SELECT cohort_week,
+        |  CAST(date_diff('day', cohort_week, activity_week) / 7 AS INT) AS week_offset,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS active_users
+        |FROM a GROUP BY cohort_week, week_offset
+        |ORDER BY cohort_week, week_offset""".stripMargin,
 
     "q16_brand_suppliers" ->
       """SELECT p_brand,

@@ -98,6 +98,29 @@ object Streams {
     graft.operators.Ingest.chunkStrided(fresh, chunkSize, overlap)
   }
 
+  /** Stream–stream interval join: each incoming query row enriched with
+    * the same user's events from the preceding `lookback` window — the
+    * streaming form of the as-of/context-enrichment joins the batch side
+    * covers ([[graft.operators.Joins]]). Both sides are watermarked, and
+    * the event-time range condition bounds join state: events older than
+    * `lookback` past the watermark are evicted, so state is
+    * O(rate × lookback) per side, not unbounded.
+    *
+    * @param queries (q_ts timestamp, user_id long, question string)
+    * @param events  (ts timestamp, e_user_id long, event_type string)
+    */
+  def enrichWithRecentEvents(
+      queries: DataFrame,
+      events: DataFrame,
+      lookback: String = "10 minutes",
+      watermark: String = "10 minutes"): DataFrame =
+    queries.withWatermark("q_ts", watermark)
+      .join(
+        events.withWatermark("ts", watermark),
+        expr(s"user_id = e_user_id AND ts BETWEEN q_ts - INTERVAL $lookback AND q_ts"))
+      .select(col("q_ts"), col("user_id"), col("question"),
+        col("ts").as("event_ts"), col("event_type"))
+
   /** Streaming NEAR-dup gate: drop documents whose 31-bit portable
     * SimHash fingerprint was already seen within the watermark horizon —
     * the streaming companion of [[ingestStream]]'s exact-hash gate.

@@ -146,6 +146,34 @@ class StreamsSpec extends AnyFunSuite with SparkTestSession {
     } finally query.stop()
   }
 
+  test("stream-stream interval join enriches queries with in-window events only") {
+    implicit val sqlCtx = spark.sqlContext
+    val qIn = MemoryStream[(Timestamp, Long, String)]
+    val eIn = MemoryStream[(Timestamp, Long, String)]
+    val queries = qIn.toDF().toDF("q_ts", "user_id", "question")
+    val events = eIn.toDF().toDF("ts", "e_user_id", "event_type")
+    val query = Streams.enrichWithRecentEvents(queries, events, lookback = "5 minutes")
+      .writeStream.format("memory").queryName("enriched")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      eIn.addData(
+        (ts("2024-01-01 10:00:00"), 1L, "click"),     // in window
+        (ts("2024-01-01 09:50:00"), 1L, "old_click"), // outside 5-min lookback
+        (ts("2024-01-01 10:01:00"), 2L, "other_user"))
+      qIn.addData((ts("2024-01-01 10:02:00"), 1L, "what happened?"))
+      query.processAllAvailable()
+      // advance both watermarks so the joined rows emit in append mode
+      // (disjoint users so the ticks themselves cannot join)
+      eIn.addData((ts("2024-01-01 10:30:00"), 8L, "tick"))
+      qIn.addData((ts("2024-01-01 10:30:00"), 9L, "tick?"))
+      query.processAllAvailable()
+      val rows = spark.table("enriched").collect()
+        .map(r => (r.getAs[Long]("user_id"), r.getAs[String]("event_type")))
+      assert(rows.toSet == Set((1L, "click")),
+        s"expected only the in-window same-user event, got ${rows.toSeq}")
+    } finally query.stop()
+  }
+
   test("streaming near-dup gate drops fingerprint twins, passes distinct docs") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Timestamp, Long, String)]
