@@ -9,11 +9,14 @@ import java.nio.file.{Files, Paths}
   * stdout line carries totals + the top-10 slowest queries, while the full
   * per-query timing map goes to BENCH_full.json — previously only a
   * 34-query headline subset was timed at all, leaving the other ~50
-  * registry queries free to regress silently. Each query is timed over two
-  * iterations and the min is reported (steady-state: first iteration
-  * absorbs codegen/JIT for that plan shape). `headline34` preserves the
-  * round-2 subset total so round-over-round comparison stays apples to
-  * apples.
+  * registry queries free to regress silently. Each query runs four times:
+  * one warm-up iteration (dropped — absorbs codegen/JIT for that plan
+  * shape) then three timed iterations, reporting the MEDIAN. Min-of-2 (the
+  * old scheme) cannot absorb a machine-wide stall spanning both
+  * iterations — r3's recorded q1 at 7.79 s vs 0.65 s reproducible was
+  * exactly that; a median of three timed runs survives any single stall.
+  * `headline34` preserves the round-2 subset total so round-over-round
+  * comparison stays apples to apples.
   */
 object Bench {
   /** The round-2 stdout subset, kept as a stable cross-round comparand. */
@@ -53,12 +56,13 @@ object Bench {
     // under the same warm-up position as round 2), then the rest sorted.
     val names = headline ++ registry.keys.toSeq.filterNot(headline.contains).sorted
     val results = names.map { name =>
-      val secs = (1 to 2).map { _ =>
+      val runs = (1 to 4).map { _ =>
         val t0 = System.nanoTime()
         try { registry(name)(spark, sfDir).count() } catch { case _: Throwable => }
         (System.nanoTime() - t0) / 1e9
-      }.min
-      name -> secs
+      }
+      val timed = runs.drop(1).sorted // drop warm-up; median of 3 timed runs
+      name -> timed(timed.length / 2)
     }
     def r3(v: Double): String = f"$v%.3f"
     def jmap(rs: Seq[(String, Double)]): String =
@@ -67,11 +71,11 @@ object Bench {
     val h34 = results.filter(r => headline.contains(r._1)).map(_._2).sum
     val top10 = results.sortBy(-_._2).take(10)
     Files.writeString(Paths.get(fullOut),
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","iters":2,""" +
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","iters":3,""" +
         s""""n_queries":${results.size},"headline34":${r3(h34)},""" +
         s""""queries":${jmap(results)},"sf":"$sfDir"}""" + "\n")
     val line =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","iters":2,""" +
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","iters":3,""" +
         s""""n_queries":${results.size},"headline34":${r3(h34)},""" +
         s""""queries":${jmap(top10)},"full":"$fullOut","sf":"$sfDir"}"""
     // Hard guard: the driver's stdout tail capture is 2000 chars.

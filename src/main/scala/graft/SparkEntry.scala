@@ -721,6 +721,23 @@ object SparkEntry {
         .orderBy("band_id")
     }),
 
+    "j8_interval_enrich" -> ((s, dir) => {
+      // Batch analog of the stream–stream interval join
+      // (Streams.enrichWithRecentEvents, spec-only until now): sampled
+      // "query" events enriched with the same user's events from the
+      // preceding 6 h. Joins.recentEventsJoin is the (user, time-bucket)
+      // equi-join rewrite — the oracle is the naive theta join, so the
+      // hash match proves the rewrite's semantics.
+      val ev = Tables.events(s, dir)
+      val queries = ev.filter(col("event_id") % 97 === 0)
+        .select(col("event_id").as("query_id"), col("user_id"), col("ts").as("q_ts"))
+      Joins.recentEventsJoin(
+        queries, ev.select(col("event_id"), col("user_id"), col("ts"), col("event_type")),
+        lookbackSec = 6L * 3600, bucketSec = 6L * 3600)
+        .select(col("query_id"), col("user_id"), col("event_id"), col("event_type"))
+        .orderBy("query_id", "event_id")
+    }),
+
     "sketch_heavy_hitters" -> ((s, dir) => {
       // Misra–Gries heavy hitters via a typed Aggregator (custom UDAF,
       // functions/Sketches.scala): k bounded counters per partition,
@@ -764,22 +781,12 @@ object SparkEntry {
     }),
 
     "mix_temperature_sample" -> ((s, dir) => {
-      // Temperature-flattened source mixing (multilingual pretraining
-      // recipe): per-language quota ∝ count^(1/2), so small languages keep
-      // proportionally more documents than a raw-frequency sample. Quota
-      // is the per-group floor(8·sqrt(n)) — no cross-group float sum, so
-      // it is bit-identical across engines; within-stratum selection is
-      // by hash rank (rerun-stable). Quotas are one row per language →
-      // broadcast; the rank window partitions by the stratum key.
-      val docs = Tables.documents(s, dir)
-      val quotas = docs.groupBy("lang")
-        .agg(floor(lit(8.0) * sqrt(count(lit(1)))).cast("int").as("quota"))
-      val h = pmod(col("doc_id") * 2654435761L, lit(4294967296L))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("lang").orderBy(h.asc, col("doc_id").asc)
-      docs.withColumn("mix_rank", row_number().over(w))
-        .join(broadcast(quotas), "lang")
-        .filter(col("mix_rank") <= col("quota"))
+      // Two-phase hash-threshold selection (Scale.temperatureMixSample):
+      // the oracle SQL deliberately stays the NAIVE single-phase rank, so
+      // the hash match proves the phase-1 pre-filter is semantically
+      // transparent — same selected rows, same ranks — while the rank
+      // window's input shrinks from n to O(√n) rows per language.
+      operators.Scale.temperatureMixSample(Tables.documents(s, dir), "lang")
         .select("lang", "mix_rank", "doc_id", "quota")
         .orderBy("lang", "mix_rank")
     }),
@@ -859,7 +866,7 @@ object SparkEntry {
       Ingest.ingest(
         docs.filter(col("doc_id") >= 100 && col("doc_id") < 200), catalog,
         chunkSize = 100, overlap = 20)
-        .select(col("chunk_id"), col("file_id"), col("chunk_index"),
+        .select(col("chunk_id"), col("file_id"), col("page"), col("chunk_index"),
           col("total_chunks"), col("source_file"),
           // floorScale (not round): the norm clusters at ~1.0 where
           // Spark's decimal-string rounding and DuckDB's binary rounding
@@ -883,10 +890,38 @@ object SparkEntry {
         .filter(Ingest.validSize(col("n_chars")))
       val fresh = Ingest.dedupGate(incoming, catalog, "file_hash")
       Ingest.chunkStrided(fresh, chunkSize = 100, overlap = 20)
-        .select(col("chunk_id"), col("file_id"), col("chunk_index"),
+        .select(col("chunk_id"), col("file_id"), col("page"), col("chunk_index"),
           col("total_chunks"), col("source_file"),
           sha2(col("chunk_text"), 256).as("chunk_hash"))
         .orderBy("file_id", "chunk_index")
+    }),
+
+    // ---- O-1/O-2: real binary extraction, oracle-checked as an exact
+    //      encode→decode round trip: each document's text is wrapped in a
+    //      REAL container (zip/OOXML for DOCX, object-tree + FlateDecode
+    //      content streams for PDF) and must come back byte-identical
+    //      through the real extractor. The oracle hashes the original
+    //      text, so any parsing defect breaks the hash match.
+    "o2_docx_extract" -> ((s, dir) => {
+      val roundTrip = udf((t: String) =>
+        graft.sources.DocLoader.extractDocx(graft.sources.DocLoader.buildDocx(t)))
+      Tables.documents(s, dir)
+        .select(col("doc_id"), sha2(roundTrip(col("text")), 256).as("text_hash"))
+        .orderBy("doc_id")
+    }),
+
+    "o1_pdf_extract" -> ((s, dir) => {
+      // 200-char page windows (docs are single-line) → multi-page PDFs →
+      // per-page extraction with 1-based page numbers (PyPDFLoader parity).
+      val pagesUdf = udf { (t: String) =>
+        val pages = if (t == null || t.isEmpty) Seq("") else t.grouped(200).toSeq
+        graft.sources.DocLoader.extractPdfPages(graft.sources.DocLoader.buildPdf(pages))
+      }
+      Tables.documents(s, dir)
+        .select(col("doc_id"), explode(pagesUdf(col("text"))).as("pg"))
+        .select(col("doc_id"), col("pg._1").as("page"),
+          sha2(col("pg._2"), 256).as("page_hash"))
+        .orderBy("doc_id", "page")
     }),
 
     // ---- full RAG pipeline (§3.1; T-8/T-9 deterministic LLM stub)
@@ -1423,7 +1458,8 @@ object SparkEntry {
        |  SELECT chunk_id,
        |    floor(sqrt(list_reduce(list(CAST(xf AS DOUBLE) * CAST(xf AS DOUBLE) ORDER BY j), (sa, sb) -> sa + sb)) * 10000) / 10000 AS emb_norm
        |  FROM xn GROUP BY chunk_id)
-       |SELECT c.chunk_id, c.file_id, c.chunk_index, c.total_chunks, c.source_file, n.emb_norm
+       |SELECT c.chunk_id, c.file_id, CAST(1 AS INT) AS page, c.chunk_index,
+       |  c.total_chunks, c.source_file, n.emb_norm
        |FROM chunks0 c JOIN nrm n USING (chunk_id)
        |ORDER BY c.file_id, c.chunk_index""".stripMargin
 
@@ -1474,6 +1510,21 @@ object SparkEntry {
         |  CAST(count(*) AS BIGINT) AS n_lineitems
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+
+    // O-2/O-1 round trips: the oracle hashes the ORIGINAL text — equality
+    // holds iff the Spark-side build→extract is the identity.
+    "o2_docx_extract" ->
+      """SELECT doc_id, sha256(text) AS text_hash
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "o1_pdf_extract" ->
+      """WITH pages AS (
+        |  SELECT doc_id, text,
+        |    unnest(range(0, greatest(CAST(ceil(len(text)/200.0) AS BIGINT), 1))) AS pg
+        |  FROM documents)
+        |SELECT doc_id, CAST(pg + 1 AS INT) AS page,
+        |  sha256(substr(text, CAST(pg AS INT)*200 + 1, 200)) AS page_hash
+        |FROM pages ORDER BY doc_id, page""".stripMargin,
 
     "t3_embed_documents" -> t3EmbedOracleSql,
     "rag_chat_pipeline" -> ragChatOracleSql,
@@ -1886,6 +1937,13 @@ object SparkEntry {
         |  CAST(sum(CAST(round(p_retailprice * 10) AS BIGINT)) AS BIGINT) AS sum_deci
         |FROM part JOIN bands ON p_retailprice >= lo AND p_retailprice < hi
         |GROUP BY band_id ORDER BY band_id""".stripMargin,
+
+    "j8_interval_enrich" ->
+      """SELECT q.event_id AS query_id, q.user_id, e.event_id, e.event_type
+        |FROM events q JOIN events e ON q.user_id = e.user_id
+        |  AND e.ts >= q.ts - INTERVAL 6 HOUR AND e.ts <= q.ts
+        |WHERE q.event_id % 97 = 0
+        |ORDER BY query_id, e.event_id""".stripMargin,
 
     "sketch_heavy_hitters" ->
       """SELECT event_type, count(*) AS n FROM events
@@ -2475,7 +2533,7 @@ object SparkEntry {
         |      i -> struct_pack(ci := CAST(i AS INT), ct := substr(text, CAST(i * 80 + 1 AS INT), 100)))) AS u
         |  FROM n WHERE total_chunks > 0)
         |SELECT CAST(file_id AS VARCHAR) || '_' || CAST(u.ci AS VARCHAR) AS chunk_id,
-        |  file_id, u.ci AS chunk_index, total_chunks, source_file,
+        |  file_id, CAST(1 AS INT) AS page, u.ci AS chunk_index, total_chunks, source_file,
         |  sha256(u.ct) AS chunk_hash
         |FROM c ORDER BY file_id, chunk_index""".stripMargin,
 

@@ -72,6 +72,13 @@ object Ingest {
   /** T-1/T-2: split documents into chunks and enrich with chunk metadata
     * (chroma_utils.py:82-89, 119-125). `docs` must have (doc_id, text,
     * source); emits the SURVEY §1.3 chunk schema minus embedding.
+    *
+    * Page granularity (SURVEY §1.3, PyPDFLoader's page metadata): when
+    * `docs` carries a `page` column (one row per page, e.g. from
+    * [[graft.sources.DocLoader.loadDocumentPages]]), each page splits
+    * independently — `chunk_index`/`total_chunks` are per page and
+    * `chunk_id` gains a page segment so ids stay unique within the file.
+    * Pageless inputs get `page = 1` with ids unchanged.
     */
   def splitIntoChunks(
       docs: DataFrame,
@@ -79,15 +86,20 @@ object Ingest {
       overlap: Int = TextSplit.DefaultChunkOverlap): DataFrame = {
     val splitUdf = udf((s: String) =>
       if (s == null) Array.empty[String] else TextSplit.splitText(s, chunkSize, overlap).toArray)
-    docs
+    val paged = docs.columns.contains("page")
+    val base = if (paged) docs else docs.withColumn("page", lit(1))
+    base
       .withColumn("chunks", splitUdf(col("text")))
       .withColumn("total_chunks", size(col("chunks")))
       .select(
         col("doc_id").as("file_id"),
         col("source").as("source_file"),
+        col("page"),
         col("total_chunks"),
         posexplode(col("chunks")).as(Seq("chunk_index", "chunk_text")))
-      .withColumn("chunk_id", concat(col("file_id"), lit("_"), col("chunk_index")))
+      .withColumn("chunk_id",
+        if (paged) concat(col("file_id"), lit("_p"), col("page"), lit("_"), col("chunk_index"))
+        else concat(col("file_id"), lit("_"), col("chunk_index")))
   }
 
   /** SQL-expressible strided chunker: fixed `chunkSize` windows advancing
@@ -107,14 +119,19 @@ object Ingest {
     val chunks = when(n <= 0, array().cast("array<string>"))
       .otherwise(transform(sequence(lit(0), n - 1),
         i => col("text").substr(i * stride + 1, lit(chunkSize))))
-    docs
+    val paged = docs.columns.contains("page")
+    val base = if (paged) docs else docs.withColumn("page", lit(1))
+    base
       .withColumn("total_chunks", n)
       .select(
         col("doc_id").as("file_id"),
         col("source").as("source_file"),
+        col("page"),
         col("total_chunks"),
         posexplode(chunks).as(Seq("chunk_index", "chunk_text")))
-      .withColumn("chunk_id", concat(col("file_id"), lit("_"), col("chunk_index")))
+      .withColumn("chunk_id",
+        if (paged) concat(col("file_id"), lit("_p"), col("page"), lit("_"), col("chunk_index"))
+        else concat(col("file_id"), lit("_"), col("chunk_index")))
   }
 
   /** T-3: attach an embedding column to chunk rows. */

@@ -88,4 +88,37 @@ object Joins {
       .filter(col(pointCol) >= col(loCol) && col(pointCol) < col(hiCol))
       .drop("_bucket")
   }
+
+  /** Batch equivalent of the stream–stream interval join
+    * ([[graft.streaming.Streams.enrichWithRecentEvents]]): each query row
+    * joined to the SAME user's events in the preceding `lookbackSec`
+    * window, bounds inclusive on both ends like the streaming BETWEEN.
+    *
+    * Same bin-and-filter rewrite as [[rangeJoinBucketed]], but the bucket
+    * key composes with the user equi-key: both sides shuffle on
+    * (user_id, time-bucket) — a plain equi-join AQE can size and skew-split
+    * — and each query replicates into only lookback/bucketSec + 1 buckets.
+    * A naive `ts BETWEEN q_ts - lookback AND q_ts` theta join plans as a
+    * BroadcastNestedLoopJoin, which is exactly what dies at 100 TB.
+    *
+    * `queries` must carry (q_ts, user_id), `events` (ts, user_id); other
+    * columns pass through.
+    */
+  def recentEventsJoin(
+      queries: DataFrame,
+      events: DataFrame,
+      lookbackSec: Long,
+      bucketSec: Long = 3600): DataFrame = {
+    val qs = queries
+      .withColumn("_qsec", col("q_ts").cast("long"))
+      .withColumn("_bucket", explode(sequence(
+        floor((col("_qsec") - lookbackSec).cast("double") / bucketSec).cast("long"),
+        floor(col("_qsec").cast("double") / bucketSec).cast("long"))))
+    val es = events
+      .withColumn("_esec", col("ts").cast("long"))
+      .withColumn("_bucket", floor(col("_esec").cast("double") / bucketSec).cast("long"))
+    qs.join(es, Seq("_bucket", "user_id"))
+      .filter(col("_esec") >= col("_qsec") - lookbackSec && col("_esec") <= col("_qsec"))
+      .drop("_bucket", "_qsec", "_esec")
+  }
 }

@@ -68,6 +68,47 @@ object Scale {
     saltedLarge.join(replicatedSmall, Seq(key, "_salt")).drop("_salt")
   }
 
+  /** Temperature-flattened source mixing (multilingual pretraining
+    * recipe): per-stratum quota = floor(coeff·sqrt(n)), selection = the
+    * quota smallest values of a deterministic per-row hash (rerun-stable).
+    *
+    * Two-phase for scale: a naive per-stratum `row_number` window funnels
+    * the largest language through ONE reducer at 100 TB. Phase 1 keeps
+    * only rows whose hash lies below `margin`× the quota-th order
+    * statistic's expected position (a per-row filter riding the scan — no
+    * shuffle, survivor set ~margin·quota = O(√n) rows per stratum);
+    * phase 2 ranks exactly over that small survivor set. The output is
+    * BIT-IDENTICAL to the naive single-phase form whenever all true
+    * top-quota rows survive phase 1 — rank-among-survivors equals global
+    * rank because every row hashing below a survivor also survives.
+    * P(a true top-quota row is cut) is Chernoff-small (mean survivor count
+    * is margin×quota); small strata where quota·margin ≥ n degrade to an
+    * uncut rank, never to a wrong answer.
+    */
+  def temperatureMixSample(
+      docs: DataFrame,
+      strataCol: String = "lang",
+      coeff: Double = 8.0,
+      margin: Double = 8.0): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val quotas = docs.groupBy(strataCol)
+      .agg(
+        floor(lit(coeff) * sqrt(count(lit(1)))).cast("int").as("quota"),
+        count(lit(1)).as("n_stratum"))
+    val h = pmod(col("doc_id") * 2654435761L, lit(4294967296L))
+    val cutoff = least(
+      lit(4294967296L),
+      ceil(lit(4294967296.0) * lit(margin) * col("quota") / col("n_stratum")).cast("long"))
+    val survivors = docs
+      .join(broadcast(quotas), strataCol) // one row per stratum: broadcast
+      .withColumn("mix_hash", h)
+      .filter(col("mix_hash") < cutoff)
+    val w = Window.partitionBy(strataCol).orderBy(col("mix_hash").asc, col("doc_id").asc)
+    survivors
+      .withColumn("mix_rank", row_number().over(w))
+      .filter(col("mix_rank") <= col("quota"))
+  }
+
   /** HyperLogLog distinct for 100 TB cardinalities (A-2's scale form):
     * one pass, fixed memory, mergeable across partitions.
     */

@@ -14,9 +14,11 @@ import graft.functions.TextAnalysis
   * term statistics — these are the scale-out batch forms.
   *
   * Design for 100 TB: everything is tokenize → explode → hash-partitioned
-  * aggregation on (term) or (doc, term) — no cross joins. The per-term
-  * document frequencies and corpus aggregates are tiny relative to the
-  * corpus (vocabulary-sized / scalar) and broadcast back; the only wide
+  * aggregation on (term) or (doc, term) — no cross joins. Scalar corpus
+  * aggregates (N, avgdl) broadcast unconditionally; the per-term document
+  * frequency table is left UNHINTED so AQE broadcasts it only when its
+  * measured size is actually small — a billion-term vocabulary stays a
+  * term-keyed shuffle join instead of OOMing the driver. The only wide
   * shuffles key on term or doc id. All hot-path expressions are native
   * (codegen), no UDFs.
   */
@@ -70,7 +72,13 @@ object TextRetrieval {
       .distinct()
     val contrib = qterms
       .join(tf, "term") // inverted-index equi-join on term
-      .join(broadcast(df), "term") // vocabulary-sized: broadcast is safe
+      // df is vocabulary-sized — usually broadcastable, but a 100 TB
+      // character-heavy corpus has billions of terms and a forced hint
+      // would OOM the driver. No hint: AQE measures the ACTUAL post-
+      // aggregation size at runtime and broadcasts only under the
+      // configured threshold, else this stays a term-keyed shuffle join
+      // riding the same partitioning as the tf aggregation.
+      .join(df, "term")
       .join(dl, "doc_id")
       .crossJoin(broadcast(corpus))
       .withColumn("idf",
@@ -97,7 +105,7 @@ object TextRetrieval {
     val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val n = docs.agg(count(lit(1)).as("n_docs"))
     val scored = tf
-      .join(broadcast(df), "term")
+      .join(df, "term") // unhinted for the same billion-term reason as bm25
       .crossJoin(broadcast(n))
       .withColumn("score",
         TextAnalysis.floorScale(

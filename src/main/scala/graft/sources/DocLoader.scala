@@ -3,6 +3,11 @@ package graft.sources
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import java.io.ByteArrayOutputStream
+import java.nio.charset.StandardCharsets
+import java.util.zip.{Deflater, DeflaterOutputStream, Inflater, ZipEntry, ZipInputStream, ZipOutputStream}
+import scala.collection.mutable
+
 /** Raw-document scan + per-format loader dispatch (SURVEY.md O-1..O-4).
   *
   * The reference loads PDF/DOCX/HTML files through per-format LangChain
@@ -11,12 +16,25 @@ import org.apache.spark.sql.functions._
   * path/length/modificationTime) and dispatch is a column expression; text
   * extraction is a per-format function applied to the content bytes.
   *
-  * PDF and DOCX binary decoding needs parser libraries that are not on
-  * this classpath, so those extractors are deterministic STUBS that
-  * surface the container bytes' printable runs — the Spark-side plumbing
-  * (scan, dispatch, UDF signature, schema) is real and tested; swap
-  * `extractPdf`/`extractDocx` for pdfbox/poi calls in production. The HTML
-  * path is a real tag-strip.
+  * All three extractors are REAL and JDK-only (no external parser jars):
+  *  - HTML: script/style/comment/tag strip + entity decode.
+  *  - DOCX: the container is a zip; `word/document.xml` is located with
+  *    `java.util.zip.ZipInputStream` and paragraphs/`w:t` runs/`w:tab`/
+  *    `w:br` are mapped to text (reference: Docx2txtLoader,
+  *    chroma_utils.py:64-66).
+  *  - PDF: objects are scanned, the Catalog→Pages→Kids tree is walked,
+  *    content streams (raw or /FlateDecode via `java.util.zip.Inflater`)
+  *    are tokenized and the text-showing operators (Tj ' " TJ) extracted,
+  *    one row per page (reference: PyPDFLoader one-Document-per-page,
+  *    chroma_utils.py:61-63). Honest limits: string bytes are decoded as
+  *    UTF-8 (ASCII/WinAnsi-compatible for the common case); custom font
+  *    /Encoding maps, CID/Type0 composite fonts and ToUnicode CMaps are
+  *    NOT applied, and non-Flate filters (DCT, LZW, ASCII85) are skipped.
+  *
+  * [[buildDocx]]/[[buildPdf]] are deterministic writers for the same
+  * subset; they exist so the extractors are oracle-checkable as an exact
+  * encode→decode round trip and so specs have binary fixtures without
+  * shipping opaque blobs.
   */
 object DocLoader {
 
@@ -39,7 +57,7 @@ object DocLoader {
 
   /** Real HTML extraction: strip script/style blocks, tags, collapse space. */
   def extractHtml(bytes: Array[Byte]): String = {
-    val s = new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
+    val s = new String(bytes, StandardCharsets.UTF_8)
     s.replaceAll("(?is)<(script|style)[^>]*>.*?</\\1>", " ")
       .replaceAll("(?s)<!--.*?-->", " ")
       .replaceAll("(?s)<[^>]+>", " ")
@@ -49,17 +67,367 @@ object DocLoader {
       .replaceAll("\\s+", " ").trim
   }
 
-  /** STUB: real impl = pdfbox PDFTextStripper per page. Deterministic
-    * printable-run extraction so pipelines downstream are exercisable.
+  // ---------------------------------------------------------------- DOCX
+
+  private def xmlEscape(s: String): String =
+    s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+
+  private def xmlUnescape(s: String): String =
+    // numeric refs first, then named; &amp; LAST (same double-unescape trap
+    // as extractHtml).
+    "&#(\\d+);".r.replaceAllIn(s, m => Character.toString(m.group(1).toInt))
+      .replace("&quot;", "\"").replace("&apos;", "'")
+      .replace("&lt;", "<").replace("&gt;", ">").replace("&amp;", "&")
+
+  /** O-2 (real): locate `word/document.xml` in the zip container and map
+    * OOXML structure to text — `w:p` paragraphs join with `\n`, `w:t` runs
+    * concatenate, `w:tab`→`\t`, `w:br`/`w:cr`→`\n`. Null on anything that
+    * is not a readable zip holding a document part.
     */
-  def extractPdf(bytes: Array[Byte]): String = printableRuns(bytes)
+  def extractDocx(bytes: Array[Byte]): String = {
+    val xml = zipEntryBytes(bytes, "word/document.xml")
+    if (xml == null) null
+    else docXmlToText(new String(xml, StandardCharsets.UTF_8))
+  }
 
-  /** STUB: real impl = poi XWPFDocument paragraphs. */
-  def extractDocx(bytes: Array[Byte]): String = printableRuns(bytes)
+  private def zipEntryBytes(bytes: Array[Byte], name: String): Array[Byte] = {
+    val zin = new ZipInputStream(new java.io.ByteArrayInputStream(bytes))
+    try {
+      var e: ZipEntry = zin.getNextEntry
+      while (e != null) {
+        if (e.getName == name) {
+          val out = new ByteArrayOutputStream()
+          val buf = new Array[Byte](8192)
+          var n = zin.read(buf)
+          while (n >= 0) { out.write(buf, 0, n); n = zin.read(buf) }
+          return out.toByteArray
+        }
+        e = zin.getNextEntry
+      }
+      null
+    } catch { case _: Exception => null } finally zin.close()
+  }
 
-  private def printableRuns(bytes: Array[Byte]): String = {
-    val s = new String(bytes, java.nio.charset.StandardCharsets.ISO_8859_1)
-    s.split("[^\\x20-\\x7E]+").filter(_.length >= 4).mkString(" ").trim
+  private def docXmlToText(xml: String): String = {
+    val paras = mutable.ArrayBuffer.empty[String]
+    val cur = new StringBuilder
+    var inPara = false
+    var open = 0 // paragraphs seen, to emit empty paragraphs too
+    // Single left-to-right pass over the markup: paragraph opens/closes
+    // delimit lines; within a paragraph only w:t/w:tab/w:br/w:cr produce
+    // characters (run properties, proofing marks etc. are skipped).
+    val events = "(?s)<w:p(?:\\s[^>]*)?/>|<w:p(?:\\s[^>]*)?>|</w:p>|<w:t(?:\\s[^>]*)?>(.*?)</w:t>|<w:tab(?:\\s[^>]*)?/>|<w:br(?:\\s[^>]*)?/>|<w:cr(?:\\s[^>]*)?/>".r
+    events.findAllMatchIn(xml).foreach { m =>
+      val tok = m.matched
+      if (tok.startsWith("<w:p") && tok.endsWith("/>")) { paras += ""; open += 1 }
+      else if (tok.startsWith("<w:p")) { inPara = true; cur.setLength(0); open += 1 }
+      else if (tok == "</w:p>") { if (inPara) { paras += cur.toString; inPara = false } }
+      else if (inPara) {
+        if (tok.startsWith("<w:t") && m.group(1) != null) cur ++= xmlUnescape(m.group(1))
+        else if (tok.startsWith("<w:tab")) cur += '\t'
+        else if (tok.startsWith("<w:br") || tok.startsWith("<w:cr")) cur += '\n'
+      }
+    }
+    if (open == 0) "" else paras.mkString("\n")
+  }
+
+  /** Deterministic DOCX writer for the [[extractDocx]] subset: each `\n`
+    * separated line of `text` becomes one `w:p` paragraph. Zip entry
+    * timestamps are pinned so byte output is stable.
+    */
+  def buildDocx(text: String): Array[Byte] = {
+    val body = text.split("\n", -1).map { line =>
+      if (line.isEmpty) "<w:p/>"
+      else s"""<w:p><w:r><w:t xml:space="preserve">${xmlEscape(line)}</w:t></w:r></w:p>"""
+    }.mkString
+    val docXml =
+      """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""" +
+        """<w:document xmlns:w="http://schemas.openxmlformats.org/wordprocessingml/2006/main">""" +
+        s"<w:body>$body</w:body></w:document>"
+    val contentTypes =
+      """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""" +
+        """<Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types">""" +
+        """<Default Extension="xml" ContentType="application/xml"/>""" +
+        """<Override PartName="/word/document.xml" ContentType="application/vnd.openxmlformats-officedocument.wordprocessingml.document.main+xml"/>""" +
+        "</Types>"
+    val out = new ByteArrayOutputStream()
+    val zos = new ZipOutputStream(out)
+    def put(name: String, data: String): Unit = {
+      val e = new ZipEntry(name); e.setTime(0L)
+      zos.putNextEntry(e)
+      zos.write(data.getBytes(StandardCharsets.UTF_8))
+      zos.closeEntry()
+    }
+    put("[Content_Types].xml", contentTypes)
+    put("word/document.xml", docXml)
+    zos.close()
+    out.toByteArray
+  }
+
+  // ----------------------------------------------------------------- PDF
+
+  /** One parsed indirect object: its dictionary text and, when present,
+    * its decoded stream bytes.
+    */
+  private final case class PdfObj(dict: String, stream: Array[Byte])
+
+  /** O-1 (real): one (page_number, text) row per page, page numbers
+    * 1-based in Catalog→Pages→Kids order (the reference's PyPDFLoader
+    * emits one Document per page with page metadata — SURVEY §1.3).
+    * Falls back to file order when no page tree resolves; returns null
+    * for non-PDF bytes.
+    */
+  def extractPdfPages(bytes: Array[Byte]): Seq[(Int, String)] = {
+    if (bytes == null || bytes.length < 5 ||
+      !new String(bytes, 0, 5, StandardCharsets.ISO_8859_1).startsWith("%PDF")) return null
+    try {
+      val objs = parseObjects(bytes)
+      val pageOrder: Seq[Int] = pageTreeOrder(objs).getOrElse(
+        objs.toSeq
+          .filter { case (_, o) => "/Type\\s*/Page(?![a-zA-Z])".r.findFirstIn(o.dict).isDefined }
+          .map(_._1).sorted)
+      val refRe = "(\\d+)\\s+\\d+\\s+R".r
+      pageOrder.zipWithIndex.map { case (pn, idx) =>
+        val dict = objs(pn).dict
+        val contents = "/Contents\\s*(\\[[^\\]]*\\]|\\d+\\s+\\d+\\s+R)".r
+          .findFirstMatchIn(dict).map(_.group(1)).getOrElse("")
+        val streamBytes = refRe.findAllMatchIn(contents).map(_.group(1).toInt).toSeq
+          .flatMap(objs.get).flatMap(o => Option(o.stream))
+        val text = streamBytes.map(b => contentStreamText(new String(b, StandardCharsets.UTF_8)))
+          .mkString("\n")
+        (idx + 1, text)
+      }
+    } catch { case _: Exception => null }
+  }
+
+  /** Whole-document PDF text: pages joined with `\n`. */
+  def extractPdf(bytes: Array[Byte]): String = {
+    val pages = extractPdfPages(bytes)
+    if (pages == null) null else pages.map(_._2).mkString("\n")
+  }
+
+  /** Scan `N G obj … endobj`, honouring /Length so stream payloads that
+    * happen to contain `endobj`/`endstream` bytes cannot desync the scan;
+    * FlateDecode streams are inflated, other filters yield no stream.
+    */
+  private def parseObjects(bytes: Array[Byte]): Map[Int, PdfObj] = {
+    val s = new String(bytes, StandardCharsets.ISO_8859_1)
+    val objRe = "(\\d+)\\s+(\\d+)\\s+obj".r
+    val out = mutable.Map.empty[Int, PdfObj]
+    var pos = 0
+    var m = objRe.findFirstMatchIn(s.substring(pos))
+    while (m.isDefined) {
+      val mm = m.get
+      val objNum = mm.group(1).toInt
+      val bodyStart = pos + mm.end
+      val streamKw = s.indexOf("stream", bodyStart)
+      val endobj = s.indexOf("endobj", bodyStart)
+      if (endobj < 0) return out.toMap
+      if (streamKw >= 0 && streamKw < endobj) {
+        val dict = s.substring(bodyStart, streamKw)
+        var dataStart = streamKw + "stream".length
+        if (dataStart < s.length && s.charAt(dataStart) == '\r') dataStart += 1
+        if (dataStart < s.length && s.charAt(dataStart) == '\n') dataStart += 1
+        // (?!\d) stops backtracking from shortening the number so an
+        // indirect "/Length 10 0 R" can never half-match as length=1.
+        val lenOpt = "/Length\\s+(\\d+)(?!\\d)(?!\\s+\\d+\\s+R)".r.findFirstMatchIn(dict).map(_.group(1).toInt)
+        val dataEnd = lenOpt match {
+          case Some(len) if dataStart + len <= bytes.length => dataStart + len
+          case _ =>
+            val e = s.indexOf("endstream", dataStart)
+            if (e < 0) dataStart else e
+        }
+        val raw = java.util.Arrays.copyOfRange(bytes, dataStart, dataEnd)
+        val isFlate = "/Filter\\s*\\[?\\s*/FlateDecode".r.findFirstIn(dict).isDefined
+        val noFilter = "/Filter".r.findFirstIn(dict).isEmpty
+        val data =
+          if (isFlate) inflate(raw)
+          else if (noFilter) raw
+          else null // unsupported filter (DCT/LZW/ASCII85…): skip honestly
+        val after = s.indexOf("endobj", dataEnd)
+        out(objNum) = PdfObj(dict, data)
+        pos = if (after < 0) dataEnd else after + "endobj".length
+      } else {
+        out(objNum) = PdfObj(s.substring(bodyStart, endobj), null)
+        pos = endobj + "endobj".length
+      }
+      m = objRe.findFirstMatchIn(s.substring(pos))
+    }
+    out.toMap
+  }
+
+  private def inflate(data: Array[Byte]): Array[Byte] = {
+    val inf = new Inflater()
+    inf.setInput(data)
+    val out = new ByteArrayOutputStream()
+    val buf = new Array[Byte](8192)
+    try {
+      while (!inf.finished() && !inf.needsInput()) {
+        val n = inf.inflate(buf)
+        if (n == 0 && !inf.finished()) return out.toByteArray
+        out.write(buf, 0, n)
+      }
+      out.toByteArray
+    } catch { case _: Exception => null } finally inf.end()
+  }
+
+  /** Catalog → /Pages → /Kids depth-first walk; None when no catalog (then
+    * the caller falls back to file order).
+    */
+  private def pageTreeOrder(objs: Map[Int, PdfObj]): Option[Seq[Int]] = {
+    val catalog = objs.find(o => "/Type\\s*/Catalog".r.findFirstIn(o._2.dict).isDefined)
+    val rootRef = catalog.flatMap(c => "/Pages\\s+(\\d+)\\s+\\d+\\s+R".r.findFirstMatchIn(c._2.dict).map(_.group(1).toInt))
+    rootRef.map { root =>
+      val order = mutable.ArrayBuffer.empty[Int]
+      val seen = mutable.Set.empty[Int] // cycle guard on a malformed tree
+      def walk(n: Int): Unit = if (seen.add(n)) objs.get(n).foreach { o =>
+        if ("/Type\\s*/Pages".r.findFirstIn(o.dict).isDefined) {
+          "/Kids\\s*\\[([^\\]]*)\\]".r.findFirstMatchIn(o.dict).foreach { kids =>
+            "(\\d+)\\s+\\d+\\s+R".r.findAllMatchIn(kids.group(1)).foreach(k => walk(k.group(1).toInt))
+          }
+        } else order += n
+      }
+      walk(root)
+      order.toSeq
+    }.filter(_.nonEmpty)
+  }
+
+  /** Tokenize a content stream and assemble text from the show operators.
+    * Tj/TJ append; ' and " imply a line move then show; the T-star, Td and
+    * TD positioning ops start a new line. TJ kerning numbers are ignored
+    * (no word-space heuristic — keeps extraction deterministic and
+    * round-trip exact).
+    */
+  private[sources] def contentStreamText(cs: String): String = {
+    val sb = new StringBuilder
+    var pending: String = null // most recent string/array-of-strings operand
+    var shown = false // any show op executed — gates line-move newlines so
+    // the positioning Td before the first show doesn't fabricate a line
+    def newline(): Unit = if (shown) sb += '\n'
+    var i = 0
+    val n = cs.length
+    def parseLiteral(): String = { // cs(i) == '('
+      val b = new StringBuilder
+      var depth = 1
+      i += 1
+      while (i < n && depth > 0) {
+        cs.charAt(i) match {
+          case '\\' if i + 1 < n =>
+            i += 1
+            cs.charAt(i) match {
+              case 'n' => b += '\n'; i += 1
+              case 'r' => b += '\r'; i += 1
+              case 't' => b += '\t'; i += 1
+              case 'b' => b += '\b'; i += 1
+              case 'f' => b += '\f'; i += 1
+              case '\n' => i += 1 // line continuation
+              case '\r' => i += 1; if (i < n && cs.charAt(i) == '\n') i += 1
+              case d if d >= '0' && d <= '7' =>
+                var oct = 0; var k = 0
+                while (k < 3 && i < n && cs.charAt(i) >= '0' && cs.charAt(i) <= '7') {
+                  oct = oct * 8 + (cs.charAt(i) - '0'); i += 1; k += 1
+                }
+                b += oct.toChar
+              case c => b += c; i += 1
+            }
+          case '(' => depth += 1; b += '('; i += 1
+          case ')' => depth -= 1; if (depth > 0) b += ')'; i += 1
+          case c => b += c; i += 1
+        }
+      }
+      b.toString
+    }
+    def parseHex(): String = { // cs(i) == '<'
+      val e = cs.indexOf('>', i)
+      if (e < 0) { i = n; "" }
+      else {
+        val hex = cs.substring(i + 1, e).replaceAll("\\s", "")
+        i = e + 1
+        val padded = if (hex.length % 2 == 1) hex + "0" else hex
+        padded.grouped(2).map(h => Integer.parseInt(h, 16).toChar).mkString
+      }
+    }
+    while (i < n) {
+      val c = cs.charAt(i)
+      if (c == '%') { while (i < n && cs.charAt(i) != '\n') i += 1 } // comment
+      else if (c == '(') pending = parseLiteral()
+      else if (c == '<' && i + 1 < n && cs.charAt(i + 1) == '<') i += 2 // dict open
+      else if (c == '<') pending = parseHex()
+      else if (c == '[') {
+        // TJ operand: strings with interleaved kerning numbers
+        val b = new StringBuilder
+        i += 1
+        while (i < n && cs.charAt(i) != ']') {
+          val cc = cs.charAt(i)
+          if (cc == '(') b ++= parseLiteral()
+          else if (cc == '<') b ++= parseHex()
+          else i += 1
+        }
+        if (i < n) i += 1
+        pending = b.toString
+      } else if (c.isLetter || c == '\'' || c == '"' || c == '*') {
+        val start = i
+        while (i < n && !cs.charAt(i).isWhitespace && !"()<>[]/%".contains(cs.charAt(i))) i += 1
+        def show(): Unit = if (pending != null) { sb ++= pending; pending = null; shown = true }
+        cs.substring(start, i) match {
+          case "Tj" | "TJ" => show()
+          case "'" | "\"" => newline(); show()
+          case "T*" | "Td" | "TD" => newline()
+          case _ => ()
+        }
+      } else i += 1
+    }
+    sb.toString
+  }
+
+  private def pdfEscape(s: String): String =
+    s.replace("\\", "\\\\").replace("(", "\\(").replace(")", "\\)")
+      .replace("\r", "\\r") // bare CR in a literal would normalize to LF
+
+  /** Deterministic multi-page PDF writer for the [[extractPdfPages]]
+    * subset: real object structure (Catalog → Pages → Kids → per-page
+    * FlateDecode content stream), each `\n`-separated line of a page
+    * emitted as `(line) Tj T*`. Exactly inverted by [[extractPdfPages]].
+    */
+  def buildPdf(pages: Seq[String]): Array[Byte] = {
+    val nPages = math.max(pages.size, 1)
+    val pg = if (pages.isEmpty) Seq("") else pages
+    // object numbering: 1 Catalog, 2 Pages, then (3+2i) Page / (4+2i) Contents
+    val kids = (0 until nPages).map(i => s"${3 + 2 * i} 0 R").mkString(" ")
+    val header = "%PDF-1.4\n"
+    val objs = mutable.ArrayBuffer[Array[Byte]](
+      s"1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n".getBytes(StandardCharsets.ISO_8859_1),
+      s"2 0 obj\n<< /Type /Pages /Kids [$kids] /Count $nPages >>\nendobj\n".getBytes(StandardCharsets.ISO_8859_1))
+    pg.zipWithIndex.foreach { case (text, i) =>
+      val pageObj = 3 + 2 * i
+      val contObj = 4 + 2 * i
+      // T* BETWEEN lines (not trailing) so decode is the exact inverse:
+      // Tj shows a line, each T* contributes exactly one '\n'.
+      val ops = text.split("\n", -1).map(l => s"(${pdfEscape(l)}) Tj").mkString("\nT*\n")
+      val stream = s"BT /F1 12 Tf 72 720 Td\n$ops\nET".getBytes(StandardCharsets.UTF_8)
+      val deflated = deflate(stream)
+      val head = s"$contObj 0 obj\n<< /Length ${deflated.length} /Filter /FlateDecode >>\nstream\n"
+      objs += (s"$pageObj 0 obj\n<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] " +
+        s"/Contents $contObj 0 R >>\nendobj\n").getBytes(StandardCharsets.ISO_8859_1)
+      val buf = new ByteArrayOutputStream()
+      buf.write(head.getBytes(StandardCharsets.ISO_8859_1))
+      buf.write(deflated)
+      buf.write("\nendstream\nendobj\n".getBytes(StandardCharsets.ISO_8859_1))
+      objs += buf.toByteArray
+    }
+    val out = new ByteArrayOutputStream()
+    out.write(header.getBytes(StandardCharsets.ISO_8859_1))
+    objs.foreach(out.write)
+    out.write("%%EOF\n".getBytes(StandardCharsets.ISO_8859_1))
+    out.toByteArray
+  }
+
+  private def deflate(data: Array[Byte]): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    val d = new Deflater(Deflater.DEFAULT_COMPRESSION)
+    val dos = new DeflaterOutputStream(out, d)
+    dos.write(data); dos.close(); d.end()
+    out.toByteArray
   }
 
   private val extractUdf = udf { (fmt: String, bytes: Array[Byte]) =>
@@ -72,6 +440,12 @@ object DocLoader {
     }
   }
 
+  /** PDF page extraction as a column function: (page, text) structs. */
+  private val pdfPagesUdf = udf { (bytes: Array[Byte]) =>
+    val pages = extractPdfPages(bytes)
+    if (pages == null) null else pages.map { case (p, t) => (p, t) }
+  }
+
   /** Full load: scan → dispatch → extract → (doc path, format, text).
     * Unsupported formats yield null text (filter or fail upstream).
     */
@@ -80,4 +454,20 @@ object DocLoader {
       .withColumn("format", formatOf(col("path")))
       .withColumn("text", extractUdf(col("format"), col("content")))
       .select("path", "format", "length", "text")
+
+  /** Page-granular load for PDFs (PyPDFLoader parity): one row per page
+    * with `page` metadata; non-PDF formats get a single page 1 row.
+    */
+  def loadDocumentPages(spark: SparkSession, dir: String): DataFrame = {
+    val base = scanBinary(spark, dir).withColumn("format", formatOf(col("path")))
+    val pdf = base.filter(col("format") === "pdf")
+      .select(col("path"), col("format"), col("length"),
+        explode(pdfPagesUdf(col("content"))).as("pg"))
+      .select(col("path"), col("format"), col("length"),
+        col("pg._1").as("page"), col("pg._2").as("text"))
+    val other = base.filter(col("format") =!= "pdf")
+      .withColumn("text", extractUdf(col("format"), col("content")))
+      .select(col("path"), col("format"), col("length"), lit(1).as("page"), col("text"))
+    pdf.unionByName(other)
+  }
 }

@@ -51,25 +51,118 @@ class StoreSpec extends AnyFunSuite with SparkTestSession {
 
 class DocLoaderSpec extends AnyFunSuite with SparkTestSession {
 
-  test("O-1..O-4: binary scan, dispatch and extraction") {
+  test("O-1..O-4: binary scan, dispatch and REAL extraction per format") {
     val dir = Files.createTempDirectory("graft-docs")
     Files.write(dir.resolve("page.html"),
       "<html><head><style>p{}</style></head><body><p>Hello &amp; welcome</p></body></html>"
         .getBytes("UTF-8"))
-    Files.write(dir.resolve("doc.pdf"), "%PDF-1.7 stream here content".getBytes("UTF-8"))
+    Files.write(dir.resolve("doc.pdf"), DocLoader.buildPdf(Seq("page one text", "page two text")))
+    Files.write(dir.resolve("memo.docx"), DocLoader.buildDocx("memo line 1\nmemo line 2"))
     Files.write(dir.resolve("notes.txt"), "plain".getBytes("UTF-8"))
 
     val out = DocLoader.loadDocuments(spark, dir.toString)
       .collect().map(r => (r.getAs[String]("format"),
         Option(r.getAs[String]("text")))).toMap
     assert(out("html").get == "Hello & welcome")
-    assert(out("pdf").get.contains("stream here content"))
+    assert(out("pdf").get == "page one text\npage two text")
+    assert(out("docx").get == "memo line 1\nmemo line 2")
     assert(out("unsupported").isEmpty)
   }
 
   test("html extraction strips scripts, comments, entities") {
     val html = "<body><script>var x=1;</script><!-- c --><b>bold</b> &lt;tag&gt;</body>"
     assert(DocLoader.extractHtml(html.getBytes("UTF-8")) == "bold <tag>")
+  }
+
+  test("O-2: docx round trip survives escapes, tabs, unicode, empty lines") {
+    val texts = Seq(
+      "simple words",
+      "amp & lt < gt > mix",
+      "tab\there and\nnext line",
+      "unicode café über 中文",
+      "",
+      "trailing newline\n",
+      "\nleading and\n\ndouble blank")
+    texts.foreach { t =>
+      assert(DocLoader.extractDocx(DocLoader.buildDocx(t)) == t, s"docx round trip: ${t.take(30)}")
+    }
+  }
+
+  test("O-2: docx extraction handles real OOXML structure, not just our writer") {
+    // run properties, split runs, w:tab/w:br elements, numeric entities
+    val xml = """<?xml version="1.0"?><w:document xmlns:w="x"><w:body>""" +
+      """<w:p><w:pPr><w:jc w:val="left"/></w:pPr>""" +
+      """<w:r><w:rPr><w:b/></w:rPr><w:t>bold</w:t></w:r>""" +
+      """<w:r><w:t xml:space="preserve"> and&#33;</w:t></w:r>""" +
+      """<w:r><w:tab/><w:t>tabbed</w:t><w:br/><w:t>broken</w:t></w:r></w:p>""" +
+      """<w:p/><w:p><w:r><w:t>second</w:t></w:r></w:p>""" +
+      "</w:body></w:document>"
+    val zip = {
+      val out = new java.io.ByteArrayOutputStream()
+      val zos = new java.util.zip.ZipOutputStream(out)
+      zos.putNextEntry(new java.util.zip.ZipEntry("word/document.xml"))
+      zos.write(xml.getBytes("UTF-8")); zos.closeEntry(); zos.close()
+      out.toByteArray
+    }
+    assert(DocLoader.extractDocx(zip) == "bold and!\ttabbed\nbroken\n\nsecond")
+    assert(DocLoader.extractDocx("not a zip".getBytes("UTF-8")) == null)
+  }
+
+  test("O-1: pdf round trip — pages, escapes, flate, page numbering") {
+    val pages = Seq(
+      "plain page",
+      "parens (nested (deep)) and \\ backslash",
+      "multi\nline\npage",
+      "",
+      "unicode café page")
+    val got = DocLoader.extractPdfPages(DocLoader.buildPdf(pages))
+    assert(got.map(_._1) == (1 to pages.size))
+    assert(got.map(_._2) == pages)
+    assert(DocLoader.extractPdf("plain text".getBytes("UTF-8")) == null)
+    assert(DocLoader.extractPdfPages(DocLoader.buildPdf(Seq.empty)) == Seq((1, "")))
+  }
+
+  test("O-1: pdf extraction handles uncompressed streams, hex strings, TJ arrays") {
+    // hand-written single-page PDF, no filter, TJ array + hex string + quote op
+    // note: ' itself moves to the next line before showing, so no T* before it
+    val content = "BT /F1 12 Tf 10 700 Td [(Hel) -20 (lo)] TJ T* <20776f726c64> Tj (next)' ET"
+    val pdf = ("%PDF-1.4\n" +
+      "1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n" +
+      "2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n" +
+      "3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>\nendobj\n" +
+      s"4 0 obj\n<< /Length ${content.length} >>\nstream\n$content\nendstream\nendobj\n" +
+      "%%EOF\n").getBytes("ISO-8859-1")
+    val got = DocLoader.extractPdfPages(pdf)
+    assert(got == Seq((1, "Hello\n world\nnext")))
+  }
+
+  test("page metadata propagates from loadDocumentPages through the chunker") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-paged-ingest")
+    Files.write(dir.resolve("two.pdf"),
+      DocLoader.buildPdf(Seq("x" * 250, "y" * 80))) // page 1 → 2 chunks, page 2 → 1
+    val docs = DocLoader.loadDocumentPages(spark, dir.toString)
+      .select(lit(7L).as("doc_id"), $"path".as("source"), $"page", $"text")
+    val chunks = graft.operators.Ingest.splitIntoChunks(docs, chunkSize = 200, overlap = 0)
+      .select("chunk_id", "page", "chunk_index", "total_chunks")
+      .as[(String, Int, Int, Int)].collect().sortBy(c => (c._2, c._3)).toSeq
+    assert(chunks == Seq(
+      ("7_p1_0", 1, 0, 2), ("7_p1_1", 1, 1, 2), ("7_p2_0", 2, 0, 1)))
+    // pageless inputs keep their historical ids and gain page = 1
+    val flat = graft.operators.Ingest
+      .splitIntoChunks(Seq((1L, "abcd", "s")).toDF("doc_id", "text", "source"), 10, 0)
+      .select("chunk_id", "page").as[(String, Int)].collect().toSeq
+    assert(flat == Seq(("1_0", 1)))
+  }
+
+  test("O-1: loadDocumentPages emits page-granular rows for pdf") {
+    val dir = Files.createTempDirectory("graft-paged")
+    Files.write(dir.resolve("two.pdf"), DocLoader.buildPdf(Seq("alpha", "beta")))
+    Files.write(dir.resolve("one.docx"), DocLoader.buildDocx("gamma"))
+    val rows = DocLoader.loadDocumentPages(spark, dir.toString)
+      .select("format", "page", "text").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getString(2))).toSet
+    assert(rows == Set(("pdf", 1, "alpha"), ("pdf", 2, "beta"), ("docx", 1, "gamma")))
   }
 }
 

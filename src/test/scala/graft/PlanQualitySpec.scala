@@ -83,6 +83,12 @@ class PlanQualitySpec extends AnyFunSuite with SparkTestSession {
     assert(p.contains("BroadcastHashJoin"), s"expected bucket equi-join:\n${p.take(600)}")
   }
 
+  test("j8 interval enrich is a (user, bucket) equi-join, never a nested loop") {
+    val p = plan("j8_interval_enrich")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"theta interval join crept back:\n${p.take(800)}")
+  }
+
   test("q1 aggregate is partial (map-side combine) before the shuffle") {
     val p = plan("q1_pricing_summary")
     assert(p.contains("partial_sum") || p.contains("HashAggregate"))
@@ -94,6 +100,29 @@ class PlanQualitySpec extends AnyFunSuite with SparkTestSession {
     assert(p.contains("BroadcastHashJoin"), "df/dl joins must broadcast")
     assert(p.contains("WindowGroupLimit"), "rank<=k must prune before the final window")
     assert(!p.contains("SortMergeJoin"), "no corpus-sized shuffle join expected")
+  }
+
+  test("bm25 large-vocab path: df join degrades to shuffle join, never a forced broadcast") {
+    // Simulate the billion-term regime by disabling the broadcast
+    // threshold: with no compile-time hint on the term-df table, the df
+    // join must fall back to a term-keyed shuffle join (driver never
+    // materializes the vocabulary). A forced broadcast() hint would
+    // ignore the threshold and this test would catch it.
+    val conf = spark.conf
+    val prev = conf.getOption("spark.sql.autoBroadcastJoinThreshold")
+    val prevAqe = conf.getOption("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    def restore(key: String, v: Option[String]): Unit =
+      v.fold(conf.unset(key))(conf.set(key, _))
+    try {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      val p = plan("bm25_topk")
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+        s"df join must degrade to a shuffle join when broadcast is off:\n${p.take(800)}")
+    } finally {
+      restore("spark.sql.autoBroadcastJoinThreshold", prev)
+      restore("spark.sql.adaptive.autoBroadcastJoinThreshold", prevAqe)
+    }
   }
 
   test("tfidf/langid/strided-chunker plans are UDF-free native expressions") {

@@ -38,6 +38,42 @@ class ScaleSpec extends AnyFunSuite with SparkTestSession {
     assert(math.abs(approx - 731) <= 40, s"approx=$approx")
   }
 
+  test("two-phase temperature mixing: identical to naive rank, filter actually prunes") {
+    // One big stratum (10k rows) where the phase-1 cutoff bites, one small
+    // stratum that degrades to an uncut rank.
+    val docs = ((1L to 10000L).map(i => (i, "big")) ++ (20001L to 20030L).map(i => (i, "small")))
+      .toDF("doc_id", "lang")
+    val naive = {
+      val quotas = docs.groupBy("lang")
+        .agg(floor(lit(8.0) * sqrt(count(lit(1)))).cast("int").as("quota"))
+      val h = pmod($"doc_id" * 2654435761L, lit(4294967296L))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("lang").orderBy(h.asc, $"doc_id".asc)
+      docs.withColumn("mix_rank", row_number().over(w))
+        .join(quotas, "lang")
+        .filter($"mix_rank" <= $"quota")
+        .select("lang", "mix_rank", "doc_id", "quota")
+    }
+    val twoPhase = Scale.temperatureMixSample(docs, "lang")
+      .select("lang", "mix_rank", "doc_id", "quota")
+    assert(twoPhase.as[(String, Int, Long, Int)].collect().sorted.toSeq ==
+      naive.as[(String, Int, Long, Int)].collect().sorted.toSeq)
+
+    // survivor-set bound: phase 1 must cut the big stratum to O(quota)
+    // rows BEFORE the rank window (this is the 100 TB skew guarantee) and
+    // must never cut below the quota itself.
+    val quota = 8 * math.sqrt(10000).toInt // 800
+    val cutoff = math.min(4294967296L,
+      math.ceil(4294967296.0 * 8.0 * quota / 10000).toLong)
+    val survivors = docs.filter($"lang" === "big")
+      .filter(pmod($"doc_id" * 2654435761L, lit(4294967296L)) < cutoff)
+      .count()
+    assert(survivors >= quota, s"phase-1 cut below quota: $survivors < $quota")
+    assert(survivors <= 2L * 8 * quota,
+      s"phase-1 survivor set not O(margin*quota): $survivors")
+    assert(survivors < 10000, "phase-1 filter must actually prune the big stratum")
+  }
+
   test("time-partitioned layout prunes by day and orders by session") {
     val path = java.nio.file.Files.createTempDirectory("graft-layout").toString + "/logs"
     val rows = Seq(
