@@ -316,6 +316,17 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // P-9: metadata prefilter BELOW the kNN (chroma_utils.py:250-257's
+    // where={...} filter) — pruning happens before any scoring.
+    "p9_filtered_knn" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val queries = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"))
+      Retrieval.knnJoinFiltered(queries, emb, k = 2, col("label") === 1)
+        .withColumn("sim", round(col("sim"), 6))
+        .orderBy("query_id", "rank")
+    }),
+
     "t7_stuff_context" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       val docs = Tables.documents(s, dir)
@@ -806,6 +817,16 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    "o11_delete_where" -> ((s, dir) => {
+      // O-11 as a registry query (previously spec-only): delete-by-
+      // predicate keeps the complement, same shape as the reference's
+      // chroma where={...} delete (chroma_utils.py:146-184).
+      operators.Store.deleteWhere(Tables.events(s, dir),
+        col("event_type") === "error" || col("value") < 0.2)
+        .select("event_id", "user_id", "event_type")
+        .orderBy("event_id")
+    }),
+
     // ---- remaining scalar projections (P-15, P-17)
     "p15_humanize_size" -> ((s, dir) => {
       val bytes = floor(col("value") * 12345).cast("long")
@@ -922,6 +943,24 @@ object SparkEntry {
         .select(col("doc_id"), col("pg._1").as("page"),
           sha2(col("pg._2"), 256).as("page_hash"))
         .orderBy("doc_id", "page")
+    }),
+
+    "ingest_pipeline_paged" -> ((s, dir) => {
+      // O-1 → §1.3 page metadata → strided chunking, end to end: real PDF
+      // containers built per document (200-char pages), parsed back page
+      // by page through the real extractor, then chunked per page with
+      // page-qualified chunk ids.
+      val pagesUdf = udf { (t: String) =>
+        val pages = if (t == null || t.isEmpty) Seq("") else t.grouped(200).toSeq
+        graft.sources.DocLoader.extractPdfPages(graft.sources.DocLoader.buildPdf(pages))
+      }
+      val paged = Tables.documents(s, dir).filter(col("doc_id") < 100)
+        .select(col("doc_id"), col("source"), explode(pagesUdf(col("text"))).as("pg"))
+        .select(col("doc_id"), col("source"), col("pg._1").as("page"), col("pg._2").as("text"))
+      Ingest.chunkStrided(paged, chunkSize = 120, overlap = 20)
+        .select(col("chunk_id"), col("file_id"), col("page"), col("chunk_index"),
+          col("total_chunks"), col("source_file"), sha2(col("chunk_text"), 256).as("chunk_hash"))
+        .orderBy("file_id", "page", "chunk_index")
     }),
 
     // ---- full RAG pipeline (§3.1; T-8/T-9 deterministic LLM stub)
@@ -1511,6 +1550,36 @@ object SparkEntry {
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
 
+    "o11_delete_where" ->
+      """SELECT event_id, user_id, event_type FROM events
+        |WHERE NOT (event_type = 'error' OR value < 0.2)
+        |ORDER BY event_id""".stripMargin,
+
+    "ingest_pipeline_paged" ->
+      """WITH pages AS (
+        |  SELECT doc_id, source, text,
+        |    unnest(range(0, greatest(CAST(ceil(len(text)/200.0) AS BIGINT), 1))) AS pg
+        |  FROM documents WHERE doc_id < 100),
+        |p AS (
+        |  SELECT doc_id, source, CAST(pg + 1 AS INT) AS page,
+        |    substr(text, CAST(pg AS INT)*200 + 1, 200) AS ptext
+        |  FROM pages),
+        |n AS (
+        |  SELECT doc_id, source, page, ptext,
+        |    CASE WHEN length(ptext) <= 0 THEN 0
+        |         WHEN length(ptext) <= 120 THEN 1
+        |         ELSE CAST(floor((length(ptext) - 21) / 100.0) AS INT) + 1 END AS total_chunks
+        |  FROM p),
+        |c AS (
+        |  SELECT doc_id AS file_id, source AS source_file, page, total_chunks,
+        |    unnest(list_transform(range(total_chunks),
+        |      i -> struct_pack(ci := CAST(i AS INT), ct := substr(ptext, CAST(i * 100 + 1 AS INT), 120)))) AS u
+        |  FROM n WHERE total_chunks > 0)
+        |SELECT CAST(file_id AS VARCHAR) || '_p' || CAST(page AS VARCHAR) || '_' || CAST(u.ci AS VARCHAR) AS chunk_id,
+        |  file_id, page, u.ci AS chunk_index, total_chunks, source_file,
+        |  sha256(u.ct) AS chunk_hash
+        |FROM c ORDER BY file_id, page, chunk_index""".stripMargin,
+
     // O-2/O-1 round trips: the oracle hashes the ORIGINAL text — equality
     // holds iff the Spark-side build→extract is the identity.
     "o2_docx_extract" ->
@@ -1722,6 +1791,28 @@ object SparkEntry {
         |         list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (a,b) -> a+b)))
         |    AS sim
         |  FROM q CROSS JOIN embeddings e),
+        |ranked AS (
+        |  SELECT query_id, vec_id, sim,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rank
+        |  FROM scored)
+        |SELECT query_id, CAST(rank AS INT) AS rank, vec_id, round(sim, 6) AS sim
+        |FROM ranked WHERE rank <= 2 ORDER BY query_id, rank""".stripMargin,
+
+    "p9_filtered_knn" ->
+      """WITH q AS (
+        |  SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 5),
+        |scored AS (
+        |  SELECT q.query_id, e.vec_id,
+        |    list_reduce(list_prepend(0.0,
+        |      list_transform(range(64),
+        |        i -> CAST(q.qe[i+1] AS DOUBLE) * CAST(e.embedding[i+1] AS DOUBLE))),
+        |      (a, b) -> a + b)
+        |    / (sqrt(list_reduce(list_prepend(0.0,
+        |         list_transform(q.qe, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (a,b) -> a+b))
+        |     * sqrt(list_reduce(list_prepend(0.0,
+        |         list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (a,b) -> a+b)))
+        |    AS sim
+        |  FROM q CROSS JOIN (SELECT * FROM embeddings WHERE label = 1) e),
         |ranked AS (
         |  SELECT query_id, vec_id, sim,
         |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rank
