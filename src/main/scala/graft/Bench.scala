@@ -55,25 +55,32 @@ object Bench {
     // Deterministic order: headline first (cross-round comparand timed
     // under the same warm-up position as round 2), then the rest sorted.
     val names = headline ++ registry.keys.toSeq.filterNot(headline.contains).sorted
-    val results = names.map { name =>
+    val resultsFull = names.map { name =>
       val runs = (1 to 4).map { _ =>
         val t0 = System.nanoTime()
         try { registry(name)(spark, sfDir).count() } catch { case _: Throwable => }
         (System.nanoTime() - t0) / 1e9
       }
       val timed = runs.drop(1).sorted // drop warm-up; median of 3 timed runs
-      name -> timed(timed.length / 2)
+      (name, timed(timed.length / 2), timed.head, timed.last)
     }
+    val results = resultsFull.map { case (n, med, _, _) => n -> med }
     def r3(v: Double): String = f"$v%.3f"
     def jmap(rs: Seq[(String, Double)]): String =
       rs.map { case (k, v) => "\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val h34 = results.filter(r => headline.contains(r._1)).map(_._2).sum
     val top10 = results.sortBy(-_._2).take(10)
+    // Per-query [min, max] of the timed runs goes to the full file only:
+    // a wide spread marks a measurement disturbed by machine noise, so a
+    // reader can tell a real regression from a contended run.
+    val spread = resultsFull
+      .map { case (n, _, mn, mx) => "\"" + n + "\":[" + r3(mn) + "," + r3(mx) + "]" }
+      .mkString("{", ",", "}")
     Files.writeString(Paths.get(fullOut),
       s"""{"metric":"total","value":${r3(total)},"unit":"sec","iters":3,""" +
         s""""n_queries":${results.size},"headline34":${r3(h34)},""" +
-        s""""queries":${jmap(results)},"sf":"$sfDir"}""" + "\n")
+        s""""queries":${jmap(results)},"spread":$spread,"sf":"$sfDir"}""" + "\n")
     val line =
       s"""{"metric":"total","value":${r3(total)},"unit":"sec","iters":3,""" +
         s""""n_queries":${results.size},"headline34":${r3(h34)},""" +

@@ -344,7 +344,12 @@ object DocLoader {
         val hex = cs.substring(i + 1, e).replaceAll("\\s", "")
         i = e + 1
         val padded = if (hex.length % 2 == 1) hex + "0" else hex
-        padded.grouped(2).map(h => Integer.parseInt(h, 16).toChar).mkString
+        val bytes = padded.grouped(2).map(h => Integer.parseInt(h, 16)).toArray
+        // UTF-16BE with BOM (FE FF) is the PDF-standard form for non-Latin
+        // text strings; everything else reads as 8-bit code points.
+        if (bytes.length >= 2 && bytes(0) == 0xFE && bytes(1) == 0xFF)
+          new String(bytes.drop(2).map(_.toByte), java.nio.charset.StandardCharsets.UTF_16BE)
+        else bytes.map(_.toChar).mkString
       }
     }
     while (i < n) {

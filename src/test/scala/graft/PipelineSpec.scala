@@ -136,6 +136,18 @@ class DocLoaderSpec extends AnyFunSuite with SparkTestSession {
     assert(got == Seq((1, "Hello\n world\nnext")))
   }
 
+  test("O-1: UTF-16BE hex strings (BOM-prefixed) decode to unicode text") {
+    // <FEFF 00E9 4E2D> = é中 in the PDF-standard UTF-16BE text encoding
+    val content = "BT 10 700 Td <FEFF00E94E2D> Tj ET"
+    val pdf = ("%PDF-1.4\n" +
+      "1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n" +
+      "2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n" +
+      "3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>\nendobj\n" +
+      s"4 0 obj\n<< /Length ${content.length} >>\nstream\n$content\nendstream\nendobj\n" +
+      "%%EOF\n").getBytes("ISO-8859-1")
+    assert(DocLoader.extractPdfPages(pdf) == Seq((1, "é中")))
+  }
+
   test("page metadata propagates from loadDocumentPages through the chunker") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-paged-ingest")
