@@ -1,0 +1,48 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import graft.sources.DocLoader
+
+/** Property round trips for the JDK-only binary extractors: for ANY text
+  * the deterministic writers can encode, decode must be the exact
+  * identity. Seeded ScalaCheck Gens (same pattern as TextSplitSpec — the
+  * scalatest-scalacheck bridge isn't on the offline classpath) cover the
+  * adversarial corners a hand-picked fixture list misses: PDF literal
+  * delimiters, backslash runs, XML entities, unicode outside Latin-1,
+  * control-ish whitespace, and newline placement at every position.
+  */
+class DocRoundTripSpec extends AnyFunSuite {
+
+  private val charGen: Gen[String] = Gen.frequency(
+    10 -> Gen.alphaNumStr.map(_.take(8)),
+    3 -> Gen.oneOf("(", ")", "\\", "\\\\", "((", "))", "\\("),
+    3 -> Gen.oneOf("&", "<", ">", "&amp;", "<w:t>", "]]>"),
+    2 -> Gen.oneOf("é", "中文", "Ω", "🙂", "ß"),
+    3 -> Gen.oneOf(" ", "\t", "\n", "\n\n"))
+
+  private val textGen: Gen[String] = for {
+    n <- Gen.chooseNum(0, 40)
+    parts <- Gen.listOfN(n, charGen)
+  } yield parts.mkString
+
+  private def samples(count: Int): Seq[String] =
+    (1 to count).map(i => textGen.pureApply(Gen.Parameters.default, Seed(i.toLong)))
+
+  test("property: docx encode→decode is the identity") {
+    samples(300).foreach { t =>
+      val back = DocLoader.extractDocx(DocLoader.buildDocx(t))
+      assert(back == t, s"docx round trip broke for [${t.take(60)}]")
+    }
+  }
+
+  test("property: pdf encode→decode is the identity, page structure intact") {
+    samples(300).grouped(3).foreach { pages =>
+      val got = DocLoader.extractPdfPages(DocLoader.buildPdf(pages))
+      assert(got.map(_._1) == (1 to pages.size), "page numbering broke")
+      assert(got.map(_._2) == pages,
+        s"pdf round trip broke for pages [${pages.map(_.take(40)).mkString(" | ")}]")
+    }
+  }
+}
