@@ -572,7 +572,13 @@ object SparkEntry {
       val queries = Seq(
         (0L, "fast sort merge"), (1L, "spark data query"), (2L, "join filter stream"))
         .toDF("query_id", "qtext")
-      operators.TextRetrieval.bm25TopK(Tables.documents(s, dir), queries, k = 5)
+      // broadcastDf = Some(true): this corpus word-tokenizes to a tiny
+      // vocabulary, so the caller-asserted broadcast is correct here and
+      // keeps the plan a deterministic single pass (see bm25TopK's
+      // scaladoc for the contract; the unhinted AQE default is exercised
+      // by PlanQualitySpec's large-vocab case).
+      operators.TextRetrieval.bm25TopK(Tables.documents(s, dir), queries, k = 5,
+        broadcastDf = Some(true))
         .orderBy("query_id", "rank")
     }),
 

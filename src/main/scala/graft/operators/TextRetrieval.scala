@@ -55,7 +55,17 @@ object TextRetrieval {
       // 1.25/0.75: standard BM25 range, chosen exactly representable in
       // binary so k1+1 and 1-b are literal-identical in any engine.
       k1: Double = 1.25,
-      b: Double = 0.75): DataFrame = {
+      b: Double = 0.75,
+      // Who decides how the term-df table joins: None (default) leaves it
+      // unhinted — AQE broadcasts when the measured size is small, else a
+      // term-keyed shuffle join; scale-safe for any vocabulary, but the
+      // static planner assumes a shuffle join, so the plan pays its
+      // exchange materializations before AQE can convert. Some(true) is
+      // the caller's ASSERTION that the vocabulary is broadcast-small
+      // (word-tokenized corpora: ~1e6 terms) — deterministic single-pass
+      // plan, no shuffle of tf by term. Some(false) forces the shuffle
+      // join (a character/CJK-heavy corpus with billions of terms).
+      broadcastDf: Option[Boolean] = None): DataFrame = {
     val tf = termFrequencies(docs)
     // Document lengths derived from tf (sum of a doc's term counts == its
     // token count): no second tokenization scan, and docs with zero
@@ -70,15 +80,14 @@ object TextRetrieval {
     val qterms = queries
       .select(col("query_id"), explode(tokensCol(col("qtext"))).as("term"))
       .distinct()
+    val dfSide = broadcastDf match {
+      case Some(true)  => broadcast(df)
+      case Some(false) => df.hint("shuffle_merge")
+      case None        => df
+    }
     val contrib = qterms
       .join(tf, "term") // inverted-index equi-join on term
-      // df is vocabulary-sized — usually broadcastable, but a 100 TB
-      // character-heavy corpus has billions of terms and a forced hint
-      // would OOM the driver. No hint: AQE measures the ACTUAL post-
-      // aggregation size at runtime and broadcasts only under the
-      // configured threshold, else this stays a term-keyed shuffle join
-      // riding the same partitioning as the tf aggregation.
-      .join(df, "term")
+      .join(dfSide, "term")
       .join(dl, "doc_id")
       .crossJoin(broadcast(corpus))
       .withColumn("idf",

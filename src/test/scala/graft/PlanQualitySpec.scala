@@ -102,12 +102,14 @@ class PlanQualitySpec extends AnyFunSuite with SparkTestSession {
     assert(!p.contains("SortMergeJoin"), "no corpus-sized shuffle join expected")
   }
 
-  test("bm25 large-vocab path: df join degrades to shuffle join, never a forced broadcast") {
+  test("bm25 large-vocab path: default df join degrades to shuffle join, no forced broadcast") {
     // Simulate the billion-term regime by disabling the broadcast
-    // threshold: with no compile-time hint on the term-df table, the df
-    // join must fall back to a term-keyed shuffle join (driver never
-    // materializes the vocabulary). A forced broadcast() hint would
-    // ignore the threshold and this test would catch it.
+    // threshold: with broadcastDf = None (the default — the registry
+    // query opts into Some(true) because its vocabulary is known tiny),
+    // the df join must fall back to a term-keyed shuffle join, i.e. the
+    // driver never materializes the vocabulary.
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
     val conf = spark.conf
     val prev = conf.getOption("spark.sql.autoBroadcastJoinThreshold")
     val prevAqe = conf.getOption("spark.sql.adaptive.autoBroadcastJoinThreshold")
@@ -116,7 +118,10 @@ class PlanQualitySpec extends AnyFunSuite with SparkTestSession {
     try {
       conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
       conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
-      val p = plan("bm25_topk")
+      val queries = Seq((0L, "fast sort merge")).toDF("query_id", "qtext")
+      val df = graft.operators.TextRetrieval.bm25TopK(
+        Tables.documents(spark, sfDir), queries, k = 5)
+      val p = df.queryExecution.executedPlan.toString
       assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
         s"df join must degrade to a shuffle join when broadcast is off:\n${p.take(800)}")
     } finally {
