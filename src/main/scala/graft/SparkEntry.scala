@@ -969,6 +969,41 @@ object SparkEntry {
         .orderBy("file_id", "page", "chunk_index")
     }),
 
+    // ---- flagship LLM-data pipeline: the full pretraining-corpus prep
+    //      as ONE lineage — exact dedup → normalized-fingerprint near-dup
+    //      → quality gate → temperature mixing → sequence packing. The
+    //      input is salted with synthetic exact copies (+10000) and
+    //      case-variant copies (+20000) so both dedup stages measurably
+    //      remove rows; min-doc_id keeps the originals.
+    "pretrain_corpus_pipeline" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val base = Tables.documents(s, dir).select(col("doc_id"), col("text"), col("lang"))
+      val exactCopies = base.filter(col("doc_id") < 50)
+        .withColumn("doc_id", col("doc_id") + 10000)
+      val caseCopies = base.filter(col("doc_id") < 30)
+        .withColumn("doc_id", col("doc_id") + 20000)
+        .withColumn("text", upper(col("text")))
+      val corpus = base.unionByName(exactCopies).unionByName(caseCopies)
+      // exact dedup: min doc_id per content hash (T-6 semantics)
+      val exactKept = corpus
+        .withColumn("keep", min("doc_id").over(Window.partitionBy(sha2(col("text"), 256))))
+        .filter(col("doc_id") === col("keep")).drop("keep")
+      // near-dup: min doc_id per normalized rolling fingerprint — catches
+      // the case/whitespace twins the exact hash misses
+      val fpKept = exactKept
+        .withColumn("fp", TextAnalysis.fingerprintModUdf(col("text")))
+        .withColumn("keep", min("doc_id").over(Window.partitionBy("fp")))
+        .filter(col("doc_id") === col("keep")).drop("keep", "fp")
+      // quality gate (floored score, identical rounding both engines)
+      val quality = fpKept.filter(TextAnalysis.qualityScore(col("text")) >= 0.5)
+      // temperature-flattened mixing over survivors (two-phase, §Scale)
+      val selected = operators.Scale.temperatureMixSample(quality, "lang")
+        .select("doc_id", "text")
+      // pack into ~512-token bins, 8 hash shards
+      operators.Scale.packSequences(selected, budgetTokens = 512)
+        .orderBy("shard", "bin_id")
+    }),
+
     // ---- full RAG pipeline (§3.1; T-8/T-9 deterministic LLM stub)
     "rag_chat_pipeline" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
@@ -1560,6 +1595,75 @@ object SparkEntry {
       """SELECT event_id, user_id, event_type FROM events
         |WHERE NOT (event_type = 'error' OR value < 0.2)
         |ORDER BY event_id""".stripMargin,
+
+    // The five stages reuse the exact SQL shapes already proven green by
+    // t6_exact_dedup / text_fingerprint_mod / text_quality /
+    // mix_temperature_sample / pack_sequences.
+    "pretrain_corpus_pipeline" ->
+      """WITH d0 AS (
+        |  SELECT doc_id, text, lang FROM documents
+        |  UNION ALL SELECT doc_id + 10000, text, lang FROM documents WHERE doc_id < 50
+        |  UNION ALL SELECT doc_id + 20000, upper(text), lang FROM documents WHERE doc_id < 30),
+        |ex AS (
+        |  SELECT doc_id, text, lang FROM (
+        |    SELECT doc_id, text, lang,
+        |      min(doc_id) OVER (PARTITION BY sha256(text)) AS keep FROM d0)
+        |  WHERE doc_id = keep),
+        |nf0 AS (
+        |  SELECT doc_id, text, lang,
+        |    trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t FROM ex),
+        |nf AS (
+        |  SELECT doc_id, text, lang,
+        |    list_reduce(
+        |      list_prepend(CAST(7 AS BIGINT),
+        |        list_transform(range(length(t)), i -> CAST(unicode(t[i+1]) AS BIGINT))),
+        |      (a, b) -> (31 * a + b) % 2147483647) AS fp
+        |  FROM nf0),
+        |nd AS (
+        |  SELECT doc_id, text, lang FROM (
+        |    SELECT doc_id, text, lang, min(doc_id) OVER (PARTITION BY fp) AS keep FROM nf)
+        |  WHERE doc_id = keep),
+        |qm AS (
+        |  SELECT doc_id, text, lang,
+        |    CASE WHEN length(text) = 0 THEN 0.0
+        |         ELSE CAST(length(regexp_replace(text, '[^[:punct:]]', '', 'g')) AS DOUBLE)
+        |              / CAST(length(text) AS DOUBLE) END AS punct_ratio,
+        |    CASE WHEN length(trim(text)) = 0 THEN 0.0
+        |         ELSE CAST(len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+        |                x -> list_contains(['the','a','an','and','or','of','to','in','is','it','that','this','for','on','with','as','at','by','be','are'], x))) AS DOUBLE)
+        |              / CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE) END AS stopword_ratio
+        |  FROM nd),
+        |q AS (
+        |  SELECT doc_id, text, lang FROM qm
+        |  WHERE floor((least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) * 0.4
+        |      + greatest(0.0, 1.0 - punct_ratio * 5.0) * 0.3
+        |      + least(stopword_ratio * 2.5, 1.0) * 0.3) * 1000000.0) / 1000000.0 >= 0.5),
+        |quo AS (
+        |  SELECT lang, CAST(floor(8.0 * sqrt(count(*))) AS INT) AS quota
+        |  FROM q GROUP BY lang),
+        |r AS (
+        |  SELECT doc_id, text, lang,
+        |    CAST(row_number() OVER (PARTITION BY lang
+        |      ORDER BY (doc_id * 2654435761) % 4294967296, doc_id) AS INT) AS mix_rank
+        |  FROM q),
+        |sel AS (
+        |  SELECT r.doc_id, r.text FROM r JOIN quo USING (lang) WHERE r.mix_rank <= quo.quota),
+        |t AS (
+        |  SELECT doc_id, doc_id % 8 AS shard,
+        |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+        |         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT) AS n_tokens
+        |  FROM sel),
+        |c AS (
+        |  SELECT doc_id, shard, n_tokens,
+        |    coalesce(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+        |  FROM t)
+        |SELECT shard, CAST(floor(cum_before / 512) AS BIGINT) AS bin_id,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+        |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+        |FROM c GROUP BY shard, bin_id
+        |ORDER BY shard, bin_id""".stripMargin,
 
     "ingest_pipeline_paged" ->
       """WITH pages AS (
