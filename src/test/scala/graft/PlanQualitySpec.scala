@@ -89,6 +89,14 @@ class PlanQualitySpec extends AnyFunSuite with SparkTestSession {
       s"theta interval join crept back:\n${p.take(800)}")
   }
 
+  test("pretrain pipeline: no nested-loop/cartesian anywhere in the five-stage lineage") {
+    val p = plan("pretrain_corpus_pipeline")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"quadratic join crept into the corpus pipeline:\n${p.take(800)}")
+    assert(p.contains("WindowGroupLimit") || p.contains("Window"),
+      "dedup keep-min windows expected")
+  }
+
   test("q1 aggregate is partial (map-side combine) before the shuffle") {
     val p = plan("q1_pricing_summary")
     assert(p.contains("partial_sum") || p.contains("HashAggregate"))
