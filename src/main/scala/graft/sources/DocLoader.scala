@@ -212,14 +212,15 @@ object DocLoader {
     */
   private def parseObjects(bytes: Array[Byte]): Map[Int, PdfObj] = {
     val s = new String(bytes, StandardCharsets.ISO_8859_1)
-    val objRe = "(\\d+)\\s+(\\d+)\\s+obj".r
+    // java Matcher.find(pos) walks the buffer without re-substringing it —
+    // a real PDF has thousands of objects and the naive substring loop is
+    // O(bytes × objects).
+    val objM = java.util.regex.Pattern.compile("(\\d+)\\s+(\\d+)\\s+obj").matcher(s)
     val out = mutable.Map.empty[Int, PdfObj]
     var pos = 0
-    var m = objRe.findFirstMatchIn(s.substring(pos))
-    while (m.isDefined) {
-      val mm = m.get
-      val objNum = mm.group(1).toInt
-      val bodyStart = pos + mm.end
+    while (objM.find(pos)) {
+      val objNum = objM.group(1).toInt
+      val bodyStart = objM.end
       val streamKw = s.indexOf("stream", bodyStart)
       val endobj = s.indexOf("endobj", bodyStart)
       if (endobj < 0) return out.toMap
@@ -251,7 +252,6 @@ object DocLoader {
         out(objNum) = PdfObj(s.substring(bodyStart, endobj), null)
         pos = endobj + "endobj".length
       }
-      m = objRe.findFirstMatchIn(s.substring(pos))
     }
     out.toMap
   }
