@@ -19,6 +19,7 @@ import graft.expressions.{CosineSimilarity, SplitChunks}
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => graft.plans.HammingJoinRewrite)
+    e.injectOptimizerRule(_ => graft.plans.RangeJoinRewrite)
     e.injectFunction((
       new FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
@@ -52,8 +53,10 @@ object GraftExtensions {
       (v: Seq[Float], nBits: Int) =>
         if (v == null) null
         else Integer.valueOf(graft.operators.Dedup.portableSignature(v, nBits)))
-    if (!spark.experimental.extraOptimizations.contains(graft.plans.HammingJoinRewrite))
-      spark.experimental.extraOptimizations =
-        spark.experimental.extraOptimizations :+ graft.plans.HammingJoinRewrite
+    Seq(graft.plans.HammingJoinRewrite, graft.plans.RangeJoinRewrite).foreach { rule =>
+      if (!spark.experimental.extraOptimizations.contains(rule))
+        spark.experimental.extraOptimizations =
+          spark.experimental.extraOptimizations :+ rule
+    }
   }
 }

@@ -738,6 +738,31 @@ object SparkEntry {
         .orderBy("band_id")
     }),
 
+    "j9_range_window_auto" -> ((s, dir) => {
+      // The OPTIMIZER-rule path for interval joins (RangeJoinRewrite,
+      // sibling of dedup_simhash_auto's Hamming rule): the join is
+      // written in the naive theta form — ts inside literal maintenance
+      // windows, some overlapping — and the rule turns the plan into the
+      // bucketed equi-join. The oracle stays the naive theta SQL;
+      // PlanQualitySpec asserts the nested-loop join is gone.
+      GraftExtensions.register(s)
+      import s.implicits._
+      val windows = Seq(
+        (0L, "2024-01-02 00:00:00", "2024-01-02 12:00:00"),
+        (1L, "2024-01-02 06:00:00", "2024-01-03 00:00:00"), // overlaps 0
+        (2L, "2024-01-10 00:00:00", "2024-01-11 00:00:00"),
+        (3L, "2024-01-20 18:00:00", "2024-01-21 06:00:00"),
+        (4L, "2024-01-29 00:00:00", "2024-02-01 00:00:00"))
+        .toDF("window_id", "ws", "we")
+        .select($"window_id", $"ws".cast("timestamp").as("w_start"),
+          $"we".cast("timestamp").as("w_end"))
+      Tables.events(s, dir)
+        .join(windows, col("ts") >= col("w_start") && col("ts") < col("w_end"))
+        .groupBy("window_id")
+        .agg(count(lit(1)).as("n_events"))
+        .orderBy("window_id")
+    }),
+
     "j8_interval_enrich" -> ((s, dir) => {
       // Batch analog of the stream–stream interval join
       // (Streams.enrichWithRecentEvents, spec-only until now): sampled
@@ -2138,6 +2163,18 @@ object SparkEntry {
         |  CAST(sum(CAST(round(p_retailprice * 10) AS BIGINT)) AS BIGINT) AS sum_deci
         |FROM part JOIN bands ON p_retailprice >= lo AND p_retailprice < hi
         |GROUP BY band_id ORDER BY band_id""".stripMargin,
+
+    "j9_range_window_auto" ->
+      """WITH w(window_id, w_start, w_end) AS (VALUES
+        |  (0, TIMESTAMP '2024-01-02 00:00:00', TIMESTAMP '2024-01-02 12:00:00'),
+        |  (1, TIMESTAMP '2024-01-02 06:00:00', TIMESTAMP '2024-01-03 00:00:00'),
+        |  (2, TIMESTAMP '2024-01-10 00:00:00', TIMESTAMP '2024-01-11 00:00:00'),
+        |  (3, TIMESTAMP '2024-01-20 18:00:00', TIMESTAMP '2024-01-21 06:00:00'),
+        |  (4, TIMESTAMP '2024-01-29 00:00:00', TIMESTAMP '2024-02-01 00:00:00'))
+        |SELECT CAST(window_id AS BIGINT) AS window_id,
+        |  CAST(count(*) AS BIGINT) AS n_events
+        |FROM events e JOIN w ON e.ts >= w.w_start AND e.ts < w.w_end
+        |GROUP BY window_id ORDER BY window_id""".stripMargin,
 
     "j8_interval_enrich" ->
       """SELECT q.event_id AS query_id, q.user_id, e.event_id, e.event_type

@@ -83,6 +83,12 @@ class PlanQualitySpec extends AnyFunSuite with SparkTestSession {
     assert(p.contains("BroadcastHashJoin"), s"expected bucket equi-join:\n${p.take(600)}")
   }
 
+  test("naively-written range window join is rewritten by RangeJoinRewrite") {
+    val p = plan("j9_range_window_auto")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"RangeJoinRewrite did not fire:\n${p.take(800)}")
+  }
+
   test("j8 interval enrich is a (user, bucket) equi-join, never a nested loop") {
     val p = plan("j8_interval_enrich")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
