@@ -583,7 +583,8 @@ object SparkEntry {
     }),
 
     "tfidf_top_terms" -> ((s, dir) => {
-      operators.TextRetrieval.tfidfTopTerms(Tables.documents(s, dir), k = 3)
+      operators.TextRetrieval.tfidfTopTerms(Tables.documents(s, dir), k = 3,
+        broadcastDf = Some(true)) // tiny vocabulary here, same as bm25_topk
         .orderBy("doc_id", "rank")
     }),
 

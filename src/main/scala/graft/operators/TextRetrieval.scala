@@ -109,12 +109,22 @@ object TextRetrieval {
     * (idf = ln(N/df); ties broken by term). The batch form of
     * keyword/topic extraction over a corpus.
     */
-  def tfidfTopTerms(docs: DataFrame, k: Int): DataFrame = {
+  def tfidfTopTerms(
+      docs: DataFrame,
+      k: Int,
+      // same contract as bm25TopK: None = AQE decides; Some(true) =
+      // caller asserts a broadcast-small vocabulary.
+      broadcastDf: Option[Boolean] = None): DataFrame = {
     val tf = termFrequencies(docs)
     val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val n = docs.agg(count(lit(1)).as("n_docs"))
+    val dfSide = broadcastDf match {
+      case Some(true)  => broadcast(df)
+      case Some(false) => df.hint("shuffle_merge")
+      case None        => df
+    }
     val scored = tf
-      .join(df, "term") // unhinted for the same billion-term reason as bm25
+      .join(dfSide, "term")
       .crossJoin(broadcast(n))
       .withColumn("score",
         TextAnalysis.floorScale(
