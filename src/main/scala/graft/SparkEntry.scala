@@ -955,6 +955,36 @@ object SparkEntry {
     //      content streams for PDF) and must come back byte-identical
     //      through the real extractor. The oracle hashes the original
     //      text, so any parsing defect breaks the hash match.
+    "o3_html_extract" -> ((s, dir) => {
+      // O-3 round trip: text wrapped in real HTML (entities escaped, a
+      // script block and comment injected as decoys) must come back
+      // byte-identical through the real tag/script/entity strip.
+      val roundTrip = udf { (t: String) =>
+        val escaped = t.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+        val html = "<html><head><style>p{color:red}</style>" +
+          "<script>var x = '<p>not text</p>';</script></head>" +
+          s"<body><!-- decoy --><p>$escaped</p></body></html>"
+        graft.sources.DocLoader.extractHtml(html.getBytes("UTF-8"))
+      }
+      Tables.documents(s, dir)
+        .select(col("doc_id"), sha2(roundTrip(col("text")), 256).as("text_hash"))
+        .orderBy("doc_id")
+    }),
+
+    "o4_format_dispatch" -> ((s, dir) => {
+      // O-4: extension → format tag incl. case-insensitivity and the
+      // filterable "unsupported" tag (reference raises,
+      // chroma_utils.py:70-71).
+      val ext = element_at(
+        array(lit(".pdf"), lit(".DOCX"), lit(".html"), lit(".txt"), lit(".Pdf")),
+        (col("doc_id") % 5 + 1).cast("int"))
+      Tables.documents(s, dir)
+        .select(col("doc_id"), concat(col("source"), ext).as("path"))
+        .select(col("doc_id"), col("path"),
+          graft.sources.DocLoader.formatOf(col("path")).as("format"))
+        .orderBy("doc_id")
+    }),
+
     "o2_docx_extract" -> ((s, dir) => {
       val roundTrip = udf((t: String) =>
         graft.sources.DocLoader.extractDocx(graft.sources.DocLoader.buildDocx(t)))
@@ -1715,6 +1745,22 @@ object SparkEntry {
         |  file_id, page, u.ci AS chunk_index, total_chunks, source_file,
         |  sha256(u.ct) AS chunk_hash
         |FROM c ORDER BY file_id, page, chunk_index""".stripMargin,
+
+    "o3_html_extract" ->
+      """SELECT doc_id, sha256(text) AS text_hash
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "o4_format_dispatch" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |    source || ['.pdf', '.DOCX', '.html', '.txt', '.Pdf'][CAST(doc_id % 5 + 1 AS INT)] AS path
+        |  FROM documents)
+        |SELECT doc_id, path,
+        |  CASE WHEN ends_with(lower(path), '.pdf') THEN 'pdf'
+        |       WHEN ends_with(lower(path), '.docx') THEN 'docx'
+        |       WHEN ends_with(lower(path), '.html') THEN 'html'
+        |       ELSE 'unsupported' END AS format
+        |FROM p ORDER BY doc_id""".stripMargin,
 
     // O-2/O-1 round trips: the oracle hashes the ORIGINAL text — equality
     // holds iff the Spark-side build→extract is the identity.
