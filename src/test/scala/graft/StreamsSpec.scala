@@ -174,6 +174,24 @@ class StreamsSpec extends AnyFunSuite with SparkTestSession {
     } finally query.stop()
   }
 
+  test("batch analog (Joins.recentEventsJoin) agrees with the streaming interval join") {
+    // same fixture rows as the streaming test above: the bucketed batch
+    // rewrite must select exactly the rows the watermarked stream join
+    // emitted (in-window, same user only).
+    val queries = Seq((ts("2024-01-01 10:02:00"), 1L, "what happened?"))
+      .toDF("q_ts", "user_id", "question")
+    val events = Seq(
+      (ts("2024-01-01 10:00:00"), 1L, "click"),
+      (ts("2024-01-01 09:50:00"), 1L, "old_click"),
+      (ts("2024-01-01 10:01:00"), 2L, "other_user"))
+      .toDF("ts", "user_id", "event_type")
+    val out = graft.operators.Joins
+      .recentEventsJoin(queries, events, lookbackSec = 300, bucketSec = 300)
+      .select("user_id", "event_type").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(out == Set((1L, "click")))
+  }
+
   test("streaming near-dup gate drops fingerprint twins, passes distinct docs") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Timestamp, Long, String)]
