@@ -13,7 +13,9 @@ object PlanAudit {
     val names = if (args.length > 1) args.drop(1).toSeq
       else Seq("q1_pricing_summary", "q3_top_revenue_orders", "q5_revenue_by_nation",
         "s1_history_last10", "t4_knn_cosine", "dedup_embedding_cosine",
-        "dedup_ngram_jaccard", "j3_dedup_gate", "o13_retention")
+        "dedup_ngram_jaccard", "j3_dedup_gate", "o13_retention",
+        "pretrain_corpus_pipeline", "j8_interval_enrich", "j9_range_window_auto",
+        "bm25_topk", "mix_temperature_sample")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

@@ -84,6 +84,12 @@ object Scale {
     * P(a true top-quota row is cut) is Chernoff-small (mean survivor count
     * is margin×quota); small strata where quota·margin ≥ n degrade to an
     * uncut rank, never to a wrong answer.
+    *
+    * The quota aggregation re-executes `docs`' lineage (DataFrames do not
+    * share common subplans across actions-in-one-plan) — when `docs` is
+    * itself an expensive derivation (e.g. the dedup stages of a corpus
+    * pipeline), persist or checkpoint it upstream so the corpus is read
+    * once, not twice.
     */
   def temperatureMixSample(
       docs: DataFrame,
