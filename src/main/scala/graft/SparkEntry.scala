@@ -849,6 +849,43 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    "o9_upsert_replace" -> ((s, dir) => {
+      // O-9: the re-index path — re-ingested documents REPLACE their old
+      // chunk set entirely (the "v2 " prefix lengthens the text, so the
+      // new chunk count differs and any lingering old row would break the
+      // hash). Store.upsertByKey = anti-join on file_id + union.
+      val docs = Tables.documents(s, dir)
+      val catalog = Ingest
+        .chunkStrided(docs.filter(col("doc_id") < 30), chunkSize = 100, overlap = 20)
+        .withColumn("version", lit(1))
+      val updates = Ingest.chunkStrided(
+        docs.filter(col("doc_id") >= 10 && col("doc_id") < 20)
+          .withColumn("text", concat(lit("v2 "), col("text"))),
+        chunkSize = 100, overlap = 20)
+        .withColumn("version", lit(2))
+      operators.Store.upsertByKey(catalog, updates, "file_id")
+        .select(col("chunk_id"), col("file_id"), col("chunk_index"),
+          col("version"), sha2(col("chunk_text"), 256).as("chunk_hash"))
+        .orderBy("file_id", "chunk_index")
+    }),
+
+    "o6_json_roundtrip" -> ((s, dir) => {
+      // O-6/O-14 semantic core without filesystem I/O: session records
+      // serialized to the localStorage JSON shape and parsed back must
+      // reproduce every field (micros-precision timestampFormat on BOTH
+      // directions — the default format would silently truncate).
+      val jsonOpts = Map("timestampFormat" -> "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX")
+      val schema = org.apache.spark.sql.types.StructType.fromDDL(
+        "user_id BIGINT, message_count BIGINT, first_at TIMESTAMP, last_at TIMESTAMP")
+      Sessions.sessionStats(Tables.events(s, dir))
+        .select(to_json(
+          struct(col("user_id"), col("message_count"), col("first_at"), col("last_at")),
+          jsonOpts).as("js"))
+        .select(from_json(col("js"), schema, jsonOpts).as("r"))
+        .select("r.user_id", "r.message_count", "r.first_at", "r.last_at")
+        .orderBy("user_id")
+    }),
+
     "o11_delete_where" -> ((s, dir) => {
       // O-11 as a registry query (previously spec-only): delete-by-
       // predicate keeps the complement, same shape as the reference's
@@ -1651,6 +1688,46 @@ object SparkEntry {
       """SELECT event_id, user_id, event_type FROM events
         |WHERE NOT (event_type = 'error' OR value < 0.2)
         |ORDER BY event_id""".stripMargin,
+
+    "o9_upsert_replace" ->
+      """WITH cat0 AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id < 30),
+        |up0 AS (
+        |  SELECT doc_id, 'v2 ' || text AS text FROM documents
+        |  WHERE doc_id >= 10 AND doc_id < 20),
+        |catn AS (
+        |  SELECT doc_id, text,
+        |    CASE WHEN length(text) <= 0 THEN 0
+        |         WHEN length(text) <= 100 THEN 1
+        |         ELSE CAST(floor((length(text) - 21) / 80.0) AS INT) + 1 END AS total_chunks
+        |  FROM cat0),
+        |upn AS (
+        |  SELECT doc_id, text,
+        |    CASE WHEN length(text) <= 0 THEN 0
+        |         WHEN length(text) <= 100 THEN 1
+        |         ELSE CAST(floor((length(text) - 21) / 80.0) AS INT) + 1 END AS total_chunks
+        |  FROM up0),
+        |catc AS (
+        |  SELECT doc_id AS file_id, CAST(1 AS INT) AS version,
+        |    unnest(list_transform(range(total_chunks),
+        |      i -> struct_pack(ci := CAST(i AS INT), ct := substr(text, CAST(i * 80 + 1 AS INT), 100)))) AS u
+        |  FROM catn WHERE total_chunks > 0),
+        |upc AS (
+        |  SELECT doc_id AS file_id, CAST(2 AS INT) AS version,
+        |    unnest(list_transform(range(total_chunks),
+        |      i -> struct_pack(ci := CAST(i AS INT), ct := substr(text, CAST(i * 80 + 1 AS INT), 100)))) AS u
+        |  FROM upn WHERE total_chunks > 0),
+        |merged AS (
+        |  SELECT * FROM catc WHERE file_id NOT IN (SELECT DISTINCT file_id FROM upc)
+        |  UNION ALL SELECT * FROM upc)
+        |SELECT CAST(file_id AS VARCHAR) || '_' || CAST(u.ci AS VARCHAR) AS chunk_id,
+        |  file_id, u.ci AS chunk_index, version, sha256(u.ct) AS chunk_hash
+        |FROM merged ORDER BY file_id, chunk_index""".stripMargin,
+
+    "o6_json_roundtrip" ->
+      """SELECT user_id, count(*) AS message_count,
+        |  min(ts) AS first_at, max(ts) AS last_at
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     // The five stages reuse the exact SQL shapes already proven green by
     // t6_exact_dedup / text_fingerprint_mod / text_quality /

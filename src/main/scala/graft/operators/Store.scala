@@ -27,6 +27,16 @@ object Store {
   def deleteByKey(table: DataFrame, keyCol: String, keys: DataFrame): DataFrame =
     table.join(keys.select(keyCol).distinct(), Seq(keyCol), "left_anti")
 
+  /** O-9: upsert — replace ALL existing rows of every key present in
+    * `updates`, then append the update rows (the reference's re-index
+    * path: delete_doc_from_chroma + index_document_to_chroma,
+    * chroma_utils.py:146-235, so a re-ingested file's old chunk set
+    * cannot linger). Anti-join + union: both sides hash-partition on the
+    * key at scale, no broadcast requirement.
+    */
+  def upsertByKey(table: DataFrame, updates: DataFrame, keyCol: String): DataFrame =
+    deleteByKey(table, keyCol, updates.select(keyCol)).unionByName(updates)
+
   /** O-11: delete by predicate (chroma_utils.py:146-184) — keep the rest. */
   def deleteWhere(table: DataFrame, predicate: org.apache.spark.sql.Column): DataFrame =
     table.filter(!predicate)
