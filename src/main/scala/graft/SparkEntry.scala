@@ -536,6 +536,23 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "text_length_quantiles" -> ((s, dir) => {
+      // Corpus length-distribution rollup (the stats that size packing
+      // budgets and truncation limits): EXACT interpolated percentiles
+      // via Spark's `percentile` (not approx_percentile — the oracle
+      // must match bit-for-bit; both engines use the (n-1)·p linear
+      // interpolation definition).
+      val toks = Tables.documents(s, dir)
+        .select(TextAnalysis.tokenCount(col("text")).cast("double").as("n_tokens"))
+      toks.agg(
+        count(lit(1)).as("n_docs"),
+        round(avg("n_tokens"), 6).as("mean_tokens"),
+        round(expr("percentile(n_tokens, 0.5)"), 6).as("p50"),
+        round(expr("percentile(n_tokens, 0.9)"), 6).as("p90"),
+        round(expr("percentile(n_tokens, 0.99)"), 6).as("p99"),
+        max("n_tokens").cast("long").as("max_tokens"))
+    }),
+
     "text_tokens" -> ((s, dir) => {
       Tables.documents(s, dir).select(
         col("doc_id"),
@@ -2520,6 +2537,19 @@ object SparkEntry {
         |GROUP BY c.doc_id, b.bench_id
         |HAVING count(*) >= 3
         |ORDER BY c.doc_id, b.bench_id""".stripMargin,
+
+    "text_length_quantiles" ->
+      """WITH t AS (
+        |  SELECT CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+        |       ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS DOUBLE) AS n_tokens
+        |  FROM documents)
+        |SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |  round(avg(n_tokens), 6) AS mean_tokens,
+        |  round(quantile_cont(n_tokens, 0.5), 6) AS p50,
+        |  round(quantile_cont(n_tokens, 0.9), 6) AS p90,
+        |  round(quantile_cont(n_tokens, 0.99), 6) AS p99,
+        |  CAST(max(n_tokens) AS BIGINT) AS max_tokens
+        |FROM t""".stripMargin,
 
     "text_tokens" ->
       """SELECT doc_id,
