@@ -671,6 +671,22 @@ object SparkEntry {
         .orderBy("user_id", "event_id")
     }),
 
+    "w5_moving_avg" -> ((s, dir) => {
+      // ROWS-frame sliding aggregate (trailing 6-event moving average per
+      // user) — the running-metric window the reference's live dashboard
+      // implies. Values quantized to integer millis BEFORE the frame sum:
+      // integer sliding sums are order-exact in any engine, where a float
+      // frame sum would diverge between Spark's add/remove incremental
+      // evaluation and the oracle's.
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-5, 0)
+      Tables.events(s, dir)
+        .withColumn("v_mil", floor(col("value") * 1000).cast("long"))
+        .withColumn("avg_v_mil", round(avg("v_mil").over(w), 6))
+        .select("user_id", "event_id", "avg_v_mil")
+        .orderBy("user_id", "event_id")
+    }),
+
     "w2_rollup_daily" -> ((s, dir) => {
       Tables.events(s, dir)
         .withColumn("day", to_date(col("ts")).cast("string"))
@@ -2246,6 +2262,13 @@ object SparkEntry {
         |JOIN orders ON l_orderkey = o_orderkey
         |ORDER BY o_totalprice DESC, o_orderkey
         |LIMIT 20""".stripMargin,
+
+    "w5_moving_avg" ->
+      """SELECT user_id, event_id,
+        |  round(avg(CAST(floor(value * 1000) AS BIGINT)) OVER (
+        |    PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN 5 PRECEDING AND CURRENT ROW), 6) AS avg_v_mil
+        |FROM events ORDER BY user_id, event_id""".stripMargin,
 
     "w1_event_gaps" ->
       """SELECT user_id, event_id,
