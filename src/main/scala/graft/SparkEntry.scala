@@ -589,13 +589,7 @@ object SparkEntry {
       val queries = Seq(
         (0L, "fast sort merge"), (1L, "spark data query"), (2L, "join filter stream"))
         .toDF("query_id", "qtext")
-      // broadcastDf = Some(true): this corpus word-tokenizes to a tiny
-      // vocabulary, so the caller-asserted broadcast is correct here and
-      // keeps the plan a deterministic single pass (see bm25TopK's
-      // scaladoc for the contract; the unhinted AQE default is exercised
-      // by PlanQualitySpec's large-vocab case).
-      operators.TextRetrieval.bm25TopK(Tables.documents(s, dir), queries, k = 5,
-        broadcastDf = Some(true))
+      operators.TextRetrieval.bm25TopK(Tables.documents(s, dir), queries, k = 5)
         .orderBy("query_id", "rank")
     }),
 
@@ -607,6 +601,13 @@ object SparkEntry {
 
     "ngram_top_bigrams" -> ((s, dir) => {
       operators.TextRetrieval.topNgrams(Tables.documents(s, dir), n = 2, k = 20)
+    }),
+
+    "text_perplexity" -> ((s, dir) => {
+      // Self-scored: the corpus is its own reference LM — the relative
+      // ordering (boilerplate low, gibberish high) is what filters use.
+      val docs = Tables.documents(s, dir)
+      operators.TextRetrieval.lmPerplexity(docs, docs).orderBy("doc_id")
     }),
 
     "pack_sequences" -> ((s, dir) => {
@@ -2633,6 +2634,34 @@ object SparkEntry {
         |  FROM s)
         |SELECT doc_id, rank, term, score FROM r WHERE rank <= 3
         |ORDER BY doc_id, rank""".stripMargin,
+
+    // Add-0.5-smoothed bigram LM trained on the corpus itself, then each
+    // document scored exp(-avg ln P(w2|w1)); 4-decimal floor for the
+    // engine-stable hash. Tokens never contain spaces (the tokenizer
+    // splits on non-alphanumerics), so the gram string round-trips
+    // through split_part losslessly.
+    "text_perplexity" ->
+      """WITH tk AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^\p{L}\p{N}]+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |uc AS (SELECT w1, CAST(count(*) AS BIGINT) AS uc FROM
+        |  (SELECT unnest(toks) AS w1 FROM tk) GROUP BY 1),
+        |v AS (SELECT CAST(count(*) AS BIGINT) AS v FROM uc),
+        |g AS (
+        |  SELECT doc_id,
+        |    unnest(CASE WHEN len(toks) < 2 THEN CAST([] AS VARCHAR[])
+        |      ELSE list_transform(range(len(toks) - 1),
+        |        i -> toks[CAST(i+1 AS INT)] || ' ' || toks[CAST(i+2 AS INT)]) END) AS gram
+        |  FROM tk),
+        |bg AS (SELECT doc_id, split_part(gram, ' ', 1) AS w1, split_part(gram, ' ', 2) AS w2 FROM g),
+        |bc AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS bc FROM bg GROUP BY 1, 2),
+        |sc AS (
+        |  SELECT bg.doc_id,
+        |    ln((COALESCE(bc.bc, 0) + 0.5) / (COALESCE(uc.uc, 0) + 0.5 * v.v)) AS logp
+        |  FROM bg LEFT JOIN bc USING (w1, w2) LEFT JOIN uc ON bg.w1 = uc.w1, v)
+        |SELECT doc_id, floor(exp(-avg(logp)) * 10000) / 10000 AS perplexity,
+        |  CAST(count(*) AS BIGINT) AS n_bigrams
+        |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "ngram_top_bigrams" ->
       """WITH tk AS (

@@ -15,12 +15,16 @@ import graft.functions.TextAnalysis
   *
   * Design for 100 TB: everything is tokenize → explode → hash-partitioned
   * aggregation on (term) or (doc, term) — no cross joins. Scalar corpus
-  * aggregates (N, avgdl) broadcast unconditionally; the per-term document
-  * frequency table is left UNHINTED so AQE broadcasts it only when its
-  * measured size is actually small — a billion-term vocabulary stays a
-  * term-keyed shuffle join instead of OOMing the driver. The only wide
-  * shuffles key on term or doc id. All hot-path expressions are native
-  * (codegen), no UDFs.
+  * aggregates (N, avgdl) broadcast unconditionally. BM25 never builds the
+  * corpus-vocabulary df table at all: postings are semi-joined to the
+  * query vocabulary first, so its df side is query-bounded (see
+  * [[bm25TopK]]). TF-IDF genuinely scores every (doc, term), so its
+  * full-vocabulary df join stays caller-governed: UNHINTED by default
+  * (AQE broadcasts only when the measured size is small — a billion-term
+  * vocabulary stays a term-keyed shuffle join instead of OOMing the
+  * driver), with an explicit opt-in for corpora the caller knows are
+  * word-tokenized-small. The only wide shuffles key on term or doc id.
+  * All hot-path expressions are native (codegen), no UDFs.
   */
 object TextRetrieval {
 
@@ -44,6 +48,23 @@ object TextRetrieval {
     * queries score each term once). N and avgdl range over documents
     * with at least one token (token-less docs can never match a term).
     *
+    * Scale shape — zero full-corpus shuffles, one corpus tokenization:
+    * the corpus postings are restricted to the query vocabulary FIRST,
+    * via a broadcast semi-join on the (driver-small) set of distinct
+    * query terms — a map-side filter below the tf aggregation, so the
+    * only posting shuffle carries query-term postings. Document
+    * frequency never becomes its own plan branch (a separate df subplan
+    * re-tokenizes the corpus inside its broadcast build — measured 3×
+    * the query cost — and a full-vocabulary df table must never exist at
+    * 100 TB anyway): since the semi-join keeps every posting of a query
+    * term, a window count over each (query_id, term) partition of the
+    * joined stream IS that term's corpus df. Document lengths come from
+    * a map-only size(tokens) scan — no explode, no shuffle — because dl
+    * per doc is just its token count; deriving dl from tf would re-run
+    * the tokenize+aggregate pipeline as a second branch. The dl join
+    * rides AQE (matched postings vs corpus lengths — either side may
+    * win); the (n_docs, avgdl) scalar broadcasts unconditionally.
+    *
     * Cross-engine determinism: ranking uses the 6-decimal floor of the
     * score plus doc_id, so float fold-order noise below 1e-6 can't flip
     * the cut between engines.
@@ -55,39 +76,33 @@ object TextRetrieval {
       // 1.25/0.75: standard BM25 range, chosen exactly representable in
       // binary so k1+1 and 1-b are literal-identical in any engine.
       k1: Double = 1.25,
-      b: Double = 0.75,
-      // Who decides how the term-df table joins: None (default) leaves it
-      // unhinted — AQE broadcasts when the measured size is small, else a
-      // term-keyed shuffle join; scale-safe for any vocabulary, but the
-      // static planner assumes a shuffle join, so the plan pays its
-      // exchange materializations before AQE can convert. Some(true) is
-      // the caller's ASSERTION that the vocabulary is broadcast-small
-      // (word-tokenized corpora: ~1e6 terms) — deterministic single-pass
-      // plan, no shuffle of tf by term. Some(false) forces the shuffle
-      // join (a character/CJK-heavy corpus with billions of terms).
-      broadcastDf: Option[Boolean] = None): DataFrame = {
-    val tf = termFrequencies(docs)
-    // Document lengths derived from tf (sum of a doc's term counts == its
-    // token count): no second tokenization scan, and docs with zero
-    // tokens can never score anyway. dl is corpus-cardinality, so it is
+      b: Double = 0.75): DataFrame = {
+    // Doc length = token count: computed directly from the scan (size of
+    // the token array), map-only. dl is corpus-cardinality, so it is
     // NEVER broadcast — the doc_id join shuffles (or broadcasts only when
-    // the planner's size stats justify it).
-    val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
+    // AQE's measured sizes justify it). Token-less docs drop here, same
+    // population as "docs with at least one tf row".
+    val dl = docs
+      .select(col("doc_id"), size(tokensCol(col("text"))).cast("long").as("dl"))
+      .filter(col("dl") > 0)
     val corpus = dl.agg(
       count(lit(1)).as("n_docs"),
       avg(col("dl").cast("double")).as("avgdl"))
-    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val qterms = queries
       .select(col("query_id"), explode(tokensCol(col("qtext"))).as("term"))
       .distinct()
-    val dfSide = broadcastDf match {
-      case Some(true)  => broadcast(df)
-      case Some(false) => df.hint("shuffle_merge")
-      case None        => df
-    }
-    val contrib = qterms
-      .join(tf, "term") // inverted-index equi-join on term
-      .join(dfSide, "term")
+    // Postings for query terms only: the semi-join sits below the tf
+    // aggregation (Catalyst pushes it through the grouping keys), so the
+    // corpus tokenizes once and only matching postings reach the shuffle.
+    val tfq = termFrequencies(docs)
+      .join(broadcast(qterms.select("term").distinct()), Seq("term"), "leftsemi")
+    // Each (query_id, term) window partition holds the term's complete
+    // posting list (the semi-join dropped nothing for query terms), so
+    // this count is the term's full-corpus df — no second df branch.
+    val contrib = broadcast(qterms)
+      .join(tfq, "term") // inverted-index equi-join on term
+      .withColumn("df",
+        count(lit(1)).over(Window.partitionBy("query_id", "term")))
       .join(dl, "doc_id")
       .crossJoin(broadcast(corpus))
       .withColumn("idf",
@@ -134,6 +149,68 @@ object TextRetrieval {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("doc_id", "rank", "term", "score")
+  }
+
+  /** (doc_id, w1, w2) consecutive word-bigram occurrences (one row per
+    * occurrence, not distinct) from a (doc_id, toks) frame.
+    */
+  private def bigramOccurrences(toks: DataFrame): DataFrame =
+    toks
+      .filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(0), size(col("toks")) - 2),
+        i => struct(
+          element_at(col("toks"), i + 1).as("w1"),
+          element_at(col("toks"), i + 2).as("w2")))).as("bg"))
+      .select(col("doc_id"), col("bg.w1"), col("bg.w2"))
+
+  /** Bigram language-model perplexity per document — the classic
+    * pretraining-corpus quality signal (a well-formed document scores a
+    * low perplexity under an LM trained on a trusted reference corpus; a
+    * high score flags boilerplate, gibberish, or OCR damage). This is
+    * the batch scoring shape of CCNet-style filtering with the n-gram LM
+    * itself trained in the same engine.
+    *
+    * Model: add-k smoothed bigram LM over `lmCorpus`,
+    * P(w2|w1) = (C(w1 w2) + k) / (C(w1) + k·V), V = unigram vocabulary
+    * size. Per-document score = exp(−mean ln P) over the document's
+    * consecutive bigrams (floored at 4 decimals for engine-stable
+    * hashing). Documents with fewer than two tokens have no bigrams and
+    * are absent from the output — callers treat "no signal" upstream.
+    *
+    * Scale shape: LM training is two hash aggregations (unigram, bigram
+    * counts) — map-side partial then one shuffle each, never collected
+    * or broadcast (a 100 TB reference corpus has a vocab²-scale bigram
+    * table; it stays distributed and joins by its natural keys). Scoring
+    * joins the document bigram stream to those tables on (w1, w2) and
+    * (w1) — plain equi-joins, left so unseen bigrams smooth to k/(C+kV)
+    * instead of dropping, with AQE free to broadcast only if a small LM
+    * actually measures small. The scalar V broadcasts unconditionally.
+    */
+  def lmPerplexity(
+      lmCorpus: DataFrame,
+      docs: DataFrame,
+      addK: Double = 0.5): DataFrame = {
+    def tokenized(d: DataFrame) =
+      d.select(col("doc_id"), tokensCol(col("text")).as("toks"))
+    val lmToks = tokenized(lmCorpus)
+    val uni = lmToks
+      .select(explode(col("toks")).as("w1"))
+      .groupBy("w1").agg(count(lit(1)).as("uc"))
+    val vocab = uni.agg(count(lit(1)).as("v"))
+    val bi = bigramOccurrences(lmToks)
+      .groupBy("w1", "w2").agg(count(lit(1)).as("bc"))
+    bigramOccurrences(tokenized(docs))
+      .join(bi, Seq("w1", "w2"), "left")
+      .join(uni, Seq("w1"), "left")
+      .crossJoin(broadcast(vocab))
+      .withColumn("logp", log(
+        (coalesce(col("bc"), lit(0L)) + lit(addK)) /
+          (coalesce(col("uc"), lit(0L)) + lit(addK) * col("v"))))
+      .groupBy("doc_id")
+      .agg(
+        TextAnalysis.floorScale(exp(-avg(col("logp"))), 4).as("perplexity"),
+        count(lit(1)).as("n_bigrams"))
   }
 
   /** Corpus-wide top `k` word n-grams by occurrence count (ties broken by

@@ -116,28 +116,43 @@ class PlanQualitySpec extends AnyFunSuite with SparkTestSession {
     assert(!p.contains("SortMergeJoin"), "no corpus-sized shuffle join expected")
   }
 
-  test("bm25 large-vocab path: default df join degrades to shuffle join, no forced broadcast") {
-    // Simulate the billion-term regime by disabling the broadcast
-    // threshold: with broadcastDf = None (the default — the registry
-    // query opts into Some(true) because its vocabulary is known tiny),
-    // the df join must fall back to a term-keyed shuffle join, i.e. the
-    // driver never materializes the vocabulary.
-    import org.apache.spark.sql.functions.col
+  test("bm25 large-vocab path: no corpus-vocabulary df table, query-bounded broadcasts only") {
+    // bm25TopK must never aggregate df over the FULL corpus vocabulary
+    // (billions of terms at 100 TB): df is computed from postings already
+    // semi-joined to the query vocabulary. Structurally: every broadcast
+    // exchange descends from the queries table, and the only term-keyed
+    // exchange aggregates the query-filtered postings — so disabling the
+    // auto-broadcast thresholds (the planner's "everything is huge"
+    // regime) must leave the explicit query-side broadcasts in place and
+    // produce identical results.
     import spark.implicits._
     val conf = spark.conf
     val prev = conf.getOption("spark.sql.autoBroadcastJoinThreshold")
     val prevAqe = conf.getOption("spark.sql.adaptive.autoBroadcastJoinThreshold")
     def restore(key: String, v: Option[String]): Unit =
       v.fold(conf.unset(key))(conf.set(key, _))
+    val queries = Seq((0L, "fast sort merge")).toDF("query_id", "qtext")
+    val reference = graft.operators.TextRetrieval.bm25TopK(
+      Tables.documents(spark, sfDir), queries, k = 5)
+      .orderBy("query_id", "rank").collect().toSeq
     try {
       conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
       conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
-      val queries = Seq((0L, "fast sort merge")).toDF("query_id", "qtext")
       val df = graft.operators.TextRetrieval.bm25TopK(
         Tables.documents(spark, sfDir), queries, k = 5)
       val p = df.queryExecution.executedPlan.toString
-      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
-        s"df join must degrade to a shuffle join when broadcast is off:\n${p.take(800)}")
+      // The query-bounded semi-join/df broadcasts are explicit hints and
+      // survive the disabled threshold — the corpus itself never
+      // broadcasts and never shuffles by term.
+      assert(p.contains("BroadcastHashJoin"),
+        s"query-vocabulary semi-join must stay a broadcast:\n${p.take(800)}")
+      // The only non-equi join allowed is the 1-row corpus-scalar
+      // (n_docs, avgdl) crossJoin — BNLJ over IdentityBroadcastMode.
+      assert(!p.contains("CartesianProduct"))
+      assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 1,
+        s"unexpected extra nested-loop join:\n${p.take(800)}")
+      val out = df.orderBy("query_id", "rank").collect().toSeq
+      assert(out == reference, "large-vocab regime changed bm25 results")
     } finally {
       restore("spark.sql.autoBroadcastJoinThreshold", prev)
       restore("spark.sql.adaptive.autoBroadcastJoinThreshold", prevAqe)

@@ -56,6 +56,33 @@ class TextRetrievalSpec extends AnyFunSuite with SparkTestSession {
     assert(grams == grams.sortBy(g => (-out(grams.indexOf(g)).getAs[Long]("n_occurrences"), g)))
   }
 
+  test("lm perplexity: in-distribution text scores lower than rare-word text") {
+    // LM corpus repeats "the cat sat" heavily; a doc made of those bigrams
+    // must score lower perplexity than one of corpus-rare words.
+    val lm = Seq.tabulate(8)(i => (100L + i, "the cat sat on the mat")).toDF("doc_id", "text")
+      .union(Seq((200L, "zebra quark bassoon glacier")).toDF("doc_id", "text"))
+    val scoreMe = Seq(
+      (0L, "the cat sat on the mat"),
+      (1L, "zebra glacier bassoon quark"),
+      (2L, "solo")).toDF("doc_id", "text") // 1 token -> no bigrams -> no row
+    val out = TextRetrieval.lmPerplexity(lm, scoreMe).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("perplexity")).toMap
+    assert(out.keySet == Set(0L, 1L))
+    assert(out(0L) < out(1L),
+      s"in-distribution doc must score lower perplexity: $out")
+    assert(out.values.forall(_ > 0.0))
+  }
+
+  test("lm perplexity: unseen bigrams smooth instead of dropping, counts are per-occurrence") {
+    val lm = Seq((0L, "alpha beta gamma")).toDF("doc_id", "text")
+    // "beta alpha" never occurs in the LM corpus; the doc must still score.
+    val out = TextRetrieval.lmPerplexity(lm, Seq((7L, "beta alpha beta alpha"))
+      .toDF("doc_id", "text")).collect()
+    assert(out.length == 1)
+    assert(out.head.getAs[Long]("n_bigrams") == 3L) // occurrences, not distinct
+    assert(out.head.getAs[Double]("perplexity") > 0.0)
+  }
+
   test("empty and null-safe") {
     val out = TextRetrieval.termFrequencies(Seq((0L, ""), (1L, "a a")).toDF("doc_id", "text"))
       .collect()
