@@ -34,7 +34,18 @@ object TextRetrieval {
   def tokensCol(text: Column): Column =
     filter(split(lower(text), "[^\\p{L}\\p{N}]+"), t => t =!= "")
 
-  /** (doc_id, term, tf) term frequencies. */
+  /** (doc_id, term, tf) term frequencies.
+    *
+    * A query that consumes tf twice (e.g. TF-IDF's scored stream + df
+    * build) tokenizes the corpus once per branch: ReuseExchange cannot
+    * merge the branches because the optimizer prunes the unused count
+    * from the df branch (its exchange carries a distinct, the stream's
+    * carries counts — structurally different subplans). That second
+    * pass is an embarrassingly-parallel CPU cost with no memory or skew
+    * hazard; pipelines that iterate over term stats should materialize
+    * tf once (as [[graft.operators.Scale]]'s layout helpers do) instead
+    * of relying on plan-level sharing.
+    */
   def termFrequencies(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), explode(tokensCol(col("text"))).as("term"))
       .groupBy("doc_id", "term")
