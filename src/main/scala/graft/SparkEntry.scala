@@ -356,6 +356,17 @@ object SparkEntry {
         .orderBy("doc_a", "doc_b")
     }),
 
+    "dedup_incremental" -> ((s, dir) => {
+      // Daily-crawl shape: docs < 150 are the standing corpus, 150-299
+      // the new batch; each batch doc is admitted unless it near-dups
+      // the corpus or a lower-id batch sibling.
+      val docs = Tables.documents(s, dir)
+      Dedup.incrementalAdmit(
+        docs.filter(col("doc_id") < 150),
+        docs.filter(col("doc_id") >= 150 && col("doc_id") < 300))
+        .orderBy("doc_id")
+    }),
+
     "dedup_simhash" -> ((s, dir) => {
       // maxHamming 2 of 31 bits: the synthetic docs share vocabulary so
       // random pairs center at distance ~7; 2 keeps the output a
@@ -1284,6 +1295,17 @@ object SparkEntry {
         .filter(col("sample_rank") <= 10)
         .select("source", "sample_rank", "doc_id", "lang")
         .orderBy("source", "sample_rank")
+    }),
+
+    "sample_weighted" -> ((s, dir) => {
+      // Quality-weighted subsample: the composite quality score is the
+      // A-Res weight, so better documents are proportionally likelier
+      // to survive while the draw stays deterministic (hashed doc_id in
+      // place of randomness).
+      operators.Scale.weightedSample(Tables.documents(s, dir), "doc_id",
+        TextAnalysis.qualityScore(col("text")), k = 25)
+        .select("doc_id", "skey", "weight", "lang", "source")
+        .orderBy(col("skey").desc, col("doc_id"))
     }),
 
     // ---- train/val/test sharding + repetition quality rule
@@ -2493,6 +2515,31 @@ object SparkEntry {
         |WHERE sample_rank <= 10
         |ORDER BY source, sample_rank""".stripMargin,
 
+    // A-Res weighted sampling: weight = the text_quality composite score
+    // (replicated below), u = the same fixed doc_id hash as
+    // sample_stratified mapped into (0,1), key = ln(u)/weight floored at
+    // 6 decimals, top-25 by key with doc_id tiebreak.
+    "sample_weighted" ->
+      """WITH q AS (
+        |  SELECT doc_id, lang, source,
+        |    floor((least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) * 0.4
+        |      + greatest(0.0, 1.0 - (CASE WHEN length(text) = 0 THEN 0.0
+        |          ELSE CAST(length(regexp_replace(text, '[^[:punct:]]', '', 'g')) AS DOUBLE)
+        |               / CAST(length(text) AS DOUBLE) END) * 5.0) * 0.3
+        |      + least((CASE WHEN length(trim(text)) = 0 THEN 0.0
+        |          ELSE CAST(len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+        |                 x -> list_contains(['the','a','an','and','or','of','to','in','is','it','that','this','for','on','with','as','at','by','be','are'], x))) AS DOUBLE)
+        |               / CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE) END) * 2.5, 1.0) * 0.3)
+        |      * 1000000.0) / 1000000.0 AS weight
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, lang, source, weight,
+        |    floor(ln(((doc_id * 2654435761) % 4294967296 + 1) / 4294967297.0) / weight
+        |      * 1000000.0) / 1000000.0 AS skey
+        |  FROM q WHERE weight > 0)
+        |SELECT doc_id, skey, weight, lang, source FROM s
+        |ORDER BY skey DESC, doc_id LIMIT 25""".stripMargin,
+
     "sample_split" ->
       """WITH b AS (
         |  SELECT *, (doc_id * 2654435761) % 1000 AS bucket FROM documents)
@@ -2882,6 +2929,58 @@ object SparkEntry {
         |FROM cand
         |WHERE CAST(len(list_filter(range(16), i -> sig_a[CAST(i+1 AS INT)] = sig_b[CAST(i+1 AS INT)])) AS DOUBLE) / 16.0 >= 0.5
         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // Same portable MinHash signature machinery as dedup_minhash_lsh,
+    // split into a standing corpus (doc_id < 150) and a new batch
+    // (150-299): a batch doc is blocked by its smallest >=0.5-estimated-
+    // Jaccard match among corpus docs and lower-id batch siblings.
+    "dedup_incremental" ->
+      """WITH t AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^\p{L}\p{N}]+'), x -> x <> '') AS toks
+        |  FROM documents WHERE doc_id < 300),
+        |sh AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(toks) = 0 THEN CAST([] AS VARCHAR[])
+        |         WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+        |         ELSE list_transform(range(len(toks) - 2),
+        |           i -> toks[CAST(i+1 AS INT)] || ' ' || toks[CAST(i+2 AS INT)] || ' ' || toks[CAST(i+3 AS INT)]) END AS shingles
+        |  FROM t),
+        |hs AS (
+        |  SELECT doc_id,
+        |    list_transform(shingles, s ->
+        |      list_reduce(
+        |        list_prepend(CAST(7 AS BIGINT),
+        |          list_transform(range(length(s)), i -> CAST(unicode(s[CAST(i+1 AS INT)]) AS BIGINT))),
+        |        (a, b) -> (31 * a + b) % 2147483647)) AS hashes
+        |  FROM sh),
+        |sg AS (
+        |  SELECT doc_id,
+        |    list_transform(range(16), k -> coalesce(
+        |      list_min(list_transform(hashes,
+        |        h -> ((48271 * (k + 1)) % 2147483647 * h + (16807 * (k + 1) + 11) % 2147483647) % 2147483647)),
+        |      2147483647)) AS sig
+        |  FROM hs),
+        |bd AS (
+        |  SELECT doc_id, sig, unnest(range(4)) AS b FROM sg),
+        |bd2 AS (
+        |  SELECT doc_id, sig, b, sig[CAST(4*b+1 AS INT):CAST(4*b+4 AS INT)] AS band FROM bd),
+        |corp AS (SELECT * FROM bd2 WHERE doc_id < 150),
+        |batch AS (SELECT * FROM bd2 WHERE doc_id >= 150),
+        |cand AS (
+        |  SELECT DISTINCT n.doc_id AS doc_id, o.doc_id AS blocker, n.sig AS sig_a, o.sig AS sig_b
+        |  FROM batch n JOIN corp o ON n.b = o.b AND n.band = o.band
+        |  UNION
+        |  SELECT DISTINCT b2.doc_id AS doc_id, a.doc_id AS blocker, b2.sig AS sig_a, a.sig AS sig_b
+        |  FROM batch a JOIN batch b2 ON a.b = b2.b AND a.band = b2.band AND a.doc_id < b2.doc_id),
+        |blk AS (
+        |  SELECT doc_id, min(blocker) AS blocked_by FROM cand
+        |  WHERE CAST(len(list_filter(range(16), i -> sig_a[CAST(i+1 AS INT)] = sig_b[CAST(i+1 AS INT)])) AS DOUBLE) / 16.0 >= 0.5
+        |  GROUP BY doc_id)
+        |SELECT d.doc_id, blk.blocked_by IS NULL AS admitted,
+        |  CAST(coalesce(blk.blocked_by, -1) AS BIGINT) AS blocked_by
+        |FROM (SELECT doc_id FROM documents WHERE doc_id >= 150 AND doc_id < 300) d
+        |LEFT JOIN blk USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
 
     // Portable 31-bit SimHash, exact all-pairs form (doc_id < 200 keeps the
     // quadratic join bounded; the banded form is the scale path).

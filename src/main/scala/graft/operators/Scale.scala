@@ -115,6 +115,34 @@ object Scale {
       .filter(col("mix_rank") <= col("quota"))
   }
 
+  /** Deterministic weighted sampling without replacement (Efraimidis &
+    * Spirakis A-Res, with a fixed integer hash of the id standing in for
+    * randomness): each row gets key = ln(u)/w where u ∈ (0,1) is its
+    * hashed id and w its weight; the k largest keys are exactly a
+    * w-weighted sample without replacement. The standard corpus
+    * subsampling shape when rows carry a quality score — higher-quality
+    * documents are proportionally likelier to survive, yet the selection
+    * is bit-reproducible under recomputation, repartitioning, or another
+    * engine (no RNG state).
+    *
+    * Scale shape: the key is computed map-side in one pass, and the top-k
+    * is `TakeOrderedAndProject` (per-partition heaps merged on the
+    * driver) — no full sort, no shuffle of the corpus. Rows with
+    * non-positive weight are excluded (A-Res semantics: zero weight =
+    * never sampled). Keys are floored at 6 decimals with id tiebreaks so
+    * the cut is engine-stable.
+    */
+  def weightedSample(df: DataFrame, idCol: String, weight: Column, k: Int): DataFrame = {
+    val u = (pmod(col(idCol) * 2654435761L, lit(4294967296L)) + 1).cast("double") /
+      lit(4294967297.0)
+    df.withColumn("weight", weight)
+      .filter(col("weight") > 0)
+      .withColumn("skey",
+        graft.functions.TextAnalysis.floorScale(log(u) / col("weight"), 6))
+      .orderBy(col("skey").desc, col(idCol).asc)
+      .limit(k)
+  }
+
   /** HyperLogLog distinct for 100 TB cardinalities (A-2's scale form):
     * one pass, fixed memory, mergeable across partitions.
     */

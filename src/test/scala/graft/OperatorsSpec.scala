@@ -246,6 +246,38 @@ class DedupSpec extends AnyFunSuite with SparkTestSession {
       r.getAs[Int]("hamming") == 0))
   }
 
+  test("incremental admit: corpus dups, batch-sibling dups and novel docs") {
+    val existing = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+      (2L, "completely different content about query engines and columnar storage"))
+      .toDF("doc_id", "text")
+    val incoming = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog near the river bank today"), // dup of corpus 1
+      (11L, "an entirely novel essay on gardening tomatoes in cold climates works"),   // novel
+      (12L, "an entirely novel essay on gardening tomatoes in cold climates works"),   // dup of sibling 11
+      (13L, "unrelated treatise regarding deep sea navigation by ancient mariners"))   // novel
+      .toDF("doc_id", "text")
+    val out = Dedup.incrementalAdmit(existing, incoming).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Boolean]("admitted"), r.getAs[Long]("blocked_by")))).toMap
+    assert(out == Map(
+      10L -> ((false, 1L)),   // blocked by the corpus doc
+      11L -> ((true, -1L)),
+      12L -> ((false, 11L)),  // blocked by its lower-id batch sibling
+      13L -> ((true, -1L))))
+  }
+
+  test("incremental admit: empty corpus degrades to within-batch dedup") {
+    val incoming = Seq(
+      (5L, "same words repeated here for the minhash shingles to latch onto"),
+      (6L, "same words repeated here for the minhash shingles to latch onto"))
+      .toDF("doc_id", "text")
+    val out = Dedup.incrementalAdmit(
+      incoming.filter(col("doc_id") < 0), incoming).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("admitted")).toMap
+    assert(out == Map(5L -> true, 6L -> false))
+  }
+
   test("duplicate clusters: chain and isolated components get min-id labels") {
     // chain 1-2, 2-5, plus component 7-9: component {1,2,5} -> 1, {7,9} -> 7
     val pairs = Seq((1L, 2L), (2L, 5L), (7L, 9L)).toDF("doc_a", "doc_b")

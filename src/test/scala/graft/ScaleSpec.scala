@@ -126,6 +126,22 @@ class GraftExtensionsSpec extends AnyFunSuite with SparkTestSession {
     assert(out == 1.0)
   }
 
+  test("weighted sample: reproducible, weight-proportional, zero-weight excluded") {
+    // 200 heavy rows (w=10) vs 200 light (w=0.1): heavy ids must dominate
+    // the sample; zero-weight rows must never appear; rerun is identical.
+    val rows = ((0L until 200L).map(i => (i, 10.0)) ++
+      (200L until 400L).map(i => (i, 0.1)) ++
+      (400L until 410L).map(i => (i, 0.0))).toDF("id", "w")
+    def run() = Scale.weightedSample(rows, "id", col("w"), k = 50)
+      .select("id").as[Long].collect().toSeq
+    val got = run()
+    assert(got.size == 50)
+    assert(got.toSet.intersect((400L until 410L).toSet).isEmpty, "zero-weight sampled")
+    val heavy = got.count(_ < 200L)
+    assert(heavy >= 40, s"heavy ids underrepresented: $heavy/50")
+    assert(run() == got, "weighted sample not reproducible")
+  }
+
   test("extension class injects the function at builder time") {
     // unit-level: applying the extension to a fresh extensions container
     // must not throw (builder-time integration is config-driven)
