@@ -1323,6 +1323,17 @@ object SparkEntry {
         .orderBy("split")
     }),
 
+    "text_gopher_rules" -> ((s, dir) => {
+      // Thresholds fitted to this corpus (tokens 10-99, mean word length
+      // 3.7-5.3, repetition 0.05-0.30) so every rule discriminates
+      // rather than passing or failing wholesale.
+      TextAnalysis.gopherRules(Tables.documents(s, dir),
+        minTokens = 30, maxTokens = 100000,
+        minMeanLen = 4.0, maxMeanLen = 10.0,
+        maxRepetition = 0.125, minDistinctStopwords = 2)
+        .orderBy("doc_id")
+    }),
+
     "text_repetition" -> ((s, dir) => {
       // Max single-word frequency ratio per document (Gopher-style
       // repetition filter signal).
@@ -2547,6 +2558,34 @@ object SparkEntry {
         |            WHEN bucket < 900 THEN 'val' ELSE 'test' END AS split,
         |  count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
         |FROM b GROUP BY 1 ORDER BY split""".stripMargin,
+
+    // Gopher-style named rule booleans; thresholds as in the registry
+    // query. Pure integer-derived ratios, so both engines agree exactly.
+    "text_gopher_rules" ->
+      """WITH w AS (
+        |  SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x <> '')) AS w
+        |  FROM documents),
+        |c AS (SELECT doc_id, w, count(*) AS c FROM w GROUP BY 1, 2),
+        |rep AS (SELECT doc_id, CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE) AS rep_ratio FROM c GROUP BY 1),
+        |base AS (
+        |  SELECT doc_id,
+        |    CASE WHEN length(trim(text)) = 0 THEN 0
+        |         ELSE CAST(len(regexp_split_to_array(trim(text), '\s+')) AS INT) END AS n_tokens,
+        |    CASE WHEN length(trim(text)) = 0 THEN 0.0
+        |         ELSE CAST(len(array_to_string(regexp_split_to_array(trim(text), '\s+'), '')) AS DOUBLE)
+        |              / CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE) END AS mean_len,
+        |    len(list_distinct(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+        |      x -> list_contains(['the','a','an','and','or','of','to','in','is','it','that','this','for','on','with','as','at','by','be','are'], x)))) AS n_stop
+        |  FROM documents)
+        |SELECT base.doc_id, n_tokens,
+        |  n_tokens >= 30 AND n_tokens <= 100000 AS rule_word_count,
+        |  mean_len >= 4.0 AND mean_len <= 10.0 AS rule_mean_word_len,
+        |  coalesce(rep_ratio, 0.0) <= 0.125 AS rule_repetition,
+        |  n_stop >= 2 AS rule_stopwords,
+        |  (n_tokens >= 30 AND n_tokens <= 100000) AND (mean_len >= 4.0 AND mean_len <= 10.0)
+        |    AND (coalesce(rep_ratio, 0.0) <= 0.125) AND (n_stop >= 2) AS keep
+        |FROM base LEFT JOIN rep ON base.doc_id = rep.doc_id
+        |ORDER BY base.doc_id""".stripMargin,
 
     "text_repetition" ->
       """WITH w AS (

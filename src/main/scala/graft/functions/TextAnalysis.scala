@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import scala.util.hashing.MurmurHash3
 
@@ -67,6 +67,57 @@ object TextAnalysis extends Serializable {
     // between engines; floor is a pure function of the double and both
     // engines agree bit-for-bit.
     floorScale(lenScore * 0.4 + punctPenalty * 0.3 + stopScore * 0.3, 6)
+  }
+
+  /** Named boolean quality rules in the style of the Gopher paper's
+    * document filters (Rae et al. 2021, §A1.1): token-count window,
+    * mean-word-length window, single-word repetition cap, and minimum
+    * distinct-stopword presence; `keep` = all rules pass. Filters want
+    * DECISIONS with reasons — a doc dropped for repetition is a
+    * different pipeline signal than one dropped for length — so each
+    * rule is its own column rather than folded into one score
+    * (complementing [[qualityScore]], which is the soft-score form).
+    *
+    * One pass of per-doc scalar expressions plus the same
+    * (doc_id, word) aggregation as the repetition signal — map-side
+    * partial aggs, one shuffle on doc_id, no joins against anything
+    * corpus-wide. Defaults are the paper's; callers fit thresholds to
+    * their corpus.
+    */
+  def gopherRules(
+      docs: DataFrame,
+      minTokens: Int = 50,
+      maxTokens: Int = 100000,
+      minMeanLen: Double = 3.0,
+      maxMeanLen: Double = 10.0,
+      maxRepetition: Double = 0.2,
+      minDistinctStopwords: Int = 2): DataFrame = {
+    val rep = docs
+      .select(col("doc_id"),
+        explode(split(lower(trim(col("text"))), "\\s+")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg((max("c").cast("double") / sum("c").cast("double")).as("rep_ratio"))
+    val toks = split(lower(trim(col("text"))), "\\s+")
+    val nStops = size(array_distinct(filter(toks, t => t.isin(Stopwords: _*))))
+    docs
+      .select(col("doc_id"),
+        tokenCount(col("text")).as("n_tokens"),
+        meanTokenLen(col("text")).as("mean_len"),
+        nStops.as("n_stop"))
+      .join(rep, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        (col("n_tokens") >= minTokens && col("n_tokens") <= maxTokens)
+          .as("rule_word_count"),
+        (col("mean_len") >= minMeanLen && col("mean_len") <= maxMeanLen)
+          .as("rule_mean_word_len"),
+        (coalesce(col("rep_ratio"), lit(0.0)) <= maxRepetition)
+          .as("rule_repetition"),
+        (col("n_stop") >= minDistinctStopwords).as("rule_stopwords"))
+      .withColumn("keep",
+        col("rule_word_count") && col("rule_mean_word_len") &&
+          col("rule_repetition") && col("rule_stopwords"))
   }
 
   /** Cross-engine-stable truncation to `digits` decimals (see

@@ -450,3 +450,34 @@ class VectorOpsSpec extends AnyFunSuite with SparkTestSession {
     assert(r.getDouble(1) == 25.0)
   }
 }
+
+class GopherRulesSpec extends AnyFunSuite with SparkTestSession {
+  import spark.implicits._
+  import graft.functions.TextAnalysis
+
+  test("each rule fires on its own violation; clean text keeps") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over a lazy dog while the river runs past it today"), // clean
+      (2L, "the cat"),                                                // too few tokens
+      (3L, ("spam " * 20).trim + " the a dog runs fast here now ok"), // repetition
+      (4L, "wordsoup gibberish lexeme cluster phrase corpus tokens morpheme syntax parse tree deep")) // no stopwords
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.gopherRules(docs,
+      minTokens = 5, maxTokens = 1000, minMeanLen = 1.0, maxMeanLen = 12.0,
+      maxRepetition = 0.3, minDistinctStopwords = 2)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out(1L).getAs[Boolean]("keep"))
+    assert(!out(2L).getAs[Boolean]("rule_word_count") && !out(2L).getAs[Boolean]("keep"))
+    assert(!out(3L).getAs[Boolean]("rule_repetition") && !out(3L).getAs[Boolean]("keep"))
+    assert(!out(4L).getAs[Boolean]("rule_stopwords") && !out(4L).getAs[Boolean]("keep"))
+  }
+
+  test("empty text fails word count without null-poisoning other rules") {
+    val out = TextAnalysis.gopherRules(Seq((9L, "")).toDF("doc_id", "text"),
+      minTokens = 1, maxTokens = 10, minMeanLen = 0.0, maxMeanLen = 99.0,
+      maxRepetition = 1.0, minDistinctStopwords = 0).collect().head
+    assert(!out.getAs[Boolean]("rule_word_count"))
+    assert(out.getAs[Boolean]("rule_repetition"))
+    assert(!out.getAs[Boolean]("keep"))
+  }
+}

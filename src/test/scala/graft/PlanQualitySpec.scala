@@ -159,6 +159,29 @@ class PlanQualitySpec extends AnyFunSuite with SparkTestSession {
     }
   }
 
+  test("weighted sample is a map-side key + TakeOrderedAndProject, no full sort") {
+    val p = plan("sample_weighted")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-k must be per-partition heaps, not a global sort:\n${p.take(600)}")
+    assert(!p.contains("Exchange rangepartitioning"),
+      "global range-sort crept into the weighted sample")
+  }
+
+  test("perplexity plan: native expressions, LM joins are equi-joins") {
+    val p = plan("text_perplexity")
+    assert(!p.contains("ScalaUDF"), "perplexity must stay codegen-friendly")
+    assert(!p.contains("CartesianProduct"))
+    // only the 1-row vocabulary scalar may nested-loop (broadcast cross)
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 1,
+      s"unexpected non-equi join:\n${p.take(600)}")
+  }
+
+  test("incremental admission: band equi-joins only, no quadratic join") {
+    val p = plan("dedup_incremental")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"quadratic join crept into incremental admission:\n${p.take(600)}")
+  }
+
   test("tfidf/langid/strided-chunker plans are UDF-free native expressions") {
     assert(!plan("tfidf_top_terms").contains("ScalaUDF"))
     assert(!plan("text_langid").contains("ScalaUDF"))
