@@ -215,6 +215,10 @@ object TextRetrieval {
       .join(bi, Seq("w1", "w2"), "left")
       .join(uni, Seq("w1"), "left")
       .crossJoin(broadcast(vocab))
+      // A token-less LM corpus (v = 0, all counts null) has no model to
+      // score under — drop the rows (empty output = "no signal") instead
+      // of dividing by zero. With any real LM, v >= 1 keeps this true.
+      .filter(coalesce(col("uc"), lit(0L)) + lit(addK) * col("v") > 0)
       .withColumn("logp", log(
         (coalesce(col("bc"), lit(0L)) + lit(addK)) /
           (coalesce(col("uc"), lit(0L)) + lit(addK) * col("v"))))
