@@ -138,12 +138,26 @@ object TextRetrieval {
   def tfidfTopTerms(
       docs: DataFrame,
       k: Int,
-      // same contract as bm25TopK: None = AQE decides; Some(true) =
-      // caller asserts a broadcast-small vocabulary.
+      // None = AQE decides; Some(true) = caller asserts a
+      // broadcast-small vocabulary; Some(false) = force shuffle join.
+      broadcastDf: Option[Boolean] = None): DataFrame =
+    tfidfTopTermsFromStats(
+      termFrequencies(docs), docs.agg(count(lit(1)).as("n_docs")),
+      k, broadcastDf)
+
+  /** [[tfidfTopTerms]] over an already-materialized `(doc_id, term, tf)`
+    * table and a 1-row `(n_docs)` frame — the 100 TB shape: the inverted
+    * index is written once per corpus snapshot, and every TF-IDF (or
+    * BM25) pass joins against it instead of re-tokenizing the corpus per
+    * plan branch (see [[termFrequencies]] on why ReuseExchange cannot
+    * de-duplicate the branches of the convenience form).
+    */
+  def tfidfTopTermsFromStats(
+      tf: DataFrame,
+      nDocs: DataFrame,
+      k: Int,
       broadcastDf: Option[Boolean] = None): DataFrame = {
-    val tf = termFrequencies(docs)
     val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
-    val n = docs.agg(count(lit(1)).as("n_docs"))
     val dfSide = broadcastDf match {
       case Some(true)  => broadcast(df)
       case Some(false) => df.hint("shuffle_merge")
@@ -151,7 +165,7 @@ object TextRetrieval {
     }
     val scored = tf
       .join(dfSide, "term")
-      .crossJoin(broadcast(n))
+      .crossJoin(broadcast(nDocs))
       .withColumn("score",
         TextAnalysis.floorScale(
           col("tf") * log(col("n_docs").cast("double") / col("df")), 6))

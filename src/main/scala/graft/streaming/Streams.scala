@@ -143,6 +143,49 @@ object Streams {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("simhash")
 
+  /** Streaming admission gate against a STANDING corpus — the
+    * stream-static form of [[graft.operators.Dedup.incrementalAdmit]]:
+    * each micro-batch's documents look up their LSH band keys in the
+    * corpus's (band, blocker) index ([[graft.operators.Dedup
+    * .admissionIndex]]) and docs colliding on any band are flagged
+    * blocked. The index is pre-aggregated to one row per band key, so
+    * the gate is four per-band equi left joins — stateless, append-mode,
+    * no explode, no watermark needed (the static side carries no event
+    * time). Criterion is band collision without the signature-agreement
+    * recheck: the conservative LSH-candidate rule, which can over-block
+    * but never under-block relative to the batch operator; within-batch
+    * sibling blocking is the batch op's job at compaction time.
+    *
+    * @param docs  streaming (doc_id long, text string, ...) frame
+    * @param index static (band, blocker) frame from `Dedup.admissionIndex`
+    *              (default portable parameters: 16 hashes, 4 bands)
+    */
+  def admissionGate(docs: DataFrame, index: DataFrame): DataFrame = {
+    val bands = 4
+    val rows = 4
+    val sigUdf = udf { (text: String) =>
+      graft.functions.TextAnalysis.minHashSignaturePortable(
+        graft.functions.TextAnalysis.wordShingles(text, 3), bands * rows)
+    }
+    val withBands = (0 until bands).foldLeft(
+      docs.withColumn("sig", sigUdf(col("text")))) { (df, b) =>
+      df.withColumn(s"band_$b",
+        concat_ws("_", (lit(b) +: (0 until rows).map(r =>
+          element_at(col("sig"), b * rows + r + 1))): _*))
+    }
+    val joined = (0 until bands).foldLeft(withBands) { (df, b) =>
+      df.join(
+        index.select(col("band").as(s"band_$b"), col("blocker").as(s"blocker_$b")),
+        Seq(s"band_$b"), "left")
+    }
+    joined
+      .withColumn("blocked_by_raw",
+        least((0 until bands).map(b => col(s"blocker_$b")): _*))
+      .withColumn("admitted", col("blocked_by_raw").isNull)
+      .withColumn("blocked_by", coalesce(col("blocked_by_raw"), lit(-1L)))
+      .drop((0 until bands).flatMap(b => Seq(s"band_$b", s"blocker_$b")) :+ "sig" :+ "blocked_by_raw": _*)
+  }
+
   /** Custom per-session state via mapGroupsWithState: running message count
     * and last-seen timestamp per user, with a real event-time timeout —
     * once the watermark passes lastSeen + gap, the session emits a final

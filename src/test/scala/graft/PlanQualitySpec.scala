@@ -182,6 +182,42 @@ class PlanQualitySpec extends AnyFunSuite with SparkTestSession {
       s"quadratic join crept into incremental admission:\n${p.take(600)}")
   }
 
+  test("runtime bloom-filter pruning engages for the selective fact-to-fact join") {
+    // At 100 TB the lineitem⋈orders joins can't broadcast either side; the
+    // plan we rely on is SMJ + a runtime Bloom filter built from the
+    // selective orders side and pushed into the lineitem scan, so most of
+    // the fact table drops before the shuffle. Assert Catalyst injects it
+    // for exactly that shape (selective dim-side filter, broadcast off).
+    val conf = spark.conf
+    val keys = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.enabled",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold")
+    val prev = keys.map(k => k -> conf.getOption(k))
+    try {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      // tiny fixtures: creationSideThreshold is a MAX (build side must be
+      // small enough — keep it roomy), applicationSideScanSizeThreshold a
+      // MIN (probe side must be big enough — drop it to zero) so the
+      // rewrite fires at sf0.001
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "1GB")
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      import org.apache.spark.sql.functions.col
+      val li = Tables.lineitem(spark, sfDir)
+      val ord = Tables.orders(spark, sfDir)
+        .filter(col("o_orderpriority") === "1-URGENT")
+      val joined = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderpriority").count()
+      val p = joined.queryExecution.executedPlan.toString
+      assert(p.contains("might_contain") || p.contains("bloom_filter"),
+        s"runtime bloom filter not injected:\n${p.take(1200)}")
+    } finally prev.foreach { case (k, v) => v.fold(conf.unset(k))(conf.set(k, _)) }
+  }
+
   test("tfidf/langid/strided-chunker plans are UDF-free native expressions") {
     assert(!plan("tfidf_top_terms").contains("ScalaUDF"))
     assert(!plan("text_langid").contains("ScalaUDF"))

@@ -236,4 +236,40 @@ class StreamsSpec extends AnyFunSuite with SparkTestSession {
       assert(states.contains((2L, 1L)))
     } finally query.stop()
   }
+
+  test("streaming admission gate blocks corpus near-dups, admits novel docs") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Dedup
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+      (2L, "completely different content about query engines and columnar storage"))
+      .toDF("doc_id", "text")
+    val index = Dedup.admissionIndex(corpus)
+    val input = MemoryStream[(Long, String)]
+    val docs = input.toDF().toDF("doc_id", "text")
+    val query = Streams.admissionGate(docs, index)
+      .writeStream.format("memory").queryName("admission")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(
+        (10L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+        (11L, "an entirely novel essay on gardening tomatoes in cold climates works"))
+      query.processAllAvailable()
+      input.addData( // second micro-batch: same static index serves it
+        (12L, "completely different content about query engines and columnar storage"))
+      query.processAllAvailable()
+      val out = spark.table("admission").collect()
+        .map(r => r.getAs[Long]("doc_id") ->
+          ((r.getAs[Boolean]("admitted"), r.getAs[Long]("blocked_by")))).toMap
+      assert(out == Map(
+        10L -> ((false, 1L)), 11L -> ((true, -1L)), 12L -> ((false, 2L))))
+      // conservative vs batch: everything the batch op blocks on the
+      // corpus leg, the streaming gate blocks too (exact dups collide on
+      // every band)
+      val batch = Dedup.incrementalAdmit(corpus,
+        Seq((10L, "the quick brown fox jumps over the lazy dog near the river bank today"))
+          .toDF("doc_id", "text")).collect().head
+      assert(!batch.getAs[Boolean]("admitted") && !out(10L)._1)
+    } finally query.stop()
+  }
 }

@@ -56,6 +56,17 @@ class TextRetrievalSpec extends AnyFunSuite with SparkTestSession {
     assert(grams == grams.sortBy(g => (-out(grams.indexOf(g)).getAs[Long]("n_occurrences"), g)))
   }
 
+  test("tfidf from a materialized tf table equals the convenience form") {
+    import org.apache.spark.sql.functions.{count, lit}
+    val tf = TextRetrieval.termFrequencies(docs)
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val direct = TextRetrieval.tfidfTopTerms(docs, k = 3)
+      .orderBy("doc_id", "rank").collect().toSeq
+    val fromStats = TextRetrieval.tfidfTopTermsFromStats(tf, n, k = 3)
+      .orderBy("doc_id", "rank").collect().toSeq
+    assert(fromStats == direct)
+  }
+
   test("lm perplexity: in-distribution text scores lower than rare-word text") {
     // LM corpus repeats "the cat sat" heavily; a doc made of those bigrams
     // must score lower perplexity than one of corpus-rare words.
