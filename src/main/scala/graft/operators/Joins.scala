@@ -41,7 +41,7 @@ object Joins {
     val payloadCols = right.columns.filter(_ != key)
     val rightTagged = right.select(
       col(key), col(ts),
-      struct(payloadCols.map(col): _*).as("_payload"),
+      struct(payloadCols.toIndexedSeq.map(col): _*).as("_payload"),
       lit(0).as("_side"))
     val leftTagged = left.withColumn("_side", lit(1))
     val unioned = leftTagged.unionByName(rightTagged, allowMissingColumns = true)
