@@ -669,6 +669,25 @@ object SparkEntry {
         .limit(20)
     }),
 
+    "w6_sessionize" -> ((s, dir) => {
+      // Full gap-based sessionization (w1 is the building block): a
+      // > 1-day silence starts a new session; cumulative session index
+      // per user, then per-session rollup — the batch analog of
+      // Structured Streaming's session_window, one user-keyed shuffle.
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("ts", "event_id")
+      Tables.events(s, dir)
+        .withColumn("prev_s", lag(col("ts").cast("long"), 1).over(w))
+        .withColumn("is_start",
+          when(col("prev_s").isNull ||
+            (col("ts").cast("long") - col("prev_s")) > 86400L, 1L).otherwise(0L))
+        .withColumn("session_idx", sum("is_start").over(w))
+        .groupBy("user_id", "session_idx")
+        .agg(count(lit(1)).as("n_events"),
+          min("ts").as("started_at"), max("ts").as("ended_at"))
+        .orderBy("user_id", "session_idx")
+    }),
+
     "w1_event_gaps" -> ((s, dir) => {
       // lag window: inter-event gap per session (sessionization building
       // block for training-data pipelines)
@@ -2303,6 +2322,26 @@ object SparkEntry {
         |    PARTITION BY user_id ORDER BY ts, event_id
         |    ROWS BETWEEN 5 PRECEDING AND CURRENT ROW), 6) AS avg_v_mil
         |FROM events ORDER BY user_id, event_id""".stripMargin,
+
+    // Same floored-epoch-seconds discipline as w1 so the 86400 s gap
+    // threshold cuts identically in both engines.
+    "w6_sessionize" ->
+      """WITH g AS (
+        |  SELECT user_id, event_id, ts,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS s,
+        |    lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_s
+        |  FROM events),
+        |st AS (
+        |  SELECT user_id, event_id, ts,
+        |    CASE WHEN prev_s IS NULL OR s - prev_s > 86400 THEN 1 ELSE 0 END AS is_start
+        |  FROM g),
+        |sx AS (
+        |  SELECT user_id, ts,
+        |    CAST(sum(is_start) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS session_idx
+        |  FROM st)
+        |SELECT user_id, session_idx, count(*) AS n_events,
+        |  min(ts) AS started_at, max(ts) AS ended_at
+        |FROM sx GROUP BY 1, 2 ORDER BY user_id, session_idx""".stripMargin,
 
     "w1_event_gaps" ->
       """SELECT user_id, event_id,
