@@ -636,6 +636,25 @@ object SparkEntry {
         .agg(round(sum(col("l_extendedprice") * col("l_discount")), 4).as("revenue"))
     }),
 
+    "q17_small_qty_revenue" -> ((s, dir) => {
+      // TPC-H Q17 shape (correlated scalar subquery, decorrelated):
+      // revenue lost if sub-20%-of-average-quantity orders stopped.
+      // The per-part average is a partial-agg over the brand-filtered
+      // lineitems (broadcast part-key filter rides the scan), rejoined
+      // on l_partkey — the decorrelation Catalyst itself would emit.
+      // avg of integer quantities is exact in double (sums < 2^53), so
+      // the 0.2×avg threshold cuts identically in any engine.
+      val pt = Tables.part(s, dir)
+        .filter(col("p_brand") === "Brand#11").select("p_partkey")
+      val li = Tables.lineitem(s, dir)
+        .join(broadcast(pt), col("l_partkey") === col("p_partkey"))
+      val avgq = li.groupBy("l_partkey").agg(avg(col("l_quantity")).as("avg_qty"))
+      li.join(avgq, "l_partkey")
+        .filter(col("l_quantity") < lit(0.2) * col("avg_qty"))
+        .agg(TextAnalysis.floorScale(sum(col("l_extendedprice")) / 7.0, 4)
+          .as("avg_yearly"))
+    }),
+
     "q12_conditional_agg" -> ((s, dir) => {
       Tables.lineitem(s, dir)
         .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
@@ -2292,6 +2311,17 @@ object SparkEntry {
         |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
         |  AND l_discount BETWEEN 0.03 AND 0.07
         |  AND l_quantity < 24""".stripMargin,
+
+    // Written in the ORIGINAL correlated form here — DuckDB decorrelates
+    // it the same way the Spark side does by hand, so this doubles as a
+    // semantics check of the rewrite.
+    "q17_small_qty_revenue" ->
+      """SELECT floor(sum(l.l_extendedprice) / 7.0 * 10000.0) / 10000.0 AS avg_yearly
+        |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        |WHERE p.p_brand = 'Brand#11'
+        |  AND l.l_quantity < (
+        |    SELECT 0.2 * avg(l2.l_quantity) FROM lineitem l2
+        |    WHERE l2.l_partkey = l.l_partkey)""".stripMargin,
 
     "q12_conditional_agg" ->
       """SELECT l_returnflag,
