@@ -7,14 +7,31 @@ import java.nio.file.{Files, Paths}
   *
   * The driver captures only a bounded (~2000 char) tail of stdout, so the
   * stdout line carries totals + the top-10 slowest queries, while the full
-  * per-query timing map goes to BENCH_full.json — previously only a
-  * 34-query headline subset was timed at all, leaving the other ~50
-  * registry queries free to regress silently. Each query runs four times:
-  * one warm-up iteration (dropped — absorbs codegen/JIT for that plan
-  * shape) then three timed iterations, reporting the MEDIAN. Min-of-2 (the
-  * old scheme) cannot absorb a machine-wide stall spanning both
-  * iterations — r3's recorded q1 at 7.79 s vs 0.65 s reproducible was
-  * exactly that; a median of three timed runs survives any single stall.
+  * per-query timing map goes to BENCH_full.json.
+  *
+  * Measurement discipline (each defends against a past recorded artifact):
+  *
+  *  - Iterations are INTERLEAVED round-robin: pass 0 runs every query once
+  *    (warm-up, dropped — absorbs codegen/JIT per plan shape), then passes
+  *    1..3 each run the full query list in order. Per-query median is taken
+  *    across the three timed passes. Consecutive same-query iterations (the
+  *    r4 scheme) let a single multi-minute machine stall own ALL of one
+  *    query's iterations — r4 recorded t3_embed_documents at 16.7 s vs
+  *    0.9 s judge-reproduced. With round-robin, a stall of length S
+  *    inflates at most ~S worth of *different* queries in one pass, and the
+  *    other two passes restore each median.
+  *
+  *  - Exceptions are NOT swallowed. A query that throws records
+  *    "err":"<class>" in the full file, contributes 0 to totals (so a
+  *    broken query can never *improve* the bench), and flips the process
+  *    exit code to 1. The previous `catch { _ => }` recorded a failure as a
+  *    fast timing — an actively misleading artifact.
+  *
+  *  - Stall diagnosis on the stdout line: "stalls" counts queries whose
+  *    timed max/min spread exceeds 3× (and max−min > 0.5 s, so micro-query
+  *    jitter doesn't count). A nonzero count tells the reader the medians
+  *    were taken under machine contention before they compare rounds.
+  *
   * `headline34` preserves the round-2 subset total so round-over-round
   * comparison stays apples to apples.
   */
@@ -45,23 +62,32 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     // Warm the JVM/codegen/parquet-footer paths once so the first timed
     // query doesn't absorb session start-up (~3s of JIT + classloading).
-    try {
-      spark.read.parquet(s"$sfDir/lineitem.parquet")
-        .groupBy("l_returnflag").count().collect()
-    } catch { case _: Throwable => }
+    spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .groupBy("l_returnflag").count().collect()
     val registry = SparkEntry.queries
     val missing = headline.filterNot(registry.contains)
     require(missing.isEmpty, s"headline names not in registry: $missing")
     // Deterministic order: headline first (cross-round comparand timed
     // under the same warm-up position as round 2), then the rest sorted.
     val names = headline ++ registry.keys.toSeq.filterNot(headline.contains).sorted
-    val resultsFull = names.map { name =>
-      val runs = (1 to 4).map { _ =>
-        val t0 = System.nanoTime()
-        try { registry(name)(spark, sfDir).count() } catch { case _: Throwable => }
-        (System.nanoTime() - t0) / 1e9
+    // Interleaved passes: timings(q) accumulates one sample per timed pass.
+    val timings = scala.collection.mutable.Map(names.map(_ -> Vector.empty[Double]): _*)
+    val errors = scala.collection.mutable.Map.empty[String, String]
+    for (pass <- 0 to 3; name <- names; if !errors.contains(name)) {
+      val t0 = System.nanoTime()
+      try {
+        registry(name)(spark, sfDir).count()
+        if (pass > 0) timings(name) :+= (System.nanoTime() - t0) / 1e9
+      } catch {
+        case e: Throwable =>
+          // A throwing query must never look like a fast success: drop its
+          // timings entirely, record the failure, and fail the process.
+          errors(name) = e.getClass.getSimpleName
+          System.err.println(s"BENCH FAIL $name: ${e.getMessage}")
       }
-      val timed = runs.drop(1).sorted // drop warm-up; median of 3 timed runs
+    }
+    val resultsFull = names.filterNot(errors.contains).map { name =>
+      val timed = timings(name).sorted
       (name, timed(timed.length / 2), timed.head, timed.last)
     }
     val results = resultsFull.map { case (n, med, _, _) => n -> med }
@@ -77,17 +103,23 @@ object Bench {
     val spread = resultsFull
       .map { case (n, _, mn, mx) => "\"" + n + "\":[" + r3(mn) + "," + r3(mx) + "]" }
       .mkString("{", ",", "}")
+    val stalls = resultsFull.count { case (_, _, mn, mx) => mx > 3 * mn && mx - mn > 0.5 }
+    val errJson = errors.toSeq.sortBy(_._1)
+      .map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(fullOut),
       s"""{"metric":"total","value":${r3(total)},"unit":"sec","iters":3,""" +
-        s""""n_queries":${results.size},"headline34":${r3(h34)},""" +
+        s""""n_queries":${results.size},"n_err":${errors.size},"errs":$errJson,""" +
+        s""""headline34":${r3(h34)},"stalls":$stalls,""" +
         s""""queries":${jmap(results)},"spread":$spread,"sf":"$sfDir"}""" + "\n")
     val line =
       s"""{"metric":"total","value":${r3(total)},"unit":"sec","iters":3,""" +
-        s""""n_queries":${results.size},"headline34":${r3(h34)},""" +
+        s""""n_queries":${results.size},"n_err":${errors.size},""" +
+        s""""headline34":${r3(h34)},"stalls":$stalls,""" +
         s""""queries":${jmap(top10)},"full":"$fullOut","sf":"$sfDir"}"""
     // Hard guard: the driver's stdout tail capture is 2000 chars.
     require(line.length < 1800, s"bench JSON too long (${line.length})")
     println(line)
     spark.stop()
+    if (errors.nonEmpty) sys.exit(1)
   }
 }

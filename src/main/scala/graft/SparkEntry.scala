@@ -356,6 +356,19 @@ object SparkEntry {
         .orderBy("doc_a", "doc_b")
     }),
 
+    "dedup_minhash_full" -> ((s, dir) => {
+      // UNCAPPED: the whole documents table (5,000 docs at sf0.1 — 25×
+      // the doc_id<200 slice the other dedup queries use to keep their
+      // oracle SQL tractable), so the oracle gate itself exercises the
+      // banded candidate join at corpus scale, not just the golden-count
+      // spec in DedupScaleSpec. Output stays small (near-dup pairs, not
+      // candidates), so the hash compare is cheap even though the input
+      // is the full corpus.
+      Dedup.minHashLshPairsPortable(Tables.documents(s, dir))
+        .withColumn("est_jaccard", round(col("est_jaccard"), 6))
+        .orderBy("doc_a", "doc_b")
+    }),
+
     "dedup_incremental" -> ((s, dir) => {
       // Daily-crawl shape: docs < 150 are the standing corpus, 150-299
       // the new batch; each batch doc is admitted unless it near-dups
@@ -979,6 +992,59 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    "o_delete_doc_both_stores" -> ((s, dir) => {
+      // §3.3: the reference deletes a document by hand-ordering its two
+      // stores — Chroma first, then the SQLite catalog, with manual
+      // re-index compensation when the second step fails
+      // (main.py:443-486). Here ONE victim frame drives anti-joins on
+      // BOTH stores inside a single declarative lineage: there is no
+      // window where one store reflects the delete and the other does
+      // not — the consistency win this engine claims over the
+      // reference. Both surviving stores come back tagged in one frame
+      // so the oracle hash-checks both outputs at once.
+      val docs = Tables.documents(s, dir).filter(col("doc_id") < 40)
+      val catalog = docs.select(
+        col("doc_id").as("file_id"),
+        operators.Ingest.contentHash(col("text")).as("payload"))
+      val chunks = operators.Ingest.chunkStrided(docs, chunkSize = 100, overlap = 20)
+      val victims = docs.filter(col("doc_id") % 7 === 0)
+        .select(col("doc_id").as("file_id"))
+      val keptCatalog = operators.Store.deleteByKey(catalog, "file_id", victims)
+        .select(lit("catalog").as("store"), col("file_id"),
+          lit("-").as("chunk_id"), col("payload"))
+      val keptChunks = operators.Store.deleteByKey(chunks, "file_id", victims)
+        .select(lit("chunks").as("store"), col("file_id"),
+          col("chunk_id"), sha2(col("chunk_text"), 256).as("payload"))
+      keptCatalog.unionByName(keptChunks)
+        .orderBy("store", "file_id", "chunk_id")
+    }),
+
+    "o_meta_open_schema" -> ((s, dir) => {
+      // Open-schema chunk metadata: a MapType dict with loader-specific
+      // keys (here a synthetic per-loader "pdf_producer"), filtered by
+      // element_at on a key that does NOT exist in the fixed chunk
+      // struct — the Chroma where={arbitrary key} shape
+      // (chroma_utils.py:161,253). Rows whose loader never wrote the
+      // key have it absent from the map, so the filter fails closed.
+      val docs = Tables.documents(s, dir).filter(col("doc_id") < 60)
+      val chunks = operators.Ingest.chunkStrided(docs, chunkSize = 100, overlap = 20)
+      val loader = element_at(
+        array(lit("pdf"), lit("docx"), lit("html")),
+        (col("file_id") % 3 + 1).cast("int"))
+      val enriched = operators.Ingest.openMetadata(chunks,
+        "loader" -> loader,
+        "pdf_producer" -> when(col("file_id") % 3 === 0,
+          concat(lit("lib-"), col("file_id") % 5)))
+      enriched
+        .filter(element_at(col("metadata"), "pdf_producer") === "lib-2")
+        .select(col("chunk_id"), col("file_id"),
+          element_at(col("metadata"), "source").as("source_file"),
+          element_at(col("metadata"), "loader").as("loader"),
+          element_at(col("metadata"), "pdf_producer").as("pdf_producer"),
+          sha2(col("chunk_text"), 256).as("chunk_hash"))
+        .orderBy("file_id", "chunk_id")
+    }),
+
     // ---- remaining scalar projections (P-15, P-17)
     "p15_humanize_size" -> ((s, dir) => {
       val bytes = floor(col("value") * 12345).cast("long")
@@ -1217,6 +1283,29 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    "ann_lsh_partitioned" -> ((s, dir) => {
+      // The 100 TB ANN layout as an oracle-checked query: the corpus is
+      // written PARTITIONED BY its portable LSH signature to a scratch
+      // dir, then the probe set becomes a STATIC isin filter on the
+      // partition column — genuine PartitionFilters pruning (the scan
+      // touches only probed signature directories; spec-asserted in
+      // AnnPartitionedSpec) — followed by the floored cosine rerank.
+      // Pruning is physical, not semantic, so the result hash-matches
+      // the same SQL mirror as ann_lsh_portable.
+      // Build-once index: the layout write happens on the first call per
+      // corpus content (fingerprint-keyed path) and is reused after —
+      // probes pay probe cost, not the one-time 256-directory write.
+      val emb = Tables.embeddings(s, dir)
+      val base = new java.io.File(
+        sys.props("java.io.tmpdir"), "graft_ann_layouts").getAbsolutePath
+      val layout = operators.Ann.signaturePartitionedLayout(s, emb, base, nBits = 8)
+      val qs = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"))
+      operators.Ann.lshTopKPartitionedPortable(
+        s, layout, qs, k = 2, nBits = 8, probeBits = 1)
+        .orderBy("query_id", "rank")
+    }),
+
     "ann_ivf_topk" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       val qs = emb.filter(col("vec_id") < 5)
@@ -1325,7 +1414,9 @@ object SparkEntry {
       // balanced across strata, unlike a global random sample that
       // starves small strata. One rank window per stratum; at scale the
       // window partitions by the stratum key (no global sort).
-      val h = pmod(col("doc_id") * 2654435761L, lit(4294967296L))
+      // overflow-safe Knuth hash (see Scale.knuthHash32) — same values
+      // as the naive product for every id the naive form can represent
+      val h = operators.Scale.knuthHash32(col("doc_id"))
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("source").orderBy(h.asc, col("doc_id").asc)
       Tables.documents(s, dir)
@@ -1351,7 +1442,9 @@ object SparkEntry {
       // Deterministic hash-bucket split (80/10/10) — pure integer
       // arithmetic so any engine reproduces the assignment exactly;
       // stable under reshuffling/recomputation, unlike randomSplit.
-      val bucket = pmod(col("doc_id") * 2654435761L, lit(1000L))
+      // (id·C) mod 1000 with mod-1000 discipline: ((id mod 1000)·(C mod
+      // 1000)) mod 1000 — identical values, no Long overflow at any id.
+      val bucket = pmod(pmod(col("doc_id"), lit(1000L)) * 761L, lit(1000L))
       Tables.documents(s, dir)
         .withColumn("split",
           when(bucket < 800, "train").when(bucket < 900, "val").otherwise("test"))
@@ -1793,6 +1886,63 @@ object SparkEntry {
       """SELECT event_id, user_id, event_type FROM events
         |WHERE NOT (event_type = 'error' OR value < 0.2)
         |ORDER BY event_id""".stripMargin,
+
+    // Both stores filtered by the same victim set; chunk expansion is the
+    // established strided formula (chunkSize=100, overlap=20 → stride 80).
+    "o_delete_doc_both_stores" ->
+      """WITH d AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id < 40),
+        |kept AS (
+        |  SELECT doc_id, text FROM d WHERE NOT (doc_id % 7 = 0)),
+        |cat AS (
+        |  SELECT 'catalog' AS store, doc_id AS file_id, '-' AS chunk_id,
+        |    sha256(text) AS payload
+        |  FROM kept),
+        |n AS (
+        |  SELECT doc_id, text,
+        |    CASE WHEN length(text) <= 0 THEN 0
+        |         WHEN length(text) <= 100 THEN 1
+        |         ELSE CAST(floor((length(text) - 21) / 80.0) AS INT) + 1 END AS total_chunks
+        |  FROM kept),
+        |c AS (
+        |  SELECT doc_id AS file_id,
+        |    unnest(list_transform(range(total_chunks),
+        |      i -> struct_pack(ci := CAST(i AS INT), ct := substr(text, CAST(i * 80 + 1 AS INT), 100)))) AS u
+        |  FROM n WHERE total_chunks > 0),
+        |ch AS (
+        |  SELECT 'chunks' AS store, file_id,
+        |    CAST(file_id AS VARCHAR) || '_' || CAST(u.ci AS VARCHAR) AS chunk_id,
+        |    sha256(u.ct) AS payload
+        |  FROM c)
+        |SELECT store, file_id, chunk_id, payload FROM cat
+        |UNION ALL
+        |SELECT store, file_id, chunk_id, payload FROM ch
+        |ORDER BY store, file_id, chunk_id""".stripMargin,
+
+    // The element_at(metadata, 'pdf_producer') = 'lib-2' filter resolves
+    // to: the key exists (loader wrote it: doc_id % 3 = 0) AND its value
+    // matches (doc_id % 5 = 2) — free-form dict semantics flattened to
+    // the equivalent predicate the fixed relational schema would need.
+    "o_meta_open_schema" ->
+      """WITH d AS (
+        |  SELECT doc_id, text, source FROM documents
+        |  WHERE doc_id < 60 AND doc_id % 3 = 0 AND doc_id % 5 = 2),
+        |n AS (
+        |  SELECT doc_id, text, source,
+        |    CASE WHEN length(text) <= 0 THEN 0
+        |         WHEN length(text) <= 100 THEN 1
+        |         ELSE CAST(floor((length(text) - 21) / 80.0) AS INT) + 1 END AS total_chunks
+        |  FROM d),
+        |c AS (
+        |  SELECT doc_id AS file_id, source,
+        |    unnest(list_transform(range(total_chunks),
+        |      i -> struct_pack(ci := CAST(i AS INT), ct := substr(text, CAST(i * 80 + 1 AS INT), 100)))) AS u
+        |  FROM n WHERE total_chunks > 0)
+        |SELECT CAST(file_id AS VARCHAR) || '_' || CAST(u.ci AS VARCHAR) AS chunk_id,
+        |  file_id, source AS source_file, 'pdf' AS loader,
+        |  'lib-' || CAST(file_id % 5 AS VARCHAR) AS pdf_producer,
+        |  sha256(u.ct) AS chunk_hash
+        |FROM c ORDER BY file_id, chunk_id""".stripMargin,
 
     "o9_upsert_replace" ->
       """WITH cat0 AS (
@@ -3038,6 +3188,47 @@ object SparkEntry {
         |WHERE CAST(len(list_filter(range(16), i -> sig_a[CAST(i+1 AS INT)] = sig_b[CAST(i+1 AS INT)])) AS DOUBLE) / 16.0 >= 0.5
         |ORDER BY doc_a, doc_b""".stripMargin,
 
+    // dedup_minhash_lsh without the doc_id cap: the identical portable
+    // shingle→minhash→band chain over the ENTIRE documents table.
+    "dedup_minhash_full" ->
+      """WITH t AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^\p{L}\p{N}]+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(toks) = 0 THEN CAST([] AS VARCHAR[])
+        |         WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+        |         ELSE list_transform(range(len(toks) - 2),
+        |           i -> toks[CAST(i+1 AS INT)] || ' ' || toks[CAST(i+2 AS INT)] || ' ' || toks[CAST(i+3 AS INT)]) END AS shingles
+        |  FROM t),
+        |hs AS (
+        |  SELECT doc_id,
+        |    list_transform(shingles, s ->
+        |      list_reduce(
+        |        list_prepend(CAST(7 AS BIGINT),
+        |          list_transform(range(length(s)), i -> CAST(unicode(s[CAST(i+1 AS INT)]) AS BIGINT))),
+        |        (a, b) -> (31 * a + b) % 2147483647)) AS hashes
+        |  FROM sh),
+        |sg AS (
+        |  SELECT doc_id,
+        |    list_transform(range(16), k -> coalesce(
+        |      list_min(list_transform(hashes,
+        |        h -> ((48271 * (k + 1)) % 2147483647 * h + (16807 * (k + 1) + 11) % 2147483647) % 2147483647)),
+        |      2147483647)) AS sig
+        |  FROM hs),
+        |bd AS (
+        |  SELECT doc_id, sig, unnest(range(4)) AS b FROM sg),
+        |bd2 AS (
+        |  SELECT doc_id, sig, b, sig[CAST(4*b+1 AS INT):CAST(4*b+4 AS INT)] AS band FROM bd),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.sig AS sig_a, b.sig AS sig_b
+        |  FROM bd2 a JOIN bd2 b ON a.b = b.b AND a.band = b.band AND a.doc_id < b.doc_id)
+        |SELECT doc_a, doc_b,
+        |  round(CAST(len(list_filter(range(16), i -> sig_a[CAST(i+1 AS INT)] = sig_b[CAST(i+1 AS INT)])) AS DOUBLE) / 16.0, 6) AS est_jaccard
+        |FROM cand
+        |WHERE CAST(len(list_filter(range(16), i -> sig_a[CAST(i+1 AS INT)] = sig_b[CAST(i+1 AS INT)])) AS DOUBLE) / 16.0 >= 0.5
+        |ORDER BY doc_a, doc_b""".stripMargin,
+
     // Same portable MinHash signature machinery as dedup_minhash_lsh,
     // split into a standing corpus (doc_id < 150) and a new batch
     // (150-299): a batch doc is blocked by its smallest >=0.5-estimated-
@@ -3225,6 +3416,46 @@ object SparkEntry {
     // bucket equi-join, floored cosine rerank, rank cut — each stage the
     // exact SQL mirror of lshTopKPortable.
     "ann_lsh_portable" ->
+      """WITH s AS (
+        |  SELECT vec_id, embedding,
+        |    CAST(list_sum(list_transform(range(8), b ->
+        |      CASE WHEN list_reduce(list_prepend(0.0, list_transform(range(64), i ->
+        |          CAST(embedding[CAST(i+1 AS INT)] AS DOUBLE) *
+        |          (((((48271*(b*1024+i)+16807) % 2147483647) * ((48271*(b*1024+i)+16807) % 2147483647)) % 2147483647) * 2.0 / 2147483647 - 1))),
+        |        (x, y) -> x + y) >= 0
+        |      THEN CAST(1 AS BIGINT) << CAST(b AS INT) ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS sig
+        |  FROM embeddings),
+        |pr AS (
+        |  SELECT vec_id AS query_id, embedding AS qe,
+        |    unnest(list_prepend(sig, list_transform(range(8), b ->
+        |      xor(sig, CAST(1 AS BIGINT) << CAST(b AS INT))))) AS psig
+        |  FROM s WHERE vec_id < 5),
+        |x AS (
+        |  SELECT pr.query_id, s.vec_id,
+        |    floor(
+        |      list_reduce(list_prepend(0.0,
+        |        list_transform(range(64),
+        |          i -> CAST(pr.qe[i+1] AS DOUBLE) * CAST(s.embedding[i+1] AS DOUBLE))),
+        |        (a, b) -> a + b)
+        |      / (sqrt(list_reduce(list_prepend(0.0,
+        |           list_transform(pr.qe, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))), (a, b) -> a + b))
+        |       * sqrt(list_reduce(list_prepend(0.0,
+        |           list_transform(s.embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))), (a, b) -> a + b)))
+        |      * 1000000) / 1000000 AS sim
+        |  FROM s JOIN pr ON s.sig = pr.psig),
+        |r AS (
+        |  SELECT query_id, vec_id, sim,
+        |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS INT) AS rank
+        |  FROM x)
+        |SELECT query_id, rank, vec_id, sim FROM r WHERE rank <= 2
+        |ORDER BY query_id, rank""".stripMargin,
+
+    // The signature-partitioned layout prunes partitions; it does not
+    // change results — so the partitioned query is checked against the
+    // SAME logical mirror as ann_lsh_portable (signature, multiprobe,
+    // bucket join, floored rerank, rank cut). A hash mismatch here would
+    // mean the physical layout altered semantics.
+    "ann_lsh_partitioned" ->
       """WITH s AS (
         |  SELECT vec_id, embedding,
         |    CAST(list_sum(list_transform(range(8), b ->

@@ -131,6 +131,21 @@ object Ann {
       .withColumn("sig", signatureUdf(nBits)(col("embedding")))
       .write.mode("overwrite").partitionBy("sig").parquet(path)
 
+  /** [[writeSignaturePartitioned]] with the PORTABLE squared-Lehmer
+    * signature ([[Dedup.portableSignature]]) — the layout whose probe
+    * results the oracle can replicate in ANSI SQL, so the WHOLE
+    * partition-pruned search path is hash-checked (`ann_lsh_partitioned`),
+    * the same twin relationship [[lshTopKPortable]] has to [[lshTopK]].
+    */
+  def writeSignaturePartitionedPortable(
+      corpus: DataFrame, path: String, nBits: Int = 8): Unit = {
+    val sigU = udf((v: Seq[Float]) =>
+      if (v == null) null else Integer.valueOf(Dedup.portableSignature(v, nBits)))
+    corpus
+      .withColumn("sig", sigU(col("embedding")))
+      .write.mode("overwrite").partitionBy("sig").parquet(path)
+  }
+
   /** [[lshTopK]] over a [[writeSignaturePartitioned]] layout. The probe
     * signature set is tiny and driver-known (nQueries × probe fan-out),
     * so it becomes a STATIC `isin` filter on the partition column —
@@ -146,20 +161,75 @@ object Ann {
       queries: DataFrame,
       k: Int,
       nBits: Int = 8,
-      probeBits: Int = 1): DataFrame = {
+      probeBits: Int = 1): DataFrame =
+    lshPartitionedCore(spark, path, queries, k, nBits, probeBits,
+      sigOf = signature(_, nBits), floorSim = false)
+
+  /** Build-once [[writeSignaturePartitionedPortable]] layout keyed by a
+    * corpus content fingerprint — the index-build half of partitioned
+    * ANN. The layout is written ONCE per corpus content and probed by
+    * every subsequent query (the production lifecycle: a 100 TB layout
+    * write is a batch job, not a per-query cost), so repeated calls over
+    * an unchanged corpus return the existing directory. The fingerprint
+    * (row count + order-insensitive `bit_xor(xxhash64(...))`, the same
+    * discipline as [[buildIvfCached]]) is part of the path, so a mutated
+    * corpus gets a fresh layout and stale probes are impossible.
+    * Returns the layout path for [[lshTopKPartitionedPortable]].
+    */
+  def signaturePartitionedLayout(
+      spark: SparkSession,
+      corpus: DataFrame,
+      baseDir: String,
+      nBits: Int = 8): String = {
+    val fpRow = corpus.agg(
+      count(lit(1)).as("n"),
+      coalesce(expr("bit_xor(xxhash64(vec_id, embedding))"), lit(0L)).as("fp"))
+      .head()
+    val path = s"$baseDir/sig${nBits}_n${fpRow.getLong(0)}_fp${java.lang.Long.toHexString(fpRow.getLong(1))}"
+    if (!new java.io.File(path, "_SUCCESS").exists())
+      writeSignaturePartitionedPortable(corpus, path, nBits)
+    path
+  }
+
+  /** [[lshTopKPartitioned]] over a [[writeSignaturePartitionedPortable]]
+    * layout: portable signatures + floored cosine, so the partition-pruned
+    * path itself hash-matches the `ann_lsh_portable` SQL mirror — pruning
+    * is a physical optimization, the logical result is identical.
+    */
+  def lshTopKPartitionedPortable(
+      spark: SparkSession,
+      path: String,
+      queries: DataFrame,
+      k: Int,
+      nBits: Int = 8,
+      probeBits: Int = 1): DataFrame =
+    lshPartitionedCore(spark, path, queries, k, nBits, probeBits,
+      sigOf = Dedup.portableSignature(_, nBits), floorSim = true)
+
+  private def lshPartitionedCore(
+      spark: SparkSession,
+      path: String,
+      queries: DataFrame,
+      k: Int,
+      nBits: Int,
+      probeBits: Int,
+      sigOf: Seq[Float] => Int,
+      floorSim: Boolean): DataFrame = {
     import spark.implicits._
     val qRows = queries.select("query_id", "q_embedding").collect()
     val probes: Seq[(Long, Int)] = qRows.toSeq.flatMap { r =>
       val emb = r.getSeq[Float](1)
-      probeSignatures(signature(emb, nBits), nBits, probeBits)
+      probeSignatures(sigOf(emb), nBits, probeBits)
         .map(s => (r.getLong(0), s))
     }
     val sigSet = probes.map(_._2).distinct
     val corpus = spark.read.parquet(path).filter(col("sig").isin(sigSet: _*))
     val probed = probes.toDF("query_id", "sig")
       .join(queries, "query_id") // re-attach q_embedding (queries are small)
+    val rawSim = VectorExpressions.cosineSim(col("q_embedding"), col("embedding"))
     val cands = corpus.join(broadcast(probed), "sig")
-      .withColumn("sim", VectorExpressions.cosineSim(col("q_embedding"), col("embedding")))
+      .withColumn("sim",
+        if (floorSim) graft.functions.TextAnalysis.floorScale(rawSim, 6) else rawSim)
     val w = Window.partitionBy("query_id").orderBy(desc("sim"), asc("vec_id"))
     cands
       .withColumn("rank", row_number().over(w))
@@ -252,15 +322,17 @@ object Ann {
   private val centroidCache =
     new java.util.concurrent.ConcurrentHashMap[String, Array[Array[Float]]]()
 
-  /** [[buildIvf]] with the Lloyd result memoized under `cacheKey`.
-    *
-    * CONTRACT: `cacheKey` must uniquely identify the corpus CONTENT —
-    * callers use the immutable corpus path. Passing a different or
-    * mutated corpus under a reused key returns centroids built from the
-    * old data: cell assignment still succeeds but probe recall silently
-    * degrades. When the corpus version is not encoded in its path,
-    * include a version/snapshot id in the key (or call [[buildIvf]]
-    * directly and manage the index lifecycle explicitly).
+  /** [[buildIvf]] with the Lloyd result memoized under `cacheKey` PLUS a
+    * content fingerprint, so a corpus that mutates under a reused key can
+    * never be served stale centroids (the r4-documented-but-unenforced
+    * contract). The fingerprint is order-insensitive —
+    * `bit_xor(xxhash64(vec_id, embedding))` + count — one cheap
+    * column-pruned scan per call (vec_id + embedding only, no shuffle:
+    * partial XORs combine associatively map-side). That one pass is the
+    * price of safety and is still maxIter× cheaper than re-running Lloyd;
+    * callers that cannot afford any scan per probe batch should hold the
+    * returned centroids themselves and manage the index lifecycle
+    * explicitly via [[buildIvf]].
     */
   def buildIvfCached(
       spark: SparkSession,
@@ -268,7 +340,11 @@ object Ann {
       cacheKey: String,
       nCells: Int,
       maxIter: Int = 5): (Array[Array[Float]], DataFrame) = {
-    val key = s"$cacheKey|$nCells|$maxIter"
+    val fpRow = corpus.agg(
+      count(lit(1)).as("n"),
+      coalesce(expr("bit_xor(xxhash64(vec_id, embedding))"), lit(0L)).as("fp"))
+      .head()
+    val key = s"$cacheKey|${fpRow.getLong(0)}|${fpRow.getLong(1)}|$nCells|$maxIter"
     val centroids = centroidCache.computeIfAbsent(key,
       _ => buildIvf(spark, corpus, nCells, maxIter)._1)
     (centroids, assignCells(corpus, centroids))

@@ -134,6 +134,30 @@ object Ingest {
         else concat(col("file_id"), lit("_"), col("chunk_index")))
   }
 
+  /** Open-schema chunk metadata (SURVEY §1.3 variant): Chroma metadata is
+    * a free-form dict filtered by arbitrary keys (chroma_utils.py:119-125;
+    * where={...} at :161,253). The engine's fixed chunk struct covers the
+    * reference's own producers, which all write the same keys — this
+    * MapType(String,String) variant is for loader-specific keys beyond
+    * that set (a PDF producer string, an OCR confidence, ...), which
+    * downstream filters address with `element_at` and no schema
+    * migration. Extras whose value is NULL on a row are ABSENT from that
+    * row's map (dict semantics: a loader that doesn't know a key doesn't
+    * write it), so `element_at` on a missing key is NULL and filters fail
+    * closed — exactly Chroma's where={key: v} behavior on documents
+    * lacking the key.
+    */
+  def openMetadata(chunks: DataFrame, extras: (String, Column)*): DataFrame = {
+    val base = map(
+      lit("source"), col("source_file"),
+      lit("page"), col("page").cast("string"))
+    val full =
+      if (extras.isEmpty) base
+      else map_concat(base,
+        map(extras.flatMap { case (k, v) => Seq(lit(k), v.cast("string")) }: _*))
+    chunks.withColumn("metadata", map_filter(full, (_, v) => v.isNotNull))
+  }
+
   /** T-3: attach an embedding column to chunk rows. */
   def embedChunks(chunks: DataFrame, textCol: String = "chunk_text"): DataFrame =
     chunks.withColumn("embedding", HashEmbedder.embedCol(col(textCol)))

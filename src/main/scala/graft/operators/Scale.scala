@@ -91,6 +91,25 @@ object Scale {
     * pipeline), persist or checkpoint it upstream so the corpus is read
     * once, not twice.
     */
+  /** Knuth multiplicative hash (id · 2654435761) mod 2^32, computed with
+    * mod-2^32 discipline so no intermediate exceeds 2^49: the naive
+    * `id * 2654435761L` product overflows Long for ids above ~3.4e9 —
+    * silently wrapping in default Spark, THROWING under ANSI mode, and
+    * erroring in DuckDB — which would break the bit-reproducible
+    * cross-engine guarantee exactly at the 100 TB id ranges it exists
+    * for. Split id (mod 2^32) into 16-bit halves and reduce after each
+    * product: (hi·2^16 + lo)·C ≡ ((hi·C mod 2^32)·2^16 + lo·C) (mod 2^32).
+    * Identical values to the naive form wherever that form doesn't
+    * overflow, and correct everywhere.
+    */
+  def knuthHash32(id: Column): Column = {
+    val m = lit(4294967296L)
+    val id32 = pmod(id.cast("long"), m)
+    val hi = floor(id32 / 65536L).cast("long")
+    val lo = id32 - hi * 65536L
+    pmod(pmod(hi * 2654435761L, m) * 65536L + lo * 2654435761L, m)
+  }
+
   def temperatureMixSample(
       docs: DataFrame,
       strataCol: String = "lang",
@@ -101,7 +120,7 @@ object Scale {
       .agg(
         floor(lit(coeff) * sqrt(count(lit(1)))).cast("int").as("quota"),
         count(lit(1)).as("n_stratum"))
-    val h = pmod(col("doc_id") * 2654435761L, lit(4294967296L))
+    val h = knuthHash32(col("doc_id"))
     val cutoff = least(
       lit(4294967296L),
       ceil(lit(4294967296.0) * lit(margin) * col("quota") / col("n_stratum")).cast("long"))
@@ -133,8 +152,7 @@ object Scale {
     * the cut is engine-stable.
     */
   def weightedSample(df: DataFrame, idCol: String, weight: Column, k: Int): DataFrame = {
-    val u = (pmod(col(idCol) * 2654435761L, lit(4294967296L)) + 1).cast("double") /
-      lit(4294967297.0)
+    val u = (knuthHash32(col(idCol)) + 1).cast("double") / lit(4294967297.0)
     df.withColumn("weight", weight)
       .filter(col("weight") > 0)
       .withColumn("skey",

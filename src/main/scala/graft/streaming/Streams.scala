@@ -158,14 +158,24 @@ object Streams {
     *
     * @param docs  streaming (doc_id long, text string, ...) frame
     * @param index static (band, blocker) frame from `Dedup.admissionIndex`
-    *              (default portable parameters: 16 hashes, 4 bands)
+    * @param shingleWords,numHashes,bands signature parameters — these MUST
+    *              match the ones the index was built with (defaults mirror
+    *              `Dedup.admissionIndex`'s). A mismatch produces band keys
+    *              that never collide, so the gate would silently admit
+    *              everything — which is why the parameters are taken here
+    *              rather than hardcoded.
     */
-  def admissionGate(docs: DataFrame, index: DataFrame): DataFrame = {
-    val bands = 4
-    val rows = 4
+  def admissionGate(
+      docs: DataFrame,
+      index: DataFrame,
+      shingleWords: Int = 3,
+      numHashes: Int = 16,
+      bands: Int = 4): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rows = numHashes / bands
     val sigUdf = udf { (text: String) =>
       graft.functions.TextAnalysis.minHashSignaturePortable(
-        graft.functions.TextAnalysis.wordShingles(text, 3), bands * rows)
+        graft.functions.TextAnalysis.wordShingles(text, shingleWords), numHashes)
     }
     val withBands = (0 until bands).foldLeft(
       docs.withColumn("sig", sigUdf(col("text")))) { (df, b) =>

@@ -250,6 +250,21 @@ class AnnSpec extends AnyFunSuite with SparkTestSession {
       s"probe must prune partitions, not post-filter:\n${plan.take(800)}")
   }
 
+  test("portable signature-partitioned layout: prunes partitions, matches portable LSH") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_sigpart_portable").toString
+    Ann.writeSignaturePartitionedPortable(corpus.select("vec_id", "embedding"), dir, nBits = 8)
+    val df = Ann.lshTopKPartitionedPortable(spark, dir, queries, k = 5, nBits = 8, probeBits = 2)
+    val out = df.select("query_id", "rank", "vec_id", "sim")
+      .as[(Long, Int, Long, Double)].collect().toSet
+    val mem = Ann.lshTopKPortable(queries, corpus, k = 5, nBits = 8, probeBits = 2)
+      .select("query_id", "rank", "vec_id", "sim")
+      .as[(Long, Int, Long, Double)].collect().toSet
+    assert(out == mem, "partitioned portable layout must not change results")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("sig"),
+      s"probe must prune partitions, not post-filter:\n${plan.take(800)}")
+  }
+
   test("quantized rerank with full over-fetch equals exact float top-k") {
     // Over-fetch the whole corpus: the coarse stage then only orders the
     // candidate set, and the float rerank must reproduce brute force
