@@ -992,6 +992,43 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    "o7_append_roundtrip" -> ((s, dir) => {
+      // O-7 as an oracle-checked ROUND TRIP (previously spec-only: the
+      // oracle harness can't watch a sink directly, but it can check
+      // what the sink accumulated): two appends to a fresh scratch table
+      // (parquet append = new files only, no rewrite), read back — must
+      // equal the union of both batches.
+      val scratch = java.nio.file.Files
+        .createTempDirectory("graft_append").toString + "/t"
+      val docs = Tables.documents(s, dir).select("doc_id", "text", "source")
+      operators.Store.append(docs.filter(col("doc_id") < 30), scratch)
+      operators.Store.append(
+        docs.filter(col("doc_id") >= 30 && col("doc_id") < 50), scratch)
+      s.read.parquet(scratch)
+        .select(col("doc_id"), sha2(col("text"), 256).as("text_hash"), col("source"))
+        .orderBy("doc_id")
+    }),
+
+    "o12_clear_reindex" -> ((s, dir) => {
+      // O-12 as an oracle-checked lineage — the reference's
+      // reset-then-reindex path (chroma_utils.py:265-291 clear + re-add):
+      // ingest an old corpus, truncate via clear + atomic staged
+      // overwrite, re-ingest a new batch. Read-back must contain ONLY
+      // the new rows; any old-row leak (a failed truncate) breaks the
+      // hash.
+      val scratch = java.nio.file.Files
+        .createTempDirectory("graft_clear").toString + "/t"
+      val docs = Tables.documents(s, dir).select("doc_id", "text", "source")
+      operators.Store.append(docs.filter(col("doc_id") < 40), scratch)
+      operators.Store.overwriteWith(
+        s, operators.Store.clear(s.read.parquet(scratch)), scratch)
+      operators.Store.append(
+        docs.filter(col("doc_id") >= 40 && col("doc_id") < 60), scratch)
+      s.read.parquet(scratch)
+        .select(col("doc_id"), sha2(col("text"), 256).as("text_hash"), col("source"))
+        .orderBy("doc_id")
+    }),
+
     "o_delete_doc_both_stores" -> ((s, dir) => {
       // §3.3: the reference deletes a document by hand-ordering its two
       // stores — Chroma first, then the SQLite catalog, with manual
@@ -1397,15 +1434,20 @@ object SparkEntry {
 
     // ---- referential-integrity audit (pipeline data-quality op)
     "audit_orphans" -> ((s, dir) => {
+      // One union-of-aggregates plan: both FK edges audited in a single
+      // job (previously two driver-side .count() actions plus a local
+      // DataFrame — two jobs and a driver round-trip for scalar counts,
+      // the registry's only non-plan-shaped query).
       val li = Tables.lineitem(s, dir)
       val o = Tables.orders(s, dir)
       val c = Tables.customer(s, dir)
-      val orphanLi = li.join(o, li("l_orderkey") === o("o_orderkey"), "left_anti").count()
-      val orphanO = o.join(c, o("o_custkey") === c("c_custkey"), "left_anti").count()
-      import s.implicits._
-      Seq(
-        ("lineitem->orders", orphanLi),
-        ("orders->customer", orphanO)).toDF("fk_edge", "n_orphans").orderBy("fk_edge")
+      val orphanLi = li.join(o, li("l_orderkey") === o("o_orderkey"), "left_anti")
+        .agg(count(lit(1)).as("n_orphans"))
+        .select(lit("lineitem->orders").as("fk_edge"), col("n_orphans"))
+      val orphanO = o.join(c, o("o_custkey") === c("c_custkey"), "left_anti")
+        .agg(count(lit(1)).as("n_orphans"))
+        .select(lit("orders->customer").as("fk_edge"), col("n_orphans"))
+      orphanLi.unionByName(orphanO).orderBy("fk_edge")
     }),
 
     "sample_stratified" -> ((s, dir) => {
@@ -1886,6 +1928,16 @@ object SparkEntry {
       """SELECT event_id, user_id, event_type FROM events
         |WHERE NOT (event_type = 'error' OR value < 0.2)
         |ORDER BY event_id""".stripMargin,
+
+    // The sink round trips: the oracle sees what the sink accumulated.
+    "o7_append_roundtrip" ->
+      """SELECT doc_id, sha256(text) AS text_hash, source FROM documents
+        |WHERE doc_id < 50 ORDER BY doc_id""".stripMargin,
+
+    // After clear + re-ingest, ONLY the new batch may remain.
+    "o12_clear_reindex" ->
+      """SELECT doc_id, sha256(text) AS text_hash, source FROM documents
+        |WHERE doc_id >= 40 AND doc_id < 60 ORDER BY doc_id""".stripMargin,
 
     // Both stores filtered by the same victim set; chunk expansion is the
     // established strided formula (chunkSize=100, overlap=20 → stride 80).

@@ -120,6 +120,29 @@ class IngestSpec extends AnyFunSuite with SparkTestSession {
     assert(chunks.forall(_.getAs[Int]("total_chunks") == chunks.length))
     assert(chunks.forall(_.getAs[String]("chunk_id").startsWith("7_")))
   }
+
+  test("open-schema metadata: null extras are ABSENT keys, element_at fails closed") {
+    val docs = Seq(
+      (1L, "short pdf text", "a.pdf", 14L),
+      (2L, "short web text", "b.html", 14L))
+      .toDF("doc_id", "text", "source", "n_chars")
+    val chunks = Ingest.chunkStrided(docs, chunkSize = 100, overlap = 20)
+    val out = Ingest.openMetadata(chunks,
+      "producer" -> when($"file_id" === 1L, lit("lib-x")) /* null for doc 2 */)
+      .select($"file_id", $"metadata").collect()
+      .map(r => r.getAs[Long]("file_id") -> r.getAs[Map[String, String]]("metadata"))
+      .toMap
+    // base keys always present; the extra only where its value was non-null
+    assert(out(1L).keySet == Set("source", "page", "producer"))
+    assert(out(2L).keySet == Set("source", "page"), s"null extra must be absent: ${out(2L)}")
+    assert(out(1L)("producer") == "lib-x" && out(1L)("source") == "a.pdf")
+    // element_at on the missing key is null -> a where-filter drops the row
+    val filtered = Ingest.openMetadata(chunks,
+      "producer" -> when($"file_id" === 1L, lit("lib-x")))
+      .filter(element_at($"metadata", "producer") === "lib-x")
+      .select("file_id").as[Long].collect().toSet
+    assert(filtered == Set(1L))
+  }
 }
 
 class RetrievalSpec extends AnyFunSuite with SparkTestSession {

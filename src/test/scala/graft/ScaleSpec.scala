@@ -142,6 +142,29 @@ class GraftExtensionsSpec extends AnyFunSuite with SparkTestSession {
     assert(run() == got, "weighted sample not reproducible")
   }
 
+  test("knuthHash32: equals the naive product where defined, safe at huge ids") {
+    // ids small enough that id * 2654435761 fits a Long: the split form
+    // must be value-identical to the naive form the oracle SQL uses
+    val small = (Seq(0L, 1L, 7L, 999L, 123456789L, 3000000000L)).toDF("id")
+    val both = small.select(
+      Scale.knuthHash32(col("id")).as("split"),
+      pmod(col("id") * 2654435761L, lit(4294967296L)).as("naive"))
+      .as[(Long, Long)].collect()
+    both.foreach { case (s, n) => assert(s == n, s"split $s != naive $n") }
+    // ids where the naive product overflows Long (id > ~3.47e9): the
+    // split form must still produce an in-range, deterministic value and
+    // agree with exact BigInt arithmetic
+    val huge = Seq(4000000000L, 123456789012345L, Long.MaxValue - 1).toDF("id")
+    val out = huge.select(col("id"), Scale.knuthHash32(col("id")).as("h"))
+      .as[(Long, Long)].collect()
+    out.foreach { case (id, h) =>
+      val expect = ((BigInt(id) % BigInt(2).pow(32)) * BigInt(2654435761L))
+        .mod(BigInt(2).pow(32)).toLong
+      assert(h == expect, s"id $id: $h != $expect")
+      assert(h >= 0 && h < 4294967296L)
+    }
+  }
+
   test("extension class injects the function at builder time") {
     // unit-level: applying the extension to a fresh extensions container
     // must not throw (builder-time integration is config-driven)

@@ -272,4 +272,34 @@ class StreamsSpec extends AnyFunSuite with SparkTestSession {
       assert(!batch.getAs[Boolean]("admitted") && !out(10L)._1)
     } finally query.stop()
   }
+
+  test("admission gate with non-default signature parameters matches its index") {
+    // The failure mode the parameters guard against: an index built with
+    // non-default (shingleWords, numHashes, bands) produces band keys the
+    // old hardcoded gate could never match, silently admitting every
+    // document. With the parameters threaded through, the same exact-dup
+    // still collides on every band.
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Dedup
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the river bank today"))
+      .toDF("doc_id", "text")
+    val index = Dedup.admissionIndex(corpus, shingleWords = 2, numHashes = 8, bands = 2)
+    val input = MemoryStream[(Long, String)]
+    val query = Streams.admissionGate(
+      input.toDF().toDF("doc_id", "text"), index,
+      shingleWords = 2, numHashes = 8, bands = 2)
+      .writeStream.format("memory").queryName("admission_params")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(
+        (10L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+        (11L, "an entirely novel essay on gardening tomatoes in cold climates works"))
+      query.processAllAvailable()
+      val out = spark.table("admission_params").collect()
+        .map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("admitted")).toMap
+      assert(out == Map(10L -> false, 11L -> true),
+        s"non-default-parameter gate must still block the exact dup: $out")
+    } finally query.stop()
+  }
 }
