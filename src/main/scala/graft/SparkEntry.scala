@@ -369,6 +369,23 @@ object SparkEntry {
         .orderBy("doc_a", "doc_b")
     }),
 
+    "dedup_lines_cross" -> ((s, dir) => {
+      // C4-style cross-document line dedup over synthetic multi-line
+      // docs: a corpus-wide boilerplate header (survives only in the
+      // first doc), a per-language footer (survives once per language),
+      // and each doc's own content line. Dedup.crossDocLineDedup strips
+      // every later copy and reassembles documents in original order.
+      val docs = Tables.documents(s, dir).filter(col("doc_id") < 100)
+        .select(col("doc_id"),
+          concat_ws("\n",
+            lit("ALL RIGHTS RESERVED - STANDARD HEADER"),
+            substring(col("text"), 1, 60),
+            concat(lit("footer-"), col("lang"))).as("text"))
+      Dedup.crossDocLineDedup(docs)
+        .select("doc_id", "n_lines", "n_kept", "cleaned_text")
+        .orderBy("doc_id")
+    }),
+
     "dedup_incremental" -> ((s, dir) => {
       // Daily-crawl shape: docs < 150 are the standing corpus, 150-299
       // the new batch; each batch doc is admitted unless it near-dups
@@ -3239,6 +3256,30 @@ object SparkEntry {
         |FROM cand
         |WHERE CAST(len(list_filter(range(16), i -> sig_a[CAST(i+1 AS INT)] = sig_b[CAST(i+1 AS INT)])) AS DOUBLE) / 16.0 >= 0.5
         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // Line ranks mirror the Spark window exactly (partition by line,
+    // order by doc_id then position); reassembly via ORDER BY inside
+    // string_agg; an all-boilerplate doc yields '' on both engines.
+    "dedup_lines_cross" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    'ALL RIGHTS RESERVED - STANDARD HEADER' || chr(10) ||
+        |    substr(text, 1, 60) || chr(10) || 'footer-' || lang AS text
+        |  FROM documents WHERE doc_id < 100),
+        |l AS (
+        |  SELECT doc_id, u.idx AS line_idx, u.line AS line FROM (
+        |    SELECT doc_id, unnest(list_transform(range(len(ls)), i ->
+        |      struct_pack(idx := CAST(i AS INT), line := ls[CAST(i+1 AS INT)]))) AS u
+        |    FROM (SELECT doc_id, string_split(text, chr(10)) AS ls FROM d))),
+        |r AS (
+        |  SELECT doc_id, line_idx, line,
+        |    row_number() OVER (PARTITION BY line ORDER BY doc_id, line_idx) AS rn
+        |  FROM l)
+        |SELECT doc_id,
+        |  CAST(count(*) AS BIGINT) AS n_lines,
+        |  CAST(count(CASE WHEN rn = 1 THEN 1 END) AS BIGINT) AS n_kept,
+        |  coalesce(string_agg(CASE WHEN rn = 1 THEN line END, chr(10) ORDER BY line_idx), '') AS cleaned_text
+        |FROM r GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // dedup_minhash_lsh without the doc_id cap: the identical portable
     // shingle→minhash→band chain over the ENTIRE documents table.

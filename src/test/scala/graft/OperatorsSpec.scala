@@ -231,6 +231,23 @@ class DedupSpec extends AnyFunSuite with SparkTestSession {
     (4L, "completely different content about query engines and columnar storage"))
     .toDF("doc_id", "text")
 
+  test("cross-doc line dedup: boilerplate stripped after first occurrence, order kept") {
+    val docs = Seq(
+      (1L, "HEADER\nunique one\nFOOTER"),
+      (2L, "HEADER\nunique two\nFOOTER"),
+      (3L, "HEADER\nFOOTER"), // nothing unique: comes back empty, not dropped
+      (4L, "solo line"))
+      .toDF("doc_id", "text")
+    val out = Dedup.crossDocLineDedup(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_lines"), r.getAs[Long]("n_kept"), r.getAs[String]("cleaned_text"))))
+      .toMap
+    assert(out(1L) == ((3L, 3L, "HEADER\nunique one\nFOOTER"))) // first occurrence keeps all
+    assert(out(2L) == ((3L, 1L, "unique two")))
+    assert(out(3L) == ((2L, 0L, "")))
+    assert(out(4L) == ((1L, 1L, "solo line")))
+  }
+
   test("exact dedup keeps min doc_id per hash") {
     val out = Dedup.exact(docs).collect()
     assert(out.length == 3)
