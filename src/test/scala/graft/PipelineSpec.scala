@@ -265,6 +265,23 @@ class AnnSpec extends AnyFunSuite with SparkTestSession {
       s"probe must prune partitions, not post-filter:\n${plan.take(800)}")
   }
 
+  test("fingerprint-keyed layout: reused for identical corpus, rebuilt on mutation") {
+    val base = java.nio.file.Files.createTempDirectory("graft_layout_fp").toString
+    val p1 = Ann.signaturePartitionedLayout(spark, corpus.select("vec_id", "embedding"), base)
+    val marker = new java.io.File(p1, "_SUCCESS")
+    assert(marker.exists())
+    val mtime = marker.lastModified()
+    // same content → same path, no rewrite (the _SUCCESS marker is untouched)
+    val p2 = Ann.signaturePartitionedLayout(spark, corpus.select("vec_id", "embedding"), base)
+    assert(p2 == p1)
+    assert(marker.lastModified() == mtime, "unchanged corpus must not rebuild the layout")
+    // mutated content (one vector dropped) → different fingerprint → new path
+    val p3 = Ann.signaturePartitionedLayout(
+      spark, corpus.filter(col("vec_id") =!= 0L).select("vec_id", "embedding"), base)
+    assert(p3 != p1, "a mutated corpus must get a fresh layout, never stale probes")
+    assert(new java.io.File(p3, "_SUCCESS").exists())
+  }
+
   test("quantized rerank with full over-fetch equals exact float top-k") {
     // Over-fetch the whole corpus: the coarse stage then only orders the
     // candidate set, and the float rerank must reproduce brute force
