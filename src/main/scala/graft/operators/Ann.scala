@@ -350,9 +350,77 @@ object Ann {
     (centroids, assignCells(corpus, centroids))
   }
 
+  /** The `nProbe` nearest centroid cells of one vector (by cosine,
+    * centroid index as the deterministic tiebreak) — shared by the
+    * distributed probe UDF and the driver-side partitioned probe.
+    */
+  def nearestCells(
+      v: Seq[Float], centroids: Array[Array[Float]], nProbe: Int): Array[Int] = {
+    val dim = centroids.head.length
+    centroids.indices.map { c =>
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < dim) {
+        val x = v(i).toDouble; val y = centroids(c)(i).toDouble
+        dot += x * y; na += x * x; nb += y * y
+        i += 1
+      }
+      val den = math.sqrt(na) * math.sqrt(nb)
+      (if (den == 0) 0.0 else dot / den, c)
+    }.sortBy(p => (-p._1, p._2)).take(nProbe).map(_._2).toArray
+  }
+
+  /** Write the corpus PARTITIONED BY its IVF cell — the physical layout
+    * the [[ivfTopK]] scaladoc promises at scale: each cell becomes a
+    * parquet partition directory, so a probe for `nProbe` cells reads
+    * only those directories. The LSH twin is
+    * [[writeSignaturePartitioned]]; same one-time build, amortized over
+    * every query.
+    */
+  def writeCellPartitioned(
+      corpus: DataFrame,
+      centroids: Array[Array[Float]],
+      path: String): Unit =
+    assignCells(corpus, centroids)
+      .write.mode("overwrite").partitionBy("cell").parquet(path)
+
+  /** [[ivfTopK]] over a [[writeCellPartitioned]] layout: probe cells are
+    * computed driver-side from the tiny centroid set, so the cell filter
+    * is a STATIC `isin` on the partition column — genuine
+    * `PartitionFilters` pruning (spec-asserted), not a post-scan filter —
+    * followed by the same broadcast candidate join and exact cosine
+    * rerank. Results are identical to the in-memory [[ivfTopK]] with the
+    * same centroids and parameters.
+    */
+  def ivfTopKPartitioned(
+      spark: SparkSession,
+      path: String,
+      queries: DataFrame,
+      centroids: Array[Array[Float]],
+      k: Int,
+      nProbe: Int = 3): DataFrame = {
+    import spark.implicits._
+    val qRows = queries.select("query_id", "q_embedding").collect()
+    val probes: Seq[(Long, Int)] = qRows.toSeq.flatMap { r =>
+      nearestCells(r.getSeq[Float](1), centroids, nProbe)
+        .map(c => (r.getLong(0), c))
+    }
+    val cellSet = probes.map(_._2).distinct
+    val corpus = spark.read.parquet(path).filter(col("cell").isin(cellSet: _*))
+    val probed = probes.toDF("query_id", "cell").join(queries, "query_id")
+    val cands = corpus.join(broadcast(probed), "cell")
+      .withColumn("sim", VectorExpressions.cosineSim(col("q_embedding"), col("embedding")))
+    val w = Window.partitionBy("query_id").orderBy(desc("sim"), asc("vec_id"))
+    cands
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "vec_id", "sim")
+  }
+
   /** IVF top-k: each query probes its `nProbe` nearest cells, exact-reranks
     * within them. Cell filtering happens before any scoring — at scale the
-    * corpus is partitioned by cell so probes touch only those partitions.
+    * corpus is partitioned by cell ([[writeCellPartitioned]] /
+    * [[ivfTopKPartitioned]]) so probes touch only those partitions.
     */
   def ivfTopK(
       queries: DataFrame,
@@ -360,20 +428,7 @@ object Ann {
       centroids: Array[Array[Float]],
       k: Int,
       nProbe: Int = 3): DataFrame = {
-    val dim = centroids.head.length
-    val probeUdf = udf { (v: Seq[Float]) =>
-      centroids.indices.map { c =>
-        var dot = 0.0; var na = 0.0; var nb = 0.0
-        var i = 0
-        while (i < dim) {
-          val x = v(i).toDouble; val y = centroids(c)(i).toDouble
-          dot += x * y; na += x * x; nb += y * y
-          i += 1
-        }
-        val den = math.sqrt(na) * math.sqrt(nb)
-        (if (den == 0) 0.0 else dot / den, c)
-      }.sortBy(p => (-p._1, p._2)).take(nProbe).map(_._2).toArray
-    }
+    val probeUdf = udf { (v: Seq[Float]) => nearestCells(v, centroids, nProbe) }
     val probed = queries.withColumn("cell", explode(probeUdf(col("q_embedding"))))
     val cands = assignedCorpus.join(broadcast(probed), "cell")
       .withColumn("sim", VectorExpressions.cosineSim(col("q_embedding"), col("embedding")))

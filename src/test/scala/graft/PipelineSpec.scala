@@ -265,6 +265,21 @@ class AnnSpec extends AnyFunSuite with SparkTestSession {
       s"probe must prune partitions, not post-filter:\n${plan.take(800)}")
   }
 
+  test("cell-partitioned IVF layout: probes prune partitions, match in-memory IVF") {
+    val (centroids, assigned) = Ann.buildIvf(spark, corpus, nCells = 8, maxIter = 3)
+    val dir = java.nio.file.Files.createTempDirectory("graft_cellpart").toString
+    Ann.writeCellPartitioned(corpus.select("vec_id", "embedding"), centroids, dir)
+    val df = Ann.ivfTopKPartitioned(spark, dir, queries, centroids, k = 5, nProbe = 3)
+    val out = df.select("query_id", "rank", "vec_id")
+      .as[(Long, Int, Long)].collect().toSet
+    val mem = Ann.ivfTopK(queries, assigned, centroids, k = 5, nProbe = 3)
+      .select("query_id", "rank", "vec_id").as[(Long, Int, Long)].collect().toSet
+    assert(out == mem, "cell-partitioned layout must not change results")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("cell"),
+      s"probe must prune partitions, not post-filter:\n${plan.take(800)}")
+  }
+
   test("fingerprint-keyed layout: reused for identical corpus, rebuilt on mutation") {
     val base = java.nio.file.Files.createTempDirectory("graft_layout_fp").toString
     val p1 = Ann.signaturePartitionedLayout(spark, corpus.select("vec_id", "embedding"), base)
