@@ -386,6 +386,25 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "dedup_spans_cross" -> ((s, dir) => {
+      // Span-level repeated-substring dedup: every doc gets a shared
+      // 8-token preamble plus its own (truncated) text; any 4-token
+      // window seen earlier in the corpus is stripped, so the preamble
+      // survives only in doc 0 and duplicated real-text passages (the
+      // fixture generator reuses sentences) collapse to first
+      // occurrences. Windows spanning preamble→content differ per doc,
+      // so removals taper at the boundary — the standard span-dedup
+      // edge behavior, exercised deliberately.
+      val docs = Tables.documents(s, dir).filter(col("doc_id") < 100)
+        .select(col("doc_id"),
+          concat(
+            lit("shared licensed preamble common to every document here "),
+            substring(col("text"), 1, 120)).as("text"))
+      Dedup.repeatedSpanDedup(docs, k = 4)
+        .select("doc_id", "n_toks", "n_kept", "cleaned_text")
+        .orderBy("doc_id")
+    }),
+
     "dedup_incremental" -> ((s, dir) => {
       // Daily-crawl shape: docs < 150 are the standing corpus, 150-299
       // the new batch; each batch doc is admitted unless it near-dups
@@ -3280,6 +3299,42 @@ object SparkEntry {
         |  CAST(count(CASE WHEN rn = 1 THEN 1 END) AS BIGINT) AS n_kept,
         |  coalesce(string_agg(CASE WHEN rn = 1 THEN line END, chr(10) ORDER BY line_idx), '') AS cleaned_text
         |FROM r GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // Span dedup: k=4 token windows ranked per gram exactly as the Spark
+    // window (partition by gram, order by doc_id then start); duplicated
+    // windows explode into covered token positions; reassembly via
+    // ORDER BY inside string_agg. An entirely-covered doc yields ''.
+    "dedup_spans_cross" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    'shared licensed preamble common to every document here ' ||
+        |    substr(text, 1, 120) AS text
+        |  FROM documents WHERE doc_id < 100),
+        |t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM d),
+        |w AS (
+        |  SELECT doc_id, u.s AS start, u.g AS gram FROM (
+        |    SELECT doc_id, unnest(list_transform(range(greatest(len(toks) - 3, 0)), i ->
+        |      struct_pack(s := CAST(i AS INT),
+        |        g := lower(array_to_string(toks[CAST(i+1 AS INT):CAST(i+4 AS INT)], ' '))))) AS u
+        |    FROM t)),
+        |r AS (
+        |  SELECT doc_id, start,
+        |    row_number() OVER (PARTITION BY gram ORDER BY doc_id, start) AS rn
+        |  FROM w),
+        |cov AS (
+        |  SELECT DISTINCT doc_id, start + x AS tok_idx
+        |  FROM (SELECT doc_id, start FROM r WHERE rn > 1) rr, unnest(range(4)) AS ux(x)),
+        |tk AS (
+        |  SELECT doc_id, u.i AS tok_idx, u.tok AS tok FROM (
+        |    SELECT doc_id, unnest(list_transform(range(len(toks)), i ->
+        |      struct_pack(i := CAST(i AS INT), tok := toks[CAST(i+1 AS INT)]))) AS u
+        |    FROM t))
+        |SELECT tk.doc_id,
+        |  CAST(count(*) AS BIGINT) AS n_toks,
+        |  CAST(count(CASE WHEN cov.tok_idx IS NULL THEN 1 END) AS BIGINT) AS n_kept,
+        |  coalesce(string_agg(CASE WHEN cov.tok_idx IS NULL THEN tk.tok END, ' ' ORDER BY tk.tok_idx), '') AS cleaned_text
+        |FROM tk LEFT JOIN cov ON tk.doc_id = cov.doc_id AND tk.tok_idx = cov.tok_idx
+        |GROUP BY tk.doc_id ORDER BY tk.doc_id""".stripMargin,
 
     // dedup_minhash_lsh without the doc_id cap: the identical portable
     // shingle→minhash→band chain over the ENTIRE documents table.

@@ -248,6 +248,25 @@ class DedupSpec extends AnyFunSuite with SparkTestSession {
     assert(out(4L) == ((1L, 1L, "solo line")))
   }
 
+  test("span dedup: later k-token windows stripped, intra-doc repetition collapsed") {
+    val docs = Seq(
+      (1L, "a b c d e"),
+      (2L, "x A B C d y"), // case-insensitive match; edge tokens x/y survive
+      (3L, "a b c d e"), // exact copy: entirely covered, returned empty
+      (4L, "p q r p q r p q r"), // intra-doc loop collapses to one period
+      (5L, "a b")) // shorter than k: no windows, untouched
+      .toDF("doc_id", "text")
+    val out = Dedup.repeatedSpanDedup(docs, k = 3).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_toks"), r.getAs[Long]("n_kept"), r.getAs[String]("cleaned_text"))))
+      .toMap
+    assert(out(1L) == ((5L, 5L, "a b c d e"))) // first occurrence keeps all
+    assert(out(2L) == ((6L, 2L, "x y")))
+    assert(out(3L) == ((5L, 0L, "")))
+    assert(out(4L) == ((9L, 3L, "p q r")))
+    assert(out(5L) == ((2L, 2L, "a b")))
+  }
+
   test("exact dedup keeps min doc_id per hash") {
     val out = Dedup.exact(docs).collect()
     assert(out.length == 3)
