@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.{HashEmbedder, TextAnalysis}
-import graft.operators.{Dedup, Ingest, Joins, Retrieval, Sessions}
+import graft.operators.{Dedup, Ingest, Joins, Retrieval, Scale, Sessions}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -593,6 +593,26 @@ object SparkEntry {
         TextAnalysis.floorScale(TextAnalysis.punctRatio(col("text")), 6).as("punct_ratio"),
         TextAnalysis.floorScale(TextAnalysis.stopwordRatio(col("text")), 6).as("stopword_ratio"),
         TextAnalysis.qualityScore(col("text")).as("quality"))
+        .orderBy("doc_id")
+    }),
+
+    "quality_source_gate" -> ((s, dir) => {
+      // Source-level (domain) quality gate: docs judged by their SOURCE's
+      // aggregate mean quality, doc count and exact-dup rate. Duplicates
+      // are injected into src0/src1 ONLY (two extra copies of their
+      // doc_id<200 docs) so those two sources fail on the dup axis while
+      // the 0.59 mean-quality threshold splits the remaining 18 — mixed
+      // verdicts at every scale, all three signals live. keep_source is
+      // a FLAG — retention stays a separate policy step.
+      val base = Tables.documents(s, dir).select("doc_id", "source", "text")
+      val seed = base.filter(col("doc_id") < 200 &&
+        col("source").isin("src0", "src1"))
+      val dups = seed.withColumn("doc_id", col("doc_id") + 100000L)
+        .unionByName(seed.withColumn("doc_id", col("doc_id") + 200000L))
+      Scale.sourceQualityGate(base.unionByName(dups),
+          minDocs = 3L, minMeanQuality = 0.59, maxDupRate = 0.02)
+        .select("doc_id", "source", "src_docs", "src_mean_q_micros",
+          "src_dup_micros", "keep_source")
         .orderBy("doc_id")
     }),
 
@@ -2541,6 +2561,42 @@ object SparkEntry {
         |      + greatest(0.0, 1.0 - punct_ratio * 5.0) * 0.3
         |      + least(stopword_ratio * 2.5, 1.0) * 0.3) * 1000000.0) / 1000000.0 AS quality
         |FROM t ORDER BY doc_id""".stripMargin,
+
+    // Mean quality in integer micro-units: floor(score*1e6) summed as
+    // BIGINT then floor-divided — no floating-point aggregation order to
+    // disagree on. Same quality expression as text_quality.
+    "quality_source_gate" ->
+      """WITH d AS (
+        |  SELECT doc_id, source, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000, source, text FROM documents
+        |  WHERE doc_id < 200 AND source IN ('src0', 'src1')
+        |  UNION ALL
+        |  SELECT doc_id + 200000, source, text FROM documents
+        |  WHERE doc_id < 200 AND source IN ('src0', 'src1')),
+        |q AS (
+        |  SELECT doc_id, source,
+        |    CAST(floor((least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) * 0.4
+        |      + greatest(0.0, 1.0 - (CASE WHEN length(text) = 0 THEN 0.0
+        |          ELSE CAST(length(regexp_replace(text, '[^[:punct:]]', '', 'g')) AS DOUBLE)
+        |               / CAST(length(text) AS DOUBLE) END) * 5.0) * 0.3
+        |      + least((CASE WHEN length(trim(text)) = 0 THEN 0.0
+        |          ELSE CAST(len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+        |                 x -> list_contains(['the','a','an','and','or','of','to','in','is','it','that','this','for','on','with','as','at','by','be','are'], x))) AS DOUBLE)
+        |               / CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE) END) * 2.5, 1.0) * 0.3
+        |      ) * 1000000.0) AS BIGINT) AS q_micros,
+        |    sha256(text) AS h
+        |  FROM d),
+        |s AS (
+        |  SELECT source,
+        |    CAST(count(*) AS BIGINT) AS src_docs,
+        |    CAST(floor(sum(q_micros) / count(*)) AS BIGINT) AS src_mean_q_micros,
+        |    CAST(floor((count(*) - count(DISTINCT h)) * 1000000.0 / count(*)) AS BIGINT) AS src_dup_micros
+        |  FROM q GROUP BY source)
+        |SELECT q.doc_id, q.source, s.src_docs, s.src_mean_q_micros, s.src_dup_micros,
+        |  (s.src_docs >= 3 AND s.src_mean_q_micros >= 590000 AND s.src_dup_micros <= 20000) AS keep_source
+        |FROM q JOIN s ON q.source = s.source
+        |ORDER BY q.doc_id""".stripMargin,
 
     "q6_revenue_forecast" ->
       """SELECT round(sum(l_extendedprice * l_discount), 4) AS revenue

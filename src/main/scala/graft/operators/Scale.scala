@@ -190,4 +190,51 @@ object Scale {
     df.write.mode("overwrite")
       .bucketBy(buckets, key).sortBy(key)
       .format("parquet").saveAsTable(table)
+
+  /** Source-level quality gate (CCNet/RefinedWeb-style domain filtering):
+    * documents are judged by their SOURCE's aggregate behavior, not just
+    * their own text — a spammy or boilerplate-heavy domain drags all its
+    * documents down. Per source this computes doc count, mean
+    * [[graft.functions.TextAnalysis.qualityScore]] and the exact-duplicate
+    * rate, then flags every document of a failing source
+    * (`keep_source = false`); documents are flagged, not dropped, so the
+    * retention decision stays a separate policy step.
+    *
+    * Cross-engine exactness: the mean is computed in INTEGER micro-units.
+    * qualityScore is floor-scaled to 6 dp, so `round(q*1e6)` recovers an
+    * exact integer (round, not cast: the double `k/1e6 * 1e6` can land one
+    * ulp under k and a cast would truncate; the value is never near the
+    * .5 boundary where engines' round() semantics diverge). Summing longs
+    * is exact, and `floor(sum/n)` and `floor((n-d)*1e6/n)` are safe
+    * because an IEEE quotient of values this size is within 1e-10 of the
+    * true rational, which is never that close to an integer for n < 1e9.
+    *
+    * Plan shape at 100 TB: one map-side-combinable aggregation shuffled
+    * by source (the dup-rate count-distinct expands it to two exchanges),
+    * then the per-source verdict table — thousands of rows at most — is
+    * broadcast back onto the corpus. The corpus itself never reshuffles.
+    */
+  def sourceQualityGate(
+      docs: DataFrame,
+      minDocs: Long = 3L,
+      minMeanQuality: Double = 0.35,
+      maxDupRate: Double = 0.5): DataFrame = {
+    val qThresh = math.round(minMeanQuality * 1e6)
+    val dThresh = math.round(maxDupRate * 1e6)
+    val scored = docs.select(
+      col("source"),
+      round(graft.functions.TextAnalysis.qualityScore(col("text")) * 1e6)
+        .cast("long").as("q_micros"),
+      sha2(col("text"), 256).as("h"))
+    val stats = scored.groupBy("source").agg(
+      count(lit(1)).as("src_docs"),
+      floor(sum("q_micros") / count(lit(1))).cast("long").as("src_mean_q_micros"),
+      floor((count(lit(1)) - countDistinct(col("h"))) * lit(1000000.0) / count(lit(1)))
+        .cast("long").as("src_dup_micros"))
+    val verdict = stats.withColumn("keep_source",
+      col("src_docs") >= minDocs &&
+        col("src_mean_q_micros") >= qThresh &&
+        col("src_dup_micros") <= dThresh)
+    docs.join(broadcast(verdict), "source")
+  }
 }

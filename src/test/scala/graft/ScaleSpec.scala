@@ -32,6 +32,30 @@ class ScaleSpec extends AnyFunSuite with SparkTestSession {
     assert(s == d)
   }
 
+  test("source quality gate: dup-farm, tiny and junk sources flagged, good kept") {
+    val prose = "the cat sat on the mat and it was a fine day for all of the town to see"
+    val docs = Seq(
+      (1L, "good", prose + " one"), (2L, "good", prose + " two"),
+      (3L, "good", prose + " three"), (4L, "good", prose + " four"),
+      (5L, "dupfarm", prose), (6L, "dupfarm", prose), (7L, "dupfarm", prose),
+      (8L, "dupfarm", prose + " unique"),
+      (9L, "tiny", prose), (10L, "tiny", prose + " b"),
+      (11L, "junk", "!!! ??? *** ### $$$ %%%"), (12L, "junk", "@@@ &&& ^^^ ||| ~~~"),
+      (13L, "junk", "+++ === --- ___ :::"))
+      .toDF("doc_id", "source", "text")
+    val out = Scale.sourceQualityGate(docs, minDocs = 3L,
+      minMeanQuality = 0.3, maxDupRate = 0.3)
+      .select("source", "src_docs", "src_dup_micros", "keep_source")
+      .distinct().as[(String, Long, Long, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out("good") == ((4L, 0L, true)))
+    assert(out("dupfarm") == ((4L, 500000L, false))) // 2 dups of 4 = 0.5 > 0.3
+    assert(out("tiny")._1 == 2L && !out("tiny")._3) // below minDocs
+    assert(!out("junk")._3) // mean quality below 0.3
+    // gate flags, never drops: every input doc still present
+    assert(Scale.sourceQualityGate(docs, 3L, 0.3, 0.3).count() == 13L)
+  }
+
   test("approx distinct is close to exact") {
     val df = (1 to 2000).map(i => i % 731).toDF("x")
     val approx = Scale.approxDistinct(df, col("x")).as[Long].collect().head
