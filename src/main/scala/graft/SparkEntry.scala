@@ -992,6 +992,22 @@ object SparkEntry {
         .orderBy("user_id")
     }),
 
+    "shard_deterministic" -> ((s, dir) => {
+      // Reproducible epoch shuffle + sharding: per-shard rollup proves
+      // the assignment is balanced and the hash order is deterministic
+      // (min/max hash and an order-free id checksum per shard hash-match
+      // the oracle's independent computation). Map-only — the rollup is
+      // the only shuffle, and it aggregates 8 rows.
+      val docs = Tables.documents(s, dir).select("doc_id")
+      Scale.deterministicShuffle(docs, "doc_id", seed = 42L, shards = 8)
+        .groupBy("shard").agg(
+          count(lit(1)).cast("long").as("n_docs"),
+          min("shuffle_hash").as("min_hash"),
+          max("shuffle_hash").as("max_hash"),
+          sum("doc_id").cast("long").as("id_sum"))
+        .orderBy("shard")
+    }),
+
     // ---- write-path analogs (O-10; other sinks exercised in StoreSpec)
     "o10_delete_by_key" -> ((s, dir) => {
       import s.implicits._
@@ -2783,6 +2799,21 @@ object SparkEntry {
     "scale_salted_count" ->
       """SELECT user_id, count(*) AS n FROM events
         |GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    // Naive product form of the Knuth hash: equal to the Spark side's
+    // overflow-safe split-multiply wherever the product fits (it does at
+    // fixture id ranges; the split form exists for ids above ~3.4e9).
+    "shard_deterministic" ->
+      """WITH h AS (
+        |  SELECT doc_id,
+        |    ((doc_id + 42) * 2654435761) % 4294967296 AS shuffle_hash
+        |  FROM documents)
+        |SELECT shuffle_hash % 8 AS shard,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  min(shuffle_hash) AS min_hash,
+        |  max(shuffle_hash) AS max_hash,
+        |  CAST(sum(doc_id) AS BIGINT) AS id_sum
+        |FROM h GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "o10_delete_by_key" ->
       """SELECT event_id, user_id, event_type FROM events

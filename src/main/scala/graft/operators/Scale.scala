@@ -110,6 +110,35 @@ object Scale {
     pmod(pmod(hi * 2654435761L, m) * 65536L + lo * 2654435761L, m)
   }
 
+  /** Deterministic corpus shuffle + shard assignment for training-data
+    * ordering: every pretraining pipeline must present documents in a
+    * reproducible pseudo-random order, split across `shards` output
+    * files, with the SAME order on every rerun (else resumed jobs see
+    * different data). The shuffle key is [[knuthHash32]] of
+    * `id + seed` — engine- and partitioning-independent, so the order is
+    * bit-reproducible and a different `seed` gives a different epoch's
+    * permutation. `shard = hash mod shards` balances shards in
+    * expectation.
+    *
+    * Plan shape at 100 TB: adds two map-only columns — NO shuffle and NO
+    * global sort here. Consumers write
+    * `partitionBy("shard") + sortWithinPartitions("shuffle_hash")`: each
+    * training worker then reads its shard sequentially in shuffle order,
+    * and a global sort (one total-order range exchange of the whole
+    * corpus) is never needed because inter-shard order is irrelevant to
+    * data loaders. Ties (hash collisions) are broken by id downstream.
+    */
+  def deterministicShuffle(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      seed: Long = 0L,
+      shards: Int = 64): DataFrame = {
+    require(shards > 0, "shards must be positive")
+    docs
+      .withColumn("shuffle_hash", knuthHash32(col(idCol) + lit(seed)))
+      .withColumn("shard", pmod(col("shuffle_hash"), lit(shards.toLong)))
+  }
+
   def temperatureMixSample(
       docs: DataFrame,
       strataCol: String = "lang",

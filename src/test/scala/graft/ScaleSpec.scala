@@ -56,6 +56,29 @@ class ScaleSpec extends AnyFunSuite with SparkTestSession {
     assert(Scale.sourceQualityGate(docs, 3L, 0.3, 0.3).count() == 13L)
   }
 
+  test("deterministic shuffle: reproducible, seed-sensitive, naive-hash-equal") {
+    val docs = (0L until 500L).toDF("doc_id")
+    val a = Scale.deterministicShuffle(docs, "doc_id", seed = 7L, shards = 8)
+      .select("doc_id", "shuffle_hash", "shard")
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    val b = Scale.deterministicShuffle(docs, "doc_id", seed = 7L, shards = 8)
+      .select("doc_id", "shuffle_hash", "shard")
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(a == b, "same seed must reproduce the identical permutation")
+    val c = Scale.deterministicShuffle(docs, "doc_id", seed = 8L, shards = 8)
+      .select("doc_id", "shuffle_hash", "shard")
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(a.map(_._2) != c.map(_._2), "different seed must permute differently")
+    // split-multiply hash equals the naive product where it fits
+    a.foreach { case (id, h, sh) =>
+      assert(h == ((id + 7L) * 2654435761L) % 4294967296L)
+      assert(sh == h % 8L)
+    }
+    // every shard populated, roughly balanced on 500 uniform-ish hashes
+    val sizes = a.groupBy(_._3).map(_._2.size)
+    assert(sizes.size == 8 && sizes.min > 20, s"sizes=$sizes")
+  }
+
   test("approx distinct is close to exact") {
     val df = (1 to 2000).map(i => i % 731).toDF("x")
     val approx = Scale.approxDistinct(df, col("x")).as[Long].collect().head
