@@ -79,6 +79,27 @@ class ScaleSpec extends AnyFunSuite with SparkTestSession {
     assert(sizes.size == 8 && sizes.min > 20, s"sizes=$sizes")
   }
 
+  test("hash-keyed ops survive ANSI mode at 100 TB id ranges") {
+    // ANSI turns silent Long wrap-around into runtime errors; the Knuth
+    // hash's split-multiply discipline exists so ids past ~3.4e9 (where
+    // id * 2654435761 overflows) keep working. Run the hash-keyed ops on
+    // such ids with ANSI on: any overflow in the plan throws here.
+    spark.conf.set("spark.sql.ansi.enabled", "true")
+    try {
+      val ids = Seq(1L, 3400000001L, 5000000000L, 1000000000000000L).toDF("doc_id")
+      val sh = Scale.deterministicShuffle(ids, "doc_id", seed = 5L, shards = 8)
+        .as[(Long, Long, Long)].collect()
+      assert(sh.length == 4)
+      sh.foreach { case (_, h, s) =>
+        assert(h >= 0L && h < 4294967296L && s >= 0L && s < 8L)
+      }
+      val docs = Seq((5000000000L, 1.0), (9999999999L, 2.0), (1L, 3.0))
+        .toDF("doc_id", "w")
+      val picked = Scale.weightedSample(docs, "doc_id", col("w"), 2).collect()
+      assert(picked.length == 2)
+    } finally spark.conf.unset("spark.sql.ansi.enabled")
+  }
+
   test("approx distinct is close to exact") {
     val df = (1 to 2000).map(i => i % 731).toDF("x")
     val approx = Scale.approxDistinct(df, col("x")).as[Long].collect().head
