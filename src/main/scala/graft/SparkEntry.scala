@@ -695,6 +695,15 @@ object SparkEntry {
         .orderBy("shard", "bin_id")
     }),
 
+    "pack_manifest" -> ((s, dir) => {
+      // The loader-facing twin of pack_sequences: per-document placement
+      // (shard, bin, starting token offset) instead of per-bin stats —
+      // what a training data loader reads to find each document inside
+      // its packed sequence file.
+      operators.Scale.packManifest(Tables.documents(s, dir), budgetTokens = 512)
+        .orderBy("doc_id")
+    }),
+
     // ---- additional relational coverage (conditional agg, having,
     //      rollup, analytic windows, sliding windows)
     "q6_revenue_forecast" -> ((s, dir) => {
@@ -3567,6 +3576,23 @@ object SparkEntry {
         |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
         |FROM c GROUP BY shard, bin_id
         |ORDER BY shard, bin_id""".stripMargin,
+
+    // Per-doc rows of the same running-sum CTE as pack_sequences;
+    // offset = cum_before mod budget.
+    "pack_manifest" ->
+      """WITH t AS (
+        |  SELECT doc_id, doc_id % 8 AS shard,
+        |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+        |         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, shard, n_tokens,
+        |    coalesce(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+        |  FROM t)
+        |SELECT shard, CAST(floor(cum_before / 512) AS BIGINT) AS bin_id,
+        |  doc_id, n_tokens, CAST(cum_before % 512 AS BIGINT) AS offset
+        |FROM c ORDER BY doc_id""".stripMargin,
 
     // Same header/extension synthesis; fail-open = accepted when the
     // sniffed type is NULL (unknown magic number).

@@ -23,7 +23,37 @@ object Scale {
   def packSequences(
       docs: DataFrame,
       budgetTokens: Long,
-      shards: Int = 8): DataFrame = {
+      shards: Int = 8): DataFrame =
+    packedDocs(docs, budgetTokens, shards)
+      .groupBy("shard", "bin_id")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_tokens").as("total_tokens"),
+        min("doc_id").as("first_doc"),
+        max("doc_id").as("last_doc"))
+
+  /** Per-document packing manifest — the artifact a training data loader
+    * actually consumes: for every document, which (shard, bin) it landed
+    * in and the token offset where it starts inside the bin
+    * (`offset = cum_before mod budget`; the bin's last document may run
+    * past the budget — contiguous packing overflows by less than one
+    * document, and the loader truncates or wraps per its own policy).
+    * Same shard-parallel running-sum plan as [[packSequences]]; this is
+    * that frame before the per-bin rollup.
+    */
+  def packManifest(
+      docs: DataFrame,
+      budgetTokens: Long,
+      shards: Int = 8): DataFrame =
+    packedDocs(docs, budgetTokens, shards)
+      .withColumn("offset", pmod(col("cum_before"), lit(budgetTokens)))
+      .select("shard", "bin_id", "doc_id", "n_tokens", "offset")
+
+  /** Shared packing frame: token counts, shard assignment, exclusive
+    * running token sum within the shard (doc_id order), bin id.
+    */
+  private def packedDocs(
+      docs: DataFrame, budgetTokens: Long, shards: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val toks = docs.select(
       col("doc_id"),
@@ -34,12 +64,6 @@ object Scale {
     toks
       .withColumn("cum_before", coalesce(sum("n_tokens").over(w), lit(0L)))
       .withColumn("bin_id", floor(col("cum_before") / budgetTokens).cast("long"))
-      .groupBy("shard", "bin_id")
-      .agg(
-        count(lit(1)).as("n_docs"),
-        sum("n_tokens").as("total_tokens"),
-        min("doc_id").as("first_doc"),
-        max("doc_id").as("last_doc"))
   }
 
   /** Two-phase (salted) aggregation: spread a skewed group key over

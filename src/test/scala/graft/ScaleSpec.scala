@@ -79,6 +79,32 @@ class ScaleSpec extends AnyFunSuite with SparkTestSession {
     assert(sizes.size == 8 && sizes.min > 20, s"sizes=$sizes")
   }
 
+  test("pack manifest is consistent with the bin rollup") {
+    val docs = (0L until 60L).map(i => (i, Seq.fill((i % 7 + 1).toInt)("tok").mkString(" ")))
+      .toDF("doc_id", "text")
+    val manifest = Scale.packManifest(docs, budgetTokens = 10, shards = 4)
+      .as[(Long, Long, Long, Long, Long)].collect()
+    val bins = Scale.packSequences(docs, budgetTokens = 10, shards = 4)
+      .select("shard", "bin_id", "n_docs", "total_tokens")
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    // rollup of the manifest equals packSequences exactly
+    val rolled = manifest.groupBy(m => (m._1, m._2))
+      .map { case (k, ms) => k -> ((ms.length.toLong, ms.map(_._4).sum)) }
+    assert(rolled == bins)
+    // offsets: first doc of each bin starts below budget; within a bin,
+    // each doc starts where the previous ended (contiguous packing)
+    manifest.groupBy(m => (m._1, m._2)).values.foreach { ms =>
+      val sorted = ms.sortBy(_._3)
+      assert(sorted.head._5 < 10L)
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(b._5 == a._5 + a._4, s"non-contiguous: $a -> $b")
+        case _ =>
+      }
+    }
+  }
+
   test("hash-keyed ops survive ANSI mode at 100 TB id ranges") {
     // ANSI turns silent Long wrap-around into runtime errors; the Knuth
     // hash's split-multiply discipline exists so ids past ~3.4e9 (where
