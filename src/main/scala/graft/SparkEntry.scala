@@ -673,6 +673,30 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    "retrieval_hybrid_rrf" -> ((s, dir) => {
+      // Hybrid search: BM25 lexical top-20 fused with cosine semantic
+      // top-20 by Reciprocal Rank Fusion. Query ids align across
+      // channels (each query has a text form and an embedding form);
+      // doc ids live in different spaces (documents vs embeddings), so
+      // the fusion exercises one-channel-only docs too — exactly the
+      // full-outer semantics RRF must handle.
+      import s.implicits._
+      val textQueries = Seq(
+        (0L, "fast sort merge"), (1L, "spark data query"), (2L, "join filter stream"))
+        .toDF("query_id", "qtext")
+      val lex = operators.TextRetrieval
+        .bm25TopK(Tables.documents(s, dir), textQueries, k = 20)
+        .select("query_id", "doc_id", "rank")
+      val emb = Tables.embeddings(s, dir)
+      val vecQueries = emb.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"))
+      val sem = Retrieval.knnJoin(vecQueries, emb, k = 20)
+        .select(col("query_id"), col("vec_id").as("doc_id"), col("rank"))
+      operators.TextRetrieval.hybridTopK(lex, sem, k = 10)
+        .withColumn("rrf", TextAnalysis.floorScale(col("rrf"), 6))
+        .orderBy("query_id", "rank")
+    }),
+
     "tfidf_top_terms" -> ((s, dir) => {
       operators.TextRetrieval.tfidfTopTerms(Tables.documents(s, dir), k = 3,
         broadcastDf = Some(true)) // tiny vocabulary here, same as bm25_topk
@@ -3104,6 +3128,71 @@ object SparkEntry {
         |  FROM s)
         |SELECT query_id, rank, doc_id, score FROM r WHERE rank <= 5
         |ORDER BY query_id, rank""".stripMargin,
+
+    // Lexical chain = bm25_topk's CTEs at k=20; semantic chain =
+    // t4_knn_cosine's at k=20 over vec_id<3; fusion = full outer join on
+    // (query_id, doc_id), rrf = sum of 1/(60+rank) contributions.
+    "retrieval_hybrid_rrf" ->
+      """WITH q(query_id, qtext) AS (VALUES
+        |    (CAST(0 AS BIGINT), 'fast sort merge'),
+        |    (CAST(1 AS BIGINT), 'spark data query'),
+        |    (CAST(2 AS BIGINT), 'join filter stream')),
+        |tk AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^\p{L}\p{N}]+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |t AS (SELECT doc_id, unnest(toks) AS term FROM tk),
+        |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM t GROUP BY 1, 2),
+        |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
+        |corp AS (SELECT CAST(count(*) AS BIGINT) AS n_docs, avg(CAST(dl AS DOUBLE)) AS avgdl FROM dl),
+        |dfr AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+        |qt AS (SELECT DISTINCT query_id, term FROM
+        |  (SELECT query_id, unnest(list_filter(regexp_split_to_array(lower(qtext), '[^\p{L}\p{N}]+'), x -> x <> '')) AS term FROM q)),
+        |c AS (
+        |  SELECT qt.query_id, tf.doc_id,
+        |    ln(1.0 + (corp.n_docs - dfr.df + 0.5) / (dfr.df + 0.5))
+        |      * (tf.tf * (1.25 + 1)) / (tf.tf + 1.25 * (1 - 0.75 + 0.75 * dl.dl / corp.avgdl)) AS contrib
+        |  FROM qt JOIN tf USING (term) JOIN dfr USING (term)
+        |  JOIN dl ON tf.doc_id = dl.doc_id, corp),
+        |bs AS (
+        |  SELECT query_id, doc_id, floor(sum(contrib) * 1000000) / 1000000 AS score
+        |  FROM c GROUP BY 1, 2),
+        |lr AS (
+        |  SELECT query_id, doc_id,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank
+        |  FROM bs QUALIFY rank <= 20),
+        |vq AS (
+        |  SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 3),
+        |scored AS (
+        |  SELECT vq.query_id, e.vec_id,
+        |    list_reduce(list_prepend(0.0,
+        |      list_transform(range(64),
+        |        i -> CAST(vq.qe[i+1] AS DOUBLE) * CAST(e.embedding[i+1] AS DOUBLE))),
+        |      (a, b) -> a + b)
+        |    / (sqrt(list_reduce(list_prepend(0.0,
+        |         list_transform(vq.qe, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (a,b) -> a+b))
+        |     * sqrt(list_reduce(list_prepend(0.0,
+        |         list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (a,b) -> a+b)))
+        |    AS sim
+        |  FROM vq CROSS JOIN embeddings e),
+        |sr AS (
+        |  SELECT query_id, vec_id AS doc_id,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rank
+        |  FROM scored QUALIFY rank <= 20),
+        |f AS (
+        |  SELECT coalesce(l.query_id, s2.query_id) AS query_id,
+        |    coalesce(l.doc_id, s2.doc_id) AS doc_id,
+        |    l.rank AS lex_rank, s2.rank AS sem_rank,
+        |    coalesce(1.0 / (60.0 + l.rank), 0.0) + coalesce(1.0 / (60.0 + s2.rank), 0.0) AS rrf
+        |  FROM lr l FULL OUTER JOIN sr s2
+        |    ON l.query_id = s2.query_id AND l.doc_id = s2.doc_id),
+        |fr AS (
+        |  SELECT query_id, doc_id, lex_rank, sem_rank, rrf,
+        |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY rrf DESC, doc_id) AS INT) AS rank
+        |  FROM f)
+        |SELECT query_id, rank, doc_id,
+        |  floor(rrf * 1000000) / 1000000 AS rrf,
+        |  CAST(lex_rank AS INT) AS lex_rank, CAST(sem_rank AS INT) AS sem_rank
+        |FROM fr WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
 
     "tfidf_top_terms" ->
       """WITH tk AS (

@@ -260,4 +260,38 @@ object TextRetrieval {
       .orderBy(desc("n_occurrences"), asc("gram"))
       .limit(k)
   }
+
+  /** Hybrid retrieval fusion via Reciprocal Rank Fusion (Cormack et al.
+    * SIGIR'09): combine a lexical ranking (e.g. [[bm25TopK]]) and a
+    * semantic ranking (e.g. `Retrieval.knnJoin`) into one list with
+    * `score = Σ 1/(rrfK + rank)` over the lists that retrieved the doc.
+    * RRF needs only ranks, never the incomparable raw scores, which is
+    * why it is the standard fusion for hybrid RAG search. Docs retrieved
+    * by one channel keep that channel's contribution alone; ties (same
+    * rank pattern from different channels) break by doc_id.
+    *
+    * Inputs are (query_id, doc_id, rank) frames. Scale shape: both
+    * inputs are top-N lists — O(|queries|·N) rows regardless of corpus
+    * size — so the full-outer fusion join and the per-query re-rank
+    * window never touch the corpus; AQE broadcasts the smaller side.
+    */
+  def hybridTopK(
+      lexical: DataFrame,
+      semantic: DataFrame,
+      k: Int,
+      rrfK: Int = 60): DataFrame = {
+    val lex = lexical.select(
+      col("query_id"), col("doc_id"), col("rank").cast("int").as("lex_rank"))
+    val sem = semantic.select(
+      col("query_id"), col("doc_id"), col("rank").cast("int").as("sem_rank"))
+    val fused = lex.join(sem, Seq("query_id", "doc_id"), "full_outer")
+      .withColumn("rrf",
+        coalesce(lit(1.0) / (lit(rrfK.toDouble) + col("lex_rank")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(rrfK.toDouble) + col("sem_rank")), lit(0.0)))
+    val w = Window.partitionBy("query_id").orderBy(desc("rrf"), asc("doc_id"))
+    fused
+      .withColumn("rank", row_number().over(w).cast("int"))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "doc_id", "rrf", "lex_rank", "sem_rank")
+  }
 }

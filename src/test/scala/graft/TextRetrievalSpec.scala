@@ -99,4 +99,23 @@ class TextRetrievalSpec extends AnyFunSuite with SparkTestSession {
       .collect()
     assert(out.length == 1 && out.head.getAs[Long]("tf") == 2L)
   }
+
+  test("hybrid RRF: both-channel docs outrank one-channel, exact contributions") {
+    // doc 10: rank 1 in both channels; doc 20: lex-only rank 2;
+    // doc 30: sem-only rank 2; doc 40: lex-only rank 3
+    val lex = Seq((0L, 10L, 1), (0L, 20L, 2), (0L, 40L, 3))
+      .toDF("query_id", "doc_id", "rank")
+    val sem = Seq((0L, 10L, 1), (0L, 30L, 2))
+      .toDF("query_id", "doc_id", "rank")
+    val out = TextRetrieval.hybridTopK(lex, sem, k = 10, rrfK = 60)
+      .orderBy("rank").collect()
+    assert(out.map(_.getAs[Long]("doc_id")).toSeq == Seq(10L, 20L, 30L, 40L))
+    // doc 10: 2/61; docs 20 and 30: both 1/62 — tie broken by doc_id
+    assert(math.abs(out(0).getAs[Double]("rrf") - 2.0 / 61.0) < 1e-12)
+    assert(math.abs(out(1).getAs[Double]("rrf") - 1.0 / 62.0) < 1e-12)
+    assert(out(1).getAs[Double]("rrf") == out(2).getAs[Double]("rrf"))
+    // one-channel docs carry a null rank for the missing channel
+    assert(out(2).isNullAt(out(2).fieldIndex("lex_rank")))
+    assert(out(1).isNullAt(out(1).fieldIndex("sem_rank")))
+  }
 }
