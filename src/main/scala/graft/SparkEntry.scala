@@ -386,6 +386,31 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "dedup_lines_incremental" -> ((s, dir) => {
+      // Daily-crawl line dedup: docs < 100 are the standing corpus
+      // (same boilerplate construction as dedup_lines_cross), docs
+      // 100-199 the new batch with an extra batch-wide banner line. The
+      // corpus header/footers strip via the index; the banner survives
+      // only in the first batch doc; per-doc content survives.
+      val base = Tables.documents(s, dir)
+      val corpus = base.filter(col("doc_id") < 100)
+        .select(col("doc_id"),
+          concat_ws("\n",
+            lit("ALL RIGHTS RESERVED - STANDARD HEADER"),
+            substring(col("text"), 1, 60),
+            concat(lit("footer-"), col("lang"))).as("text"))
+      val batch = base.filter(col("doc_id") >= 100 && col("doc_id") < 200)
+        .select(col("doc_id"),
+          concat_ws("\n",
+            lit("ALL RIGHTS RESERVED - STANDARD HEADER"),
+            lit("DAILY BATCH BANNER"),
+            substring(col("text"), 1, 60),
+            concat(lit("footer-"), col("lang"))).as("text"))
+      Dedup.incrementalLineDedup(batch, Dedup.lineIndex(corpus))
+        .select("doc_id", "n_lines", "n_kept", "cleaned_text")
+        .orderBy("doc_id")
+    }),
+
     "dedup_spans_cross" -> ((s, dir) => {
       // Span-level repeated-substring dedup: every doc gets a shared
       // 8-token preamble plus its own (truncated) text; any 4-token
@@ -3483,6 +3508,36 @@ object SparkEntry {
         |  CAST(count(*) AS BIGINT) AS n_lines,
         |  CAST(count(CASE WHEN rn = 1 THEN 1 END) AS BIGINT) AS n_kept,
         |  coalesce(string_agg(CASE WHEN rn = 1 THEN line END, chr(10) ORDER BY line_idx), '') AS cleaned_text
+        |FROM r GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // Batch lines rank within the batch only; corpus membership via a
+    // distinct-line index left join — keep = first-in-batch AND absent
+    // from the index, mirroring Dedup.incrementalLineDedup exactly.
+    "dedup_lines_incremental" ->
+      """WITH corpus AS (
+        |  SELECT 'ALL RIGHTS RESERVED - STANDARD HEADER' || chr(10) ||
+        |    substr(text, 1, 60) || chr(10) || 'footer-' || lang AS text
+        |  FROM documents WHERE doc_id < 100),
+        |idx AS (SELECT DISTINCT unnest(string_split(text, chr(10))) AS line FROM corpus),
+        |b AS (
+        |  SELECT doc_id, 'ALL RIGHTS RESERVED - STANDARD HEADER' || chr(10) ||
+        |    'DAILY BATCH BANNER' || chr(10) ||
+        |    substr(text, 1, 60) || chr(10) || 'footer-' || lang AS text
+        |  FROM documents WHERE doc_id >= 100 AND doc_id < 200),
+        |l AS (
+        |  SELECT doc_id, u.idx AS line_idx, u.line AS line FROM (
+        |    SELECT doc_id, unnest(list_transform(range(len(ls)), i ->
+        |      struct_pack(idx := CAST(i AS INT), line := ls[CAST(i+1 AS INT)]))) AS u
+        |    FROM (SELECT doc_id, string_split(text, chr(10)) AS ls FROM b))),
+        |r AS (
+        |  SELECT l.doc_id, l.line_idx, l.line,
+        |    row_number() OVER (PARTITION BY l.line ORDER BY l.doc_id, l.line_idx) AS rn,
+        |    CASE WHEN idx.line IS NULL THEN 0 ELSE 1 END AS in_corpus
+        |  FROM l LEFT JOIN idx ON l.line = idx.line)
+        |SELECT doc_id,
+        |  CAST(count(*) AS BIGINT) AS n_lines,
+        |  CAST(count(CASE WHEN in_corpus = 0 AND rn = 1 THEN 1 END) AS BIGINT) AS n_kept,
+        |  coalesce(string_agg(CASE WHEN in_corpus = 0 AND rn = 1 THEN line END, chr(10) ORDER BY line_idx), '') AS cleaned_text
         |FROM r GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // Span dedup: k=4 token windows ranked per gram exactly as the Spark

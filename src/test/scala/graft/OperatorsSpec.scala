@@ -248,6 +248,30 @@ class DedupSpec extends AnyFunSuite with SparkTestSession {
     assert(out(4L) == ((1L, 1L, "solo line")))
   }
 
+  test("incremental line dedup equals batch-mode rule on corpus+batch") {
+    val corpus = Seq(
+      (1L, "HEADER\ncorpus content one\nFOOTER"),
+      (2L, "HEADER\ncorpus content two"))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "HEADER\nnew stuff\nBANNER"), // HEADER in corpus; BANNER first here
+      (11L, "BANNER\nmore new"), // BANNER now a later copy
+      (12L, "HEADER\nFOOTER")) // fully boilerplate: empty, not dropped
+      .toDF("doc_id", "text")
+    def asMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_lines"), r.getAs[Long]("n_kept"), r.getAs[String]("cleaned_text"))))
+      .toMap
+    val inc = asMap(Dedup.incrementalLineDedup(batch, Dedup.lineIndex(corpus)))
+    assert(inc(10L) == ((3L, 2L, "new stuff\nBANNER")))
+    assert(inc(11L) == ((2L, 1L, "more new")))
+    assert(inc(12L) == ((2L, 0L, "")))
+    // must equal the corpus-wide rule run over corpus+batch, batch slice
+    val full = asMap(Dedup.crossDocLineDedup(corpus.unionByName(batch))
+      .filter(col("doc_id") >= 10L))
+    assert(inc == full, "incremental must reproduce the batch-mode rule")
+  }
+
   test("span dedup: later k-token windows stripped, intra-doc repetition collapsed") {
     val docs = Seq(
       (1L, "a b c d e"),
