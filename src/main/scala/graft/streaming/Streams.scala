@@ -196,6 +196,28 @@ object Streams {
       .drop((0 until bands).flatMap(b => Seq(s"band_$b", s"blocker_$b")) :+ "sig" :+ "blocked_by_raw": _*)
   }
 
+  /** Streaming line-dedup gate: the stream-shaped half of
+    * [[graft.operators.Dedup.incrementalLineDedup]]. Each arriving
+    * document explodes into lines (stateless) and stream-static
+    * left-joins the corpus line index, emitting
+    * (doc_id, line_idx, line, keep) in append mode — no state, no
+    * watermark, the static side reusable across micro-batches.
+    * Deliberately NOT handled here: first-occurrence dedup WITHIN the
+    * stream (that needs unbounded line state); as with [[admissionGate]],
+    * intra-batch dedup is the batch operator's job at compaction time, so
+    * the gate is conservative — it never strips a line the batch rule
+    * would keep, and reassembly is a per-doc groupBy at compaction.
+    */
+  def lineDedupGate(docs: DataFrame, index: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"),
+        posexplode(split(col("text"), "\n")).as(Seq("line_idx", "line")))
+      .join(
+        index.select(col("line")).distinct().withColumn("in_corpus", lit(1)),
+        Seq("line"), "left")
+      .withColumn("keep", col("in_corpus").isNull)
+      .select("doc_id", "line_idx", "line", "keep")
+
   /** Custom per-session state via mapGroupsWithState: running message count
     * and last-seen timestamp per user, with a real event-time timeout —
     * once the watermark passes lastSeen + gap, the session emits a final

@@ -273,6 +273,35 @@ class StreamsSpec extends AnyFunSuite with SparkTestSession {
     } finally query.stop()
   }
 
+  test("streaming line-dedup gate strips corpus lines, keeps novel ones") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Dedup
+    val corpus = Seq(
+      (1L, "HEADER\ncorpus content\nFOOTER"))
+      .toDF("doc_id", "text")
+    val index = Dedup.lineIndex(corpus)
+    val input = MemoryStream[(Long, String)]
+    val docs = input.toDF().toDF("doc_id", "text")
+    val query = Streams.lineDedupGate(docs, index)
+      .writeStream.format("memory").queryName("linegate")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData((10L, "HEADER\nfresh line\nFOOTER"))
+      query.processAllAvailable()
+      input.addData((11L, "another fresh line\nHEADER")) // 2nd micro-batch, same index
+      query.processAllAvailable()
+      val out = spark.table("linegate").collect()
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("line_idx")) ->
+          ((r.getAs[String]("line"), r.getAs[Boolean]("keep")))).toMap
+      assert(out == Map(
+        (10L, 0) -> (("HEADER", false)),
+        (10L, 1) -> (("fresh line", true)),
+        (10L, 2) -> (("FOOTER", false)),
+        (11L, 0) -> (("another fresh line", true)),
+        (11L, 1) -> (("HEADER", false))))
+    } finally query.stop()
+  }
+
   test("admission gate with non-default signature parameters matches its index") {
     // The failure mode the parameters guard against: an index built with
     // non-default (shingleWords, numHashes, bands) produces band keys the
