@@ -430,6 +430,25 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "dedup_spans_incremental" -> ((s, dir) => {
+      // Daily-crawl span dedup: docs < 100 are the standing corpus,
+      // 100-199 the batch, both with the shared 8-token preamble of
+      // dedup_spans_cross. The corpus gram index strips batch preamble
+      // windows (taper at content boundaries); duplicated real-text
+      // passages strip against corpus AND earlier batch docs.
+      val base = Tables.documents(s, dir)
+      def shaped(lo: Long, hi: Long) = base
+        .filter(col("doc_id") >= lo && col("doc_id") < hi)
+        .select(col("doc_id"),
+          concat(
+            lit("shared licensed preamble common to every document here "),
+            substring(col("text"), 1, 120)).as("text"))
+      Dedup.incrementalSpanDedup(
+          shaped(100, 200), Dedup.gramIndex(shaped(0, 100), k = 4), k = 4)
+        .select("doc_id", "n_toks", "n_kept", "cleaned_text")
+        .orderBy("doc_id")
+    }),
+
     "dedup_incremental" -> ((s, dir) => {
       // Daily-crawl shape: docs < 150 are the standing corpus, 150-299
       // the new batch; each batch doc is admitted unless it near-dups
@@ -3569,6 +3588,51 @@ object SparkEntry {
         |    SELECT doc_id, unnest(list_transform(range(len(toks)), i ->
         |      struct_pack(i := CAST(i AS INT), tok := toks[CAST(i+1 AS INT)]))) AS u
         |    FROM t))
+        |SELECT tk.doc_id,
+        |  CAST(count(*) AS BIGINT) AS n_toks,
+        |  CAST(count(CASE WHEN cov.tok_idx IS NULL THEN 1 END) AS BIGINT) AS n_kept,
+        |  coalesce(string_agg(CASE WHEN cov.tok_idx IS NULL THEN tk.tok END, ' ' ORDER BY tk.tok_idx), '') AS cleaned_text
+        |FROM tk LEFT JOIN cov ON tk.doc_id = cov.doc_id AND tk.tok_idx = cov.tok_idx
+        |GROUP BY tk.doc_id ORDER BY tk.doc_id""".stripMargin,
+
+    // Batch windows rank within the batch; corpus membership via a
+    // distinct-gram index left join — a window is duplicated iff its
+    // gram is in the index OR rn > 1, mirroring incrementalSpanDedup.
+    "dedup_spans_incremental" ->
+      """WITH cd AS (
+        |  SELECT 'shared licensed preamble common to every document here ' ||
+        |    substr(text, 1, 120) AS text
+        |  FROM documents WHERE doc_id < 100),
+        |ct AS (SELECT string_split_regex(trim(text), '\s+') AS toks FROM cd),
+        |idx AS (
+        |  SELECT DISTINCT lower(array_to_string(toks[CAST(i+1 AS INT):CAST(i+4 AS INT)], ' ')) AS gram
+        |  FROM ct, unnest(range(greatest(len(toks) - 3, 0))) AS ui(i)
+        |  WHERE len(toks) >= 4),
+        |bd AS (
+        |  SELECT doc_id, 'shared licensed preamble common to every document here ' ||
+        |    substr(text, 1, 120) AS text
+        |  FROM documents WHERE doc_id >= 100 AND doc_id < 200),
+        |bt AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM bd),
+        |w AS (
+        |  SELECT doc_id, u.s AS start, u.g AS gram FROM (
+        |    SELECT doc_id, unnest(list_transform(range(greatest(len(toks) - 3, 0)), i ->
+        |      struct_pack(s := CAST(i AS INT),
+        |        g := lower(array_to_string(toks[CAST(i+1 AS INT):CAST(i+4 AS INT)], ' '))))) AS u
+        |    FROM bt)),
+        |r AS (
+        |  SELECT w.doc_id, w.start,
+        |    row_number() OVER (PARTITION BY w.gram ORDER BY w.doc_id, w.start) AS rn,
+        |    CASE WHEN idx.gram IS NULL THEN 0 ELSE 1 END AS in_corpus
+        |  FROM w LEFT JOIN idx ON w.gram = idx.gram),
+        |cov AS (
+        |  SELECT DISTINCT doc_id, start + x AS tok_idx
+        |  FROM (SELECT doc_id, start FROM r WHERE in_corpus = 1 OR rn > 1) rr,
+        |    unnest(range(4)) AS ux(x)),
+        |tk AS (
+        |  SELECT doc_id, u.i AS tok_idx, u.tok AS tok FROM (
+        |    SELECT doc_id, unnest(list_transform(range(len(toks)), i ->
+        |      struct_pack(i := CAST(i AS INT), tok := toks[CAST(i+1 AS INT)]))) AS u
+        |    FROM bt))
         |SELECT tk.doc_id,
         |  CAST(count(*) AS BIGINT) AS n_toks,
         |  CAST(count(CASE WHEN cov.tok_idx IS NULL THEN 1 END) AS BIGINT) AS n_kept,

@@ -291,6 +291,29 @@ class DedupSpec extends AnyFunSuite with SparkTestSession {
     assert(out(5L) == ((2L, 2L, "a b")))
   }
 
+  test("incremental span dedup equals batch-mode rule on corpus+batch") {
+    val corpus = Seq(
+      (1L, "a b c d e"),
+      (2L, "p q r s"))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "x a b c d y"), // corpus windows taper-strip the middle
+      (11L, "m n o m n o m n o"), // intra-batch repetition collapses
+      (12L, "a b c d e")) // full corpus copy: entirely covered
+      .toDF("doc_id", "text")
+    def asMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_toks"), r.getAs[Long]("n_kept"), r.getAs[String]("cleaned_text"))))
+      .toMap
+    val inc = asMap(Dedup.incrementalSpanDedup(batch, Dedup.gramIndex(corpus, 3), k = 3))
+    assert(inc(10L) == ((6L, 2L, "x y")))
+    assert(inc(11L) == ((9L, 3L, "m n o")))
+    assert(inc(12L) == ((5L, 0L, "")))
+    val full = asMap(Dedup.repeatedSpanDedup(corpus.unionByName(batch), k = 3)
+      .filter(col("doc_id") >= 10L))
+    assert(inc == full, "incremental must reproduce the batch-mode rule")
+  }
+
   test("exact dedup keeps min doc_id per hash") {
     val out = Dedup.exact(docs).collect()
     assert(out.length == 3)
