@@ -236,4 +236,36 @@ class PlanQualitySpec extends AnyFunSuite with SparkTestSession {
     assert(p.contains("ReadSchema"))
     assert(!p.contains("lang"), "unused documents columns must be pruned")
   }
+
+  test("source quality gate broadcasts its verdict table back onto the corpus") {
+    val p = plan("quality_source_gate")
+    assert(p.contains("BroadcastHashJoin"),
+      s"per-source verdicts must broadcast, never reshuffle the corpus:\n${p.take(800)}")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("deterministic shuffle columns are map-only: no exchange below the rollup") {
+    // shard_deterministic adds hash+shard then aggregates 8 groups; the
+    // ONLY exchange allowed is the rollup's own aggregation shuffle.
+    val p = plan("shard_deterministic")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 1,
+      s"shard assignment itself must not shuffle:\n${p.take(800)}")
+  }
+
+  test("hybrid RRF fusion joins two top-N lists without any cartesian") {
+    val p = plan("retrieval_hybrid_rrf")
+    assert(!p.contains("CartesianProduct"),
+      s"fusion must be an equi-join of rank lists:\n${p.take(800)}")
+  }
+
+  test("line/span dedup plans are native expressions, no UDF in the hot path") {
+    Seq("dedup_lines_cross", "dedup_spans_cross",
+      "dedup_lines_incremental", "dedup_spans_incremental").foreach { q =>
+      val p = plan(q)
+      assert(!p.toLowerCase.contains("batchevalpython") && !p.contains("ScalaUDF"),
+        s"$q must stay codegen-friendly:\n${p.take(400)}")
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"$q must never compare pairwise:\n${p.take(400)}")
+    }
+  }
 }
