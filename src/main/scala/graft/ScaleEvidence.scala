@@ -120,6 +120,24 @@ object ScaleEvidence {
     if (shPairs != nBase)
       failures ::= s"simhash: found $shPairs planted pairs, expected $nBase"
 
+    // -------- cross-doc line dedup at 10⁶ docs: every document gets the
+    // SAME boilerplate header line (one ultra-hot line — deliberately the
+    // adversarial skew case the operator's scaladoc documents: the whole
+    // corpus lands in that line's window partition) plus its own text as
+    // a second line. Invariant checked: the total of kept lines equals
+    // the number of DISTINCT lines in the corpus — each distinct line
+    // survives exactly once, corpus-wide.
+    val lineDocs = corpus.select(col("doc_id"),
+      concat(lit("SHARED BOILERPLATE HEADER\n"), col("text")).as("text"))
+    val (lineKept, tLines) = timed {
+      operators.Dedup.crossDocLineDedup(lineDocs)
+        .agg(sum("n_kept")).collect().head.getLong(0)
+    }
+    val distinctLines = lineDocs
+      .select(explode(split(col("text"), "\n")).as("l")).distinct().count()
+    if (lineKept != distinctLines)
+      failures ::= s"line_dedup: kept $lineKept, expected $distinctLines"
+
     // -------- partitioned ANN at 10⁶ vectors: the embeddings table
     // expanded the same way (variant 0 original, the rest deterministically
     // perturbed), written PARTITIONED BY 8-bit signature (256 dirs), then
@@ -177,6 +195,7 @@ object ScaleEvidence {
         s""""minhash_lsh":{"sec":${r1(tMinhash)},"docs_per_sec":${r1(nDocs / tMinhash)},"planted_pairs_found":$mhPairs},""" +
         s""""simhash64_banded":{"sec":${r1(tSimhash64)},"docs_per_sec":${r1(nDocs / tSimhash64)},"planted_pairs_found":$sh64Pairs},""" +
         s""""simhash_banded_portable":{"n_docs":$nShDocs,"sec":${r1(tSimhash)},"docs_per_sec":${r1(nShDocs / tSimhash)},"planted_pairs_found":$shPairs},""" +
+        s""""line_dedup":{"sec":${r1(tLines)},"docs_per_sec":${r1(nDocs / tLines)},"kept_lines":$lineKept,"hot_line_copies":$nDocs},""" +
         s""""ann_partitioned":{"n_vectors":${nVec * variants},"layout_sec":${r1(tLayout)},"probe_sec":${r1(tProbe)},"brute_sec":${r1(tBrute)},"dirs_probed":$dirsProbed,"dirs_total":256},""" +
         s""""failures":${failures.map("\"" + _ + "\"").mkString("[", ",", "]")}}"""
     Files.writeString(Paths.get(out), line + "\n")
