@@ -268,4 +268,20 @@ class PlanQualitySpec extends AnyFunSuite with SparkTestSession {
         s"$q must never compare pairwise:\n${p.take(400)}")
     }
   }
+
+  test("line/span dedup: first-occurrence via map-side min pre-aggregate, no window on content keys") {
+    // The r5-verdict skew hazard: row_number() over a window partitioned
+    // by the raw line/gram serializes a Zipfian boilerplate key into one
+    // task. The shipped plan must have NO window exec at all — first
+    // occurrences come from a partial-combinable min(struct) aggregate
+    // whose join-back is AQE-skew-splittable.
+    Seq("dedup_lines_cross", "dedup_spans_cross",
+      "dedup_lines_incremental", "dedup_spans_incremental").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("Window"),
+        s"$q must not rank occurrences with a window over the content key:\n${p.take(600)}")
+      assert(p.contains("partial_min"),
+        s"$q must pre-aggregate first occurrences map-side:\n${p.take(600)}")
+    }
+  }
 }
