@@ -51,14 +51,64 @@ object Store {
   def clear(table: DataFrame): DataFrame =
     table.filter(lit(false))
 
-  /** Atomic filtered rewrite: materialize `kept` then overwrite `path`.
-    * (Plain parquet cannot overwrite a table being read from it — stage
-    * through a temp dir, then swap.)
+  /** Crash-consistent filtered rewrite: materialize `kept` ONCE into a
+    * staging directory, then swap it in with filesystem renames. (Plain
+    * parquet cannot overwrite a table being read from it — staging also
+    * solves that.) The data is written exactly once — at 100 TB a
+    * retention delete pays 1× write I/O, not the 2× of a re-read +
+    * re-write — and the destination is never in a half-deleted state:
+    * the previous table directory is parked at `path + ".old"` until the
+    * staging dir has been renamed into place, so a crash at ANY point
+    * leaves either the old table readable at `path`, or the swap
+    * resumable by [[recoverSwap]] (old table parked, staging complete).
+    * Renames are atomic metadata operations on HDFS and local
+    * filesystems; on S3-style object stores (no atomic rename) the same
+    * contract needs a manifest/snapshot-committing table format instead.
     */
   def overwriteWith(spark: SparkSession, kept: DataFrame, path: String): Unit = {
-    val tmp = path + ".staging"
-    kept.write.mode(SaveMode.Overwrite).parquet(tmp)
-    spark.read.parquet(tmp).write.mode(SaveMode.Overwrite).parquet(path)
+    val dest = new org.apache.hadoop.fs.Path(path)
+    val fs = dest.getFileSystem(spark.sessionState.newHadoopConf())
+    val staging = new org.apache.hadoop.fs.Path(path + ".staging")
+    val old = new org.apache.hadoop.fs.Path(path + ".old")
+    // The ONLY data write of the operation; everything after is metadata.
+    kept.write.mode(SaveMode.Overwrite).parquet(staging.toString)
+    if (fs.exists(old) && !fs.delete(old, true))
+      throw new java.io.IOException(s"could not clear parked table at $old")
+    if (fs.exists(dest) && !fs.rename(dest, old))
+      throw new java.io.IOException(s"could not park $dest at $old")
+    if (!fs.rename(staging, dest)) {
+      // Roll the park back so readers of `path` see the pre-swap table.
+      fs.rename(old, dest)
+      throw new java.io.IOException(s"could not swap $staging into $dest")
+    }
+    fs.delete(old, true)
+  }
+
+  /** Resume or roll back an [[overwriteWith]] interrupted between its
+    * renames. Idempotent; call before reading a table a crashed writer
+    * may have left mid-swap. If the destination exists the swap either
+    * committed or never started — leftovers are discarded. If not, the
+    * staging dir is swapped in when its job committed (`_SUCCESS`
+    * present — written by Spark's file output committer), else the
+    * parked old table is restored.
+    */
+  def recoverSwap(spark: SparkSession, path: String): Unit = {
+    val dest = new org.apache.hadoop.fs.Path(path)
+    val fs = dest.getFileSystem(spark.sessionState.newHadoopConf())
+    val staging = new org.apache.hadoop.fs.Path(path + ".staging")
+    val old = new org.apache.hadoop.fs.Path(path + ".old")
+    if (fs.exists(dest)) {
+      fs.delete(staging, true)
+      fs.delete(old, true)
+    } else if (fs.exists(new org.apache.hadoop.fs.Path(staging, "_SUCCESS"))) {
+      if (!fs.rename(staging, dest))
+        throw new java.io.IOException(s"could not resume swap of $staging into $dest")
+      fs.delete(old, true)
+    } else if (fs.exists(old)) {
+      if (!fs.rename(old, dest))
+        throw new java.io.IOException(s"could not restore parked table $old to $dest")
+      fs.delete(staging, true)
+    }
   }
 
   /** O-14/O-6: JSON sink + scan (localStorage analog, App.js:20-61). */

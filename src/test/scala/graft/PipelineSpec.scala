@@ -38,6 +38,72 @@ class StoreSpec extends AnyFunSuite with SparkTestSession {
     val kept = Store.deleteByKey(spark.read.parquet(path), "id", Seq(1L).toDF("id"))
     Store.overwriteWith(spark, kept, path)
     assert(spark.read.parquet(path).select("id").as[Long].collect().toSeq == Seq(2L))
+    assert(!new java.io.File(path + ".staging").exists() &&
+      !new java.io.File(path + ".old").exists(),
+      "swap must clean up its staging and parked directories")
+  }
+
+  test("overwriteWith writes the data exactly once (rename swap, no second write)") {
+    val path = tmpDir() + "/t"
+    Seq((1L, "x"), (2L, "y"), (3L, "z")).toDF("id", "v").write.parquet(path)
+    val kept = spark.read.parquet(path).filter($"id" =!= 2L)
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      Store.overwriteWith(spark, kept, path)
+      // Listener delivery is async; wait for the count to settle.
+      var stable = 0
+      var last = -1
+      while (stable < 5) {
+        Thread.sleep(100)
+        if (jobs.get() == last) stable += 1 else { stable = 0; last = jobs.get() }
+      }
+    } finally spark.sparkContext.removeSparkListener(listener)
+    // One job = the staging write. The old two-stage form ran a second
+    // read-staging-write-dest job — the 2x write I/O a 100 TB retention
+    // delete cannot afford.
+    assert(jobs.get() == 1, s"expected exactly one write job, saw ${jobs.get()}")
+    assert(spark.read.parquet(path).select("id").as[Long].collect().sorted.toSeq == Seq(1L, 3L))
+  }
+
+  test("crash before the swap leaves the old table readable; recoverSwap discards staging") {
+    val path = tmpDir() + "/t"
+    Seq((1L, "x"), (2L, "y")).toDF("id", "v").write.parquet(path)
+    // Simulated crash: staging fully written, process died before any rename.
+    spark.read.parquet(path).filter($"id" === 1L)
+      .write.parquet(path + ".staging")
+    assert(spark.read.parquet(path).count() == 2, "old table must still be intact")
+    Store.recoverSwap(spark, path)
+    assert(spark.read.parquet(path).count() == 2)
+    assert(!new java.io.File(path + ".staging").exists())
+  }
+
+  test("crash mid-swap (table parked, staging committed): recoverSwap completes the swap") {
+    val path = tmpDir() + "/t"
+    Seq((1L, "x"), (2L, "y")).toDF("id", "v").write.parquet(path)
+    spark.read.parquet(path).filter($"id" === 1L)
+      .write.parquet(path + ".staging")
+    // Simulated crash after parking the destination, before the swap-in.
+    assert(new java.io.File(path).renameTo(new java.io.File(path + ".old")))
+    Store.recoverSwap(spark, path)
+    assert(spark.read.parquet(path).select("id").as[Long].collect().toSeq == Seq(1L))
+    assert(!new java.io.File(path + ".old").exists())
+  }
+
+  test("crash with an UNcommitted staging dir: recoverSwap restores the parked table") {
+    val path = tmpDir() + "/t"
+    Seq((1L, "x"), (2L, "y")).toDF("id", "v").write.parquet(path)
+    spark.read.parquet(path).filter($"id" === 1L)
+      .write.parquet(path + ".staging")
+    assert(new java.io.File(path + ".staging/_SUCCESS").delete())
+    assert(new java.io.File(path).renameTo(new java.io.File(path + ".old")))
+    Store.recoverSwap(spark, path)
+    assert(spark.read.parquet(path).count() == 2, "parked table must be restored")
+    assert(!new java.io.File(path + ".old").exists())
   }
 
   test("O-14/O-6: json round trip") {
