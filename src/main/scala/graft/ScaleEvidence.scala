@@ -24,7 +24,14 @@ import java.nio.file.{Files, Paths}
   *  - exact dedup keeps exactly nBase fewer docs (the planted copies);
   *  - MinHash-LSH candidate pairs include every planted (v0, v1) pair
   *    (identical docs have identical signatures → collide on all bands);
-  *  - banded SimHash finds every planted pair the same way.
+  *  - banded SimHash finds every planted pair the same way;
+  *  - line dedup keeps each distinct line exactly once despite one
+  *    boilerplate line planted in ALL 10⁶ docs (the Zipfian hot key);
+  *  - span dedup strips a 10⁶-copy planted verbatim passage everywhere
+  *    but its first occurrence, and fully strips every exact-copy doc;
+  *  - the standing line/gram index lifecycle (build at 10⁶, admit a 10⁴
+  *    batch incrementally) matches the corpus-wide batch rule
+  *    row-for-row.
   *
   * Records wall seconds + docs/sec per operator to SCALE_EVIDENCE.json.
   */
@@ -121,22 +128,103 @@ object ScaleEvidence {
       failures ::= s"simhash: found $shPairs planted pairs, expected $nBase"
 
     // -------- cross-doc line dedup at 10⁶ docs: every document gets the
-    // SAME boilerplate header line (one ultra-hot line — deliberately the
-    // adversarial skew case the operator's scaladoc documents: the whole
-    // corpus lands in that line's window partition) plus its own text as
-    // a second line. Invariant checked: the total of kept lines equals
-    // the number of DISTINCT lines in the corpus — each distinct line
-    // survives exactly once, corpus-wide.
+    // SAME boilerplate header line (one ultra-hot line with 10⁶ copies —
+    // the adversarial Zipfian key; under the shipped plan it collapses to
+    // one row per map task in the partial min(struct) aggregate instead
+    // of serializing a window partition) plus its own text as a second
+    // line. Invariant checked: the total of kept lines equals the number
+    // of DISTINCT lines in the corpus — each distinct line survives
+    // exactly once, corpus-wide. The full per-doc output is materialized
+    // to parquet so the index-lifecycle leg below can compare against it.
     val lineDocs = corpus.select(col("doc_id"),
       concat(lit("SHARED BOILERPLATE HEADER\n"), col("text")).as("text"))
-    val (lineKept, tLines) = timed {
+    val lineFullPath = Files.createTempDirectory("graft_scale_linefull").toString
+    val (_, tLines) = timed {
       operators.Dedup.crossDocLineDedup(lineDocs)
-        .agg(sum("n_kept")).collect().head.getLong(0)
+        .write.mode("overwrite").parquet(lineFullPath)
     }
+    val lineFull = spark.read.parquet(lineFullPath)
+    val lineKept = lineFull.agg(sum("n_kept")).collect().head.getLong(0)
     val distinctLines = lineDocs
       .select(explode(split(col("text"), "\n")).as("l")).distinct().count()
     if (lineKept != distinctLines)
       failures ::= s"line_dedup: kept $lineKept, expected $distinctLines"
+
+    // -------- span dedup at 10⁶ docs: every document is prefixed with
+    // the SAME 12-token verbatim passage (every interior k-gram of it is
+    // a 10⁶-copy hot key) followed by the doc's text (truncated to keep
+    // the window count ~10⁸-row-bounded on this machine; the plan shape
+    // is what's under test, not the text length). Planted signal, both
+    // checked exactly:
+    //  - the passage survives in exactly ONE document corpus-wide (the
+    //    global-min doc keeps it; every other doc's passage-interior
+    //    windows are dominated, so all 12 tokens strip);
+    //  - every variant-1 exact copy is FULLY stripped (its every window
+    //    occurs at the same offset in its lower-id twin), n_kept == 0
+    //    for all nBase of them.
+    val passage = "verbatim planted passage tokens alpha bravo charlie delta echo foxtrot golf hotel"
+    val spanDocs = corpus.select(col("doc_id"),
+      concat(lit(passage + " "), substring(col("text"), 1, 200)).as("text"))
+    val spanFullPath = Files.createTempDirectory("graft_scale_spanfull").toString
+    val (_, tSpans) = timed {
+      operators.Dedup.repeatedSpanDedup(spanDocs, k = 5)
+        .write.mode("overwrite").parquet(spanFullPath)
+    }
+    val spanFull = spark.read.parquet(spanFullPath)
+    val passageSurvivors = spanFull
+      .filter(col("cleaned_text").contains(passage)).count()
+    if (passageSurvivors != 1)
+      failures ::= s"span_dedup: passage survives in $passageSurvivors docs, expected 1"
+    val copiesStripped = spanFull
+      .filter(col("doc_id") >= nBase && col("doc_id") < 2 * nBase &&
+        col("n_kept") === 0).count()
+    if (copiesStripped != nBase)
+      failures ::= s"span_dedup: $copiesStripped exact copies fully stripped, expected $nBase"
+
+    // -------- standing-index lifecycle at 10⁶: the production
+    // daily-crawl cycle — materialize the line/gram index over the
+    // standing corpus (all but the last batchN doc ids), admit the
+    // 10⁴-doc batch through the incremental operator, and assert the
+    // result row-for-row equal to what the corpus-wide batch rule says
+    // about those same docs (spec-proven equivalent at fixture scale;
+    // this proves the index build + equi-join admission RUN at 10⁶ and
+    // stay exact). Index entries are what the operators ship: raw
+    // distinct lines, 8-byte gram hashes.
+    val batchN = 10000L
+    val cut = nDocs - batchN
+    val standingLines = lineDocs.filter(col("doc_id") < cut)
+    val batchLines = lineDocs.filter(col("doc_id") >= cut)
+    val lineIdxPath = Files.createTempDirectory("graft_scale_lineidx").toString
+    val (_, tLineIdx) = timed {
+      operators.Dedup.lineIndex(standingLines)
+        .write.mode("overwrite").parquet(lineIdxPath)
+    }
+    val (lineMismatch, tLineAdmit) = timed {
+      val inc = operators.Dedup.incrementalLineDedup(
+        batchLines, spark.read.parquet(lineIdxPath))
+      val full = lineFull.filter(col("doc_id") >= cut)
+        .select("doc_id", "n_lines", "n_kept", "cleaned_text")
+      inc.exceptAll(full).count() + full.exceptAll(inc).count()
+    }
+    if (lineMismatch != 0)
+      failures ::= s"line_lifecycle: $lineMismatch rows differ from the batch-mode rule"
+
+    val standingSpans = spanDocs.filter(col("doc_id") < cut)
+    val batchSpans = spanDocs.filter(col("doc_id") >= cut)
+    val gramIdxPath = Files.createTempDirectory("graft_scale_gramidx").toString
+    val (_, tGramIdx) = timed {
+      operators.Dedup.gramIndex(standingSpans, k = 5)
+        .write.mode("overwrite").parquet(gramIdxPath)
+    }
+    val (spanMismatch, tSpanAdmit) = timed {
+      val inc = operators.Dedup.incrementalSpanDedup(
+        batchSpans, spark.read.parquet(gramIdxPath), k = 5)
+      val full = spanFull.filter(col("doc_id") >= cut)
+        .select("doc_id", "n_toks", "n_kept", "cleaned_text")
+      inc.exceptAll(full).count() + full.exceptAll(inc).count()
+    }
+    if (spanMismatch != 0)
+      failures ::= s"span_lifecycle: $spanMismatch rows differ from the batch-mode rule"
 
     // -------- partitioned ANN at 10⁶ vectors: the embeddings table
     // expanded the same way (variant 0 original, the rest deterministically
@@ -196,6 +284,9 @@ object ScaleEvidence {
         s""""simhash64_banded":{"sec":${r1(tSimhash64)},"docs_per_sec":${r1(nDocs / tSimhash64)},"planted_pairs_found":$sh64Pairs},""" +
         s""""simhash_banded_portable":{"n_docs":$nShDocs,"sec":${r1(tSimhash)},"docs_per_sec":${r1(nShDocs / tSimhash)},"planted_pairs_found":$shPairs},""" +
         s""""line_dedup":{"sec":${r1(tLines)},"docs_per_sec":${r1(nDocs / tLines)},"kept_lines":$lineKept,"hot_line_copies":$nDocs},""" +
+        s""""span_dedup":{"sec":${r1(tSpans)},"docs_per_sec":${r1(nDocs / tSpans)},"passage_survivors":$passageSurvivors,"hot_gram_copies":$nDocs,"exact_copies_fully_stripped":$copiesStripped},""" +
+        s""""line_index_lifecycle":{"index_sec":${r1(tLineIdx)},"admit_sec":${r1(tLineAdmit)},"batch_docs":$batchN,"mismatches":$lineMismatch},""" +
+        s""""span_index_lifecycle":{"index_sec":${r1(tGramIdx)},"admit_sec":${r1(tSpanAdmit)},"batch_docs":$batchN,"mismatches":$spanMismatch},""" +
         s""""ann_partitioned":{"n_vectors":${nVec * variants},"layout_sec":${r1(tLayout)},"probe_sec":${r1(tProbe)},"brute_sec":${r1(tBrute)},"dirs_probed":$dirsProbed,"dirs_total":256},""" +
         s""""failures":${failures.map("\"" + _ + "\"").mkString("[", ",", "]")}}"""
     Files.writeString(Paths.get(out), line + "\n")
