@@ -1750,6 +1750,44 @@ object SparkEntry {
           TextAnalysis.floorScale(element_at(col("embedding"), 1).cast("double"), 6).as("emb_0"),
           TextAnalysis.floorScale(element_at(col("embedding"), 8).cast("double"), 6).as("emb_7"))
         .orderBy("asset_id")
+    }),
+
+    "multimodal_real_decode" -> ((s, dir) => {
+      // REAL image decode: synthesized PNGs (executor-side, deterministic
+      // bytes) plus one corrupt asset run through javax.imageio pixel
+      // decode. Dimensions come from the decoder, not metadata, so the
+      // oracle asserts them as the known constants (32×32; corrupt row
+      // surfaces with decoded=false rather than dropping) without
+      // needing a PNG reader in SQL.
+      import s.implicits._
+      val pngs = s.range(60).as[Long]
+        .map(id => (id, multimodal.Multimodal.syntheticPng((id / 3).toInt, (id % 3).toInt)))
+        .toDF("asset_id", "content")
+      val corrupt = Seq((60L, "definitely not an image".getBytes("UTF-8")))
+        .toDF("asset_id", "content")
+      multimodal.Multimodal.extractRealImageFeatures(pngs.unionByName(corrupt)).toDF()
+        .select(col("asset_id"), col("decoded"), col("width"), col("height"))
+        .orderBy("asset_id")
+    }),
+
+    "multimodal_real_near_dup" -> ((s, dir) => {
+      // Genuine image dedup: 20 patterns × 3 noised variants of real
+      // PNGs, decoded to centered pixel-grid embeddings, through the
+      // same bucketed near-dup operator as text vectors. Margins are
+      // structural (variant cosine ≈ 1, cross-pattern ≈ 0 after
+      // centering, threshold 0.9 between), so the surviving pairs are
+      // exactly the within-pattern pairs — which the oracle generates
+      // arithmetically, and MultimodalSpec asserts as set equality.
+      import s.implicits._
+      val pngs = s.range(60).as[Long]
+        .map(id => (id, multimodal.Multimodal.syntheticPng((id / 3).toInt, (id % 3).toInt)))
+        .toDF("asset_id", "content")
+      val feats = multimodal.Multimodal.extractRealImageFeatures(pngs).toDF()
+      operators.Dedup.embeddingNearDupBucketed(
+          feats.select(col("asset_id").as("vec_id"), col("embedding")),
+          threshold = 0.9, nBits = 16, bands = 8)
+        .select("id_a", "id_b")
+        .orderBy("id_a", "id_b")
     })
   )
 
@@ -4107,6 +4145,25 @@ object SparkEntry {
         |  CAST(nb AS BIGINT) AS n_bytes,
         |  CASE WHEN nrm2 > 0 THEN floor(CAST(CAST(h0 / sqrt(nrm2) AS REAL) AS DOUBLE) * 1000000) / 1000000 ELSE 0.0 END AS emb_0,
         |  CASE WHEN nrm2 > 0 THEN floor(CAST(CAST(h7 / sqrt(nrm2) AS REAL) AS DOUBLE) * 1000000) / 1000000 ELSE 0.0 END AS emb_7
-        |FROM t ORDER BY asset_id""".stripMargin
+        |FROM t ORDER BY asset_id""".stripMargin,
+
+    // Real-decode plumbing: the PNGs are 32×32 by construction and the
+    // corrupt tail row must surface undecoded, so the oracle is the
+    // expected constant table — SQL needs no image reader to pin the
+    // decoder's observable output.
+    "multimodal_real_decode" ->
+      """SELECT CAST(r AS BIGINT) AS asset_id,
+        |  r < 60 AS decoded,
+        |  CAST(CASE WHEN r < 60 THEN 32 ELSE 0 END AS INT) AS width,
+        |  CAST(CASE WHEN r < 60 THEN 32 ELSE 0 END AS INT) AS height
+        |FROM range(61) t(r) ORDER BY asset_id""".stripMargin,
+
+    // Real-decode near-dup: structural margins (variant cosine ≈ 1,
+    // cross-pattern ≈ 0, threshold 0.9) make the surviving pairs exactly
+    // the within-pattern combinations, which SQL generates directly.
+    "multimodal_real_near_dup" ->
+      """SELECT CAST(p * 3 + a AS BIGINT) AS id_a, CAST(p * 3 + b AS BIGINT) AS id_b
+        |FROM range(20) t(p), range(3) u(a), range(3) v(b)
+        |WHERE a < b ORDER BY id_a, id_b""".stripMargin
   )
 }

@@ -479,4 +479,52 @@ class MultimodalSpec extends AnyFunSuite with SparkTestSession {
     val offs = frames.map(_.getAs[Int]("byte_offset")).sorted.toSeq
     assert(offs == Seq(0, 10, 20, 30).take(frames.length))
   }
+
+  private def cos(a: Array[Float], b: Array[Float]): Double = {
+    var d = 0.0; var i = 0
+    while (i < a.length) { d += a(i).toDouble * b(i); i += 1 }
+    d
+  }
+
+  test("real image decode: pixels through javax.imageio, centered unit embeddings") {
+    val png = Multimodal.syntheticPng(patternId = 3, variant = 0)
+    val Some((w, h, emb, ahash)) = Multimodal.decodeImageReal(png)
+    assert(w == 32 && h == 32 && emb.length == 64)
+    assert(math.abs(math.sqrt(emb.map(x => x.toDouble * x).sum) - 1.0) < 1e-5)
+    assert(math.abs(emb.map(_.toDouble).sum) < 1e-4, "embedding must be mean-centered")
+    assert(ahash != 0L)
+    // determinism end to end: bytes -> pixels -> features
+    assert(Multimodal.decodeImageReal(png).get._3.toSeq == emb.toSeq)
+    assert(Multimodal.decodeImageReal("not an image".getBytes("UTF-8")).isEmpty)
+    assert(Multimodal.decodeImageReal(Array.emptyByteArray).isEmpty)
+    assert(Multimodal.decodeImageReal(null).isEmpty)
+  }
+
+  test("real decode separates variants (near-dup) from distinct patterns") {
+    val base = Multimodal.decodeImageReal(Multimodal.syntheticPng(1, 0)).get
+    val vari = Multimodal.decodeImageReal(Multimodal.syntheticPng(1, 2)).get
+    val other = Multimodal.decodeImageReal(Multimodal.syntheticPng(2, 0)).get
+    assert(cos(base._3, vari._3) > 0.97, "noised variant must stay near-duplicate")
+    assert(math.abs(cos(base._3, other._3)) < 0.5, "distinct patterns must separate")
+    assert(java.lang.Long.bitCount(base._4 ^ vari._4) <= 6, "variant aHash near-identical")
+    assert(java.lang.Long.bitCount(base._4 ^ other._4) >= 16, "pattern aHash far apart")
+  }
+
+  test("real-decode near-dup pipeline finds exactly the within-pattern pairs") {
+    val nPatterns = 20
+    val pngs = spark.range(nPatterns * 3L).as[Long]
+      .map(id => (id, Multimodal.syntheticPng((id / 3).toInt, (id % 3).toInt)))
+      .toDF("asset_id", "content")
+    val feats = Multimodal.extractRealImageFeatures(pngs, batchSize = 16).toDF()
+    assert(feats.filter($"decoded" && $"width" === 32 && $"height" === 32).count() == nPatterns * 3)
+    val pairs = graft.operators.Dedup.embeddingNearDupBucketed(
+      feats.select($"asset_id".as("vec_id"), $"embedding"),
+      threshold = 0.9, nBits = 16, bands = 8)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val expected = (for {
+      p <- 0 until nPatterns; a <- 0 until 3; b <- (a + 1) until 3
+    } yield (p * 3L + a, p * 3L + b)).toSet
+    assert(pairs == expected,
+      s"missing=${(expected -- pairs).take(5)} spurious=${(pairs -- expected).take(5)}")
+  }
 }
