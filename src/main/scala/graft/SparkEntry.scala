@@ -1447,6 +1447,28 @@ object SparkEntry {
         .orderBy("query_id")
     }),
 
+    "rag_chat_hybrid" -> ((s, dir) => {
+      // §3.1 flagship with the round-5 retrieval stack in the retrieve
+      // slot: BM25 lexical top-20 and cosine kNN top-20 over the same
+      // chunk store, fused by RRF, fused top-2 stuffed into the context.
+      // Same question/chunk fixtures as rag_chat_pipeline, so the two
+      // flagships differ ONLY in retrieval — and the end-to-end hash
+      // gate covers admission, history, reformulation, both retrieval
+      // channels, fusion, stuffing, the answer envelope and the parse
+      // ladder in one lineage.
+      val docs = Tables.documents(s, dir)
+      val chunks = Tables.embeddings(s, dir)
+        .join(docs.select(col("doc_id").as("vec_id"), col("text")), "vec_id")
+        .select("vec_id", "embedding", "text")
+      val questions = docs.filter(col("doc_id") < 3)
+        .select(
+          (col("doc_id") + 1000).as("query_id"),
+          (col("doc_id") % 5).as("user_id"),
+          substring(col("text"), 1, 80).as("question"))
+      operators.Rag.chatPipelineHybrid(questions, Tables.events(s, dir), chunks)
+        .orderBy("query_id")
+    }),
+
     // ---- ANN scale paths (T-4 approximations; exact form is the oracle)
     "ann_lsh_topk" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
@@ -1960,6 +1982,94 @@ object SparkEntry {
        |FROM ans ORDER BY query_id""".stripMargin
   }
 
+  /** Oracle for rag_chat_hybrid — [[ragChatOracleSql]] with the retrieve
+    * slot replaced by the hybrid stack: the bm25_topk CTE chain over the
+    * chunk texts (floored score, doc_id tie-break), the same cosine
+    * chain as rag_chat_pipeline, RRF fusion at k=2, and the identical
+    * context/answer/parse tail. Every sub-chain is the one already
+    * hash-proven by its standalone query; this composes them end to end.
+    */
+  private def ragChatHybridOracleSql: String = {
+    s"""WITH q0 AS (
+       |  SELECT doc_id + 1000 AS query_id, doc_id % 5 AS user_id, substr(text, 1, 80) AS question
+       |  FROM documents WHERE doc_id < 3),
+       |adm AS (SELECT * FROM q0 WHERE length(question) <= 2000 AND trim(question) <> ''),
+       |${embedChainSql("adm", "query_id", "question")},
+       |qemb AS (
+       |  SELECT c.query_id,
+       |    list(CASE WHEN n2.norm2 > 0 THEN CAST(c.v / sqrt(CAST(n2.norm2 AS DOUBLE)) AS REAL)
+       |              ELSE CAST(0 AS REAL) END ORDER BY c.j) AS qe
+       |  FROM cell c JOIN n2 USING (query_id) GROUP BY c.query_id),
+       |chunks AS (
+       |  SELECT e.vec_id, e.embedding, d.text FROM embeddings e
+       |  JOIN documents d ON d.doc_id = e.vec_id),
+       |btk AS (
+       |  SELECT vec_id AS doc_id,
+       |    list_filter(regexp_split_to_array(lower(text), '[^\\p{L}\\p{N}]+'), x -> x <> '') AS toks
+       |  FROM chunks),
+       |bt AS (SELECT doc_id, unnest(toks) AS term FROM btk),
+       |btf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM bt GROUP BY 1, 2),
+       |bdl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM btf GROUP BY 1),
+       |bcorp AS (SELECT CAST(count(*) AS BIGINT) AS n_docs, avg(CAST(dl AS DOUBLE)) AS avgdl FROM bdl),
+       |bdfr AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM btf GROUP BY 1),
+       |bqt AS (SELECT DISTINCT query_id, term FROM
+       |  (SELECT query_id, unnest(list_filter(regexp_split_to_array(lower(question), '[^\\p{L}\\p{N}]+'), x -> x <> '')) AS term FROM adm)),
+       |bc AS (
+       |  SELECT bqt.query_id, btf.doc_id,
+       |    ln(1.0 + (bcorp.n_docs - bdfr.df + 0.5) / (bdfr.df + 0.5))
+       |      * (btf.tf * (1.25 + 1)) / (btf.tf + 1.25 * (1 - 0.75 + 0.75 * bdl.dl / bcorp.avgdl)) AS contrib
+       |  FROM bqt JOIN btf USING (term) JOIN bdfr USING (term)
+       |  JOIN bdl ON btf.doc_id = bdl.doc_id, bcorp),
+       |bs AS (
+       |  SELECT query_id, doc_id, floor(sum(contrib) * 1000000) / 1000000 AS score
+       |  FROM bc GROUP BY 1, 2),
+       |lr AS (
+       |  SELECT query_id, doc_id,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank
+       |  FROM bs QUALIFY rank <= 20),
+       |scored AS (
+       |  SELECT query_id, vec_id,
+       |    CASE WHEN den = 0 THEN 0.0 ELSE dot / den END AS sim
+       |  FROM (
+       |    SELECT q.query_id, ch.vec_id,
+       |      list_reduce(list_prepend(0.0,
+       |        list_transform(range(64), i -> CAST(qe[i+1] AS DOUBLE) * CAST(ch.embedding[i+1] AS DOUBLE))),
+       |        (ca, cb) -> ca + cb) AS dot,
+       |      sqrt(list_reduce(list_prepend(0.0,
+       |          list_transform(qe, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (ca, cb) -> ca + cb))
+       |      * sqrt(list_reduce(list_prepend(0.0,
+       |          list_transform(ch.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (ca, cb) -> ca + cb)) AS den
+       |    FROM qemb q CROSS JOIN chunks ch)),
+       |sr AS (
+       |  SELECT query_id, vec_id AS doc_id,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rank
+       |  FROM scored QUALIFY rank <= 20),
+       |f AS (
+       |  SELECT coalesce(l.query_id, s2.query_id) AS query_id,
+       |    coalesce(l.doc_id, s2.doc_id) AS doc_id,
+       |    coalesce(1.0 / (60.0 + l.rank), 0.0) + coalesce(1.0 / (60.0 + s2.rank), 0.0) AS rrf
+       |  FROM lr l FULL OUTER JOIN sr s2
+       |    ON l.query_id = s2.query_id AND l.doc_id = s2.doc_id),
+       |fr AS (
+       |  SELECT query_id, doc_id, rrf,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY rrf DESC, doc_id) AS rank
+       |  FROM f),
+       |ctx AS (
+       |  SELECT fr.query_id,
+       |    array_to_string(list(ch.text ORDER BY fr.rank), chr(10) || chr(10)) AS context
+       |  FROM fr JOIN chunks ch ON ch.vec_id = fr.doc_id
+       |  WHERE fr.rank <= 2 GROUP BY fr.query_id),
+       |withctx AS (
+       |  SELECT a.query_id, a.user_id, a.question, coalesce(cx.context, '') AS context
+       |  FROM adm a LEFT JOIN ctx cx USING (query_id)),
+       |ans AS (${MurmurSql.murmurSelect(
+                  "withctx", Seq("query_id", "user_id", "question", "context"), "context", 7L)})
+       |SELECT query_id, user_id, question, question AS standalone_question, context,
+       |  'Re: ' || question || ' [ctx:' || printf('%x', u) || ']' AS answer,
+       |  'explaining' AS emotion
+       |FROM ans ORDER BY query_id""".stripMargin
+  }
+
   /** Oracle for t1_split_chunks — the recursive character splitter.
     *
     * On this corpus no "\n\n"/"\n" separator occurs and every
@@ -2350,6 +2460,7 @@ object SparkEntry {
 
     "t3_embed_documents" -> t3EmbedOracleSql,
     "rag_chat_pipeline" -> ragChatOracleSql,
+    "rag_chat_hybrid" -> ragChatHybridOracleSql,
     "t1_split_chunks" -> t1SplitOracleSql,
     "ingest_pipeline" -> ingestPipelineOracleSql,
     "q1_pricing_summary" ->

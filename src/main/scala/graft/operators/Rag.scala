@@ -62,14 +62,15 @@ object Rag {
     * @param historyN  history window (config.py:43: 10)
     * @return one row per query: question, context, answer, emotion
     */
-  def chatPipeline(
+  /** Stages 1-4, shared by both pipelines: admission, per-user history
+    * digest, reformulation, question embedding. Returns the admitted
+    * questions with `standalone_question` and `q_embedding` attached.
+    */
+  private def prepareQuestions(
       questions: DataFrame,
       logs: DataFrame,
-      chunks: DataFrame,
-      llm: LlmClient = DeterministicLlm,
-      k: Int = 2,
-      historyN: Int = 10): DataFrame = {
-
+      llm: LlmClient,
+      historyN: Int): DataFrame = {
     // 1. admission (P-5/P-6: length + non-blank; invalid rows are dropped
     //    where the reference returns 4xx)
     val admitted = questions.filter(Ingest.validQuery(col("question")))
@@ -93,16 +94,15 @@ object Rag {
       .withColumn("standalone_question", reformulateUdf(col("history"), col("question")))
 
     // 4. T-3 embed the standalone question
-    val embedded = reformulated
+    reformulated
       .withColumn("q_embedding", HashEmbedder.embedCol(col("standalone_question")))
+  }
 
-    // 5-6. T-4 retrieve top-k + T-7 stuff context (rank-ordered fold)
-    val topk = Retrieval.knnJoin(
-      embedded.select(col("query_id"), col("q_embedding")), chunks, k)
-      .join(chunks.select(col("vec_id"), col("text")), "vec_id")
-    val contexts = Retrieval.stuffContext(topk)
-
-    // 7. T-9 answer (pluggable LLM) + 8. T-10/P-10 parse + normalize
+  /** Stages 7-8, shared by both pipelines: answer over the stuffed
+    * context, then the defensive parse ladder and final projection.
+    */
+  private def answerAndParse(
+      embedded: DataFrame, contexts: DataFrame, llm: LlmClient): DataFrame = {
     val answerUdf = udf((ctx: String, q: String) => llm.answer(Option(ctx).getOrElse(""), q))
     embedded.join(contexts, Seq("query_id"), "left")
       .withColumn("context", coalesce(col("context"), lit("")))
@@ -113,5 +113,69 @@ object Rag {
         col("standalone_question"), col("context"),
         col("parsed.answer").as("answer"),
         col("parsed.emotion").as("emotion"))
+  }
+
+  def chatPipeline(
+      questions: DataFrame,
+      logs: DataFrame,
+      chunks: DataFrame,
+      llm: LlmClient = DeterministicLlm,
+      k: Int = 2,
+      historyN: Int = 10): DataFrame = {
+    val embedded = prepareQuestions(questions, logs, llm, historyN)
+
+    // 5-6. T-4 retrieve top-k + T-7 stuff context (rank-ordered fold)
+    val topk = Retrieval.knnJoin(
+      embedded.select(col("query_id"), col("q_embedding")), chunks, k)
+      .join(chunks.select(col("vec_id"), col("text")), "vec_id")
+    val contexts = Retrieval.stuffContext(topk)
+
+    answerAndParse(embedded, contexts, llm)
+  }
+
+  /** [[chatPipeline]] with the round-5 retrieval stack in the retrieve
+    * slot: BM25 lexical top-`fetchK` and cosine semantic top-`fetchK`
+    * fused by Reciprocal Rank Fusion, the fused top-`k` stuffed into the
+    * context. This is the standard production RAG shape (hybrid search
+    * beats either channel alone on keyword-heavy AND paraphrased
+    * questions) expressed with the same operators the registry checks
+    * individually: [[TextRetrieval.bm25TopK]], [[Retrieval.knnJoin]],
+    * [[TextRetrieval.hybridTopK]], [[Retrieval.stuffContext]].
+    *
+    * Scale shape: both channels bound their output at `fetchK` rows per
+    * query before fusion, so the fusion join touches O(queries·fetchK)
+    * rows regardless of corpus size; the corpus itself is scanned once
+    * per channel with no corpus-sized shuffle (BM25's df join is
+    * query-term-bounded; the kNN corpus never shuffles).
+    */
+  def chatPipelineHybrid(
+      questions: DataFrame,
+      logs: DataFrame,
+      chunks: DataFrame,
+      llm: LlmClient = DeterministicLlm,
+      k: Int = 2,
+      fetchK: Int = 20,
+      historyN: Int = 10): DataFrame = {
+    val embedded = prepareQuestions(questions, logs, llm, historyN)
+
+    // 5a. lexical channel: BM25 over the chunk texts
+    val lex = TextRetrieval.bm25TopK(
+      chunks.select(col("vec_id").as("doc_id"), col("text")),
+      embedded.select(col("query_id"), col("standalone_question").as("qtext")),
+      k = fetchK)
+      .select("query_id", "doc_id", "rank")
+
+    // 5b. semantic channel: cosine kNN over the chunk embeddings
+    val sem = Retrieval.knnJoin(
+      embedded.select(col("query_id"), col("q_embedding")), chunks, fetchK)
+      .select(col("query_id"), col("vec_id").as("doc_id"), col("rank"))
+
+    // 5c. RRF fusion to the final top-k + 6. stuff context in fused order
+    val fused = TextRetrieval.hybridTopK(lex, sem, k)
+      .select(col("query_id"), col("doc_id").as("vec_id"), col("rank"))
+    val contexts = Retrieval.stuffContext(
+      fused.join(chunks.select(col("vec_id"), col("text")), "vec_id"))
+
+    answerAndParse(embedded, contexts, llm)
   }
 }

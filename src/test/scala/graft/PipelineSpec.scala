@@ -443,6 +443,19 @@ class RagSpec extends AnyFunSuite with SparkTestSession {
     assert(row.getAs[String]("context").contains("spark runs distributed queries"))
     assert(row.getAs[String]("answer").startsWith("Re: how does spark"))
     assert(row.getAs[String]("emotion") == "explaining")
+
+    // Hybrid flagship over the same fixtures: admission still drops the
+    // invalid rows, and the lexically-obvious chunk (shares "spark",
+    // "distributed", "queries" with the question) must reach the fused
+    // context — BM25 guarantees it even if the hash-embedding channel
+    // preferred another chunk.
+    val hyb = Rag.chatPipelineHybrid(questions, logs, chunks, fetchK = 3).collect()
+    assert(hyb.length == 1)
+    val hrow = hyb.head
+    assert(hrow.getAs[Long]("query_id") == 100L)
+    assert(hrow.getAs[String]("context").contains("spark runs distributed queries"))
+    assert(hrow.getAs[String]("answer").startsWith("Re: how does spark"))
+    assert(hrow.getAs[String]("emotion") == "explaining")
   }
 }
 
