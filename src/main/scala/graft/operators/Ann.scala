@@ -186,7 +186,15 @@ object Ann {
       coalesce(expr("bit_xor(xxhash64(vec_id, embedding))"), lit(0L)).as("fp"))
       .head()
     val path = s"$baseDir/sig${nBits}_n${fpRow.getLong(0)}_fp${java.lang.Long.toHexString(fpRow.getLong(1))}"
-    if (!new java.io.File(path, "_SUCCESS").exists())
+    // Existence through Hadoop's FileSystem, not java.io.File, so the
+    // build-once contract holds on HDFS/S3 too (a local-only check would
+    // silently rebuild the layout on every call there). Concurrent
+    // FIRST-build callers must be externally serialized — two writers
+    // racing mode("overwrite") into one directory is not safe on any
+    // filesystem; once _SUCCESS exists, readers never observe a write.
+    val success = new org.apache.hadoop.fs.Path(path, "_SUCCESS")
+    val fs = success.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(success))
       writeSignaturePartitionedPortable(corpus, path, nBits)
     path
   }

@@ -148,6 +148,13 @@ object Ingest {
     * lacking the key.
     */
   def openMetadata(chunks: DataFrame, extras: (String, Column)*): DataFrame = {
+    // Fail at call time, not at runtime inside the pipeline: an extras
+    // key colliding with a base key would hit map_concat's default
+    // mapKeyDedupPolicy=EXCEPTION mid-job. Callers overriding source/page
+    // should project those columns instead.
+    val clash = extras.map(_._1).toSet.intersect(Set("source", "page"))
+    require(clash.isEmpty,
+      s"extras may not shadow base metadata keys: ${clash.mkString(", ")}")
     val base = map(
       lit("source"), col("source_file"),
       lit("page"), col("page").cast("string"))

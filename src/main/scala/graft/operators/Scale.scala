@@ -158,8 +158,13 @@ object Scale {
       seed: Long = 0L,
       shards: Int = 64): DataFrame = {
     require(shards > 0, "shards must be positive")
+    // Reduce the id mod 2^32 BEFORE adding the seed: congruent mod 2^32,
+    // so value-identical wherever the plain sum doesn't overflow — but
+    // ids near Long.MaxValue with a nonzero seed no longer wrap (silent
+    // in default mode, a runtime error under ANSI).
     docs
-      .withColumn("shuffle_hash", knuthHash32(col(idCol) + lit(seed)))
+      .withColumn("shuffle_hash",
+        knuthHash32(pmod(col(idCol), lit(4294967296L)) + lit(seed)))
       .withColumn("shard", pmod(col("shuffle_hash"), lit(shards.toLong)))
   }
 

@@ -142,6 +142,12 @@ class IngestSpec extends AnyFunSuite with SparkTestSession {
       .filter(element_at($"metadata", "producer") === "lib-x")
       .select("file_id").as[Long].collect().toSet
     assert(filtered == Set(1L))
+    // an extras key shadowing a base key fails fast at call time, not as
+    // a mapKeyDedupPolicy error mid-job
+    val clash = intercept[IllegalArgumentException] {
+      Ingest.openMetadata(chunks, "source" -> lit("shadowed"))
+    }
+    assert(clash.getMessage.contains("source"))
   }
 }
 

@@ -112,10 +112,15 @@ class ScaleSpec extends AnyFunSuite with SparkTestSession {
     // such ids with ANSI on: any overflow in the plan throws here.
     spark.conf.set("spark.sql.ansi.enabled", "true")
     try {
-      val ids = Seq(1L, 3400000001L, 5000000000L, 1000000000000000L).toDF("doc_id")
+      // Long.MaxValue + nonzero seed would overflow the naive id + seed
+      // sum before the hash's own mod-2^32 reduction; the pmod-first form
+      // is congruent, so it must neither throw here nor change any value
+      // the naive form could produce.
+      val ids = Seq(1L, 3400000001L, 5000000000L, 1000000000000000L,
+        Long.MaxValue).toDF("doc_id")
       val sh = Scale.deterministicShuffle(ids, "doc_id", seed = 5L, shards = 8)
         .as[(Long, Long, Long)].collect()
-      assert(sh.length == 4)
+      assert(sh.length == 5)
       sh.foreach { case (_, h, s) =>
         assert(h >= 0L && h < 4294967296L && s >= 0L && s < 8L)
       }
