@@ -741,6 +741,50 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    "retrieval_eval" -> ((s, dir) => {
+      // Retrieval EVALUATION: one graded label set (query-term overlap)
+      // scores three systems — BM25@5, hybrid RRF@10, and a static
+      // first-5-docs null baseline. The baseline anchors the scale: an
+      // eval harness that can't separate a real retriever from "always
+      // return the first five docs" measures nothing. Hybrid's semantic
+      // channel retrieves from the embeddings id space (same fixture
+      // quirk as retrieval_hybrid_rrf), so its semantic-only picks are
+      // unlabeled and count as misses — pricing that mismatch is
+      // exactly what the harness is for.
+      import s.implicits._
+      val w = org.apache.spark.sql.expressions.Window
+      val textQueries = Seq(
+        (0L, "fast sort merge"), (1L, "spark data query"), (2L, "join filter stream"))
+        .toDF("query_id", "qtext")
+      val docs = Tables.documents(s, dir)
+      val labels = operators.RetrievalEval.gradedTermOverlapLabels(docs, textQueries)
+      val bm25 = operators.TextRetrieval.bm25TopK(docs, textQueries, k = 5)
+        .select("query_id", "doc_id", "rank")
+      val lex = operators.TextRetrieval.bm25TopK(docs, textQueries, k = 20)
+        .select("query_id", "doc_id", "rank")
+      val emb = Tables.embeddings(s, dir)
+      val vecQueries = emb.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"))
+      val sem = Retrieval.knnJoin(vecQueries, emb, k = 20)
+        .select(col("query_id"), col("vec_id").as("doc_id"), col("rank"))
+      val hybrid = operators.TextRetrieval.hybridTopK(lex, sem, k = 10)
+        .select("query_id", "doc_id", "rank")
+      // Null baseline: the first five docs, same list for every query.
+      // The window runs AFTER the limit — five rows, one partition.
+      val firstDocs = docs.select("doc_id").orderBy("doc_id").limit(5)
+        .withColumn("rank", row_number().over(w.orderBy("doc_id")))
+      val static5 = textQueries.select("query_id").crossJoin(broadcast(firstDocs))
+      Seq(
+        ("bm25_k5", operators.RetrievalEval.evaluateWithMacro(bm25, labels, 5)),
+        ("hybrid_rrf_k10", operators.RetrievalEval.evaluateWithMacro(hybrid, labels, 10)),
+        ("static_k5", operators.RetrievalEval.evaluateWithMacro(static5, labels, 5)))
+        .map { case (nm, df) => df.withColumn("retriever", lit(nm)) }
+        .reduce(_ unionByName _)
+        .select("retriever", "query_id", "n_rel", "n_hits",
+          "recall_at_k", "precision_at_k", "mrr", "ndcg_at_k")
+        .orderBy("retriever", "query_id")
+    }),
+
     "tfidf_top_terms" -> ((s, dir) => {
       operators.TextRetrieval.tfidfTopTerms(Tables.documents(s, dir), k = 3,
         broadcastDf = Some(true)) // tiny vocabulary here, same as bm25_topk
@@ -3386,6 +3430,122 @@ object SparkEntry {
         |  floor(rrf * 1000000) / 1000000 AS rrf,
         |  CAST(lex_rank AS INT) AS lex_rank, CAST(sem_rank AS INT) AS sem_rank
         |FROM fr WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+
+    // Same lexical/semantic/fusion CTEs as bm25_topk + retrieval_hybrid_rrf,
+    // then graded term-overlap labels and the metric block: recall@k,
+    // precision@k, MRR@k, nDCG@k (natural-log discounts — the base cancels
+    // in DCG/IDCG) per (retriever, query) plus a macro row per retriever.
+    "retrieval_eval" ->
+      """WITH q(query_id, qtext) AS (VALUES
+        |    (CAST(0 AS BIGINT), 'fast sort merge'),
+        |    (CAST(1 AS BIGINT), 'spark data query'),
+        |    (CAST(2 AS BIGINT), 'join filter stream')),
+        |tk AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^\p{L}\p{N}]+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |t AS (SELECT doc_id, unnest(toks) AS term FROM tk),
+        |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM t GROUP BY 1, 2),
+        |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
+        |corp AS (SELECT CAST(count(*) AS BIGINT) AS n_docs, avg(CAST(dl AS DOUBLE)) AS avgdl FROM dl),
+        |dfr AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+        |qt AS (SELECT DISTINCT query_id, term FROM
+        |  (SELECT query_id, unnest(list_filter(regexp_split_to_array(lower(qtext), '[^\p{L}\p{N}]+'), x -> x <> '')) AS term FROM q)),
+        |c AS (
+        |  SELECT qt.query_id, tf.doc_id,
+        |    ln(1.0 + (corp.n_docs - dfr.df + 0.5) / (dfr.df + 0.5))
+        |      * (tf.tf * (1.25 + 1)) / (tf.tf + 1.25 * (1 - 0.75 + 0.75 * dl.dl / corp.avgdl)) AS contrib
+        |  FROM qt JOIN tf USING (term) JOIN dfr USING (term)
+        |  JOIN dl ON tf.doc_id = dl.doc_id, corp),
+        |bs AS (
+        |  SELECT query_id, doc_id, floor(sum(contrib) * 1000000) / 1000000 AS score
+        |  FROM c GROUP BY 1, 2),
+        |b5 AS (
+        |  SELECT query_id, doc_id,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank
+        |  FROM bs QUALIFY rank <= 5),
+        |lr AS (
+        |  SELECT query_id, doc_id,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank
+        |  FROM bs QUALIFY rank <= 20),
+        |vq AS (
+        |  SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 3),
+        |scored AS (
+        |  SELECT vq.query_id, e.vec_id,
+        |    list_reduce(list_prepend(0.0,
+        |      list_transform(range(64),
+        |        i -> CAST(vq.qe[i+1] AS DOUBLE) * CAST(e.embedding[i+1] AS DOUBLE))),
+        |      (a, b) -> a + b)
+        |    / (sqrt(list_reduce(list_prepend(0.0,
+        |         list_transform(vq.qe, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (a,b) -> a+b))
+        |     * sqrt(list_reduce(list_prepend(0.0,
+        |         list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (a,b) -> a+b)))
+        |    AS sim
+        |  FROM vq CROSS JOIN embeddings e),
+        |sr AS (
+        |  SELECT query_id, vec_id AS doc_id,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rank
+        |  FROM scored QUALIFY rank <= 20),
+        |f AS (
+        |  SELECT coalesce(l.query_id, s2.query_id) AS query_id,
+        |    coalesce(l.doc_id, s2.doc_id) AS doc_id,
+        |    coalesce(1.0 / (60.0 + l.rank), 0.0) + coalesce(1.0 / (60.0 + s2.rank), 0.0) AS rrf
+        |  FROM lr l FULL OUTER JOIN sr s2
+        |    ON l.query_id = s2.query_id AND l.doc_id = s2.doc_id),
+        |h10 AS (
+        |  SELECT query_id, doc_id,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY rrf DESC, doc_id) AS rank
+        |  FROM f QUALIFY rank <= 10),
+        |dt AS (SELECT DISTINCT doc_id, term FROM t),
+        |lbl AS (
+        |  SELECT qt.query_id, dt.doc_id, CAST(count(*) AS INT) AS rel
+        |  FROM dt JOIN qt USING (term) GROUP BY 1, 2),
+        |nrel AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_rel FROM lbl GROUP BY 1),
+        |lp AS (
+        |  SELECT query_id, doc_id, rel,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY rel DESC, doc_id) AS pos
+        |  FROM lbl),
+        |idcg AS (
+        |  SELECT query_id, kk.k, sum((power(2.0, rel) - 1.0) / ln(pos + 1.0)) AS idcg
+        |  FROM lp CROSS JOIN (VALUES (5), (10)) kk(k)
+        |  WHERE pos <= kk.k GROUP BY 1, 2),
+        |sd AS (
+        |  SELECT doc_id, row_number() OVER (ORDER BY doc_id) AS rank
+        |  FROM documents QUALIFY rank <= 5),
+        |ret AS (
+        |  SELECT 'bm25_k5' AS retriever, 5 AS k, query_id, doc_id, rank FROM b5
+        |  UNION ALL
+        |  SELECT 'hybrid_rrf_k10', 10, query_id, doc_id, rank FROM h10
+        |  UNION ALL
+        |  SELECT 'static_k5', 5, q.query_id, sd.doc_id, sd.rank FROM q CROSS JOIN sd),
+        |hit AS (
+        |  SELECT r.retriever, r.k, r.query_id,
+        |    CAST(count(*) AS BIGINT) AS n_hits, min(r.rank) AS first_hit,
+        |    sum((power(2.0, l.rel) - 1.0) / ln(r.rank + 1.0)) AS dcg
+        |  FROM ret r JOIN lbl l ON r.query_id = l.query_id AND r.doc_id = l.doc_id
+        |  GROUP BY 1, 2, 3),
+        |base AS (
+        |  SELECT rk.retriever, rk.k, nrel.query_id, nrel.n_rel
+        |  FROM (SELECT DISTINCT retriever, k FROM ret) rk CROSS JOIN nrel),
+        |per AS (
+        |  SELECT b.retriever, b.query_id, b.n_rel,
+        |    coalesce(h.n_hits, 0) AS n_hits,
+        |    floor(coalesce(h.n_hits, 0) / b.n_rel * 1000000) / 1000000 AS recall_at_k,
+        |    floor(coalesce(h.n_hits, 0) / b.k * 1000000) / 1000000 AS precision_at_k,
+        |    floor(coalesce(1.0 / h.first_hit, 0.0) * 1000000) / 1000000 AS mrr,
+        |    floor((coalesce(h.dcg, 0.0) / i.idcg + 1e-9) * 1000000) / 1000000 AS ndcg_at_k
+        |  FROM base b JOIN idcg i ON b.query_id = i.query_id AND b.k = i.k
+        |  LEFT JOIN hit h ON b.retriever = h.retriever AND b.query_id = h.query_id)
+        |SELECT retriever, query_id, n_rel, n_hits,
+        |  recall_at_k, precision_at_k, mrr, ndcg_at_k FROM per
+        |UNION ALL
+        |SELECT retriever, CAST(-1 AS BIGINT) AS query_id,
+        |  CAST(sum(n_rel) AS BIGINT) AS n_rel, CAST(sum(n_hits) AS BIGINT) AS n_hits,
+        |  floor((avg(recall_at_k) + 1e-9) * 1000000) / 1000000 AS recall_at_k,
+        |  floor((avg(precision_at_k) + 1e-9) * 1000000) / 1000000 AS precision_at_k,
+        |  floor((avg(mrr) + 1e-9) * 1000000) / 1000000 AS mrr,
+        |  floor((avg(ndcg_at_k) + 1e-9) * 1000000) / 1000000 AS ndcg_at_k
+        |FROM per GROUP BY retriever
+        |ORDER BY retriever, query_id""".stripMargin,
 
     "tfidf_top_terms" ->
       """WITH tk AS (

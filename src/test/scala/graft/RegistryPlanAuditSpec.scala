@@ -43,6 +43,9 @@ class RegistryPlanAuditSpec extends AnyFunSuite with SparkTestSession {
     // bounded and the corpus side streams map-only, never shuffles
     "t4_knn_cosine", "p9_filtered_knn", "t7_stuff_context",
     "rag_chat_pipeline", "rag_chat_hybrid", "retrieval_hybrid_rrf",
+    // retrieval_eval: kNN brute force inside the hybrid leg + the
+    // 5-row broadcast static-baseline attach — both bounded frames
+    "retrieval_eval",
     "ann_quantized_topk", "ann_quantized_rerank",
     // broadcast 1-row corpus-statistics attach (n_docs/avgdl/LM totals)
     "bm25_topk", "tfidf_top_terms", "text_perplexity", "text_rarity_score")
