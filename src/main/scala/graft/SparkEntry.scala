@@ -628,6 +628,25 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    "dedup_semantic" -> ((s, dir) => {
+      // SemDeDup over the same twin-planted corpus as
+      // dedup_embedding_cosine: every vector gets a ±0.01-jittered twin
+      // (cos ≈ 0.9998), so each cell provably contains true semantic
+      // dups and the greedy smaller-id rule must drop exactly the twins
+      // that land in their original's cell. Seeded centroids
+      // (lloydIter = 0) keep the cell assignment oracle-replicable; the
+      // Lloyd-refined path is spec-checked (SemanticDedupSpec).
+      val emb = Tables.embeddings(s, dir).select("vec_id", "embedding")
+      val jit = emb.select(
+        (col("vec_id") + 1000000L).as("vec_id"),
+        transform(col("embedding"), (x, i) =>
+          (x.cast("double") +
+            when(pmod(i, lit(2)) === 0, lit(0.01)).otherwise(lit(-0.01)))
+            .cast("float")).as("embedding"))
+      Dedup.semanticDedup(emb.unionByName(jit), nCells = 32, threshold = 0.95)
+        .orderBy("vec_id")
+    }),
+
     // ---- text analysis (training-data ops)
     "text_quality" -> ((s, dir) => {
       val d = Tables.documents(s, dir)
@@ -2826,6 +2845,57 @@ object SparkEntry {
         |  FROM cand)
         |SELECT id_a, id_b, round(cos_sim, 6) AS cos_sim FROM p
         |WHERE cos_sim >= 0.95 ORDER BY id_a, id_b""".stripMargin,
+
+    // SemDeDup mirror: same jittered-twin union as dedup_embedding_cosine,
+    // centroids = embeddings of the 32 smallest vec_ids (cell = seed
+    // position), assignment = argmax cosine (tie -> lowest cell; the
+    // row_number sort mirrors assignCells' strict `>` update), dropped =
+    // has a >=0.95 neighbor with smaller id in the same cell.
+    "dedup_semantic" ->
+      """WITH u AS (
+        |  SELECT vec_id, embedding FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 1000000 AS vec_id,
+        |    list_transform(range(64), i ->
+        |      CAST(CAST(embedding[CAST(i+1 AS INT)] AS DOUBLE) +
+        |        CASE WHEN i % 2 = 0 THEN 0.01 ELSE -0.01 END AS REAL)) AS embedding
+        |  FROM embeddings),
+        |sd AS (
+        |  SELECT embedding AS cent, CAST(rn - 1 AS INT) AS cell FROM (
+        |    SELECT embedding, row_number() OVER (ORDER BY vec_id) AS rn FROM u) t
+        |  WHERE rn <= 32),
+        |asg AS (
+        |  SELECT u.vec_id, u.embedding, sd.cell,
+        |    list_reduce(list_prepend(0.0,
+        |      list_transform(range(64),
+        |        i -> CAST(u.embedding[i+1] AS DOUBLE) * CAST(sd.cent[i+1] AS DOUBLE))),
+        |      (x, y) -> x + y)
+        |    / (sqrt(list_reduce(list_prepend(0.0,
+        |         list_transform(u.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (x,y) -> x+y))
+        |     * sqrt(list_reduce(list_prepend(0.0,
+        |         list_transform(sd.cent, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (x,y) -> x+y)))
+        |    AS sim
+        |  FROM u CROSS JOIN sd),
+        |best AS (
+        |  SELECT vec_id, embedding, cell FROM (
+        |    SELECT vec_id, embedding, cell,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell) AS rn
+        |    FROM asg) t WHERE rn = 1),
+        |dup AS (
+        |  SELECT DISTINCT b.vec_id FROM best a JOIN best b
+        |    ON a.cell = b.cell AND a.vec_id < b.vec_id
+        |  WHERE list_reduce(list_prepend(0.0,
+        |      list_transform(range(64),
+        |        i -> CAST(a.embedding[i+1] AS DOUBLE) * CAST(b.embedding[i+1] AS DOUBLE))),
+        |      (x, y) -> x + y)
+        |    / (sqrt(list_reduce(list_prepend(0.0,
+        |         list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (x,y) -> x+y))
+        |     * sqrt(list_reduce(list_prepend(0.0,
+        |         list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (x,y) -> x+y)))
+        |    >= 0.95)
+        |SELECT best.vec_id, best.cell, (dup.vec_id IS NULL) AS kept
+        |FROM best LEFT JOIN dup ON best.vec_id = dup.vec_id
+        |ORDER BY best.vec_id""".stripMargin,
 
     "text_quality" ->
       """WITH t AS (
