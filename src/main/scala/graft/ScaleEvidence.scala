@@ -31,7 +31,10 @@ import java.nio.file.{Files, Paths}
   *    but its first occurrence, and fully strips every exact-copy doc;
   *  - the standing line/gram index lifecycle (build at 10⁶, admit a 10⁴
   *    batch incrementally) matches the corpus-wide batch rule
-  *    row-for-row.
+  *    row-for-row;
+  *  - semantic dedup at 10⁶ 16-dim vectors drops EVERY planted jittered
+  *    twin that lands in its original's cell (within-cell pairing is
+  *    exhaustive; cross-boundary jitters are counted, not hidden).
   *
   * Records wall seconds + docs/sec per operator to SCALE_EVIDENCE.json.
   */
@@ -275,6 +278,64 @@ object ScaleEvidence {
     if (!bruteTop.forall { case (q, v) => q == v })
       failures ::= s"brute: rank-1 self-retrieval failed: ${bruteTop.toSeq}"
 
+    // -------- semantic dedup (SemDeDup) at 10⁶ vectors: 16-dim slices
+    // (the pairwise budget is Σ|cell|²·dim — dimension is a linear
+    // knob, cell count the quadratic one), 1024 seeded cells. Variant 1
+    // is a ±0.01-jittered twin (planted semantic dup, cos ≈ 0.999);
+    // variants ≥ 2 are sign-decorrelated (Rademacher flips from
+    // xxhash64(v, i) — near-orthogonal to everything, controlled noise).
+    // The EXACT property: every twin assigned to its original's cell is
+    // dropped — within-cell candidate generation is exhaustive, so a
+    // same-cell miss is impossible, not merely unlikely. Twins that
+    // jitter across a cell boundary are counted and reported (that is
+    // the documented recall cost of cluster-bounded pairing, the same
+    // trade the SemDeDup paper makes); the assert also demands ≥90%
+    // land same-cell so the planted signal can't silently evaporate.
+    val semVariants = (5 * variants + 1) / 2 // 10⁶ vectors at default 200
+    val semVecs = emb
+      .crossJoin(spark.range(semVariants.toLong).toDF("v"))
+      .select(
+        (col("v") * nVec + col("vec_id")).as("vec_id"),
+        when(col("v") === 0, slice(col("embedding"), 1, 16))
+          .when(col("v") === 1,
+            transform(slice(col("embedding"), 1, 16), (x, i) =>
+              (x + when(pmod(i, lit(2)) === 0, lit(0.01f)).otherwise(lit(-0.01f)))
+                .cast("float")))
+          .otherwise(
+            transform(slice(col("embedding"), 1, 16), (x, i) =>
+              (x * when(pmod(xxhash64(col("v"), i), lit(2)) === 0, lit(1.0f))
+                .otherwise(lit(-1.0f))).cast("float")))
+          .as("embedding"))
+    val semInPath = Files.createTempDirectory("graft_scale_semin").toString
+    semVecs.repartition(cpus.toInt * 2).write.mode("overwrite").parquet(semInPath)
+    val semCorpus = spark.read.parquet(semInPath)
+    val nSemVecs = semCorpus.count()
+    val semOutPath = Files.createTempDirectory("graft_scale_semout").toString
+    val (_, tSem) = timed {
+      operators.Dedup.semanticDedup(semCorpus, nCells = 1024, threshold = 0.95)
+        .write.mode("overwrite").parquet(semOutPath)
+    }
+    val semFull = spark.read.parquet(semOutPath)
+    if (semFull.count() != nSemVecs)
+      failures ::= s"semantic: output rows ${semFull.count()} != input $nSemVecs"
+    val semCells = semFull.select("vec_id", "cell", "kept")
+    val sameCellTwins = semCells.filter(col("vec_id") < nVec)
+      .select(col("vec_id").as("o"), col("cell").as("co"))
+      .join(semCells.filter(col("vec_id") >= nVec && col("vec_id") < 2 * nVec)
+        .select((col("vec_id") - nVec).as("o"), col("cell").as("ct"),
+          col("kept").as("twin_kept")), "o")
+      .filter(col("co") === col("ct")).cache()
+    val plantedSameCell = sameCellTwins.count()
+    val sameCellDropped = sameCellTwins.filter(!col("twin_kept")).count()
+    sameCellTwins.unpersist()
+    if (sameCellDropped != plantedSameCell)
+      failures ::= s"semantic: $sameCellDropped of $plantedSameCell same-cell twins dropped"
+    if (plantedSameCell < nVec * 9 / 10)
+      failures ::= s"semantic: only $plantedSameCell/$nVec twins landed same-cell"
+    val semOrigKept = semCells.filter(col("vec_id") < nVec && col("kept")).count()
+    if (semOrigKept < nVec * 99 / 100)
+      failures ::= s"semantic: only $semOrigKept/$nVec originals kept"
+
     spark.stop()
     def r1(v: Double): String = f"$v%.1f"
     val line =
@@ -288,6 +349,7 @@ object ScaleEvidence {
         s""""line_index_lifecycle":{"index_sec":${r1(tLineIdx)},"admit_sec":${r1(tLineAdmit)},"batch_docs":$batchN,"mismatches":$lineMismatch},""" +
         s""""span_index_lifecycle":{"index_sec":${r1(tGramIdx)},"admit_sec":${r1(tSpanAdmit)},"batch_docs":$batchN,"mismatches":$spanMismatch},""" +
         s""""ann_partitioned":{"n_vectors":${nVec * variants},"layout_sec":${r1(tLayout)},"probe_sec":${r1(tProbe)},"brute_sec":${r1(tBrute)},"dirs_probed":$dirsProbed,"dirs_total":256},""" +
+        s""""semantic_dedup":{"n_vectors":$nSemVecs,"n_cells":1024,"sec":${r1(tSem)},"vecs_per_sec":${r1(nSemVecs / tSem)},"planted_twins":$nVec,"twins_same_cell":$plantedSameCell,"same_cell_twins_dropped":$sameCellDropped,"originals_kept":$semOrigKept},""" +
         s""""failures":${failures.map("\"" + _ + "\"").mkString("[", ",", "]")}}"""
     Files.writeString(Paths.get(out), line + "\n")
     println(line)
