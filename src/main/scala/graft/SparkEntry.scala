@@ -1241,6 +1241,27 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "store_compact" -> ((s, dir) => {
+      // Compaction as an oracle-checked round trip: five single-file
+      // micro-appends (the append-heavy accretion pattern), then
+      // Store.compact rewrites the table through the crash-consistent
+      // swap. Read-back must equal the full original slice — the oracle
+      // proves compaction moves bytes without losing or duplicating a
+      // row; the file-count collapse itself is spec-asserted
+      // (PipelineSpec).
+      val scratch = java.nio.file.Files
+        .createTempDirectory("graft_compact").toString + "/t"
+      val docs = Tables.documents(s, dir).select("doc_id", "text", "source")
+      (0 until 5).foreach { i =>
+        operators.Store.append(
+          docs.filter(pmod(col("doc_id"), lit(5)) === i).repartition(1), scratch)
+      }
+      operators.Store.compact(s, scratch, rowsPerFile = 1000000L)
+      s.read.parquet(scratch)
+        .select(col("doc_id"), sha2(col("text"), 256).as("text_hash"), col("source"))
+        .orderBy("doc_id")
+    }),
+
     "o_delete_doc_both_stores" -> ((s, dir) => {
       // §3.3: the reference deletes a document by hand-ordering its two
       // stores — Chroma first, then the SQLite catalog, with manual
@@ -1575,6 +1596,39 @@ object SparkEntry {
       operators.Ann.lshTopKPartitionedPortable(
         s, layout, qs, k = 2, nBits = 8, probeBits = 1)
         .orderBy("query_id", "rank")
+    }),
+
+    "ann_recall" -> ((s, dir) => {
+      // The Verify recall gate as a first-class HASH-CHECKED metric:
+      // recall@10 of the portable LSH path against exact brute force,
+      // per query plus a macro mean (query_id = -1). Both top-k sets are
+      // themselves deterministic oracle-mirrored paths, so their
+      // intersection size — the recall numerator — hashes exactly; this
+      // is the number an ANN operator's quality contract is written in.
+      val emb = Tables.embeddings(s, dir)
+      val qs = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"))
+      val k = 10
+      val approx = operators.Ann
+        .lshTopKPortable(qs, emb, k = k, nBits = 8, probeBits = 1)
+        .select("query_id", "vec_id")
+      val exact = Retrieval.knnJoin(qs, emb, k = k).select("query_id", "vec_id")
+      val inter = exact.join(approx, Seq("query_id", "vec_id"))
+        .groupBy("query_id").agg(count(lit(1)).as("n_hit"))
+      val per = qs.select("query_id").join(inter, Seq("query_id"), "left")
+        .select(col("query_id"),
+          coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+          TextAnalysis.floorScale(
+            coalesce(col("n_hit"), lit(0L)) / lit(k.toDouble), 6).as("recall_at_k"))
+      per.unionByName(per.agg(
+          sum(col("n_hit")).as("n_hit"),
+          // +1e-9 pre-floor: averages of exact 1e-6 multiples sit ON a
+          // floor boundary whenever divisible by the query count (see
+          // RetrievalEval.evaluateWithMacro)
+          TextAnalysis.floorScale(avg(col("recall_at_k")) + lit(1e-9), 6)
+            .as("recall_at_k"))
+        .select(lit(-1L).as("query_id"), col("n_hit"), col("recall_at_k")))
+        .orderBy("query_id")
     }),
 
     "ann_ivf_topk" -> ((s, dir) => {
@@ -2293,6 +2347,13 @@ object SparkEntry {
     "o7_append_roundtrip" ->
       """SELECT doc_id, sha256(text) AS text_hash, source FROM documents
         |WHERE doc_id < 50 ORDER BY doc_id""".stripMargin,
+
+    // Compaction must move bytes without losing or duplicating a row:
+    // the five modulo slices partition the table, so read-back after
+    // compact equals the full original slice.
+    "store_compact" ->
+      """SELECT doc_id, sha256(text) AS text_hash, source FROM documents
+        |ORDER BY doc_id""".stripMargin,
 
     // After clear + re-ingest, ONLY the new batch may remain.
     "o12_clear_reindex" ->
@@ -4297,6 +4358,75 @@ object SparkEntry {
         |  FROM x)
         |SELECT query_id, rank, vec_id, sim FROM r WHERE rank <= 2
         |ORDER BY query_id, rank""".stripMargin,
+
+    // Recall numerator = |LSH top-10 ∩ brute top-10| per query: the LSH
+    // chain is ann_lsh_portable's CTEs at k=10, the brute chain is
+    // t4_knn_cosine's; both deterministic, so the intersection hashes.
+    "ann_recall" ->
+      """WITH s AS (
+        |  SELECT vec_id, embedding,
+        |    CAST(list_sum(list_transform(range(8), b ->
+        |      CASE WHEN list_reduce(list_prepend(0.0, list_transform(range(64), i ->
+        |          CAST(embedding[CAST(i+1 AS INT)] AS DOUBLE) *
+        |          (((((48271*(b*1024+i)+16807) % 2147483647) * ((48271*(b*1024+i)+16807) % 2147483647)) % 2147483647) * 2.0 / 2147483647 - 1))),
+        |        (x, y) -> x + y) >= 0
+        |      THEN CAST(1 AS BIGINT) << CAST(b AS INT) ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS sig
+        |  FROM embeddings),
+        |pr AS (
+        |  SELECT vec_id AS query_id, embedding AS qe,
+        |    unnest(list_prepend(sig, list_transform(range(8), b ->
+        |      xor(sig, CAST(1 AS BIGINT) << CAST(b AS INT))))) AS psig
+        |  FROM s WHERE vec_id < 5),
+        |x AS (
+        |  SELECT pr.query_id, s.vec_id,
+        |    floor(
+        |      list_reduce(list_prepend(0.0,
+        |        list_transform(range(64),
+        |          i -> CAST(pr.qe[i+1] AS DOUBLE) * CAST(s.embedding[i+1] AS DOUBLE))),
+        |        (a, b) -> a + b)
+        |      / (sqrt(list_reduce(list_prepend(0.0,
+        |           list_transform(pr.qe, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))), (a, b) -> a + b))
+        |       * sqrt(list_reduce(list_prepend(0.0,
+        |           list_transform(s.embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))), (a, b) -> a + b)))
+        |      * 1000000) / 1000000 AS sim
+        |  FROM s JOIN pr ON s.sig = pr.psig),
+        |ar AS (
+        |  SELECT query_id, vec_id FROM (
+        |    SELECT query_id, vec_id,
+        |      row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rank
+        |    FROM x) t WHERE rank <= 10),
+        |q AS (
+        |  SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 5),
+        |scored AS (
+        |  SELECT q.query_id, e.vec_id,
+        |    list_reduce(list_prepend(0.0,
+        |      list_transform(range(64),
+        |        i -> CAST(q.qe[i+1] AS DOUBLE) * CAST(e.embedding[i+1] AS DOUBLE))),
+        |      (a, b) -> a + b)
+        |    / (sqrt(list_reduce(list_prepend(0.0,
+        |         list_transform(q.qe, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (a,b) -> a+b))
+        |     * sqrt(list_reduce(list_prepend(0.0,
+        |         list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (a,b) -> a+b)))
+        |    AS sim
+        |  FROM q CROSS JOIN embeddings e),
+        |bq AS (
+        |  SELECT query_id, vec_id FROM (
+        |    SELECT query_id, vec_id,
+        |      row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rank
+        |    FROM scored) t WHERE rank <= 10),
+        |inter AS (
+        |  SELECT query_id, CAST(count(*) AS BIGINT) AS n_hit
+        |  FROM ar JOIN bq USING (query_id, vec_id) GROUP BY 1),
+        |per AS (
+        |  SELECT q.query_id, coalesce(i.n_hit, 0) AS n_hit,
+        |    floor(coalesce(i.n_hit, 0) / 10.0 * 1000000) / 1000000 AS recall_at_k
+        |  FROM q LEFT JOIN inter i ON q.query_id = i.query_id)
+        |SELECT query_id, n_hit, recall_at_k FROM per
+        |UNION ALL
+        |SELECT CAST(-1 AS BIGINT) AS query_id, CAST(sum(n_hit) AS BIGINT) AS n_hit,
+        |  floor((avg(recall_at_k) + 1e-9) * 1000000) / 1000000 AS recall_at_k
+        |FROM per
+        |ORDER BY query_id""".stripMargin,
 
     // The signature-partitioned layout prunes partitions; it does not
     // change results — so the partitioned query is checked against the

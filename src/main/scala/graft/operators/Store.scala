@@ -111,6 +111,38 @@ object Store {
     }
   }
 
+  /** Small-files compaction: rewrite the table at `path` into
+    * ceil(rows / rowsPerFile) files, committed through the same
+    * crash-consistent rename swap as [[overwriteWith]] (a crash at any
+    * point leaves the old file set readable — compaction must never be
+    * the thing that loses a table). Returns (filesBefore, filesAfter).
+    *
+    * Why it exists: [[append]] writes new files only — that is what
+    * makes appends cheap — so an append-heavy table accretes one file
+    * set per micro-batch until open()/footer/planning overhead, not
+    * bytes, dominates scan cost. Compaction is the standing maintenance
+    * job that restores scan-sized files. The sizing pass is one
+    * count(); the rewrite's repartition is a round-robin exchange whose
+    * only purpose is output sizing (row count is the format-agnostic
+    * proxy for file size a public API can compute). At 100 TB, run per
+    * partition directory so each job is bounded and partitions compact
+    * in parallel — and a deletion-vector table format would replace the
+    * rewrite entirely; the operator surface stays the same.
+    */
+  def compact(spark: SparkSession, path: String, rowsPerFile: Long): (Long, Long) = {
+    require(rowsPerFile > 0, s"rowsPerFile must be positive, got $rowsPerFile")
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    def dataFiles(): Long = fs.listStatus(p)
+      .count(st => st.isFile && st.getPath.getName.endsWith(".parquet")).toLong
+    val before = dataFiles()
+    val rows = spark.read.parquet(path).count()
+    val nFiles = math.max(1L, (rows + rowsPerFile - 1) / rowsPerFile)
+    overwriteWith(spark,
+      spark.read.parquet(path).repartition(nFiles.toInt), path)
+    (before, dataFiles())
+  }
+
   /** O-14/O-6: JSON sink + scan (localStorage analog, App.js:20-61). */
   def writeJson(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Overwrite).json(path)

@@ -106,6 +106,30 @@ class StoreSpec extends AnyFunSuite with SparkTestSession {
     assert(!new java.io.File(path + ".old").exists())
   }
 
+  test("compact collapses micro-append files, preserves rows, survives a crash") {
+    val path = tmpDir() + "/t"
+    // 6 micro-appends of 1 file each -> 6 data files
+    (1 to 6).foreach { i =>
+      Store.append(Seq((i.toLong, s"v$i")).toDF("id", "v").repartition(1), path)
+    }
+    def files() = new java.io.File(path).listFiles()
+      .count(f => f.isFile && f.getName.endsWith(".parquet"))
+    assert(files() === 6)
+    val (before, after) = Store.compact(spark, path, rowsPerFile = 10L)
+    assert(before === 6L && after === 1L && files() === 1)
+    assert(spark.read.parquet(path).select("id").as[Long].collect().sorted
+      === (1L to 6L))
+    // rowsPerFile smaller than the table splits output into ceil(n/rows)
+    val (_, after2) = Store.compact(spark, path, rowsPerFile = 2L)
+    assert(after2 === 3L)
+    // crash before the swap (staging left behind): table still intact,
+    // recoverSwap cleans up
+    spark.read.parquet(path).write.parquet(path + ".staging")
+    Store.recoverSwap(spark, path)
+    assert(spark.read.parquet(path).count() === 6)
+    assert(!new java.io.File(path + ".staging").exists())
+  }
+
   test("O-14/O-6: json round trip") {
     val path = tmpDir() + "/j"
     Store.writeJson(Seq((1L, "s1", 3)).toDF("id", "session", "messageCount"), path)
