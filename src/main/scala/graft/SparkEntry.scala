@@ -710,6 +710,51 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "corpus_datacard" -> ((s, dir) => {
+      // The per-snapshot DATA CARD a corpus pipeline publishes: size,
+      // token totals, mean quality, language mix, exact-dup count — one
+      // long-format (section, key, value) frame. Every value is an
+      // exact integer (counts, sums of longs, or floor-micros means à la
+      // quality_source_gate), so the whole card hashes bit-identically
+      // with NO floating-point aggregation anywhere. Plan shape: one
+      // map-side-combinable global aggregate over the corpus + one
+      // groupBy on the (tiny-cardinality) language key; output is a
+      // dozen rows regardless of corpus size.
+      val docs = Tables.documents(s, dir)
+      val t = docs.select(
+        TextAnalysis.tokenCount(col("text")).cast("long").as("ws"),
+        TextAnalysis.bpeishTokenCount(col("text")).cast("long").as("bp"),
+        length(col("text")).cast("long").as("chars"),
+        round(TextAnalysis.qualityScore(col("text")) * 1e6).cast("long").as("q_micros"),
+        sha2(col("text"), 256).as("h"),
+        col("source"))
+      val overall = t.agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("source")).as("n_sources"),
+        sum("ws").as("ws_total"),
+        sum("bp").as("bp_total"),
+        sum("chars").as("chars_total"),
+        floor(sum("ws") * lit(1000000L) / count(lit(1))).cast("long").as("ws_mean_micros"),
+        floor(sum("q_micros") / count(lit(1))).cast("long").as("q_mean_micros"),
+        (count(lit(1)) - countDistinct(col("h"))).as("exact_dup_docs"))
+      val cards = overall.selectExpr(
+        """stack(8,
+          |  'corpus', 'n_docs', n_docs,
+          |  'corpus', 'n_sources', n_sources,
+          |  'dup', 'exact_dup_docs', exact_dup_docs,
+          |  'length', 'chars_total', chars_total,
+          |  'quality', 'quality_mean_micros', q_mean_micros,
+          |  'tokens', 'bpeish_tokens_total', bp_total,
+          |  'tokens', 'ws_tokens_mean_micros', ws_mean_micros,
+          |  'tokens', 'ws_tokens_total', ws_total
+          |) as (section, key, value)""".stripMargin)
+      val langs = docs
+        .select(TextAnalysis.detectLanguageCol(col("text")).as("key"))
+        .groupBy("key").agg(count(lit(1)).as("value"))
+        .select(lit("lang").as("section"), col("key"), col("value"))
+      cards.unionByName(langs).orderBy("section", "key")
+    }),
+
     "text_fingerprint" -> ((s, dir) => {
       // 64-bit wrap-around rolling fingerprint; oracle reproduces the Long
       // overflow via 128-bit ints reduced mod 2^64.
@@ -2295,6 +2340,40 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     oracleMap + ("dedup_simhash_auto" -> oracleMap("dedup_simhash"))
 
+  /** Shared DuckDB mirror of [[TextAnalysis.detectLanguageCol]]: CTE
+    * chain `ln → lg → ls → lpred` ending in (doc_id, lang_pred) over
+    * `documents`. Used by both `text_langid` and `corpus_datacard` so
+    * the heuristic has exactly one mirror to drift from.
+    */
+  private def langidChainSql: String = {
+    def lst(gs: Seq[String]) = gs.map(g => s"'${g.replace("'", "''")}'").mkString("[", ",", "]")
+    def score(gs: Seq[String]) =
+      s"len(list_filter(tris, g -> list_contains(${lst(gs)}, g)))"
+    val structs = TextAnalysis.langProfiles.toSeq.sortBy(_._1)
+      .collect { case (l, gs) if gs.nonEmpty => s"struct_pack(s := ${score(gs)}, l := '$l')" }
+      .mkString(",\n      ")
+    s"""ln AS (
+       |  SELECT doc_id, text, ' ' || regexp_replace(lower(coalesce(text, '')), '\\s+', ' ', 'g') || ' ' AS t
+       |  FROM documents),
+       |lg AS (
+       |  SELECT doc_id, text,
+       |    CASE WHEN length(t) < 3 THEN CAST([] AS VARCHAR[])
+       |         ELSE list_transform(range(length(t) - 2), i -> substr(t, CAST(i + 1 AS INT), 3)) END AS tris
+       |  FROM ln),
+       |ls AS (
+       |  SELECT doc_id, text,
+       |    list_max([
+       |      $structs]) AS best
+       |  FROM lg),
+       |lpred AS (
+       |  SELECT doc_id,
+       |    CASE WHEN length(trim(coalesce(text, ''))) = 0 THEN 'und'
+       |         WHEN 2 * length(regexp_replace(text, '[^\\x{4E00}-\\x{9FFF}\\x{3400}-\\x{4DBF}]', '', 'g')) >= length(text) THEN 'zh'
+       |         WHEN best.s = 0 THEN 'und'
+       |         ELSE best.l END AS lang_pred
+       |  FROM ls)""".stripMargin
+  }
+
   private val oracleMap: Map[String, String] = Map(
     "q4_order_priority" ->
       """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
@@ -3858,33 +3937,55 @@ object SparkEntry {
 
     // Generated from TextAnalysis.langProfiles — single source of truth
     // for the gram lists on both engines.
-    "text_langid" -> {
-      def lst(gs: Seq[String]) = gs.map(g => s"'${g.replace("'", "''")}'").mkString("[", ",", "]")
-      def score(gs: Seq[String]) =
-        s"len(list_filter(tris, g -> list_contains(${lst(gs)}, g)))"
-      val structs = TextAnalysis.langProfiles.toSeq.sortBy(_._1)
-        .collect { case (l, gs) if gs.nonEmpty => s"struct_pack(s := ${score(gs)}, l := '$l')" }
-        .mkString(",\n      ")
-      s"""WITH n AS (
-         |  SELECT doc_id, text, ' ' || regexp_replace(lower(coalesce(text, '')), '\\s+', ' ', 'g') || ' ' AS t
+    "text_langid" ->
+      s"""WITH $langidChainSql
+         |SELECT doc_id, lang_pred FROM lpred ORDER BY doc_id""".stripMargin,
+
+    // All-integer data card: counts, long sums, and floor-micros means
+    // (quality_source_gate's exactness trick) — no float aggregation,
+    // so every row hashes. The langid chain is the shared text_langid
+    // mirror; the card unions the global aggregate with the per-language
+    // histogram.
+    "corpus_datacard" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, source, sha256(text) AS h,
+         |    CASE WHEN length(trim(text)) = 0 THEN 0
+         |         ELSE CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) END AS ws,
+         |    CAST(len(regexp_extract_all(text, ' ?[\\p{L}]+| ?[\\p{N}]+| ?[^\\s\\p{L}\\p{N}]+')) AS BIGINT) AS bp,
+         |    CAST(length(text) AS BIGINT) AS chars,
+         |    CAST(floor((least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) * 0.4
+         |      + greatest(0.0, 1.0 - (CASE WHEN length(text) = 0 THEN 0.0
+         |          ELSE CAST(length(regexp_replace(text, '[^[:punct:]]', '', 'g')) AS DOUBLE)
+         |               / CAST(length(text) AS DOUBLE) END) * 5.0) * 0.3
+         |      + least((CASE WHEN length(trim(text)) = 0 THEN 0.0
+         |          ELSE CAST(len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+         |                 x -> list_contains(['the','a','an','and','or','of','to','in','is','it','that','this','for','on','with','as','at','by','be','are'], x))) AS DOUBLE)
+         |               / CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS DOUBLE) END) * 2.5, 1.0) * 0.3
+         |      ) * 1000000.0) AS BIGINT) AS q_micros
          |  FROM documents),
-         |g AS (
-         |  SELECT doc_id, text,
-         |    CASE WHEN length(t) < 3 THEN CAST([] AS VARCHAR[])
-         |         ELSE list_transform(range(length(t) - 2), i -> substr(t, CAST(i + 1 AS INT), 3)) END AS tris
-         |  FROM n),
-         |s AS (
-         |  SELECT doc_id, text,
-         |    list_max([
-         |      $structs]) AS best
-         |  FROM g)
-         |SELECT doc_id,
-         |  CASE WHEN length(trim(coalesce(text, ''))) = 0 THEN 'und'
-         |       WHEN 2 * length(regexp_replace(text, '[^\\x{4E00}-\\x{9FFF}\\x{3400}-\\x{4DBF}]', '', 'g')) >= length(text) THEN 'zh'
-         |       WHEN best.s = 0 THEN 'und'
-         |       ELSE best.l END AS lang_pred
-         |FROM s ORDER BY doc_id""".stripMargin
-    },
+         |overall AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+         |    CAST(sum(ws) AS BIGINT) AS ws_total,
+         |    CAST(sum(bp) AS BIGINT) AS bp_total,
+         |    CAST(sum(chars) AS BIGINT) AS chars_total,
+         |    CAST(floor(sum(ws) * 1000000 / count(*)) AS BIGINT) AS ws_mean_micros,
+         |    CAST(floor(sum(q_micros) / count(*)) AS BIGINT) AS q_mean_micros,
+         |    CAST(count(*) - count(DISTINCT h) AS BIGINT) AS exact_dup_docs
+         |  FROM t),
+         |$langidChainSql,
+         |cards AS (
+         |  SELECT 'corpus' AS section, 'n_docs' AS key, n_docs AS value FROM overall
+         |  UNION ALL SELECT 'corpus', 'n_sources', n_sources FROM overall
+         |  UNION ALL SELECT 'dup', 'exact_dup_docs', exact_dup_docs FROM overall
+         |  UNION ALL SELECT 'length', 'chars_total', chars_total FROM overall
+         |  UNION ALL SELECT 'quality', 'quality_mean_micros', q_mean_micros FROM overall
+         |  UNION ALL SELECT 'tokens', 'bpeish_tokens_total', bp_total FROM overall
+         |  UNION ALL SELECT 'tokens', 'ws_tokens_mean_micros', ws_mean_micros FROM overall
+         |  UNION ALL SELECT 'tokens', 'ws_tokens_total', ws_total FROM overall
+         |  UNION ALL SELECT 'lang', lang_pred, CAST(count(*) AS BIGINT) FROM lpred GROUP BY lang_pred)
+         |SELECT section, key, CAST(value AS BIGINT) AS value FROM cards
+         |ORDER BY section, key""".stripMargin,
 
     // Long wrap-around arithmetic reproduced via HUGEINT mod 2^64, then
     // re-signed into BIGINT range.

@@ -46,6 +46,9 @@ class RegistryPlanAuditSpec extends AnyFunSuite with SparkTestSession {
     // retrieval_eval: kNN brute force inside the hybrid leg + the
     // 5-row broadcast static-baseline attach — both bounded frames
     "retrieval_eval",
+    // ann_recall: the exact-brute-force arm IS the recall yardstick —
+    // broadcast bounded probe set, corpus streams map-only
+    "ann_recall",
     "ann_quantized_topk", "ann_quantized_rerank",
     // broadcast 1-row corpus-statistics attach (n_docs/avgdl/LM totals)
     "bm25_topk", "tfidf_top_terms", "text_perplexity", "text_rarity_score")
