@@ -1307,6 +1307,30 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "store_snapshot" -> ((s, dir) => {
+      // Manifest-committed versions as an oracle-checked lineage:
+      // commit v1, upsert a batch (replace 30–39, add 40–49), commit
+      // v2, then read BOTH the current table and the time-traveled v1.
+      // The oracle derives each version's expected contents from the
+      // documents table directly — a reader seeing a partial commit,
+      // a leaked orphan, or v2 rows in v1 breaks the hash.
+      val scratch = java.nio.file.Files
+        .createTempDirectory("graft_snap").toString + "/t"
+      val docs = Tables.documents(s, dir).select("doc_id", "text", "source")
+      operators.Store.commitSnapshot(s, docs.filter(col("doc_id") < 40), scratch)
+      val updated = operators.Store.upsertByKey(
+        operators.Store.readSnapshot(s, scratch),
+        docs.filter(col("doc_id") >= 30 && col("doc_id") < 50), "doc_id")
+      operators.Store.commitSnapshot(s, updated, scratch)
+      operators.Store.readSnapshot(s, scratch)
+        .withColumn("version_tag", lit("current"))
+        .unionByName(operators.Store.readSnapshot(s, scratch, Some(1L))
+          .withColumn("version_tag", lit("v1")))
+        .select(col("version_tag"), col("doc_id"),
+          sha2(col("text"), 256).as("text_hash"), col("source"))
+        .orderBy("version_tag", "doc_id")
+    }),
+
     "o_delete_doc_both_stores" -> ((s, dir) => {
       // §3.3: the reference deletes a document by hand-ordering its two
       // stores — Chroma first, then the SQLite catalog, with manual
@@ -2426,6 +2450,17 @@ object SparkEntry {
     "o7_append_roundtrip" ->
       """SELECT doc_id, sha256(text) AS text_hash, source FROM documents
         |WHERE doc_id < 50 ORDER BY doc_id""".stripMargin,
+
+    // v1 = docs < 40; v2 = v1 upserted with 30..49 (same content for the
+    // overlap, since the upsert batch comes from the same table) = docs
+    // < 50. 'current' < 'v1' lexically, matching the Spark orderBy.
+    "store_snapshot" ->
+      """SELECT 'current' AS version_tag, doc_id, sha256(text) AS text_hash, source
+        |FROM documents WHERE doc_id < 50
+        |UNION ALL
+        |SELECT 'v1', doc_id, sha256(text), source
+        |FROM documents WHERE doc_id < 40
+        |ORDER BY version_tag, doc_id""".stripMargin,
 
     // Compaction must move bytes without losing or duplicating a row:
     // the five modulo slices partition the table, so read-back after

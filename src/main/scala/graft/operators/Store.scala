@@ -143,6 +143,125 @@ object Store {
     (before, dataFiles())
   }
 
+  // ------------------------------------------------------- snapshots
+  // Manifest-committed table versions: the object-store-safe commit
+  // protocol [[overwriteWith]]'s scaladoc points at (S3-style stores
+  // have no atomic rename, so a rename swap cannot be the commit
+  // there). The public design, as in snapshot-based table formats:
+  // data files are IMMUTABLE and live under `path/data/snap-<v>-...`;
+  // a table version IS its manifest file `manifest-v<v>.json`, written
+  // once with create(overwrite = false) — an atomic create on HDFS and
+  // a conditional PUT on object stores — AFTER its data job committed.
+  // The current table = the highest manifest version. Consequences:
+  //  - a crashed writer leaves an orphan data dir with NO manifest:
+  //    invisible to every reader, reclaimed by [[vacuumSnapshots]];
+  //  - readers never see a partial table: the manifest appears only
+  //    after the data is complete, and old versions stay readable
+  //    (time travel) until vacuumed;
+  //  - two racing writers cannot both commit version v: the second
+  //    create(overwrite = false) of the same manifest name fails.
+  // The manifest carries the data dir + row count — a dir-granular
+  // manifest is enough because snapshot dirs are write-once.
+
+  private val manifestRe = "manifest-v([0-9]+)\\.json".r
+
+  /** Versions present at `path`, ascending (empty for a fresh table). */
+  def snapshotVersions(spark: SparkSession, path: String): Seq[Long] = {
+    val dir = new org.apache.hadoop.fs.Path(path)
+    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(dir)) Seq.empty
+    else fs.listStatus(dir).toSeq.flatMap(_.getPath.getName match {
+      case manifestRe(v) => Some(v.toLong)
+      case _ => None
+    }).sorted
+  }
+
+  /** Commit `df` as the next table version; returns the new version
+    * number. Single logical writer per version: a lost race to the
+    * manifest create fails the commit (the orphaned data dir is
+    * vacuumable), never corrupts the table.
+    */
+  def commitSnapshot(spark: SparkSession, df: DataFrame, path: String): Long = {
+    val dir = new org.apache.hadoop.fs.Path(path)
+    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    val version = snapshotVersions(spark, path).lastOption.getOrElse(0L) + 1
+    // Nonce keeps retried/raced writers from sharing a data dir.
+    val nonce = java.util.UUID.randomUUID.toString.take(8)
+    val dataDir = s"data/snap-$version-$nonce"
+    df.write.mode(SaveMode.ErrorIfExists).parquet(s"$path/$dataDir")
+    val rows = spark.read.parquet(s"$path/$dataDir").count()
+    val manifest = new org.apache.hadoop.fs.Path(dir, s"manifest-v$version.json")
+    // The COMMIT POINT: atomic create-if-absent of the manifest.
+    val out = fs.create(manifest, /* overwrite = */ false)
+    try out.write(
+      s"""{"version":$version,"dir":"$dataDir","n_rows":$rows}""".getBytes("UTF-8"))
+    finally out.close()
+    version
+  }
+
+  private def manifestDir(
+      spark: SparkSession, path: String, version: Long): String = {
+    val dir = new org.apache.hadoop.fs.Path(path)
+    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    val p = new org.apache.hadoop.fs.Path(dir, s"manifest-v$version.json")
+    val in = fs.open(p)
+    val body = try {
+      val buf = new java.io.ByteArrayOutputStream()
+      org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 4096, false)
+      buf.toString("UTF-8")
+    } finally in.close()
+    """"dir"\s*:\s*"([^"]+)"""".r.findFirstMatchIn(body)
+      .map(_.group(1))
+      .getOrElse(throw new java.io.IOException(s"malformed manifest $p"))
+  }
+
+  /** Read a table version (default: current). Old versions stay
+    * readable until vacuumed — time travel for audits and reproducible
+    * reruns.
+    */
+  def readSnapshot(
+      spark: SparkSession, path: String,
+      version: Option[Long] = None): DataFrame = {
+    val v = version.orElse(snapshotVersions(spark, path).lastOption)
+      .getOrElse(throw new java.io.IOException(s"no committed snapshot at $path"))
+    spark.read.parquet(s"$path/${manifestDir(spark, path, v)}")
+  }
+
+  /** Drop all but the last `keepLast` versions AND any orphan data dir
+    * no manifest references (crashed or out-raced writers). Returns the
+    * number of directories deleted. Manifest-first deletion order: a
+    * crash mid-vacuum can only leave an orphan dir (re-vacuumable),
+    * never a manifest whose data is gone. `orphanGraceMs` protects an
+    * IN-FLIGHT writer — a data dir younger than the grace window may
+    * simply not have its manifest yet, so it survives the sweep (the
+    * same age-based guard snapshot table formats use).
+    */
+  def vacuumSnapshots(
+      spark: SparkSession, path: String, keepLast: Int = 1,
+      orphanGraceMs: Long = 3600000L): Int = {
+    require(keepLast >= 1, "keepLast must be >= 1")
+    val dir = new org.apache.hadoop.fs.Path(path)
+    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    val versions = snapshotVersions(spark, path)
+    val (drop, keep) = versions.splitAt(math.max(0, versions.size - keepLast))
+    val keptDirs = keep.map(v => manifestDir(spark, path, v)).toSet
+    var deleted = 0
+    drop.foreach { v =>
+      val d = manifestDir(spark, path, v)
+      fs.delete(new org.apache.hadoop.fs.Path(dir, s"manifest-v$v.json"), false)
+      if (!keptDirs.contains(d) &&
+          fs.delete(new org.apache.hadoop.fs.Path(dir, d), true)) deleted += 1
+    }
+    val dataRoot = new org.apache.hadoop.fs.Path(dir, "data")
+    val cutoff = System.currentTimeMillis() - orphanGraceMs
+    if (fs.exists(dataRoot)) fs.listStatus(dataRoot).foreach { st =>
+      val rel = s"data/${st.getPath.getName}"
+      if (!keptDirs.contains(rel) && st.getModificationTime < cutoff &&
+          fs.delete(st.getPath, true)) deleted += 1
+    }
+    deleted
+  }
+
   /** O-14/O-6: JSON sink + scan (localStorage analog, App.js:20-61). */
   def writeJson(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Overwrite).json(path)

@@ -130,6 +130,38 @@ class StoreSpec extends AnyFunSuite with SparkTestSession {
     assert(!new java.io.File(path + ".staging").exists())
   }
 
+  test("snapshots: versioned commits, time travel, orphan invisibility, vacuum") {
+    val path = tmpDir() + "/t"
+    assert(Store.snapshotVersions(spark, path).isEmpty)
+    intercept[java.io.IOException](Store.readSnapshot(spark, path))
+    val v1 = Store.commitSnapshot(spark, Seq((1L, "a"), (2L, "b")).toDF("id", "v"), path)
+    val v2 = Store.commitSnapshot(spark, Seq((1L, "a2"), (3L, "c")).toDF("id", "v"), path)
+    assert((v1, v2) === (1L, 2L))
+    assert(Store.snapshotVersions(spark, path) === Seq(1L, 2L))
+    assert(Store.readSnapshot(spark, path).select("v").as[String].collect().sorted
+      === Array("a2", "c"))
+    assert(Store.readSnapshot(spark, path, Some(1L))
+      .select("v").as[String].collect().sorted === Array("a", "b"))
+    // crashed writer: data dir without a manifest is invisible to reads
+    Seq((9L, "ghost")).toDF("id", "v").write.parquet(path + "/data/snap-9-dead")
+    assert(Store.readSnapshot(spark, path).count() === 2)
+    // vacuum: orphan reclaimed (grace 0), both versions kept
+    assert(Store.vacuumSnapshots(spark, path, keepLast = 2, orphanGraceMs = 0L) === 1)
+    assert(Store.readSnapshot(spark, path, Some(1L)).count() === 2)
+    // vacuum to 1: v1 gone, current survives
+    Store.vacuumSnapshots(spark, path, keepLast = 1, orphanGraceMs = 0L)
+    intercept[Exception](Store.readSnapshot(spark, path, Some(1L)).collect())
+    assert(Store.readSnapshot(spark, path).count() === 2)
+    // the commit point is create-if-absent: a raced writer that lost
+    // version N fails at exactly this call and never pollutes the table
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    intercept[Exception](
+      fs.create(new org.apache.hadoop.fs.Path(path + s"/manifest-v$v2.json"),
+        /* overwrite = */ false).close())
+    assert(Store.readSnapshot(spark, path).count() === 2)
+  }
+
   test("O-14/O-6: json round trip") {
     val path = tmpDir() + "/j"
     Store.writeJson(Seq((1L, "s1", 3)).toDF("id", "session", "messageCount"), path)
