@@ -104,17 +104,34 @@ object Bench {
       .map { case (n, _, mn, mx) => "\"" + n + "\":[" + r3(mn) + "," + r3(mx) + "]" }
       .mkString("{", ",", "}")
     val stalls = resultsFull.count { case (_, _, mn, mx) => mx > 3 * mn && mx - mn > 0.5 }
+    // Per-query time budget (r7 verdict #4): a single query quietly eating
+    // 2/3 of bench wall-time hid for two rounds. Flag any query whose
+    // median exceeds 20x the registry-wide median (and 5 s absolute, so a
+    // fleet of sub-second queries can't flag a 1 s one). Loud, not fatal:
+    // the artifact records the violators; the process still exits 0 so a
+    // slow query can't suppress the rest of the evidence.
+    val medOfMedians = {
+      val ms = results.map(_._2).sorted
+      if (ms.isEmpty) 0.0 else ms(ms.length / 2)
+    }
+    val budgetViolators = results
+      .filter { case (_, m) => m > 20 * medOfMedians && m > 5.0 }
+      .sortBy(-_._2)
+    budgetViolators.foreach { case (n, m) =>
+      System.err.println(f"BENCH BUDGET $n: median $m%.1f s exceeds 20x registry median ($medOfMedians%.3f s)")
+    }
     val errJson = errors.toSeq.sortBy(_._1)
       .map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(fullOut),
       s"""{"metric":"total","value":${r3(total)},"unit":"sec","iters":3,""" +
         s""""n_queries":${results.size},"n_err":${errors.size},"errs":$errJson,""" +
         s""""headline34":${r3(h34)},"stalls":$stalls,""" +
+        s""""budget_violations":${jmap(budgetViolators)},""" +
         s""""queries":${jmap(results)},"spread":$spread,"sf":"$sfDir"}""" + "\n")
     val line =
       s"""{"metric":"total","value":${r3(total)},"unit":"sec","iters":3,""" +
         s""""n_queries":${results.size},"n_err":${errors.size},""" +
-        s""""headline34":${r3(h34)},"stalls":$stalls,""" +
+        s""""headline34":${r3(h34)},"stalls":$stalls,"n_budget_viol":${budgetViolators.size},""" +
         s""""queries":${jmap(top10)},"full":"$fullOut","sf":"$sfDir"}"""
     // Hard guard: the driver's stdout tail capture is 2000 chars.
     require(line.length < 1800, s"bench JSON too long (${line.length})")

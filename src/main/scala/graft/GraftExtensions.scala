@@ -39,6 +39,11 @@ object GraftExtensions {
     */
   def register(spark: SparkSession): Unit = {
     import graft.functions.TextAnalysis
+    // Idempotence guard: registry queries call this from their builders,
+    // so a bench pass would otherwise re-register per query and spray
+    // "replaced a previously registered function" warnings through every
+    // artifact tail (r7 verdict, minor #3). One marker conf per session.
+    if (spark.conf.getOption("spark.graft.extensionsRegistered").contains("true")) return
     org.apache.spark.sql.graftshim.GraftSqlShim.registerFunction(
       spark, "cosine_sim", exprs => CosineSimilarity(exprs(0), exprs(1)))
     org.apache.spark.sql.graftshim.GraftSqlShim.registerFunction(
@@ -58,5 +63,6 @@ object GraftExtensions {
         spark.experimental.extraOptimizations =
           spark.experimental.extraOptimizations :+ rule
     }
+    spark.conf.set("spark.graft.extensionsRegistered", "true")
   }
 }

@@ -720,7 +720,18 @@ object SparkEntry {
       // map-side-combinable global aggregate over the corpus + one
       // groupBy on the (tiny-cardinality) language key; output is a
       // dozen rows regardless of corpus size.
-      val docs = Tables.documents(s, dir)
+      // The per-doc pass below is CPU-bound (regex-heavy quality/token
+      // legs + the interpreted higher-order langid), not IO-bound: a tiny
+      // compressed parquet file arrives as ONE scan split, serializing all
+      // expression work on one core (the r7 bench showed the whole card
+      // riding a single task). When the scan yields fewer splits than the
+      // session's parallelism, fan out first — the shuffled payload is two
+      // string columns of a small file. At real scale the scan already has
+      // >= parallelism splits and the branch is a no-op (no shuffle).
+      val docsRaw = Tables.documents(s, dir).select(col("text"), col("source"))
+      val par = s.sparkContext.defaultParallelism
+      val docs =
+        if (docsRaw.rdd.getNumPartitions < par) docsRaw.repartition(par) else docsRaw
       val t = docs.select(
         TextAnalysis.tokenCount(col("text")).cast("long").as("ws"),
         TextAnalysis.bpeishTokenCount(col("text")).cast("long").as("bp"),
@@ -822,10 +833,12 @@ object SparkEntry {
         .toDF("query_id", "qtext")
       val docs = Tables.documents(s, dir)
       val labels = operators.RetrievalEval.gradedTermOverlapLabels(docs, textQueries)
-      val bm25 = operators.TextRetrieval.bm25TopK(docs, textQueries, k = 5)
-        .select("query_id", "doc_id", "rank")
+      // ONE corpus tokenize: the k=5 list is a rank filter of the k=20
+      // list (row_number ranks are prefix-stable), not a second bm25TopK
+      // run — the r7 verdict flagged the double tokenize.
       val lex = operators.TextRetrieval.bm25TopK(docs, textQueries, k = 20)
         .select("query_id", "doc_id", "rank")
+      val bm25 = lex.filter(col("rank") <= 5)
       val emb = Tables.embeddings(s, dir)
       val vecQueries = emb.filter(col("vec_id") < 3)
         .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"))

@@ -171,29 +171,51 @@ object TextAnalysis extends Serializable {
   def detectLanguageUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
     udf((s: String) => detectLanguage(s))
 
+  /** Bind a subexpression ONCE and reference it through a lambda variable.
+    * Spark has no let-binding; without it, Catalyst inlines a copy of the
+    * bound expression into every use site, and whenever the surrounding
+    * plan loses codegen common-subexpression elimination (higher-order
+    * functions are interpreted; oversized Projects fall out of codegen)
+    * each copy re-evaluates per reference — the r7-verdict `corpus_datacard`
+    * pathology was exactly this: a whole regexp_replace re-run per
+    * CHARACTER POSITION inside a per-trigram lambda, O(len²) regex work
+    * per document. A single-element `transform` evaluates its input array
+    * (hence `v`) exactly once per row and hands the lambda a bound
+    * variable, making single evaluation structural rather than
+    * optimizer-dependent.
+    */
+  private def let(v: Column)(f: Column => Column): Column =
+    element_at(transform(array(v), f), 1)
+
   /** [[detectLanguage]] as a pure column expression (no UDF): trigram
     * positions via `sequence`+`transform`, profile hits via `filter`+`size`,
-    * argmax via `array_max` over (score, lang) structs — all codegen'd.
-    * Counting positions whose trigram is in the profile set equals the
-    * scalar version's per-gram overlapping indexOf counts because each
-    * profile's grams are distinct. Semantically identical to the scalar
-    * form (spec-checked) and exactly reproducible in ANSI SQL.
+    * argmax via `array_max` over (score, lang) structs. The normalized
+    * text, the trigram array and the argmax struct are each let-bound
+    * (see [[let]]) so every stage is evaluated once per row — O(len)
+    * total — no matter how the enclosing plan treats common
+    * subexpressions. Counting positions whose trigram is in the profile
+    * set equals the scalar version's per-gram overlapping indexOf counts
+    * because each profile's grams are distinct. Semantically identical to
+    * the scalar form (spec-checked) and exactly reproducible in ANSI SQL.
     */
   def detectLanguageCol(text: Column): Column = {
-    val t = concat(lit(" "), regexp_replace(lower(coalesce(text, lit(""))), "\\s+", " "), lit(" "))
-    val tris = when(length(t) < 3, array().cast("array<string>"))
-      .otherwise(transform(sequence(lit(0), length(t) - 3), i => t.substr(i + 1, lit(3))))
-    val scored = array(LangProfiles.toSeq.sortBy(_._1).collect {
-      case (lang, grams) if grams.nonEmpty =>
-        struct(size(filter(tris, g => g.isin(grams: _*))).as("s"), lit(lang).as("l"))
-    }: _*)
-    val best = array_max(scored)
-    val cjk = length(regexp_replace(coalesce(text, lit("")),
-      "[^\\x{4E00}-\\x{9FFF}\\x{3400}-\\x{4DBF}]", ""))
-    when(length(trim(coalesce(text, lit("")))) === 0, lit("und"))
+    val raw = coalesce(text, lit(""))
+    val scoredLang =
+      let(concat(lit(" "), regexp_replace(lower(raw), "\\s+", " "), lit(" "))) { t =>
+        let(when(length(t) < 3, array().cast("array<string>"))
+            .otherwise(transform(sequence(lit(0), length(t) - 3), i => t.substr(i + 1, lit(3))))) { tris =>
+          let(array_max(array(LangProfiles.toSeq.sortBy(_._1).collect {
+            case (lang, grams) if grams.nonEmpty =>
+              struct(size(filter(tris, g => g.isin(grams: _*))).as("s"), lit(lang).as("l"))
+          }: _*))) { best =>
+            when(best.getField("s") === 0, lit("und")).otherwise(best.getField("l"))
+          }
+        }
+      }
+    val cjk = length(regexp_replace(raw, "[^\\x{4E00}-\\x{9FFF}\\x{3400}-\\x{4DBF}]", ""))
+    when(length(trim(raw)) === 0, lit("und"))
       .when(cjk * 2 >= length(text), lit("zh"))
-      .when(best.getField("s") === 0, lit("und"))
-      .otherwise(best.getField("l"))
+      .otherwise(scoredLang)
   }
 
   // --------------------------------------------------------- PII redaction

@@ -62,6 +62,51 @@ class SemanticDedupSpec extends AnyFunSuite with SparkTestSession {
     assert(out === Map(0L -> true, 1L -> false, 2L -> false))
   }
 
+  test("mega-cell budget: over-budget cells route through banded candidates, no all-pairs") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // One cell (nCells=1) holding 40 vectors — over a maxCellRows=8
+    // budget — with planted IDENTICAL twins (41..44 duplicate 1..4).
+    // Identical vectors share every signature band, so the banded leg's
+    // recall on them is exactly 1 regardless of band geometry: the
+    // approximate path must still drop all four.
+    val base = (0 until 40).map { i =>
+      val ang = i * 0.07
+      (i.toLong, Array(math.cos(ang).toFloat, math.sin(ang).toFloat, 0.3f, 0.1f))
+    }
+    val twins = (1 to 4).map(i => ((40 + i).toLong, base(i)._2.clone()))
+    val df = (base ++ twins).toDF("vec_id", "embedding")
+    val out = Dedup.semanticDedup(df, nCells = 1, threshold = 0.9999,
+      maxCellRows = 8, megaNBits = 16, megaBands = 4)
+    // plan: the mega leg must join on the scoped band key, never the bare
+    // cell — an all-pairs |cell|^2 join would surface as a cell-only
+    // equi-join over the full set (or worse, a nested loop).
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"mega-cell path fell back to all-pairs:\n${plan.take(800)}")
+    assert(plan.contains("band"), s"banded candidate join missing:\n${plan.take(800)}")
+    val kept = out.collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert((41 to 44).forall(i => !kept(i.toLong)), s"planted twins survived: $kept")
+    // exact leg disabled at this budget, so only the twins drop (0.9999
+    // threshold keeps the 0.07-radian-spaced base set apart even under
+    // the exact recheck)
+    assert((0 until 40).forall(i => kept(i.toLong)), s"false drops: $kept")
+  }
+
+  test("mega-cell result agrees with the exact path on identical twins either side of the budget") {
+    import spark.implicits._
+    val df = fixture.toDF("vec_id", "embedding")
+    // budget of 2 makes BOTH 3-vector cells mega; identical band
+    // signatures for the planted near-twins (cos 0.999) still collide on
+    // every band at 16/4 geometry, so the drops match the exact path.
+    val exact = Dedup.semanticDedup(df, nCells = 2, threshold = 0.95)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    val banded = Dedup.semanticDedup(df, nCells = 2, threshold = 0.95,
+      maxCellRows = 2, megaNBits = 16, megaBands = 4)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(banded === exact, s"banded leg diverged: exact=$exact banded=$banded")
+  }
+
   test("null embeddings are excluded from cells and output") {
     import spark.implicits._
     val df = Seq(
