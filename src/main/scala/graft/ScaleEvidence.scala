@@ -34,7 +34,12 @@ import java.nio.file.{Files, Paths}
   *    row-for-row;
   *  - semantic dedup at 10⁶ 16-dim vectors drops EVERY planted jittered
   *    twin that lands in its original's cell (within-cell pairing is
-  *    exhaustive; cross-boundary jitters are counted, not hidden).
+  *    exhaustive; cross-boundary jitters are counted, not hidden);
+  *  - MEGA-CELL semantic dedup: the same 10⁶ vectors through 64 coarse
+  *    cells with maxCellRows=5000 — every cell over budget, every pair
+  *    through the cell-scoped banded join — drops EVERY same-cell twin
+  *    that shares a signature band with its original (the banded leg's
+  *    guaranteed-candidate set; band recall itself is reported).
   *
   * Records wall seconds + docs/sec per operator to SCALE_EVIDENCE.json.
   */
@@ -336,6 +341,56 @@ object ScaleEvidence {
     if (semOrigKept < nVec * 99 / 100)
       failures ::= s"semantic: only $semOrigKept/$nVec originals kept"
 
+    // -------- MEGA-CELL semantic dedup: same 10⁶ vectors forced through
+    // the over-budget path — 64 coarse cells (mean occupancy ~15.6k) with
+    // maxCellRows=5000, so EVERY cell exceeds the budget and routes
+    // through the cell-scoped banded join (32 bits / 2 wide bands; wide
+    // bands because within-cell banding at a 0.95 threshold must prune
+    // hard — 16-bit buckets hold ~n/65536 rows, so candidates stay
+    // ~n²/2¹⁶ per cell·band instead of the |cell|² the budget forbids).
+    // The EXACT property mirrors the same-cell rule above one level down:
+    // a twin that lands in its original's cell AND shares ≥1 of the 2
+    // signature bands is guaranteed-candidate, so a miss is impossible;
+    // band-sharing twins are ~96% at cos 0.999 and the rest are the
+    // documented recall cost of banding, counted, not hidden.
+    val semMegaPath = Files.createTempDirectory("graft_scale_semmega").toString
+    val (_, tSemMega) = timed {
+      operators.Dedup.semanticDedup(semCorpus, nCells = 64, threshold = 0.95,
+        maxCellRows = 5000, megaNBits = 32, megaBands = 2)
+        .write.mode("overwrite").parquet(semMegaPath)
+    }
+    val semMega = spark.read.parquet(semMegaPath)
+    if (semMega.count() != nSemVecs)
+      failures ::= s"semantic_mega: output rows ${semMega.count()} != input $nSemVecs"
+    val sigU = udf((v: Seq[Float]) =>
+      operators.Dedup.portableSignature(v, 32))
+    val semSigs = semCorpus
+      .select(col("vec_id"), sigU(col("embedding")).as("sig"))
+    val megaCellsOut = semMega.select("vec_id", "cell", "kept")
+      .join(semSigs, "vec_id")
+    val megaTwinJoin = megaCellsOut.filter(col("vec_id") < nVec)
+      .select(col("vec_id").as("o"), col("cell").as("co"), col("sig").as("so"))
+      .join(megaCellsOut.filter(col("vec_id") >= nVec && col("vec_id") < 2 * nVec)
+        .select((col("vec_id") - nVec).as("o"), col("cell").as("ct"),
+          col("sig").as("st"), col("kept").as("twin_kept")), "o")
+      .filter(col("co") === col("ct"))
+      .withColumn("shares_band",
+        (col("so").bitwiseAND(lit(0xFFFF)) === col("st").bitwiseAND(lit(0xFFFF))) ||
+          (shiftrightunsigned(col("so"), 16) === shiftrightunsigned(col("st"), 16)))
+      .cache()
+    val megaSameCell = megaTwinJoin.count()
+    val megaBandShared = megaTwinJoin.filter(col("shares_band")).count()
+    val megaGuaranteedDropped =
+      megaTwinJoin.filter(col("shares_band") && !col("twin_kept")).count()
+    megaTwinJoin.unpersist()
+    if (megaGuaranteedDropped != megaBandShared)
+      failures ::= s"semantic_mega: $megaGuaranteedDropped of $megaBandShared band-sharing same-cell twins dropped"
+    if (megaBandShared < megaSameCell * 9 / 10)
+      failures ::= s"semantic_mega: only $megaBandShared/$megaSameCell same-cell twins share a band"
+    val megaOrigKept = megaCellsOut.filter(col("vec_id") < nVec && col("kept")).count()
+    if (megaOrigKept < nVec * 99 / 100)
+      failures ::= s"semantic_mega: only $megaOrigKept/$nVec originals kept"
+
     spark.stop()
     def r1(v: Double): String = f"$v%.1f"
     val line =
@@ -350,6 +405,7 @@ object ScaleEvidence {
         s""""span_index_lifecycle":{"index_sec":${r1(tGramIdx)},"admit_sec":${r1(tSpanAdmit)},"batch_docs":$batchN,"mismatches":$spanMismatch},""" +
         s""""ann_partitioned":{"n_vectors":${nVec * variants},"layout_sec":${r1(tLayout)},"probe_sec":${r1(tProbe)},"brute_sec":${r1(tBrute)},"dirs_probed":$dirsProbed,"dirs_total":256},""" +
         s""""semantic_dedup":{"n_vectors":$nSemVecs,"n_cells":1024,"sec":${r1(tSem)},"vecs_per_sec":${r1(nSemVecs / tSem)},"planted_twins":$nVec,"twins_same_cell":$plantedSameCell,"same_cell_twins_dropped":$sameCellDropped,"originals_kept":$semOrigKept},""" +
+        s""""semantic_dedup_megacell":{"n_vectors":$nSemVecs,"n_cells":64,"max_cell_rows":5000,"mega_bits":32,"mega_bands":2,"sec":${r1(tSemMega)},"vecs_per_sec":${r1(nSemVecs / tSemMega)},"twins_same_cell":$megaSameCell,"band_sharing_twins":$megaBandShared,"band_sharing_dropped":$megaGuaranteedDropped,"originals_kept":$megaOrigKept},""" +
         s""""failures":${failures.map("\"" + _ + "\"").mkString("[", ",", "]")}}"""
     Files.writeString(Paths.get(out), line + "\n")
     println(line)
