@@ -724,14 +724,11 @@ object SparkEntry {
       // legs + the interpreted higher-order langid), not IO-bound: a tiny
       // compressed parquet file arrives as ONE scan split, serializing all
       // expression work on one core (the r7 bench showed the whole card
-      // riding a single task). When the scan yields fewer splits than the
-      // session's parallelism, fan out first — the shuffled payload is two
-      // string columns of a small file. At real scale the scan already has
-      // >= parallelism splits and the branch is a no-op (no shuffle).
-      val docsRaw = Tables.documents(s, dir).select(col("text"), col("source"))
-      val par = s.sparkContext.defaultParallelism
-      val docs =
-        if (docsRaw.rdd.getNumPartitions < par) docsRaw.repartition(par) else docsRaw
+      // riding a single task). Scale.parallelismFloor fans out only when
+      // the scan yields fewer splits than the session's parallelism — at
+      // real scale it inserts nothing.
+      val docs = operators.Scale.parallelismFloor(
+        Tables.documents(s, dir).select(col("text"), col("source")))
       val t = docs.select(
         TextAnalysis.tokenCount(col("text")).cast("long").as("ws"),
         TextAnalysis.bpeishTokenCount(col("text")).cast("long").as("bp"),

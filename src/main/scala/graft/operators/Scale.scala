@@ -10,6 +10,24 @@ import org.apache.spark.sql.functions._
   */
 object Scale {
 
+  /** Parallelism FLOOR for CPU-bound per-row stages (tokenize, regex,
+    * shingle, hash): a small compressed parquet file arrives as ONE scan
+    * split (parquet cannot split below a row group), serializing all
+    * expression work on one core no matter how many the machine has —
+    * the r7 `corpus_datacard` pathology generalized. When the input's
+    * lineage yields fewer partitions than the session's default
+    * parallelism, round-robin it out; when it already has that many
+    * splits — any real corpus at cluster scale — this inserts NOTHING
+    * (no shuffle, no plan change). Callers place it ABOVE the
+    * scan-adjacent filters/pruning so pushdown is unaffected, directly
+    * below the CPU-heavy projection/explode it feeds.
+    */
+  def parallelismFloor(df: DataFrame): DataFrame = {
+    if (df.isStreaming) return df // micro-batches parallelize at the source
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < par) df.repartition(par) else df
+  }
+
   /** Deterministic sequence packing for pretraining batches: documents
     * are packed in doc_id order into bins of ~`budgetTokens` whitespace
     * tokens (a bin may overflow by less than one document — contiguous

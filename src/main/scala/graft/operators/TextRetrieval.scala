@@ -47,7 +47,8 @@ object TextRetrieval {
     * of relying on plan-level sharing.
     */
   def termFrequencies(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), explode(tokensCol(col("text"))).as("term"))
+    Scale.parallelismFloor(docs)
+      .select(col("doc_id"), explode(tokensCol(col("text"))).as("term"))
       .groupBy("doc_id", "term")
       .agg(count(lit(1)).as("tf"))
 
@@ -92,8 +93,11 @@ object TextRetrieval {
     // the token array), map-only. dl is corpus-cardinality, so it is
     // NEVER broadcast — the doc_id join shuffles (or broadcasts only when
     // AQE's measured sizes justify it). Token-less docs drop here, same
-    // population as "docs with at least one tf row".
-    val dl = docs
+    // population as "docs with at least one tf row". The parallelism
+    // floor (no-op at scale) keeps the tokenize off a single scan split;
+    // termFrequencies applies its own and sees this one already in place.
+    val docsP = Scale.parallelismFloor(docs)
+    val dl = docsP
       .select(col("doc_id"), size(tokensCol(col("text"))).cast("long").as("dl"))
       .filter(col("dl") > 0)
     val corpus = dl.agg(
@@ -105,7 +109,7 @@ object TextRetrieval {
     // Postings for query terms only: the semi-join sits below the tf
     // aggregation (Catalyst pushes it through the grouping keys), so the
     // corpus tokenizes once and only matching postings reach the shuffle.
-    val tfq = termFrequencies(docs)
+    val tfq = termFrequencies(docsP)
       .join(broadcast(qterms.select("term").distinct()), Seq("term"), "leftsemi")
     // Each (query_id, term) window partition holds the term's complete
     // posting list (the semi-join dropped nothing for query terms), so
@@ -217,7 +221,8 @@ object TextRetrieval {
       docs: DataFrame,
       addK: Double = 0.5): DataFrame = {
     def tokenized(d: DataFrame) =
-      d.select(col("doc_id"), tokensCol(col("text")).as("toks"))
+      Scale.parallelismFloor(d)
+        .select(col("doc_id"), tokensCol(col("text")).as("toks"))
     val lmToks = tokenized(lmCorpus)
     val uni = lmToks
       .select(explode(col("toks")).as("w1"))
@@ -248,7 +253,8 @@ object TextRetrieval {
     * (TakeOrderedAndProject, no full sort).
     */
   def topNgrams(docs: DataFrame, n: Int, k: Int): DataFrame = {
-    val toks = docs.select(col("doc_id"), tokensCol(col("text")).as("toks"))
+    val toks = Scale.parallelismFloor(docs)
+      .select(col("doc_id"), tokensCol(col("text")).as("toks"))
     val grams = toks
       .withColumn("gram",
         explode(when(size(col("toks")) < n, array().cast("array<string>"))

@@ -39,21 +39,28 @@ class EventsEncodingSpec extends AnyFunSuite with SparkTestSession {
       .collect().map(r => (r.getLong(0), r.getString(1))).toSeq.sortBy(_._1)
   }
 
-  test("nanos- and micros-encoded fixtures read to identical TimestampType values") {
+  test("all three historical encodings read to identical TimestampType values") {
+    // nanos long (legacy), TIMESTAMP_NTZ (isAdjustedToUTC=false) and
+    // instant-semantics TIMESTAMP (isAdjustedToUTC=true) — one fixture
+    // each; the nanos fixture carries sub-µs residue so equality also
+    // proves the ns path TRUNCATES (floor), matching DuckDB's cast.
     val nanosDir  = fixtureDir("events_nanos")
     val microsDir = fixtureDir("events_micros")
-    assert(Tables.events(spark, nanosDir).schema("ts").dataType == TimestampType)
-    assert(Tables.events(spark, microsDir).schema("ts").dataType == TimestampType)
+    val utcDir    = fixtureDir("events_micros_utc")
+    for (d <- Seq(nanosDir, microsDir, utcDir))
+      assert(Tables.events(spark, d).schema("ts").dataType == TimestampType)
     val n = tsStrings(nanosDir)
     val m = tsStrings(microsDir)
+    val u = tsStrings(utcDir)
     assert(n == m, s"encodings diverged:\n  nanos : $n\n  micros: $m")
-    assert(n.nonEmpty && n.head._2.startsWith("2024-01-14 23:59:58"),
+    assert(n == u, s"encodings diverged:\n  nanos : $n\n  utc   : $u")
+    assert(n.nonEmpty && n.head._2.startsWith("2024-01-14 23:59:58.123456"),
       s"wall-clock shifted — timezone leak in the decode path: ${n.head}")
   }
 
-  test("eventsSince filters both encodings identically and keeps the cutoff pushed") {
+  test("eventsSince filters every encoding identically and keeps the cutoff pushed") {
     val cutoff = "2024-01-15 00:00:00"
-    for (res <- Seq("events_nanos", "events_micros")) {
+    for (res <- Seq("events_nanos", "events_micros", "events_micros_utc")) {
       val dir = fixtureDir(res)
       val df  = Tables.eventsSince(spark, dir, cutoff)
       assert(df.schema("ts").dataType == TimestampType, s"$res: ts not normalized")
