@@ -270,4 +270,18 @@ class GraftExtensionsSpec extends AnyFunSuite with SparkTestSession {
     val ext = new org.apache.spark.sql.SparkSessionExtensions
     new GraftExtensions()(ext)
   }
+
+  test("parallelismFloor: fans out narrow inputs, leaves wide inputs and rows untouched") {
+    import spark.implicits._
+    val par = spark.sparkContext.defaultParallelism
+    // narrow: a coalesced single-partition frame gets floored to par
+    val narrow = (1 to 100).toDF("x").coalesce(1)
+    val floored = Scale.parallelismFloor(narrow)
+    assert(floored.rdd.getNumPartitions == par, "narrow input must fan out")
+    assert(floored.agg(org.apache.spark.sql.functions.sum("x")).as[Long].head == 5050L)
+    // wide: an input already at >= par partitions is returned AS IS —
+    // the no-op guarantee the 100 TB story rests on (no inserted shuffle)
+    val wide = (1 to 100).toDF("x").repartition(par)
+    assert(Scale.parallelismFloor(wide) eq wide, "wide input must pass through unchanged")
+  }
 }
