@@ -19,6 +19,20 @@ import graft.operators.{Dedup, Ingest, Joins, Retrieval, Scale, Sessions}
 object SparkEntry {
 
   // Literal time cutoffs (events span 2024-01-01 .. 2024-01-30 at all SFs).
+  /** Fixed PQ codebooks for `ann_pq_adc_topk`: 2 subspaces × 4 dims ×
+    * 4 centroids over the embedding's first 8 dimensions. Every value is
+    * exactly binary-representable so Spark (float→double widening) and
+    * DuckDB evaluate identical doubles; the oracle SQL's VALUES table is
+    * the hand-mirrored copy of this constant.
+    */
+  private val PqCodebooks: Seq[Seq[Seq[Double]]] = Seq(
+    Seq(
+      Seq(0.5, 0.5, 0.5, 0.5), Seq(-0.5, -0.5, -0.5, -0.5),
+      Seq(0.5, -0.5, 0.5, -0.5), Seq(-0.5, 0.5, -0.5, 0.5)),
+    Seq(
+      Seq(0.25, 0.25, 0.25, 0.25), Seq(-0.25, -0.25, -0.25, -0.25),
+      Seq(0.75, -0.25, 0.75, -0.25), Seq(-0.75, 0.25, -0.75, 0.25)))
+
   private val RetentionCutoff = "2024-01-15 00:00:00" // O-13 (30-day retention analog)
   private val ExpiryCutoff    = "2024-01-30 12:00:00" // J-4/A-5 (24h session timeout analog)
   private val ActiveCutoff    = "2024-01-25 00:00:00" // A-3 (last-24h activity analog)
@@ -1728,6 +1742,17 @@ object SparkEntry {
       // streams at scale; integer dots are exact, so fully oracle-checked.
       val quantized = operators.Ann.quantizeInt8(Tables.embeddings(s, dir))
       operators.Ann.quantizedTopK(quantized, nQueries = 5, k = 2)
+        .orderBy("query_id", "rank")
+    }),
+
+    "ann_pq_adc_topk" -> ((s, dir) => {
+      // Product quantization + asymmetric-distance scan: corpus streams
+      // as m-byte codes (16-32x smaller than float at production m/k*),
+      // queries stay full precision. Fixed literal codebooks keep encode
+      // AND scoring bit-exact against the SQL oracle; PqCodebooks is the
+      // single source of truth both sides mirror.
+      operators.Ann.pqAdcTopK(
+        Tables.embeddings(s, dir), PqCodebooks, nQueries = 3, k = 10)
         .orderBy("query_id", "rank")
     }),
 
@@ -4436,6 +4461,54 @@ object SparkEntry {
 
     // Quantize (floor(x·127/max|x|)) → integer dot → floored-sim ranking;
     // every step is exact or single-rounded identically on both engines.
+    // PQ encode + ADC scan, fully hash-checked: the VALUES table is the
+    // hand-mirrored copy of PqCodebooks; per-centroid distances are
+    // written in the same left-to-right addition order as the Spark
+    // expressions, the argmin tie rule is ORDER BY dist, code (Spark:
+    // array_position of the min = first/lowest code), and the two
+    // subspace terms sum bit-exactly in any order (IEEE two-term
+    // addition is commutative).
+    "ann_pq_adc_topk" ->
+      """WITH cb AS (
+        |  SELECT s, code, CAST(c1 AS DOUBLE) AS c1, CAST(c2 AS DOUBLE) AS c2,
+        |         CAST(c3 AS DOUBLE) AS c3, CAST(c4 AS DOUBLE) AS c4
+        |  FROM (VALUES
+        |    (0, 0,  0.5,  0.5,  0.5,  0.5),
+        |    (0, 1, -0.5, -0.5, -0.5, -0.5),
+        |    (0, 2,  0.5, -0.5,  0.5, -0.5),
+        |    (0, 3, -0.5,  0.5, -0.5,  0.5),
+        |    (1, 0,  0.25,  0.25,  0.25,  0.25),
+        |    (1, 1, -0.25, -0.25, -0.25, -0.25),
+        |    (1, 2,  0.75, -0.25,  0.75, -0.25),
+        |    (1, 3, -0.75,  0.25, -0.75,  0.25)) t(s, code, c1, c2, c3, c4)),
+        |d AS (
+        |  SELECT e.vec_id, cb.s, cb.code,
+        |    (CAST(e.embedding[cb.s*4+1] AS DOUBLE) - cb.c1) * (CAST(e.embedding[cb.s*4+1] AS DOUBLE) - cb.c1)
+        |    + (CAST(e.embedding[cb.s*4+2] AS DOUBLE) - cb.c2) * (CAST(e.embedding[cb.s*4+2] AS DOUBLE) - cb.c2)
+        |    + (CAST(e.embedding[cb.s*4+3] AS DOUBLE) - cb.c3) * (CAST(e.embedding[cb.s*4+3] AS DOUBLE) - cb.c3)
+        |    + (CAST(e.embedding[cb.s*4+4] AS DOUBLE) - cb.c4) * (CAST(e.embedding[cb.s*4+4] AS DOUBLE) - cb.c4) AS dist
+        |  FROM embeddings e, cb),
+        |codes AS (
+        |  SELECT vec_id, s, code FROM (
+        |    SELECT vec_id, s, code,
+        |      row_number() OVER (PARTITION BY vec_id, s ORDER BY dist, code) AS rn
+        |    FROM d)
+        |  WHERE rn = 1),
+        |pairs AS (
+        |  SELECT qd.vec_id AS query_id, c.vec_id AS vec_id, SUM(qd.dist) AS adc
+        |  FROM codes c
+        |  JOIN d qd ON qd.s = c.s AND qd.code = c.code
+        |    AND qd.vec_id < 3 AND qd.vec_id <> c.vec_id
+        |  GROUP BY qd.vec_id, c.vec_id),
+        |r AS (
+        |  SELECT query_id, vec_id, floor(adc * 1000000) / 1000000 AS adc_dist,
+        |    CAST(row_number() OVER (
+        |      PARTITION BY query_id
+        |      ORDER BY floor(adc * 1000000) / 1000000, vec_id) AS INT) AS rank
+        |  FROM pairs)
+        |SELECT query_id, rank, vec_id, adc_dist FROM r WHERE rank <= 10
+        |ORDER BY query_id, rank""".stripMargin,
+
     "ann_quantized_topk" ->
       """WITH q AS (
         |  SELECT vec_id,

@@ -469,6 +469,59 @@ class AnnSpec extends AnyFunSuite with SparkTestSession {
     val r = hits.sum / hits.size
     assert(r >= 0.7, s"int8 recall vs float exact too low: $r")
   }
+
+  test("PQ ADC: encode ties to lowest code; scan equals brute force over reconstructions") {
+    import org.apache.spark.sql.functions.col
+    val cb: Seq[Seq[Seq[Double]]] = Seq(
+      Seq(Seq(0.5, 0.5), Seq(-0.5, -0.5), Seq(0.5, -0.5), Seq(-0.5, 0.5)),
+      Seq(Seq(0.25, 0.25), Seq(-0.25, -0.25), Seq(0.75, -0.25), Seq(-0.75, 0.25)))
+    // vec 0 sits EXACTLY between codes 0 and 2 of subspace 0
+    // ((0.5, 0) is equidistant to (0.5, 0.5) and (0.5, -0.5)) — the
+    // argmin must take the lowest code, matching the oracle's
+    // ORDER BY dist, code
+    val tie = Seq((0L, Array(0.5f, 0.0f, 0.25f, 0.25f)))
+      .toDF("vec_id", "embedding")
+    val tieCode = Ann.pqEncode(tie, cb).collect().head
+    assert(tieCode.getAs[Int]("code_0") == 0, "tie must break to the lowest code")
+    assert(tieCode.getAs[Int]("code_1") == 0)
+    // ADC == exact squared distance to the PQ reconstruction, so the
+    // scan must return EXACTLY the brute-force top-k over reconstructed
+    // vectors (no approximation beyond quantization itself)
+    val vecs = (0L until 60L).map { i =>
+      (i, Array.tabulate(4)(j =>
+        (math.sin(i * 0.37 + j * 1.3) * 0.8).toFloat))
+    }.toDF("vec_id", "embedding")
+    val out = Ann.pqAdcTopK(vecs, cb, nQueries = 3, k = 7)
+      .select("query_id", "rank", "vec_id").as[(Long, Int, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).toSeq).toMap
+    val raw = vecs.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble)).toMap
+    def encode(v: Seq[Double]): Seq[Int] = cb.zipWithIndex.map { case (cents, s) =>
+      cents.zipWithIndex
+        .map { case (c, ci) =>
+          (c.zipWithIndex.map { case (x, j) =>
+            val d = v(s * 2 + j) - x; d * d
+          }.sum, ci)
+        }.minBy { case (d, ci) => (d, ci) }._2
+    }
+    for (q <- 0L until 3L) {
+      val qv = raw(q)
+      val truth = raw.keys.filter(_ != q).toSeq
+        .map { v =>
+          // same association as the operator: per-subspace sums first,
+          // then across subspaces (floats care about fold order)
+          val codesV = encode(raw(v))
+          val d = cb.indices.map { s =>
+            cb(s)(codesV(s)).zipWithIndex.map { case (c, j) =>
+              val x = qv(s * 2 + j) - c; x * x
+            }.sum
+          }.sum
+          (v, math.floor(d * 1e6) / 1e6)
+        }
+        .sortBy { case (v, d) => (d, v) }.take(7).map(_._1)
+      assert(out(q) == truth, s"query $q: ADC ranking != reconstruction brute force")
+    }
+  }
 }
 
 class RagSpec extends AnyFunSuite with SparkTestSession {
