@@ -1756,6 +1756,20 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    "ann_pq_trained_topk" -> ((s, dir) => {
+      // TRAINED-codebook PQ: per-subspace euclidean Lloyd on the
+      // deterministic hash sample, then the same ADC scan as
+      // ann_pq_adc_topk. k-means is not SQL-mirrorable, so like
+      // ann_ivf_topk this records rows-only; the training properties
+      // (determinism, monotone quantization error, recall on clustered
+      // data) are spec-gated in AnnSpec.
+      val emb = Tables.embeddings(s, dir)
+      val books = operators.Ann.trainPqCodebooksCached(
+        emb, cacheKey = dir, m = 4, dsub = 4, kStar = 8, maxIter = 3)
+      operators.Ann.pqAdcTopK(emb, books, nQueries = 3, k = 10)
+        .orderBy("query_id", "rank")
+    }),
+
     "ann_quantized_rerank" -> ((s, dir) => {
       // Two-stage production path: int8 coarse scan over-fetches 4k
       // candidates, float cosine reranks only those — both stages

@@ -535,6 +535,97 @@ object Ann {
     vecs.select(col("vec_id") +: codeCols: _*)
   }
 
+  /** Train PQ codebooks: per-subspace Lloyd k-means under SQUARED
+    * EUCLIDEAN distance — the metric [[pqAdcTopK]] scores with (IVF's
+    * cosine cells would optimize the wrong objective). Deterministic end
+    * to end: the training set is the same `pmod(hash(vec_id))` sample
+    * rule as [[buildIvf]] (falling back to the full corpus when the
+    * sample is thinner than 16 points per centroid), seeds are the
+    * lowest-vec_id subvectors, and assignment ties take the lowest
+    * centroid. Each subspace trains independently on its `dsub`-dim
+    * slice — m small Lloyd problems instead of one `m*dsub`-dim one,
+    * which is the whole reason PQ codebooks stay trainable on a sample
+    * while full-dim k-means at the same code budget (k*^m effective
+    * cells) would be hopeless. Driver state is `m × k* × dsub` doubles —
+    * a few KB riding the closure exactly like IVF centroids.
+    */
+  def trainPqCodebooks(
+      corpus: DataFrame,
+      m: Int,
+      dsub: Int,
+      kStar: Int,
+      maxIter: Int = 5,
+      sampleNum: Int = 1,
+      sampleDenom: Int = 4): Seq[Seq[Seq[Double]]] = {
+    val sampled = corpus.filter(
+      pmod(hash(col("vec_id")), lit(sampleDenom)) < lit(sampleNum))
+    val cached = (if (sampleNum >= sampleDenom) sampled
+                  else if (sampled.count() >= 16L * kStar) sampled
+                  else corpus)
+      .select(col("vec_id"), col("embedding")).cache()
+    val books = (0 until m).map { s =>
+      val sub = cached.select(col("vec_id"),
+        slice(col("embedding"), s * dsub + 1, dsub).as("sv"))
+      var cents: Array[Array[Double]] = sub.orderBy("vec_id").limit(kStar)
+        .select("sv").collect()
+        .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+      var iter = 0
+      while (iter < maxIter) {
+        val cs = cents // immutable copy for the closure
+        val assign = udf { (v: Seq[Float]) =>
+          var best = 0; var bd = Double.MaxValue
+          var c = 0
+          while (c < cs.length) {
+            var d = 0.0; var i = 0
+            while (i < dsub) { val x = v(i) - cs(c)(i); d += x * x; i += 1 }
+            if (d < bd) { bd = d; best = c }
+            c += 1
+          }
+          best
+        }
+        val means = sub.withColumn("cell", assign(col("sv")))
+          .groupBy("cell")
+          .agg(array((0 until dsub).map(i => avg(col("sv").getItem(i))): _*).as("c"))
+          .collect()
+          .map(r => r.getAs[Int]("cell") -> r.getSeq[Double](1).toArray)
+          .toMap
+        cents = cents.indices.map(c => means.getOrElse(c, cents(c))).toArray
+        iter += 1
+      }
+      cents.map(_.toSeq).toSeq
+    }
+    cached.unpersist()
+    books
+  }
+
+  // PQ codebook memo: same lifecycle as the IVF centroid cache — train
+  // once per corpus snapshot, probe many times; keyed by a content
+  // fingerprint so a mutated corpus can never be served stale books.
+  private val pqBookCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[Seq[Seq[Double]]]]()
+
+  /** [[trainPqCodebooks]] memoized under `cacheKey` plus the same
+    * order-insensitive content fingerprint as [[buildIvfCached]]: one
+    * cheap column-pruned scan per call replaces the full Lloyd rerun —
+    * the PQ index is built once per corpus snapshot and every ADC scan
+    * after that only pays encode+scan.
+    */
+  def trainPqCodebooksCached(
+      corpus: DataFrame,
+      cacheKey: String,
+      m: Int,
+      dsub: Int,
+      kStar: Int,
+      maxIter: Int = 5): Seq[Seq[Seq[Double]]] = {
+    val fpRow = corpus.agg(
+      count(lit(1)).as("n"),
+      coalesce(expr("bit_xor(xxhash64(vec_id, embedding))"), lit(0L)).as("fp"))
+      .head()
+    val key = s"$cacheKey|${fpRow.getLong(0)}|${fpRow.getLong(1)}|$m|$dsub|$kStar|$maxIter"
+    pqBookCache.computeIfAbsent(key,
+      _ => trainPqCodebooks(corpus, m, dsub, kStar, maxIter))
+  }
+
   /** Asymmetric-distance (ADC) top-k over PQ codes: the query stays
     * full-precision; each corpus vector contributes
     * Σ_s ‖q_sub(s) − centroid(code_s)‖² — by construction EXACTLY the

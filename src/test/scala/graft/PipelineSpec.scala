@@ -522,6 +522,60 @@ class AnnSpec extends AnyFunSuite with SparkTestSession {
       assert(out(q) == truth, s"query $q: ADC ranking != reconstruction brute force")
     }
   }
+
+  test("PQ training: deterministic, error-monotone Lloyd, cluster identification") {
+    import org.apache.spark.sql.functions.col
+    // 8 planted clusters in 16 dims: center c has +/-0.8 sign pattern
+    // from c's bits; members jitter by small deterministic offsets
+    val vecs = (0L until 160L).map { i =>
+      val c = (i % 8).toInt
+      (i, Array.tabulate(16) { j =>
+        val sign = if (((c >> (j % 3)) & 1) == 0) 1.0f else -1.0f
+        sign * 0.8f + ((i / 8 % 5).toInt - 2) * 0.01f
+      })
+    }.toDF("vec_id", "embedding")
+    val trained  = Ann.trainPqCodebooks(vecs, m = 4, dsub = 4, kStar = 8, maxIter = 3)
+    val trained2 = Ann.trainPqCodebooks(vecs, m = 4, dsub = 4, kStar = 8, maxIter = 3)
+    assert(trained == trained2, "training must be deterministic")
+    val seedsOnly = Ann.trainPqCodebooks(vecs, m = 4, dsub = 4, kStar = 8, maxIter = 0)
+    // Lloyd never increases the k-means objective on its training set:
+    // mean squared quantization error with trained books <= seed books
+    val raw = vecs.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble)).toMap
+    def qErr(books: Seq[Seq[Seq[Double]]]): Double = raw.values.map { v =>
+      books.zipWithIndex.map { case (cents, s) =>
+        cents.map(c => c.zipWithIndex.map { case (x, j) =>
+          val d = v(s * 4 + j) - x; d * d
+        }.sum).min
+      }.sum
+    }.sum / raw.size
+    assert(qErr(trained) <= qErr(seedsOnly) + 1e-12,
+      s"Lloyd increased quantization error: ${qErr(trained)} > ${qErr(seedsOnly)}")
+    // Cluster identification, the property PQ actually has: members of
+    // one cluster share a code, so within-cluster ORDER is invisible to
+    // ADC (ties break by vec_id) — but retrieved neighbors must come
+    // from the query's own cluster once the codebooks are trained.
+    val got = Ann.pqAdcTopK(vecs, trained, nQueries = 4, k = 5)
+      .select("query_id", "vec_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+    val sameCluster = (0L until 4L).map { q =>
+      val mine = got.getOrElse(q, Seq.empty)
+      mine.count(v => v % 8 == q % 8).toDouble / mine.size
+    }
+    val precision = sameCluster.sum / sameCluster.size
+    assert(precision >= 0.8,
+      s"trained-PQ retrieved cross-cluster neighbors: $precision same-cluster")
+    // cache: identical corpus under the same key returns the memoized
+    // books (reference-equal — no Lloyd rerun); a mutated corpus changes
+    // the content fingerprint and must retrain, never serve stale books
+    val k1 = Ann.trainPqCodebooksCached(vecs, "pq-spec", m = 4, dsub = 4, kStar = 8, maxIter = 3)
+    val k2 = Ann.trainPqCodebooksCached(vecs, "pq-spec", m = 4, dsub = 4, kStar = 8, maxIter = 3)
+    assert(k1 eq k2, "same corpus + key must hit the codebook memo")
+    val mutated = vecs.withColumn("embedding",
+      org.apache.spark.sql.functions.transform(col("embedding"), x => x * 2.0f))
+    val k3 = Ann.trainPqCodebooksCached(mutated, "pq-spec", m = 4, dsub = 4, kStar = 8, maxIter = 3)
+    assert(!(k3 eq k1), "mutated corpus must not be served stale codebooks")
+  }
 }
 
 class RagSpec extends AnyFunSuite with SparkTestSession {
