@@ -57,6 +57,9 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // Tables.normalizeTs relies on every entry point pinning UTC so
+      // the TIMESTAMP_NTZ→Timestamp cast is the identity on any host.
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -45,12 +45,13 @@ object Verify {
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
 
-    // ---- ANN recall gate: the two approximate-by-design queries have no
+    // ---- ANN recall gates: the approximate-by-design queries have no
     // DuckDB oracle row, so they get a hard in-driver gate instead of
     // spec-only coverage — Verify FAILS (nonzero exit) on a recall
     // regression vs the exact brute-force top-k over the same queries.
     {
-      import org.apache.spark.sql.functions.col
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.expressions.Window
       val emb = Tables.embeddings(spark, sfDir)
       val qs = emb.filter(col("vec_id") < 5)
         .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"))
@@ -69,6 +70,78 @@ object Verify {
         println(f"[recall] $name = $recall%.3f (gate >= $thr)")
         require(recall >= thr, s"$name recall $recall below gate $thr")
       }
+
+      // PQ-family gates: ADC approximates SQUARED EUCLIDEAN distance, so
+      // the exact baseline is the full-precision euclidean top-k. Gated
+      // over 20 queries × k=10 — the registry queries' own 3-query
+      // output is too small a sample for a stable gate (one neighbor
+      // pair = 0.033 recall) — against the SAME fingerprint-memoized
+      // books, centroids and layout the registry queries run on, so a
+      // trained-codebook or probe regression that the memo would carry
+      // into ann_pq_trained_topk / ann_ivfpq_topk fails the round here.
+      val nq = 20
+      val qsE = emb.filter(col("vec_id") < nq)
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+      val d2 = aggregate(
+        zip_with(col("q_emb"), col("embedding"),
+          (x, y) => { val d = x.cast("double") - y.cast("double"); d * d }),
+        lit(0.0d), (acc, v) => acc + v)
+      val exactEuc = emb.crossJoin(broadcast(qsE))
+        .filter(col("vec_id") =!= col("query_id"))
+        .withColumn("d2", d2)
+        .withColumn("rank", row_number().over(
+          Window.partitionBy("query_id").orderBy(asc("d2"), asc("vec_id"))))
+        .filter(col("rank") <= 10)
+        .select("query_id", "vec_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val books = operators.Ann.trainPqCodebooksCached(
+        emb, cacheKey = sfDir, m = 8, dsub = 8, kStar = 16, maxIter = 5)
+      val (centroids, _) = operators.Ann.buildIvfCached(
+        spark, emb, cacheKey = sfDir, nCells = 8, maxIter = 3)
+      val layout = operators.Ann.ivfPqLayout(
+        spark, emb,
+        new java.io.File(sys.props("java.io.tmpdir"), "graft_ann_layouts").getAbsolutePath,
+        centroids, books)
+      val qsIvf = emb.filter(col("vec_id") < nq)
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"))
+      // Measured over 200 query-neighbor pairs on the driver's corpora
+      // (near-random synthetic 64-dim embeddings — PQ's worst case, no
+      // neighborhood structure to exploit): trained-PQ ADC 0.320
+      // @sf0.01 / 0.185 @sf0.1; IVF-PQ at nProbe=3/8 cells 0.325
+      // @sf0.01 / 0.155 @sf0.1. Calibration of broken artifacts:
+      // garbage books 0.010/0.000, seeds-only (maxIter=0) 0.245/0.155.
+      // The gates sit between measured and HALF of measured per scale —
+      // the regression class the r8 verdict named (a halved-recall
+      // codebook/probe/layout break fails; structural breaks score ~0
+      // and fail hard). Marginal training-quality drift above that line
+      // is pinned by AnnSpec's Lloyd-monotonicity and clustered-recall
+      // specs, where clustered fixtures make the signal sharp.
+      val nCorpus = emb.count()
+      val (pqThr, ivfpqThr) = if (nCorpus <= 1000) (0.22, 0.20) else (0.12, 0.10)
+      val pqApprox = operators.Ann.pqAdcTopK(emb, books, nQueries = nq, k = 10)
+        .select("query_id", "vec_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val ivfpqApprox = operators.Ann.ivfPqTopK(
+        spark, layout, qsIvf, centroids, books, k = 10, nProbe = 3)
+        .select("query_id", "vec_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      if (sys.env.contains("GRAFT_PQ_CALIBRATE")) {
+        val seedBooks = operators.Ann.trainPqCodebooks(
+          emb, m = 8, dsub = 8, kStar = 16, maxIter = 0)
+        val garbage = Seq.tabulate(8, 16, 8)((s, c, j) => (s + c + j) * 0.7 - 3.0)
+        for ((nm, b) <- Seq("seeds-only" -> seedBooks, "garbage" -> garbage)) {
+          val a = operators.Ann.pqAdcTopK(emb, b, nQueries = nq, k = 10)
+            .select("query_id", "vec_id").collect()
+            .map(r => (r.getLong(0), r.getLong(1))).toSet
+          println(f"[calibrate] $nm = ${exactEuc.count(a.contains).toDouble / exactEuc.size}%.3f")
+        }
+      }
+      Seq(("ann_pq_trained_topk", pqApprox, pqThr), ("ann_ivfpq_topk", ivfpqApprox, ivfpqThr))
+        .foreach { case (name, approx, thr) =>
+          val recall = exactEuc.count(approx.contains).toDouble / exactEuc.size
+          println(f"[recall] $name = $recall%.3f (gate >= $thr)")
+          require(recall >= thr, s"$name recall $recall below gate $thr")
+        }
     }
     spark.stop()
   }

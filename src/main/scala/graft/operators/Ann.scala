@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.expressions.VectorExpressions
@@ -501,6 +501,53 @@ object Ann {
       .select("query_id", "rank", "vec_id", "sim")
   }
 
+  /** Structural single evaluation for a column used twice — the same
+    * idiom as `TextAnalysis.let`: a one-element `transform` evaluates
+    * its input exactly once per row and hands the lambda a bound
+    * variable, so single evaluation does not depend on the optimizer's
+    * common-subexpression pass (oversized Projects fall out of codegen
+    * and lose CSE — the r7 `corpus_datacard` lesson).
+    */
+  private def letCol(v: Column)(f: Column => Column): Column =
+    element_at(transform(array(v), f), 1)
+
+  /** Per-subspace squared-distance array of `vec`'s subspace-`s` slice
+    * to every centroid of `cents`, as ONE compact higher-order
+    * expression: the codebook rides the plan as a `typedLit` array and
+    * `transform`/`zip_with`/`aggregate` do the k*×dsub arithmetic.
+    * Unrolling the same math as literal per-centroid expressions (the
+    * first-cut shape) costs ~k*×dsub Catalyst nodes PER SUBSPACE —
+    * ~10k-node trees at m=8/k*=16 whose analysis+optimization dominated
+    * the query at ~5 s per run, planning, not compute. The HOF form is
+    * O(1) nodes per subspace; the fold order (left fold seeded at 0.0,
+    * per-subspace sums first) is bit-identical to the unrolled form, so
+    * the hash-exact oracle mirror of `ann_pq_adc_topk` is unaffected.
+    */
+  private def subspaceDists(
+      cents: Seq[Seq[Double]], vec: Column, s: Int, dsub: Int): Column = {
+    val sub = slice(vec, s * dsub + 1, dsub)
+    transform(typedLit(cents.map(_.toSeq)), cent =>
+      aggregate(
+        zip_with(sub, cent, (x, c) => { val d = x.cast("double") - c; d * d }),
+        lit(0.0d), (acc, v) => acc + v))
+  }
+
+  /** The `m` PQ code columns (`code_s` = argmin-distance centroid, ties
+    * to the lowest code) for a frame with an `embedding` column — shared
+    * by [[pqEncode]] and [[writeIvfPqPartitioned]]. The per-subspace
+    * distance array is let-bound ([[letCol]]) so the k*×dsub
+    * subtract/square/sum work is evaluated ONCE per row and both the
+    * `array_min` and the `array_position` argmin read the bound value.
+    */
+  private def pqCodeCols(codebooks: Seq[Seq[Seq[Double]]]): Seq[Column] = {
+    val dsub = codebooks.head.head.length
+    codebooks.zipWithIndex.map { case (cents, s) =>
+      letCol(subspaceDists(cents, col("embedding"), s, dsub))(d =>
+        (array_position(d, array_min(d)) - 1).cast("int"))
+        .as(s"code_$s")
+    }
+  }
+
   /** Product-quantization encode: `codebooks(s)(c)` is centroid `c` of
     * subspace `s`, every centroid `dsub`-dimensional; the first
     * `m * dsub` dimensions of `embedding` are encoded as `m` small codes
@@ -520,34 +567,36 @@ object Ann {
     * centroids — the fixed literal codebooks here keep the operator
     * oracle-checkable end to end.
     */
-  def pqEncode(vecs: DataFrame, codebooks: Seq[Seq[Seq[Double]]]): DataFrame = {
-    val dsub = codebooks.head.head.length
-    val codeCols = codebooks.zipWithIndex.map { case (cents, s) =>
-      val dists = cents.map { cent =>
-        cent.zipWithIndex.map { case (c, j) =>
-          val x = element_at(col("embedding"), s * dsub + j + 1).cast("double") - lit(c)
-          x * x
-        }.reduce(_ + _)
-      }
-      (array_position(array(dists: _*), array_min(array(dists: _*))) - 1)
-        .cast("int").as(s"code_$s")
-    }
-    vecs.select(col("vec_id") +: codeCols: _*)
-  }
+  def pqEncode(vecs: DataFrame, codebooks: Seq[Seq[Seq[Double]]]): DataFrame =
+    vecs.select(col("vec_id") +: pqCodeCols(codebooks): _*)
 
   /** Train PQ codebooks: per-subspace Lloyd k-means under SQUARED
     * EUCLIDEAN distance — the metric [[pqAdcTopK]] scores with (IVF's
-    * cosine cells would optimize the wrong objective). Deterministic end
-    * to end: the training set is the same `pmod(hash(vec_id))` sample
-    * rule as [[buildIvf]] (falling back to the full corpus when the
-    * sample is thinner than 16 points per centroid), seeds are the
-    * lowest-vec_id subvectors, and assignment ties take the lowest
-    * centroid. Each subspace trains independently on its `dsub`-dim
-    * slice — m small Lloyd problems instead of one `m*dsub`-dim one,
-    * which is the whole reason PQ codebooks stay trainable on a sample
-    * while full-dim k-means at the same code budget (k*^m effective
-    * cells) would be hopeless. Driver state is `m × k* × dsub` doubles —
-    * a few KB riding the closure exactly like IVF centroids.
+    * cosine cells would optimize the wrong objective). The training set
+    * is the same `pmod(hash(vec_id))` sample rule as [[buildIvf]]
+    * (falling back to the full corpus when the sample is thinner than 16
+    * points per centroid), seeds are the lowest-vec_id subvectors, and
+    * assignment ties take the lowest centroid. Each subspace trains
+    * independently on its `dsub`-dim slice — m small Lloyd problems
+    * instead of one `m*dsub`-dim one, which is the whole reason PQ
+    * codebooks stay trainable on a sample while full-dim k-means at the
+    * same code budget (k*^m effective cells) would be hopeless.
+    *
+    * The m per-subspace problems share every Lloyd iteration as ONE
+    * Spark job: the sample is exploded once into (subspace, subvector)
+    * rows and each iteration aggregates means per `(s, cell)` in a
+    * single pass — maxIter + 2 jobs total (count + seeds + iterations)
+    * instead of m independent loops (~m × maxIter jobs), the same math
+    * on the same rows. Driver state is `m × k* × dsub` doubles — a few
+    * KB riding the closure exactly like IVF centroids.
+    *
+    * Determinism: seeds, sampling and assignment ties are all
+    * hash/order-defined, so training is exactly reproducible for a
+    * FIXED session configuration (spec-pinned). The centroid update is
+    * `avg` over shuffled partial aggregates, so last-bit float values
+    * can differ across cluster layouts (partition counts / cpu counts) —
+    * reproducibility is per-config, not cross-config; cross-config
+    * consumers should persist the trained books rather than retrain.
     */
   def trainPqCodebooks(
       corpus: DataFrame,
@@ -559,43 +608,56 @@ object Ann {
       sampleDenom: Int = 4): Seq[Seq[Seq[Double]]] = {
     val sampled = corpus.filter(
       pmod(hash(col("vec_id")), lit(sampleDenom)) < lit(sampleNum))
-    val cached = (if (sampleNum >= sampleDenom) sampled
-                  else if (sampled.count() >= 16L * kStar) sampled
-                  else corpus)
-      .select(col("vec_id"), col("embedding")).cache()
-    val books = (0 until m).map { s =>
-      val sub = cached.select(col("vec_id"),
-        slice(col("embedding"), s * dsub + 1, dsub).as("sv"))
-      var cents: Array[Array[Double]] = sub.orderBy("vec_id").limit(kStar)
-        .select("sv").collect()
-        .map(_.getSeq[Float](0).map(_.toDouble).toArray)
-      var iter = 0
-      while (iter < maxIter) {
-        val cs = cents // immutable copy for the closure
-        val assign = udf { (v: Seq[Float]) =>
-          var best = 0; var bd = Double.MaxValue
-          var c = 0
-          while (c < cs.length) {
-            var d = 0.0; var i = 0
-            while (i < dsub) { val x = v(i) - cs(c)(i); d += x * x; i += 1 }
-            if (d < bd) { bd = d; best = c }
-            c += 1
-          }
-          best
-        }
-        val means = sub.withColumn("cell", assign(col("sv")))
-          .groupBy("cell")
-          .agg(array((0 until dsub).map(i => avg(col("sv").getItem(i))): _*).as("c"))
-          .collect()
-          .map(r => r.getAs[Int]("cell") -> r.getSeq[Double](1).toArray)
-          .toMap
-        cents = cents.indices.map(c => means.getOrElse(c, cents(c))).toArray
-        iter += 1
-      }
-      cents.map(_.toSeq).toSeq
+    val base = (if (sampleNum >= sampleDenom) sampled
+                else if (sampled.count() >= 16L * kStar) sampled
+                else corpus)
+      .select(col("vec_id"), col("embedding"))
+    // One row per (vector, subspace): the per-iteration working set,
+    // cached once — same total floats as the sample itself.
+    val exploded = base.select(col("vec_id"),
+      explode(array((0 until m).map(s =>
+        struct(lit(s).as("s"),
+          slice(col("embedding"), s * dsub + 1, dsub).as("sv"))): _*)).as("e"))
+      .select(col("vec_id"), col("e.s").as("s"), col("e.sv").as("sv"))
+      .cache()
+    // Seeds for ALL subspaces from one pass: the kStar lowest-vec_id
+    // sample rows, sliced per subspace driver-side — identical to
+    // seeding each subspace from the same rows' dsub-dim slices.
+    val seedRows = base.orderBy("vec_id").limit(kStar)
+      .select("embedding").collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    // A corpus smaller than kStar yields fewer seeds — train what exists
+    // (the old per-subspace loop's behavior: cents.length = min(kStar, n)).
+    val kEff = seedRows.length
+    var cents: Array[Array[Array[Double]]] = Array.tabulate(m) { s =>
+      seedRows.map(v => v.slice(s * dsub, s * dsub + dsub))
     }
-    cached.unpersist()
-    books
+    var iter = 0
+    while (iter < maxIter) {
+      val cs = cents // immutable copy for the closure
+      val assign = udf { (s: Int, v: Seq[Float]) =>
+        var best = 0; var bd = Double.MaxValue
+        var c = 0
+        while (c < cs(s).length) {
+          var d = 0.0; var i = 0
+          while (i < dsub) { val x = v(i) - cs(s)(c)(i); d += x * x; i += 1 }
+          if (d < bd) { bd = d; best = c }
+          c += 1
+        }
+        best
+      }
+      val means = exploded.withColumn("cell", assign(col("s"), col("sv")))
+        .groupBy("s", "cell")
+        .agg(array((0 until dsub).map(i => avg(col("sv").getItem(i))): _*).as("c"))
+        .collect()
+        .map(r => (r.getAs[Int]("s"), r.getAs[Int]("cell")) -> r.getSeq[Double](2).toArray)
+        .toMap
+      cents = Array.tabulate(m)(s => Array.tabulate(kEff)(c =>
+        means.getOrElse((s, c), cents(s)(c))))
+      iter += 1
+    }
+    exploded.unpersist()
+    cents.map(_.map(_.toSeq).toSeq).toSeq
   }
 
   // PQ codebook memo: same lifecycle as the IVF centroid cache — train
@@ -637,30 +699,180 @@ object Ann {
     * ONLY the m-byte codes, never the float corpus; ranking uses the
     * floored distance + vec_id so the cut is engine-stable.
     */
+  /** The ADC distance Σ_s ‖q_sub(s) − centroid(code_s)‖² as a column
+    * expression: per-subspace lookup tables built from `qEmb`, indexed by
+    * `codeOf(s)`. Shared by [[pqAdcTopK]], [[ivfPqTopK]] and the
+    * streaming admission gate ([[adcBestMatch]]) so every ADC consumer
+    * scores with bit-identical arithmetic (same fold order: per-subspace
+    * sums first, then across subspaces).
+    */
+  private def adcDist(
+      codebooks: Seq[Seq[Seq[Double]]],
+      qEmb: Column,
+      codeOf: Int => Column): Column = {
+    val dsub = codebooks.head.head.length
+    codebooks.zipWithIndex.map { case (cents, s) =>
+      element_at(subspaceDists(cents, qEmb, s, dsub), codeOf(s) + 1)
+    }.reduce(_ + _)
+  }
+
   def pqAdcTopK(
       vecs: DataFrame,
       codebooks: Seq[Seq[Seq[Double]]],
       nQueries: Int,
       k: Int): DataFrame = {
-    val dsub = codebooks.head.head.length
     val codes = pqEncode(vecs, codebooks)
     val q = vecs.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
-    val adc = codebooks.zipWithIndex.map { case (cents, s) =>
-      val lut = array(cents.map { cent =>
-        cent.zipWithIndex.map { case (c, j) =>
-          val x = element_at(col("q_emb"), s * dsub + j + 1).cast("double") - lit(c)
-          x * x
-        }.reduce(_ + _)
-      }: _*)
-      element_at(lut, col(s"code_$s") + 1)
-    }.reduce(_ + _)
+    val adc = adcDist(codebooks, col("q_emb"), s => col(s"code_$s"))
     codes.join(broadcast(q), col("vec_id") =!= col("query_id"))
       .withColumn("adc_dist", graft.functions.TextAnalysis.floorScale(adc, 6))
       .withColumn("rank", row_number().over(
         Window.partitionBy("query_id").orderBy(asc("adc_dist"), asc("vec_id"))))
       .filter(col("rank") <= k)
       .select("query_id", "rank", "vec_id", "adc_dist")
+  }
+
+  // ------------------------------------------------------------- IVF-PQ
+  /** Write the corpus as an IVF-PQ index: each vector's `m` PQ codes,
+    * PARTITIONED BY its IVF cell. This is the canonical 100 TB ANN
+    * layout — the composition of the two layouts this file already has:
+    * the cell partitioning ([[writeCellPartitioned]]) makes a probe read
+    * only `nProbe`/`nCells` of the corpus (file-level skip), and the PQ
+    * codes make what IS read `m` bytes per vector instead of a float
+    * array (16–32× at production m/k*). A 100 TB float corpus becomes a
+    * few hundred GB of codes, of which one query touches a few GB.
+    * Write-once: the float corpus is scanned a single time (assign +
+    * encode are one map-only pass); every subsequent query pays probe
+    * cost only. The reference's vector store (a Chroma collection probed
+    * per query, chroma_utils.py:237-263) is this layout's single-node
+    * ancestor.
+    */
+  def writeIvfPqPartitioned(
+      corpus: DataFrame,
+      centroids: Array[Array[Float]],
+      codebooks: Seq[Seq[Seq[Double]]],
+      path: String): Unit =
+    assignCells(corpus, centroids)
+      .select(col("vec_id") +: pqCodeCols(codebooks) :+ col("cell"): _*)
+      .write.mode("overwrite").partitionBy("cell").parquet(path)
+
+  /** Build-once [[writeIvfPqPartitioned]] layout keyed by the corpus
+    * content fingerprint AND an index fingerprint (centroids + codebooks
+    * hashed), the same lifecycle discipline as
+    * [[signaturePartitionedLayout]]: an unchanged (corpus, index) pair
+    * reuses the existing directory; a mutated corpus — or retrained
+    * centroids/codebooks — gets a fresh path, so stale probes are
+    * impossible. Returns the layout path for [[ivfPqTopK]].
+    */
+  def ivfPqLayout(
+      spark: SparkSession,
+      corpus: DataFrame,
+      baseDir: String,
+      centroids: Array[Array[Float]],
+      codebooks: Seq[Seq[Seq[Double]]]): String = {
+    val fpRow = corpus.agg(
+      count(lit(1)).as("n"),
+      coalesce(expr("bit_xor(xxhash64(vec_id, embedding))"), lit(0L)).as("fp"))
+      .head()
+    val idxFp = MurmurHash3.orderedHash(
+      centroids.iterator.flatten.map(_.toDouble) ++ codebooks.iterator.flatten.flatten)
+    val path = s"$baseDir/ivfpq_c${centroids.length}_m${codebooks.length}" +
+      s"_n${fpRow.getLong(0)}_fp${java.lang.Long.toHexString(fpRow.getLong(1))}" +
+      s"_ix${Integer.toHexString(idxFp)}"
+    val success = new org.apache.hadoop.fs.Path(path, "_SUCCESS")
+    val fs = success.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(success))
+      writeIvfPqPartitioned(corpus, centroids, codebooks, path)
+    path
+  }
+
+  /** IVF-PQ top-k over a [[writeIvfPqPartitioned]] layout: probe cells
+    * are computed driver-side from the tiny centroid set (a STATIC
+    * `isin` on the partition column — genuine `PartitionFilters`
+    * pruning, spec-asserted), then the ADC scan of [[pqAdcTopK]] runs
+    * over ONLY the probed cells' codes. The scan streams m-byte codes
+    * from `nProbe` partition directories; neither the float corpus nor
+    * the unprobed cells contribute any I/O. With `nProbe = nCells` the
+    * result is IDENTICAL to the flat [[pqAdcTopK]] over the same
+    * codebooks (spec-pinned) — cell pruning is a physical optimization;
+    * the ADC arithmetic, floored-distance ranking and vec_id tiebreak
+    * are shared code ([[adcDist]]).
+    */
+  def ivfPqTopK(
+      spark: SparkSession,
+      path: String,
+      queries: DataFrame,
+      centroids: Array[Array[Float]],
+      codebooks: Seq[Seq[Seq[Double]]],
+      k: Int,
+      nProbe: Int = 3): DataFrame = {
+    import spark.implicits._
+    val qRows = queries.select("query_id", "q_embedding").collect()
+    val probes: Seq[(Long, Int)] = qRows.toSeq.flatMap { r =>
+      nearestCells(r.getSeq[Float](1), centroids, nProbe)
+        .map(c => (r.getLong(0), c))
+    }
+    val cellSet = probes.map(_._2).distinct
+    val codes = spark.read.parquet(path).filter(col("cell").isin(cellSet: _*))
+    val probed = probes.toDF("query_id", "cell")
+      .join(queries.select(col("query_id"), col("q_embedding").as("q_emb")), "query_id")
+    codes.join(broadcast(probed), "cell")
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("adc_dist", graft.functions.TextAnalysis.floorScale(
+        adcDist(codebooks, col("q_emb"), s => col(s"code_$s")), 6))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("query_id").orderBy(asc("adc_dist"), asc("vec_id"))))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "vec_id", "adc_dist")
+  }
+
+  /** Per-cell entry lists over an IVF-PQ code table (the frame a
+    * [[writeIvfPqPartitioned]] layout reads back as): one row per cell,
+    * `entries` = array of (vec_id, code_0..code_{m-1}) structs. This is
+    * the STATIC side of the streaming vector-admission gate
+    * ([[graft.streaming.Streams.pqAdmissionGate]]) — pre-aggregated once
+    * per index snapshot, equi-joined per micro-batch on the probed cell
+    * ids, the same standing-index lifecycle as [[Dedup.admissionIndex]].
+    * Each cell's entries ride in ONE row (m+8 bytes per vector), so
+    * `nCells` must keep cells row-sized — the knob IVF sizing already
+    * turns (cells ∝ √n keeps both probe cost and row width bounded).
+    */
+  def pqAdmissionIndex(codes: DataFrame, m: Int): DataFrame =
+    codes.groupBy("cell").agg(
+      collect_list(struct(
+        col("vec_id") +: (0 until m).map(s => col(s"code_$s")): _*)).as("entries"))
+
+  /** Best ADC match (lowest distance, vec_id tiebreak) of `qEmb` against
+    * an array of PQ-code entry structs — the scoring kernel of the
+    * STREAMING vector admission gate ([[graft.streaming.Streams
+    * .pqAdmissionGate]]). Per row: the `m` per-subspace lookup tables
+    * are built ONCE from `qEmb` (let-bound, [[letCol]] — not rebuilt per
+    * entry), then a `transform` + `array_min` scans the entries. Returns
+    * a struct `(d, v)` — null when `entries` is null/empty — ordered so
+    * struct comparison ranks by distance first, matching [[pqAdcTopK]]'s
+    * `(adc_dist, vec_id)` ordering; distances are floored to 6 decimals
+    * by the same rule.
+    */
+  def adcBestMatch(
+      entries: Column,
+      qEmb: Column,
+      codebooks: Seq[Seq[Seq[Double]]]): Column = {
+    val dsub = codebooks.head.head.length
+    val luts = array(codebooks.zipWithIndex.map { case (cents, s) =>
+      subspaceDists(cents, qEmb, s, dsub)
+    }: _*)
+    // transform(null)/array_min(empty) both yield null, so a missing or
+    // empty entry list needs no special casing — the match is just null.
+    letCol(luts) { ls =>
+      array_min(transform(entries, e =>
+        struct(
+          graft.functions.TextAnalysis.floorScale(
+            codebooks.indices.map(s =>
+              element_at(element_at(ls, s + 1), e.getField(s"code_$s") + 1))
+              .reduce(_ + _), 6).as("d"),
+          e.getField("vec_id").as("v"))))
+    }
   }
 
   def quantizedTopK(quantized: DataFrame, nQueries: Int, k: Int): DataFrame = {

@@ -21,11 +21,39 @@ object Scale {
     * (no shuffle, no plan change). Callers place it ABOVE the
     * scan-adjacent filters/pruning so pushdown is unaffected, directly
     * below the CPU-heavy projection/explode it feeds.
+    *
+    * The split count is read from the PLANNED (never executed) physical
+    * plan — not from `df.rdd`, which under AQE eagerly materializes
+    * upstream shuffle stages just to count partitions (the r8-flagged
+    * double planning). An AQE-wrapped plan (`AdaptiveSparkPlanExec`)
+    * means the frame contains an exchange — it already fans out to
+    * `spark.sql.shuffle.partitions` downstream, so the floor skips it
+    * without planning anything further; that also makes a SECOND floor
+    * above an already-floored frame (bm25's termFrequencies path)
+    * structurally free. Unwrapped plans are exchange-free end to end:
+    * file scans report their real split count (driver-side split
+    * arithmetic over the already-listed files — no job), driver-local
+    * test frames count as one split, and any other leaf (cached
+    * relation, RDD scan) is assumed already parallel and left untouched.
+    * Accessing `executedPlan` here only PLANS — AQE executes stages
+    * lazily on the first action, which this method never takes.
     */
   def parallelismFloor(df: DataFrame): DataFrame = {
     if (df.isStreaming) return df // micro-batches parallelize at the source
     val par = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < par) df.repartition(par) else df
+    df.queryExecution.executedPlan match {
+      case _: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => df
+      case p if p.exists(_.isInstanceOf[org.apache.spark.sql.execution.exchange.ShuffleExchangeLike]) =>
+        df // AQE off but an exchange is present: same fan-out argument
+      case p =>
+        val splits = p.collectLeaves().map {
+          case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+            f.inputRDD.getNumPartitions
+          case _: org.apache.spark.sql.execution.LocalTableScanExec => 1
+          case _ => par // unknown leaf: assume parallel enough, don't touch
+        }.sum
+        if (splits < par) df.repartition(par) else df
+    }
   }
 
   /** Deterministic sequence packing for pretraining batches: documents

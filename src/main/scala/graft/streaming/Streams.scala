@@ -196,6 +196,76 @@ object Streams {
       .drop((0 until bands).flatMap(b => Seq(s"band_$b", s"blocker_$b")) :+ "sig" :+ "blocked_by_raw": _*)
   }
 
+  /** Streaming VECTOR-similarity admission against a STANDING IVF-PQ
+    * index — the ANN-layout counterpart of [[admissionGate]]'s LSH-band
+    * gate, closing the loop between the persisted PQ code layouts
+    * ([[graft.operators.Ann.writeIvfPqPartitioned]]) and the streaming
+    * tier: each arriving vector probes its `nProbe` nearest IVF cells,
+    * equi-joins the per-cell entry lists of
+    * [[graft.operators.Ann.pqAdmissionIndex]], and is BLOCKED when its
+    * best asymmetric-distance match falls at or under `maxDist` —
+    * ADC distance below threshold means an indexed near-duplicate.
+    *
+    * Stateless by construction, like the other admission gates: the
+    * probe is a per-row UDF over driver-held centroids (KBs), the cell
+    * lookups are `nProbe` stream-static left equi-joins (one row per
+    * cell on the static side), and the min-distance scan is per-row
+    * column arithmetic ([[graft.operators.Ann.adcBestMatch]] — the
+    * per-query lookup tables are let-bound, built once per row). No
+    * watermark, no state store, append mode; the static index is
+    * rebuilt per snapshot exactly like the LSH admission index. As with
+    * [[admissionGate]], within-batch sibling blocking (two novel twins
+    * arriving together) is the batch operator's job at compaction —
+    * the gate checks the STANDING corpus only, so it never blocks a
+    * vector the batch rule would keep.
+    *
+    * Emits the input columns plus `admitted`, `nearest_id` (blocking
+    * vector, -1 when admitted) and `nearest_dist` (floored ADC distance
+    * to the best indexed match, null when no probed cell had entries).
+    *
+    * @param vecs      streaming (vec_id long, embedding array<float>, ...)
+    * @param index     static frame from [[graft.operators.Ann.pqAdmissionIndex]]
+    * @param centroids IVF centroids the index layout was built with
+    * @param codebooks PQ codebooks the index codes were encoded with —
+    *                  as with [[admissionGate]], a mismatch would score
+    *                  garbage distances, which is why both artifacts are
+    *                  parameters tied to one index snapshot
+    * @param maxDist   squared-euclidean ADC distance at or under which an
+    *                  arriving vector counts as a duplicate
+    */
+  def pqAdmissionGate(
+      vecs: DataFrame,
+      index: DataFrame,
+      centroids: Array[Array[Float]],
+      codebooks: Seq[Seq[Seq[Double]]],
+      maxDist: Double,
+      nProbe: Int = 3): DataFrame = {
+    val probeUdf = udf { (v: Seq[Float]) =>
+      graft.operators.Ann.nearestCells(v, centroids, nProbe)
+    }
+    val withProbes = (0 until nProbe).foldLeft(
+      vecs.withColumn("probes", probeUdf(col("embedding")))) { (df, p) =>
+      df.withColumn(s"cell_$p", element_at(col("probes"), p + 1))
+    }
+    val joined = (0 until nProbe).foldLeft(withProbes) { (df, p) =>
+      df.join(
+        index.select(col("cell").as(s"cell_$p"), col("entries").as(s"entries_$p")),
+        Seq(s"cell_$p"), "left")
+    }
+    val bests = (0 until nProbe).map(p =>
+      graft.operators.Ann.adcBestMatch(col(s"entries_$p"), col("embedding"), codebooks))
+    joined
+      // least() skips nulls: the best match over all probed cells, null
+      // only when every probed cell was absent/empty in the index
+      // (least needs two args — a single-probe gate is just its one best)
+      .withColumn("best", if (bests.length == 1) bests.head else least(bests: _*))
+      .withColumn("admitted", col("best").isNull || col("best.d") > maxDist)
+      .withColumn("nearest_id", when(col("admitted"), lit(-1L)).otherwise(col("best.v")))
+      .withColumn("nearest_dist", col("best.d"))
+      .drop((0 until nProbe).flatMap(p => Seq(s"cell_$p", s"entries_$p")) ++
+        Seq("probes", "best"): _*)
+  }
+
   /** Streaming line-dedup gate: the stream-shaped half of
     * [[graft.operators.Dedup.incrementalLineDedup]]. Each arriving
     * document explodes into lines (stateless) and stream-static

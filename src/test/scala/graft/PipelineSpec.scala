@@ -576,6 +576,82 @@ class AnnSpec extends AnyFunSuite with SparkTestSession {
     val k3 = Ann.trainPqCodebooksCached(mutated, "pq-spec", m = 4, dsub = 4, kStar = 8, maxIter = 3)
     assert(!(k3 eq k1), "mutated corpus must not be served stale codebooks")
   }
+
+  test("IVF-PQ: full probe equals flat ADC; partial probe prunes partitions") {
+    val vecs = corpus.select("vec_id", "embedding")
+    val (centroids, _) = Ann.buildIvf(spark, vecs, nCells = 8, maxIter = 3)
+    val books = Ann.trainPqCodebooks(vecs, m = 8, dsub = 8, kStar = 8, maxIter = 3)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivfpq").toString
+    Ann.writeIvfPqPartitioned(vecs, centroids, books, dir)
+    val qs = vecs.filter($"vec_id" < 3)
+      .select($"vec_id".as("query_id"), $"embedding".as("q_embedding"))
+    // full probe: cell pruning is physical only — the composed path must
+    // reproduce the flat ADC scan row for row (ranks, ids, distances)
+    val full = Ann.ivfPqTopK(spark, dir, qs, centroids, books, k = 7, nProbe = 8)
+      .select("query_id", "rank", "vec_id", "adc_dist")
+      .as[(Long, Int, Long, Double)].collect().toSet
+    val flat = Ann.pqAdcTopK(vecs, books, nQueries = 3, k = 7)
+      .select("query_id", "rank", "vec_id", "adc_dist")
+      .as[(Long, Int, Long, Double)].collect().toSet
+    assert(full == flat, "full-probe IVF-PQ must equal the flat ADC scan")
+    // partial probe: the cell filter must reach the scan as a genuine
+    // partition-pruning predicate, not a post-scan filter
+    val partial = Ann.ivfPqTopK(spark, dir, qs, centroids, books, k = 7, nProbe = 2)
+    val plan = partial.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("cell"),
+      s"probe must prune cell partitions:\n${plan.take(800)}")
+    // and the probed subset still finds most of what the flat scan finds
+    val got = partial.select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    val hits = flat.map(r => (r._1, r._3)).count(got.contains).toDouble / flat.size
+    assert(hits >= 0.5, s"2/8-cell probe recall vs flat ADC suspiciously low: $hits")
+  }
+
+  test("IVF-PQ layout: fingerprint-keyed build-once, rebuilt on corpus or index change") {
+    val vecs = corpus.select("vec_id", "embedding")
+    val (centroids, _) = Ann.buildIvf(spark, vecs, nCells = 8, maxIter = 3)
+    val books = Ann.trainPqCodebooks(vecs, m = 8, dsub = 8, kStar = 8, maxIter = 3)
+    val base = java.nio.file.Files.createTempDirectory("graft_ivfpq_fp").toString
+    val p1 = Ann.ivfPqLayout(spark, vecs, base, centroids, books)
+    val marker = new java.io.File(p1, "_SUCCESS")
+    assert(marker.exists())
+    val mtime = marker.lastModified()
+    val p2 = Ann.ivfPqLayout(spark, vecs, base, centroids, books)
+    assert(p2 == p1)
+    assert(marker.lastModified() == mtime, "unchanged corpus+index must not rebuild")
+    val p3 = Ann.ivfPqLayout(
+      spark, vecs.filter($"vec_id" =!= 0L), base, centroids, books)
+    assert(p3 != p1, "a mutated corpus must get a fresh layout")
+    // retrained index (different books) under the SAME corpus → new path:
+    // stale codes under new codebooks would score garbage distances
+    val seedBooks = Ann.trainPqCodebooks(vecs, m = 8, dsub = 8, kStar = 8, maxIter = 0)
+    val p4 = Ann.ivfPqLayout(spark, vecs, base, centroids, seedBooks)
+    assert(p4 != p1, "retrained codebooks must get a fresh layout")
+  }
+
+  test("fused PQ training: job count scales with iterations, not subspaces") {
+    // The m per-subspace Lloyd problems share each iteration as one
+    // aggregate job over the exploded (subspace, subvector) frame. At
+    // m=8, the old per-subspace loop shape costs >= m*maxIter (~24+)
+    // jobs; the fused shape stays at ~2 per iteration (AQE splits a
+    // shuffle into map+final) plus sample-count and seed passes.
+    val vecs = corpus.select("vec_id", "embedding")
+    val sc = spark.sparkContext
+    sc.setJobGroup("pq-train-jobs", "fused trainer job audit")
+    try Ann.trainPqCodebooks(vecs, m = 8, dsub = 8, kStar = 8, maxIter = 3)
+    finally sc.clearJobGroup()
+    // status store ingests listener events asynchronously — poll briefly
+    var jobs = 0
+    val deadline = System.currentTimeMillis() + 10000
+    var last = -1
+    while (System.currentTimeMillis() < deadline &&
+           { jobs = sc.statusTracker.getJobIdsForGroup("pq-train-jobs").length
+             jobs != last || jobs == 0 }) {
+      last = jobs; Thread.sleep(200)
+    }
+    assert(jobs > 0, "job audit saw no jobs — group not attached?")
+    assert(jobs <= 2 * 3 + 6,
+      s"fused trainer launched $jobs jobs for m=8, maxIter=3 — per-subspace loop shape?")
+  }
 }
 
 class RagSpec extends AnyFunSuite with SparkTestSession {

@@ -284,4 +284,35 @@ class GraftExtensionsSpec extends AnyFunSuite with SparkTestSession {
     val wide = (1 to 100).toDF("x").repartition(par)
     assert(Scale.parallelismFloor(wide) eq wide, "wide input must pass through unchanged")
   }
+
+  test("parallelismFloor: plan-derived split count — no job, shuffle lineage untouched") {
+    import spark.implicits._
+    val par = spark.sparkContext.defaultParallelism
+    val dir = java.nio.file.Files.createTempDirectory("graft-floor-scan").toString
+    (1 to 50).toDF("x").coalesce(1).write.mode("overwrite").parquet(dir)
+    // a single-file parquet scan = one split -> floored; the decision
+    // itself must launch NO Spark job (the r8-flagged df.rdd path could
+    // materialize upstream AQE stages just to count partitions). The
+    // frame is built OUTSIDE the audited region — parquet schema
+    // inference runs its own small job, which is the reader's cost, not
+    // the floor's.
+    val scan = spark.read.parquet(dir)
+    scan.schema
+    val sc = spark.sparkContext
+    sc.setJobGroup("floor-audit", "parallelismFloor job audit")
+    val floored = try Scale.parallelismFloor(scan)
+                  finally sc.clearJobGroup()
+    Thread.sleep(2000) // status store ingests listener events async
+    assert(sc.statusTracker.getJobIdsForGroup("floor-audit").isEmpty,
+      "deciding the floor must not run a job")
+    assert(floored.rdd.getNumPartitions == par, "one-split scan must fan out")
+    // any shuffle already in the lineage fans out downstream — the floor
+    // must pass the frame through IDENTICALLY (this is also why a second
+    // floor above an already-floored frame is structurally free)
+    val agged = spark.read.parquet(dir).groupBy("x").count()
+    assert(Scale.parallelismFloor(agged) eq agged,
+      "shuffle-rooted frame must pass through unchanged")
+    val refloored = Scale.parallelismFloor(floored)
+    assert(refloored eq floored, "second floor must be the identity")
+  }
 }

@@ -331,4 +331,70 @@ class StreamsSpec extends AnyFunSuite with SparkTestSession {
         s"non-default-parameter gate must still block the exact dup: $out")
     } finally query.stop()
   }
+
+  test("streaming PQ admission gate: cross-batch verdicts match batch semanticDedup") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.{Ann, Dedup}
+    // 8 planted clusters in 16 dims (the PQ training spec's geometry):
+    // within-cluster quantization error is tiny and cross-cluster
+    // distance is huge, so the euclidean ADC gate and the cosine batch
+    // dedup must agree on every verdict — the regime where approximating
+    // one metric with the other is exact, which is what lets the spec
+    // demand verdict EQUALITY rather than overlap.
+    def clusterVec(i: Long): Array[Float] = {
+      val c = (i % 8).toInt
+      Array.tabulate(16) { j =>
+        val sign = if (((c >> (j % 3)) & 1) == 0) 1.0f else -1.0f
+        sign * 0.8f + ((i / 8 % 5).toInt - 2) * 0.01f
+      }
+    }
+    val corpus = (0L until 64L).map(i => (i, clusterVec(i))).toDF("vec_id", "embedding")
+    val (centroids, _) = Ann.buildIvf(spark, corpus, nCells = 4, maxIter = 3)
+    val books = Ann.trainPqCodebooks(corpus, m = 4, dsub = 4, kStar = 8, maxIter = 3)
+    // the gate reads the PERSISTED IVF-PQ layout — the same artifact the
+    // batch ANN queries probe — grouped per cell for the standing index
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_ivfpq").toString
+    Ann.writeIvfPqPartitioned(corpus, centroids, books, dir)
+    val index = Ann.pqAdmissionIndex(spark.read.parquet(dir), m = 4)
+
+    def twin(of: Long, id: Long): (Long, Array[Float]) =
+      (id, clusterVec(of).map(x => x + 0.005f))
+    def novel(id: Long, seed: Int): (Long, Array[Float]) =
+      (id, Array.tabulate(16)(j => (math.sin(seed * 2.1 + j * 0.9) * 3.0).toFloat))
+
+    val input = MemoryStream[(Long, Array[Float])]
+    val query = Streams.pqAdmissionGate(
+      input.toDF().toDF("vec_id", "embedding"), index, centroids, books,
+      maxDist = 1.0, nProbe = 2)
+      .writeStream.format("memory").queryName("pqgate")
+      .outputMode(OutputMode.Append()).start()
+    val incoming = try {
+      input.addData(twin(3L, 100L), twin(12L, 101L), novel(102L, 7))
+      query.processAllAvailable()
+      // second micro-batch: the SAME standing index serves it — a twin
+      // of an already-twinned corpus vector must still be blocked
+      input.addData(twin(3L, 200L), twin(40L, 201L), novel(202L, 11))
+      query.processAllAvailable()
+      spark.table("pqgate").collect()
+        .map(r => r.getAs[Long]("vec_id") ->
+          ((r.getAs[Boolean]("admitted"), r.getAs[Long]("nearest_id")))).toMap
+    } finally query.stop()
+    // twins block on their cluster (ADC ties break to the lowest vec_id,
+    // so the blocker is the cluster's first member); novels pass
+    assert(incoming == Map(
+      100L -> ((false, 3L % 8)), 101L -> ((false, 12L % 8)), 102L -> ((true, -1L)),
+      200L -> ((false, 3L % 8)), 201L -> ((false, 40L % 8)), 202L -> ((true, -1L))),
+      s"gate verdicts: $incoming")
+    // cross-batch admission == the batch semanticDedup verdicts on the
+    // same data: dedup the union (corpus + both batches' arrivals) and
+    // every arriving id must be kept iff the gate admitted it
+    val arrivals = Seq(twin(3L, 100L), twin(12L, 101L), novel(102L, 7),
+      twin(3L, 200L), twin(40L, 201L), novel(202L, 11))
+    val union = corpus.unionByName(arrivals.toDF("vec_id", "embedding"))
+    val batchKept = Dedup.semanticDedup(union, nCells = 4, threshold = 0.95, lloydIter = 3)
+      .filter($"vec_id" >= 100L)
+      .select("vec_id", "kept").as[(Long, Boolean)].collect().toMap
+    assert(batchKept == incoming.view.mapValues(_._1).toMap,
+      s"stream gate and batch semanticDedup disagree: batch=$batchKept stream=$incoming")
+  }
 }
