@@ -1796,6 +1796,86 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    "ann_ivfpq_rerank" -> ((s, dir) => {
+      // Two-stage IVF-PQ (the production refinement): ADC over-fetches
+      // k*overfetch candidates from the probed cells of the SAME
+      // fingerprint-keyed layout ann_ivfpq_topk reads, then an exact
+      // float euclidean rerank of only those candidates picks the final
+      // top-k. ADC ordering errors inside the probe are fully corrected,
+      // so recall is bounded only by probe coverage — hard-gated in
+      // Verify ABOVE the plain IVF-PQ gate; full-probe + full-over-fetch
+      // == exact euclidean top-k is spec-pinned (AnnSpec).
+      val emb = Tables.embeddings(s, dir)
+      val (centroids, _) = operators.Ann.buildIvfCached(
+        s, emb, cacheKey = dir, nCells = 8, maxIter = 3)
+      val books = operators.Ann.trainPqCodebooksCached(
+        emb, cacheKey = dir, m = 8, dsub = 8, kStar = 16, maxIter = 5)
+      val base = new java.io.File(
+        sys.props("java.io.tmpdir"), "graft_ann_layouts").getAbsolutePath
+      val layout = operators.Ann.ivfPqLayout(s, emb, base, centroids, books)
+      val qs = emb.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"))
+      operators.Ann.ivfPqTopKReranked(
+        s, layout, qs, emb, centroids, books, k = 10, nProbe = 3, overfetch = 4)
+        .orderBy("query_id", "rank")
+    }),
+
+    "ann_ivfpq_residual_topk" -> ((s, dir) => {
+      // Residual-encoded IVF-PQ (IVFADC proper, Jégou et al. TPAMI
+      // 2011): codes quantize x − centroid(cell) under books trained on
+      // the residual distribution, and the query-side ADC tables are
+      // built from q − centroid(cell) per probed cell — the scored
+      // distance is exactly ‖q − full reconstruction‖². Residuals
+      // concentrate the code budget on the variance the coarse cells
+      // left behind; spec-pinned against a reconstruction brute force
+      // and a residual-beats-raw quantization-error check (AnnSpec);
+      // recall hard-gated in Verify with its siblings.
+      val emb = Tables.embeddings(s, dir)
+      val (centroids, _) = operators.Ann.buildIvfCached(
+        s, emb, cacheKey = dir, nCells = 8, maxIter = 3)
+      val books = operators.Ann.trainPqCodebooksResidualCached(
+        emb, cacheKey = dir, centroids, m = 8, dsub = 8, kStar = 16, maxIter = 5)
+      val base = new java.io.File(
+        sys.props("java.io.tmpdir"), "graft_ann_layouts").getAbsolutePath
+      val layout = operators.Ann.ivfPqResidualLayout(s, emb, base, centroids, books)
+      val qs = emb.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"))
+      operators.Ann.ivfPqResidualTopK(
+        s, layout, qs, centroids, books, k = 10, nProbe = 3)
+        .orderBy("query_id", "rank")
+    }),
+
+    "ann_ivfpq_incremental" -> ((s, dir) => {
+      // The index MAINTENANCE lifecycle as a query: a versioned IVF-PQ
+      // root built as base write + batch append (marker-gated, so
+      // re-runs converge on the same tree with every write skipped) +
+      // tombstone delete, probed through the same partition-pruned ADC
+      // scan. Verify hard-gates EXACT row equality against a one-shot
+      // rebuild over (corpus − victims) with the same index — the
+      // append/delete path may never drift from the rebuild semantics
+      // (also spec-pinned incl. compaction, AnnSpec).
+      val emb = Tables.embeddings(s, dir)
+      val (centroids, _) = operators.Ann.buildIvfCached(
+        s, emb, cacheKey = dir, nCells = 8, maxIter = 3)
+      val books = operators.Ann.trainPqCodebooksCached(
+        emb, cacheKey = dir, m = 8, dsub = 8, kStar = 16, maxIter = 5)
+      val base = new java.io.File(
+        sys.props("java.io.tmpdir"), "graft_ann_layouts").getAbsolutePath
+      val root = operators.Ann.ivfPqVersionedRoot(emb, base, centroids, books)
+      // standing corpus vs a later ingest batch: deterministic hash split
+      operators.Ann.ivfPqAppendBatch(s, root,
+        emb.filter(pmod(hash(col("vec_id")), lit(5)) =!= 0), centroids, books, "base")
+      operators.Ann.ivfPqAppendBatch(s, root,
+        emb.filter(pmod(hash(col("vec_id")), lit(5)) === 0), centroids, books, "b1")
+      operators.Ann.ivfPqDeleteByKey(s, root,
+        emb.filter(col("vec_id").isin(7L, 11L)).select("vec_id"))
+      val qs = emb.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"))
+      operators.Ann.ivfPqTopKVersioned(
+        s, root, qs, centroids, books, k = 10, nProbe = 3)
+        .orderBy("query_id", "rank")
+    }),
+
     "ann_quantized_rerank" -> ((s, dir) => {
       // Two-stage production path: int8 coarse scan over-fetches 4k
       // candidates, float cosine reranks only those — both stages

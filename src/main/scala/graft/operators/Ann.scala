@@ -827,6 +827,346 @@ object Ann {
       .select("query_id", "rank", "vec_id", "adc_dist")
   }
 
+  /** Two-stage IVF-PQ: ADC over-fetches `k * overfetch` candidates per
+    * query from the probed cells, then an exact float EUCLIDEAN rerank
+    * (ADC's own metric) of just those candidates picks the final top-k.
+    * This is the production refinement step: ADC ordering errors inside
+    * the probed set are fully corrected — the only residual error source
+    * is a true neighbor outside the probe or the over-fetch, so recall
+    * is bounded above only by probe coverage. The float corpus is
+    * touched for `nQueries × k × overfetch` rows via a broadcast id
+    * equi-join (the candidate list is tiny; the corpus never reshuffles),
+    * exactly the [[quantizedTopKReranked]] shape lifted onto the
+    * partitioned PQ layout. With full probe and over-fetch ≥ corpus the
+    * result equals the exact euclidean top-k (spec-pinned) — like the
+    * int8 rerank, the two-stage path has no approximation blind spot.
+    */
+  def ivfPqTopKReranked(
+      spark: SparkSession,
+      path: String,
+      queries: DataFrame,
+      corpus: DataFrame,
+      centroids: Array[Array[Float]],
+      codebooks: Seq[Seq[Seq[Double]]],
+      k: Int,
+      nProbe: Int = 3,
+      overfetch: Int = 4): DataFrame = {
+    val coarse = ivfPqTopK(spark, path, queries, centroids, codebooks,
+      k * overfetch, nProbe).select("query_id", "vec_id")
+    val d2 = aggregate(
+      zip_with(col("q_emb"), col("c_emb"),
+        (x, y) => { val d = x.cast("double") - y.cast("double"); d * d }),
+      lit(0.0d), (acc, v) => acc + v)
+    corpus.select(col("vec_id"), col("embedding").as("c_emb"))
+      .join(broadcast(coarse
+        .join(queries.select(col("query_id"), col("q_embedding").as("q_emb")),
+          "query_id")), "vec_id")
+      .withColumn("d2", graft.functions.TextAnalysis.floorScale(d2, 6))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("query_id").orderBy(asc("d2"), asc("vec_id"))))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "vec_id", "d2")
+  }
+
+  // --------------------------------------------------- residual IVF-PQ
+  /** `centroids(cell)` as a column over the tiny literal centroid array
+    * (1-based `element_at` over a `typedLit` — the IVF centroid set is
+    * KBs and rides the plan, never a join).
+    */
+  private def centroidAt(centroids: Array[Array[Float]], cell: Column): Column =
+    element_at(typedLit(centroids.map(_.toSeq)), cell + 1)
+
+  /** The residual `emb − centroids(cell)`, elementwise float arithmetic —
+    * deterministic and identical on the encode and query sides.
+    */
+  private def residualCol(
+      centroids: Array[Array[Float]], cell: Column, emb: Column): Column =
+    zip_with(emb, centroidAt(centroids, cell), (x, c) => x - c)
+
+  /** Each vector's IVF cell plus its RESIDUAL to the cell centroid in
+    * place of the raw embedding — the frame residual PQ trains and
+    * encodes on. Residuals concentrate around 0 once the coarse cells
+    * capture corpus structure, so the same `m × k*` code budget spends
+    * its centroids on a much smaller-variance distribution than raw
+    * vectors — the reason IVFADC (Jégou et al., TPAMI 2011) encodes
+    * residuals, and the round-9 step from the plain IVF-PQ composition.
+    */
+  def residualFrame(
+      corpus: DataFrame, centroids: Array[Array[Float]]): DataFrame =
+    assignCells(corpus, centroids)
+      .withColumn("embedding",
+        residualCol(centroids, col("cell"), col("embedding")))
+
+  /** [[trainPqCodebooks]] over the RESIDUAL distribution — the books ADC
+    * scores residual codes with must be trained on residuals, not raw
+    * vectors (the distributions differ by exactly the structure the
+    * coarse quantizer removed).
+    */
+  def trainPqCodebooksResidual(
+      corpus: DataFrame,
+      centroids: Array[Array[Float]],
+      m: Int,
+      dsub: Int,
+      kStar: Int,
+      maxIter: Int = 5): Seq[Seq[Seq[Double]]] =
+    trainPqCodebooks(
+      residualFrame(corpus, centroids).select("vec_id", "embedding"),
+      m, dsub, kStar, maxIter)
+
+  /** [[trainPqCodebooksResidual]] memoized like [[trainPqCodebooksCached]],
+    * with the coarse centroids folded into the key — retrained IVF cells
+    * change every residual, so books trained under old centroids must
+    * never be served for new ones.
+    */
+  def trainPqCodebooksResidualCached(
+      corpus: DataFrame,
+      cacheKey: String,
+      centroids: Array[Array[Float]],
+      m: Int,
+      dsub: Int,
+      kStar: Int,
+      maxIter: Int = 5): Seq[Seq[Seq[Double]]] = {
+    val fpRow = corpus.agg(
+      count(lit(1)).as("n"),
+      coalesce(expr("bit_xor(xxhash64(vec_id, embedding))"), lit(0L)).as("fp"))
+      .head()
+    val cFp = MurmurHash3.orderedHash(centroids.iterator.flatten.map(_.toDouble))
+    val key = s"$cacheKey|res$cFp|${fpRow.getLong(0)}|${fpRow.getLong(1)}|$m|$dsub|$kStar|$maxIter"
+    pqBookCache.computeIfAbsent(key,
+      _ => trainPqCodebooksResidual(corpus, centroids, m, dsub, kStar, maxIter))
+  }
+
+  /** [[writeIvfPqPartitioned]] with RESIDUAL encoding: codes quantize
+    * `x − centroid(cell)` instead of `x`. Same one-pass write (assign +
+    * residual + encode are one map-only scan), same layout shape.
+    */
+  def writeIvfPqResidualPartitioned(
+      corpus: DataFrame,
+      centroids: Array[Array[Float]],
+      codebooks: Seq[Seq[Seq[Double]]],
+      path: String): Unit =
+    residualFrame(corpus, centroids)
+      .select(col("vec_id") +: pqCodeCols(codebooks) :+ col("cell"): _*)
+      .write.mode("overwrite").partitionBy("cell").parquet(path)
+
+  /** Build-once [[writeIvfPqResidualPartitioned]] layout, fingerprint
+    * discipline of [[ivfPqLayout]] (distinct path prefix — a residual
+    * layout and a raw-code layout of the same corpus+index never
+    * collide).
+    */
+  def ivfPqResidualLayout(
+      spark: SparkSession,
+      corpus: DataFrame,
+      baseDir: String,
+      centroids: Array[Array[Float]],
+      codebooks: Seq[Seq[Seq[Double]]]): String = {
+    val fpRow = corpus.agg(
+      count(lit(1)).as("n"),
+      coalesce(expr("bit_xor(xxhash64(vec_id, embedding))"), lit(0L)).as("fp"))
+      .head()
+    val idxFp = MurmurHash3.orderedHash(
+      centroids.iterator.flatten.map(_.toDouble) ++ codebooks.iterator.flatten.flatten)
+    val path = s"$baseDir/ivfpqr_c${centroids.length}_m${codebooks.length}" +
+      s"_n${fpRow.getLong(0)}_fp${java.lang.Long.toHexString(fpRow.getLong(1))}" +
+      s"_ix${Integer.toHexString(idxFp)}"
+    val success = new org.apache.hadoop.fs.Path(path, "_SUCCESS")
+    val fs = success.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(success))
+      writeIvfPqResidualPartitioned(corpus, centroids, codebooks, path)
+    path
+  }
+
+  /** Residual-encoded IVF-PQ top-k (IVFADC proper): the probed frame
+    * already carries each candidate row's `cell`, so the ADC lookup
+    * tables are built from the QUERY RESIDUAL `q − centroid(cell)` —
+    * per (query, probed cell), not per query — and the scored distance
+    * is exactly `‖q − (centroid(cell) + reconstruction(codes))‖²`, the
+    * distance from the query to the candidate's full reconstruction
+    * (spec-pinned against a brute-force scan of reconstructions). The
+    * residual is let-bound ([[letCol]]) so the 64-dim subtract runs once
+    * per row, not once per subspace; everything else (partition-pruned
+    * scan, floored ranking, vec_id tiebreak) is the [[ivfPqTopK]] shape.
+    * LUT cost is nProbe× the raw-code path's — the standard IVFADC
+    * trade, paid on the tiny probed frame, never the corpus.
+    */
+  def ivfPqResidualTopK(
+      spark: SparkSession,
+      path: String,
+      queries: DataFrame,
+      centroids: Array[Array[Float]],
+      codebooks: Seq[Seq[Seq[Double]]],
+      k: Int,
+      nProbe: Int = 3): DataFrame = {
+    import spark.implicits._
+    val qRows = queries.select("query_id", "q_embedding").collect()
+    val probes: Seq[(Long, Int)] = qRows.toSeq.flatMap { r =>
+      nearestCells(r.getSeq[Float](1), centroids, nProbe)
+        .map(c => (r.getLong(0), c))
+    }
+    val cellSet = probes.map(_._2).distinct
+    val codes = spark.read.parquet(path).filter(col("cell").isin(cellSet: _*))
+    val probed = probes.toDF("query_id", "cell")
+      .join(queries.select(col("query_id"), col("q_embedding").as("q_emb")), "query_id")
+    val adc = letCol(residualCol(centroids, col("cell"), col("q_emb")))(qr =>
+      adcDist(codebooks, qr, s => col(s"code_$s")))
+    codes.join(broadcast(probed), "cell")
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("adc_dist", graft.functions.TextAnalysis.floorScale(adc, 6))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("query_id").orderBy(asc("adc_dist"), asc("vec_id"))))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "vec_id", "adc_dist")
+  }
+
+  // ------------------------------------------- incremental IVF-PQ index
+  /** Append one ingest batch to a VERSIONED IVF-PQ root as its own
+    * `batch=<id>` partition tree (`root/batch=<id>/cell=<c>/…`): assign +
+    * encode is the same one-pass scan as [[writeIvfPqPartitioned]], but
+    * the write touches ONLY the new batch's directory — the standing
+    * corpus is never rewritten, the daily-crawl lifecycle the dedup tier
+    * already has ([[Dedup.lineIndex]] et al.) extended to the vector
+    * index. Idempotent and crash-safe: an existing `_SUCCESS` under the
+    * batch directory skips the write entirely (re-delivered batches
+    * cannot double-insert), and a crashed write without the marker is
+    * simply overwritten on retry. Readers discover `batch`/`cell` as
+    * partition columns; cell pruning works ACROSS batches (the probe's
+    * static `isin` on `cell` prunes every batch's unprobed cells).
+    * Centroids/codebooks are NOT retrained per batch — the standard
+    * IVF discipline: the coarse quantizer drifts slowly, so batches
+    * encode under the standing index until a compaction rebuilds it.
+    */
+  def ivfPqAppendBatch(
+      spark: SparkSession,
+      rootPath: String,
+      batch: DataFrame,
+      centroids: Array[Array[Float]],
+      codebooks: Seq[Seq[Seq[Double]]],
+      batchId: String): Unit = {
+    val dir = s"$rootPath/batch=$batchId"
+    val success = new org.apache.hadoop.fs.Path(dir, "_SUCCESS")
+    val fs = success.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(success))
+      assignCells(batch, centroids)
+        .select(col("vec_id") +: pqCodeCols(codebooks) :+ col("cell"): _*)
+        .write.mode("overwrite").partitionBy("cell").parquet(dir)
+  }
+
+  /** Tombstone-delete from a versioned IVF-PQ root: victim ids land in
+    * `root/_tombstones/delfp=<fingerprint>/` (underscore-prefixed, so
+    * partition discovery of the code tree never sees them) and readers
+    * anti-join them out — the delete-vector pattern of LSM/lakehouse
+    * formats: no data file is rewritten at delete time; [[ivfPqCompact]]
+    * folds tombstones in physically. Content-fingerprint keyed and
+    * `_SUCCESS`-gated like the batch append: re-deleting the same victim
+    * set is a no-op, and a crashed write is overwritten on retry.
+    */
+  def ivfPqDeleteByKey(
+      spark: SparkSession, rootPath: String, victims: DataFrame): Unit = {
+    val fpRow = victims.agg(
+      count(lit(1)).as("n"),
+      coalesce(expr("bit_xor(xxhash64(vec_id))"), lit(0L)).as("fp"))
+      .head()
+    val dir = s"$rootPath/_tombstones/delfp=" +
+      s"${fpRow.getLong(0)}x${java.lang.Long.toHexString(fpRow.getLong(1))}"
+    val success = new org.apache.hadoop.fs.Path(dir, "_SUCCESS")
+    val fs = success.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(success))
+      victims.select("vec_id").write.mode("overwrite").parquet(dir)
+  }
+
+  /** The LIVE code rows of a versioned root: every batch's codes
+    * (partition discovery over `batch=`/`cell=`), minus tombstoned ids
+    * (left-anti — Spark broadcasts the tombstone side while it is small;
+    * compaction keeps it small). `extraFilter` is pushed below the
+    * anti-join so cell pruning stays a `PartitionFilters` predicate.
+    */
+  def ivfPqLiveCodes(
+      spark: SparkSession,
+      rootPath: String,
+      extraFilter: Option[Column] = None): DataFrame = {
+    val codes0 = spark.read.option("basePath", rootPath).parquet(rootPath)
+    val codes = extraFilter.fold(codes0)(codes0.filter)
+    val tombPath = new org.apache.hadoop.fs.Path(s"$rootPath/_tombstones")
+    val fs = tombPath.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(tombPath))
+      codes.join(
+        spark.read.parquet(s"$rootPath/_tombstones").select("vec_id"),
+        Seq("vec_id"), "left_anti")
+    else codes
+  }
+
+  /** [[ivfPqTopK]] over a VERSIONED root ([[ivfPqAppendBatch]] /
+    * [[ivfPqDeleteByKey]]): identical scoring/ranking, reading the live
+    * rows — so a base-layout query and a query over (base write + batch
+    * appends − tombstones) of the same corpus are row-for-row equal
+    * (spec-pinned). The cell probe prunes partitions across all batches.
+    */
+  def ivfPqTopKVersioned(
+      spark: SparkSession,
+      rootPath: String,
+      queries: DataFrame,
+      centroids: Array[Array[Float]],
+      codebooks: Seq[Seq[Seq[Double]]],
+      k: Int,
+      nProbe: Int = 3): DataFrame = {
+    import spark.implicits._
+    val qRows = queries.select("query_id", "q_embedding").collect()
+    val probes: Seq[(Long, Int)] = qRows.toSeq.flatMap { r =>
+      nearestCells(r.getSeq[Float](1), centroids, nProbe)
+        .map(c => (r.getLong(0), c))
+    }
+    val cellSet = probes.map(_._2).distinct
+    val codes = ivfPqLiveCodes(spark, rootPath,
+      Some(col("cell").isin(cellSet: _*)))
+    val probed = probes.toDF("query_id", "cell")
+      .join(queries.select(col("query_id"), col("q_embedding").as("q_emb")), "query_id")
+    codes.join(broadcast(probed), "cell")
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("adc_dist", graft.functions.TextAnalysis.floorScale(
+        adcDist(codebooks, col("q_emb"), s => col(s"code_$s")), 6))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("query_id").orderBy(asc("adc_dist"), asc("vec_id"))))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "vec_id", "adc_dist")
+  }
+
+  /** The canonical VERSIONED-root path for a (corpus, index) pair — the
+    * same fingerprint discipline as [[ivfPqLayout]] (prefix `ivfpqv_`),
+    * but computed WITHOUT writing: the root is populated by
+    * [[ivfPqAppendBatch]] calls, each marker-gated, so repeated
+    * pipeline runs over an unchanged corpus+index converge on the same
+    * directory tree with every write skipped.
+    */
+  def ivfPqVersionedRoot(
+      corpus: DataFrame,
+      baseDir: String,
+      centroids: Array[Array[Float]],
+      codebooks: Seq[Seq[Seq[Double]]]): String = {
+    val fpRow = corpus.agg(
+      count(lit(1)).as("n"),
+      coalesce(expr("bit_xor(xxhash64(vec_id, embedding))"), lit(0L)).as("fp"))
+      .head()
+    val idxFp = MurmurHash3.orderedHash(
+      centroids.iterator.flatten.map(_.toDouble) ++ codebooks.iterator.flatten.flatten)
+    s"$baseDir/ivfpqv_c${centroids.length}_m${codebooks.length}" +
+      s"_n${fpRow.getLong(0)}_fp${java.lang.Long.toHexString(fpRow.getLong(1))}" +
+      s"_ix${Integer.toHexString(idxFp)}"
+  }
+
+  /** Compact a versioned root into a fresh single-batch root: live rows
+    * (all batches minus tombstones) rewritten as `batch=base`, cell
+    * partitioning preserved. Writes to a NEW root — the caller swaps
+    * paths after the `_SUCCESS`-completed write (same publish-then-swap
+    * discipline as [[graft.operators.Store.overwriteWith]]), so readers
+    * of the old root are never exposed to a half-compacted tree.
+    */
+  def ivfPqCompact(
+      spark: SparkSession, rootPath: String, compactedRoot: String): Unit =
+    ivfPqLiveCodes(spark, rootPath)
+      .withColumn("batch", lit("base"))
+      .write.mode("overwrite").partitionBy("batch", "cell")
+      .parquet(compactedRoot)
+
   /** Per-cell entry lists over an IVF-PQ code table (the frame a
     * [[writeIvfPqPartitioned]] layout reads back as): one row per cell,
     * `entries` = array of (vec_id, code_0..code_{m-1}) structs. This is

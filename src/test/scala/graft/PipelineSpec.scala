@@ -628,6 +628,205 @@ class AnnSpec extends AnyFunSuite with SparkTestSession {
     assert(p4 != p1, "retrained codebooks must get a fresh layout")
   }
 
+  test("IVF-PQ rerank: full probe + full over-fetch equals exact euclidean top-k") {
+    val vecs = corpus.select("vec_id", "embedding")
+    val n = vecs.count().toInt
+    val (centroids, _) = Ann.buildIvf(spark, vecs, nCells = 8, maxIter = 3)
+    val books = Ann.trainPqCodebooks(vecs, m = 8, dsub = 8, kStar = 8, maxIter = 3)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivfpq_rr").toString
+    Ann.writeIvfPqPartitioned(vecs, centroids, books, dir)
+    val qs = vecs.filter($"vec_id" < 3)
+      .select($"vec_id".as("query_id"), $"embedding".as("q_embedding"))
+    val k = 3
+    // full probe + over-fetch >= corpus: the coarse ADC stage only orders
+    // the candidate set; the float euclidean rerank must reproduce the
+    // exact top-k (floored d2, vec_id tiebreak, self excluded)
+    val out = Ann.ivfPqTopKReranked(
+      spark, dir, qs, vecs, centroids, books, k = k, nProbe = 8, overfetch = n)
+      .collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rank"),
+        r.getAs[Long]("vec_id"), r.getAs[Double]("d2")))
+    val raw = vecs.collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getSeq[Float](1).map(_.toDouble).toArray)
+      .toMap
+    def d2(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+      math.floor(s * 1e6) / 1e6
+    }
+    for (q <- 0L until 3L) {
+      val truth = raw.keys.filter(_ != q).toSeq
+        .map(v => (v, d2(raw(q), raw(v))))
+        .sortBy { case (v, s) => (s, v) }.take(k)
+      val got = out.filter(_._1 == q).sortBy(_._2).map(r => (r._3, r._4)).toSeq
+      assert(got == truth, s"query $q: reranked != exact euclidean top-k")
+    }
+    // partial probe + modest over-fetch: recall vs exact must not go DOWN
+    // when the rerank is added on top of the same probed candidate set
+    val plain = Ann.ivfPqTopK(spark, dir, qs, centroids, books, k = 5, nProbe = 2)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    val rr = Ann.ivfPqTopKReranked(
+      spark, dir, qs, vecs, centroids, books, k = 5, nProbe = 2, overfetch = 4)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    val exactTop = (0L until 3L).flatMap { q =>
+      raw.keys.filter(_ != q).toSeq.map(v => (v, d2(raw(q), raw(v))))
+        .sortBy { case (v, s) => (s, v) }.take(5).map(p => (q, p._1))
+    }.toSet
+    val rPlain = exactTop.count(plain.contains).toDouble / exactTop.size
+    val rRr = exactTop.count(rr.contains).toDouble / exactTop.size
+    assert(rRr >= rPlain,
+      s"rerank reduced recall: $rRr < $rPlain — rerank must only fix ADC ordering")
+  }
+
+  test("residual IVF-PQ: full probe equals reconstruction brute force; residual beats raw codes on clustered data") {
+    import org.apache.spark.sql.functions.col
+    // clustered fixture (the PQ-training one): 8 planted clusters whose
+    // structure the coarse cells can capture — the regime residual
+    // encoding exists for
+    val vecs = (0L until 160L).map { i =>
+      val c = (i % 8).toInt
+      (i, Array.tabulate(16) { j =>
+        val sign = if (((c >> (j % 3)) & 1) == 0) 1.0f else -1.0f
+        sign * 0.8f + ((i / 8 % 5).toInt - 2) * 0.01f + (j % 4) * 0.005f * (if (i % 2 == 0) 1 else -1)
+      })
+    }.toDF("vec_id", "embedding")
+    val (centroids, _) = Ann.buildIvf(spark, vecs, nCells = 4, maxIter = 3,
+      sampleNum = 4, sampleDenom = 4)
+    val resBooks = Ann.trainPqCodebooksResidual(
+      vecs, centroids, m = 4, dsub = 4, kStar = 4, maxIter = 3)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivfpq_res").toString
+    Ann.writeIvfPqResidualPartitioned(vecs, centroids, resBooks, dir)
+    val qs = vecs.filter($"vec_id" < 3)
+      .select($"vec_id".as("query_id"), $"embedding".as("q_embedding"))
+    // in-spec reference: cells via the same cosine argmax, residual codes
+    // via the same lowest-code argmin, distance = query to FULL
+    // reconstruction (centroid + decoded residual), per-subspace fold
+    val raw = vecs.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def cellOf(v: Array[Double]): Int =
+      Ann.nearestCells(v.map(_.toFloat), centroids, 1).head
+    def encodeRes(v: Array[Double]): (Int, Seq[Int]) = {
+      val cell = cellOf(v)
+      val res = v.indices.map(i => (v(i).toFloat - centroids(cell)(i)).toDouble)
+      val codes = resBooks.zipWithIndex.map { case (cents, s) =>
+        cents.zipWithIndex.map { case (c, ci) =>
+          (c.zipWithIndex.map { case (x, j) =>
+            val d = res(s * 4 + j) - x; d * d
+          }.sum, ci)
+        }.minBy { case (d, ci) => (d, ci) }._2
+      }
+      (cell, codes)
+    }
+    val out = Ann.ivfPqResidualTopK(
+      spark, dir, qs, centroids, resBooks, k = 7, nProbe = 4)
+      .select("query_id", "rank", "vec_id").as[(Long, Int, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).toSeq).toMap
+    for (q <- 0L until 3L) {
+      val qv = raw(q)
+      val truth = raw.keys.filter(_ != q).toSeq
+        .map { v =>
+          val (cell, codes) = encodeRes(raw(v))
+          // same association as the operator: the LUT is built from the
+          // query residual to THIS candidate's cell, per-subspace sums
+          // first — float residual like residualCol, double accumulation
+          val qr = qv.indices.map(i => (qv(i).toFloat - centroids(cell)(i)).toDouble)
+          val d = resBooks.indices.map { s =>
+            resBooks(s)(codes(s)).zipWithIndex.map { case (c, j) =>
+              val x = qr(s * 4 + j) - c; x * x
+            }.sum
+          }.sum
+          (v, math.floor(d * 1e6) / 1e6)
+        }
+        .sortBy { case (v, d) => (d, v) }.take(7).map(_._1)
+      assert(out(q) == truth,
+        s"query $q: residual IVF-PQ != reconstruction brute force")
+    }
+    // the point of residuals: at the same code budget, quantization error
+    // of (centroid + residual reconstruction) is below raw-code PQ error
+    val rawBooks = Ann.trainPqCodebooks(vecs, m = 4, dsub = 4, kStar = 4, maxIter = 3)
+    def rawErr(v: Array[Double]): Double =
+      rawBooks.zipWithIndex.map { case (cents, s) =>
+        cents.map(c => c.zipWithIndex.map { case (x, j) =>
+          val d = v(s * 4 + j) - x; d * d
+        }.sum).min
+      }.sum
+    def resErr(v: Array[Double]): Double = {
+      val (cell, codes) = encodeRes(v)
+      val res = v.indices.map(i => (v(i).toFloat - centroids(cell)(i)).toDouble)
+      resBooks.indices.map { s =>
+        resBooks(s)(codes(s)).zipWithIndex.map { case (c, j) =>
+          val x = res(s * 4 + j) - c; x * x
+        }.sum
+      }.sum
+    }
+    val (rE, rwE) = (raw.values.map(resErr).sum / raw.size,
+      raw.values.map(rawErr).sum / raw.size)
+    assert(rE < rwE,
+      s"residual encoding did not reduce quantization error: $rE >= $rwE")
+  }
+
+  test("versioned IVF-PQ: append + tombstone delete + compact equal the rebuilt layout") {
+    val vecs = corpus.select("vec_id", "embedding")
+    val (centroids, _) = Ann.buildIvf(spark, vecs, nCells = 8, maxIter = 3)
+    val books = Ann.trainPqCodebooks(vecs, m = 8, dsub = 8, kStar = 8, maxIter = 3)
+    val qs = vecs.filter($"vec_id" < 3)
+      .select($"vec_id".as("query_id"), $"embedding".as("q_embedding"))
+    // base/batch split: the standing corpus vs a later ingest batch
+    val base = vecs.filter(pmod(hash($"vec_id"), lit(5)) =!= 0)
+    val batch = vecs.filter(pmod(hash($"vec_id"), lit(5)) === 0)
+    val root = java.nio.file.Files.createTempDirectory("graft_ivfpq_ver").toString
+    Ann.ivfPqAppendBatch(spark, root, base, centroids, books, "base")
+    Ann.ivfPqAppendBatch(spark, root, batch, centroids, books, "b1")
+    // rebuilt flat layout over the SAME full corpus and index
+    val flatDir = java.nio.file.Files.createTempDirectory("graft_ivfpq_flat").toString
+    Ann.writeIvfPqPartitioned(vecs, centroids, books, flatDir)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "rank", "vec_id", "adc_dist")
+        .as[(Long, Int, Long, Double)].collect().toSet
+    val versioned = Ann.ivfPqTopKVersioned(
+      spark, root, qs, centroids, books, k = 7, nProbe = 3)
+    assert(rows(versioned) ==
+      rows(Ann.ivfPqTopK(spark, flatDir, qs, centroids, books, k = 7, nProbe = 3)),
+      "base + appended batch must equal the rebuilt layout")
+    // the probe must still prune cell partitions across batch directories
+    val plan = versioned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("cell"),
+      s"versioned probe must prune cell partitions:\n${plan.take(800)}")
+    // idempotency: re-delivering the same batch must not double-insert
+    val before = spark.read.option("basePath", root).parquet(root).count()
+    Ann.ivfPqAppendBatch(spark, root, batch, centroids, books, "b1")
+    assert(spark.read.option("basePath", root).parquet(root).count() == before,
+      "re-appending an existing batch id must be a no-op")
+    // tombstone delete: victims picked FROM the current result so the
+    // delete visibly changes it; equality vs a rebuild without them
+    val victims = rows(versioned).toSeq.sortBy(r => (r._1, r._2)).take(2)
+      .map(_._3).distinct
+    val victimDf = victims.toDF("vec_id")
+    Ann.ivfPqDeleteByKey(spark, root, victimDf)
+    Ann.ivfPqDeleteByKey(spark, root, victimDf) // re-delete: no-op, no crash
+    val afterDelete = Ann.ivfPqTopKVersioned(
+      spark, root, qs, centroids, books, k = 7, nProbe = 3)
+    val flatMinus = java.nio.file.Files.createTempDirectory("graft_ivfpq_fm").toString
+    Ann.writeIvfPqPartitioned(
+      vecs.filter(!$"vec_id".isin(victims: _*)), centroids, books, flatMinus)
+    assert(rows(afterDelete) ==
+      rows(Ann.ivfPqTopK(spark, flatMinus, qs, centroids, books, k = 7, nProbe = 3)),
+      "tombstoned layout must equal a rebuild without the victims")
+    assert(rows(afterDelete) != rows(versioned),
+      "victims were in the result set — the delete must change it")
+    // compact: physically folds batches + tombstones into a fresh root
+    val root2 = java.nio.file.Files.createTempDirectory("graft_ivfpq_cmp").toString
+    Ann.ivfPqCompact(spark, root, root2)
+    assert(rows(Ann.ivfPqTopKVersioned(
+      spark, root2, qs, centroids, books, k = 7, nProbe = 3)) == rows(afterDelete),
+      "compaction must not change query results")
+    val live = spark.read.option("basePath", root2).parquet(root2)
+    assert(live.count() == vecs.count() - victims.length,
+      "compaction must physically drop tombstoned rows")
+    assert(!new java.io.File(s"$root2/_tombstones").exists(),
+      "a compacted root carries no tombstones")
+  }
+
   test("fused PQ training: job count scales with iterations, not subspaces") {
     // The m per-subspace Lloyd problems share each iteration as one
     // aggregate job over the exploded (subspace, subvector) frame. At
