@@ -397,4 +397,61 @@ class StreamsSpec extends AnyFunSuite with SparkTestSession {
     assert(batchKept == incoming.view.mapValues(_._1).toMap,
       s"stream gate and batch semanticDedup disagree: batch=$batchKept stream=$incoming")
   }
+
+  test("streaming PQ admission gate over the LIVE versioned root: appends block, tombstones unblock") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Ann
+    // Index-lifecycle composition: the gate's standing index derives from
+    // ivfPqLiveCodes over a VERSIONED root, so a batch appended yesterday
+    // blocks today's stream and a tombstoned cluster stops blocking —
+    // without rebuilding anything. Same clustered geometry as the batch
+    // test (cluster = id % 8); base batch holds clusters 0–3, the
+    // appended batch holds clusters 4–7, and cluster 5 is then
+    // tombstone-deleted in full.
+    def clusterVec(i: Long): Array[Float] = {
+      val c = (i % 8).toInt
+      Array.tabulate(16) { j =>
+        val sign = if (((c >> (j % 3)) & 1) == 0) 1.0f else -1.0f
+        sign * 0.8f + ((i / 8 % 5).toInt - 2) * 0.01f
+      }
+    }
+    val all = (0L until 64L).map(i => (i, clusterVec(i))).toDF("vec_id", "embedding")
+    val (centroids, _) = Ann.buildIvf(spark, all, nCells = 4, maxIter = 3)
+    val books = Ann.trainPqCodebooks(all, m = 4, dsub = 4, kStar = 8, maxIter = 3)
+    val root = java.nio.file.Files.createTempDirectory("graft_stream_ivfpqv").toString
+    Ann.ivfPqAppendBatch(spark, root,
+      all.filter(pmod($"vec_id", lit(8)) < 4), centroids, books, "base")
+    Ann.ivfPqAppendBatch(spark, root,
+      all.filter(pmod($"vec_id", lit(8)) >= 4), centroids, books, "b1")
+    Ann.ivfPqDeleteByKey(spark, root,
+      all.filter(pmod($"vec_id", lit(8)) === 5).select("vec_id"))
+    val index = Ann.pqAdmissionIndex(Ann.ivfPqLiveCodes(spark, root), m = 4)
+
+    def twin(of: Long, id: Long): (Long, Array[Float]) =
+      (id, clusterVec(of).map(x => x + 0.005f))
+    def novel(id: Long, seed: Int): (Long, Array[Float]) =
+      (id, Array.tabulate(16)(j => (math.sin(seed * 2.1 + j * 0.9) * 3.0).toFloat))
+
+    val input = MemoryStream[(Long, Array[Float])]
+    val query = Streams.pqAdmissionGate(
+      input.toDF().toDF("vec_id", "embedding"), index, centroids, books,
+      maxDist = 1.0, nProbe = 2)
+      .writeStream.format("memory").queryName("pqgate_ver")
+      .outputMode(OutputMode.Append()).start()
+    val incoming = try {
+      input.addData(
+        twin(1L, 100L),  // base cluster → blocked by its first member
+        twin(6L, 101L),  // cluster present ONLY via the appended batch → blocked
+        twin(5L, 102L),  // cluster fully tombstoned → ADMITTED again
+        novel(103L, 7))  // far from everything → admitted
+      query.processAllAvailable()
+      spark.table("pqgate_ver").collect()
+        .map(r => r.getAs[Long]("vec_id") ->
+          ((r.getAs[Boolean]("admitted"), r.getAs[Long]("nearest_id")))).toMap
+    } finally query.stop()
+    assert(incoming == Map(
+      100L -> ((false, 1L)), 101L -> ((false, 6L)),
+      102L -> ((true, -1L)), 103L -> ((true, -1L))),
+      s"versioned-root gate verdicts: $incoming")
+  }
 }
