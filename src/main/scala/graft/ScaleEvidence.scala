@@ -39,6 +39,11 @@ import java.nio.file.{Files, Paths}
   *    by IVF cell) probes 8 of 128 cell directories; full-probe must
   *    equal the flat ADC scan, pruning must actually engage
   *    (dirs_probed ≤ 1/4), partial-probe recall vs flat is floored;
+  *  - IVF-PQ rerank at 10⁶: the exact-euclidean refinement's recall vs
+  *    the true euclidean top-k is never below the plain ADC path's;
+  *  - incremental IVF-PQ at 10⁶: a ~5k batch appends in ≪ the base
+  *    write time, tombstoned ids never resurface, and a planted exact
+  *    twin of query 0 (id −1) returns at rank 1 from the appended batch;
   *  - MEGA-CELL semantic dedup: the same 10⁶ vectors through 64 coarse
   *    cells with maxCellRows=5000 — every cell over budget, every pair
   *    through the cell-scoped banded join — drops EVERY same-cell twin
@@ -337,6 +342,87 @@ object ScaleEvidence {
     if (ivfpqRecall < 0.4)
       failures ::= f"ivfpq: 8/128-cell probe recall vs flat ADC $ivfpqRecall%.3f below 0.4"
 
+    // -------- IVF-PQ rerank at 10⁶: the exact-euclidean refinement of
+    // the same probed candidates. Evidence: recall vs the TRUE euclidean
+    // top-k must never fall below the plain ADC path's (the rerank only
+    // reorders candidates by exact distance — a drop means the two-stage
+    // join is broken), and the refinement touches only
+    // queries × k × overfetch float rows (the brute pass below is the
+    // full-scan cost it avoids).
+    import org.apache.spark.sql.expressions.Window
+    val (exactEucPairs, tExactEuc) = timed {
+      val qsE = queries.select(col("query_id"), col("q_embedding").as("q_emb"))
+      val d2 = aggregate(
+        zip_with(col("q_emb"), col("embedding"),
+          (x, y) => { val d = x.cast("double") - y.cast("double"); d * d }),
+        lit(0.0d), (acc, v) => acc + v)
+      bigV.crossJoin(broadcast(qsE))
+        .filter(col("vec_id") =!= col("query_id"))
+        .withColumn("d2", d2)
+        .withColumn("rank", row_number().over(
+          Window.partitionBy("query_id").orderBy(asc("d2"), asc("vec_id"))))
+        .filter(col("rank") <= 5)
+        .select("query_id", "vec_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+    val (rerankTop, tRerank) = timed {
+      operators.Ann.ivfPqTopKReranked(
+        spark, ivfpqDir, queries, bigV, ivfCents, pqBooks,
+        k = 5, nProbe = 8, overfetch = 4)
+        .select("query_id", "vec_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+    }
+    val plainEucRecall = ivfpqTop.count(exactEucPairs.contains).toDouble / exactEucPairs.size
+    val rerankEucRecall = rerankTop.count(exactEucPairs.contains).toDouble / exactEucPairs.size
+    if (rerankEucRecall + 1e-9 < plainEucRecall)
+      failures ::= f"ivfpq_rerank: recall $rerankEucRecall%.3f fell below plain ADC $plainEucRecall%.3f"
+    if (rerankEucRecall < 0.1)
+      failures ::= f"ivfpq_rerank: recall vs exact euclidean $rerankEucRecall%.3f below 0.1"
+
+    // -------- incremental IVF-PQ maintenance at 10⁶: the versioned root.
+    // Base = the full 10⁶-vector corpus as one batch write; then a
+    // ~5k-row ingest batch appends under the STANDING index (only the
+    // batch is scanned/encoded — evidence: batch append time ≪ base
+    // write time), two currently-retrieved ids are tombstone-deleted,
+    // and the probe runs over live rows. Hard checks: tombstoned ids
+    // can never resurface; a planted EXACT twin of query 0's vector
+    // (id −1, so every distance tie breaks toward it) must come back at
+    // rank 1 — per-subspace argmin encoding makes its reconstruction
+    // the closest possible lattice point to the query, so a miss means
+    // the appended batch was not probed.
+    val verRoot = Files.createTempDirectory("graft_scale_ivfpqv").toString
+    val (_, tVerBase) = timed {
+      operators.Ann.ivfPqAppendBatch(spark, verRoot, bigV, ivfCents, pqBooks, "base")
+    }
+    val nBig = nVec * variants
+    val batchVecs = emb
+      .select((col("vec_id") + lit(nBig)).as("vec_id"),
+        transform(col("embedding"), (x, i) =>
+          (x + (pmod(lit(variants + 1) * 31 + i, lit(17)) - lit(8)).cast("float") * lit(0.05f))
+            .cast("float")).as("embedding"))
+      .unionAll(emb.filter(col("vec_id") === 0)
+        .select(lit(-1L).as("vec_id"), col("embedding")))
+    val (_, tVerBatch) = timed {
+      operators.Ann.ivfPqAppendBatch(spark, verRoot, batchVecs, ivfCents, pqBooks, "b1")
+    }
+    val victimIds = ivfpqTop.map(_._2).distinct.take(2)
+    val (_, tVerDel) = timed {
+      import spark.implicits._
+      operators.Ann.ivfPqDeleteByKey(spark, verRoot, victimIds.toSeq.toDF("vec_id"))
+    }
+    val (incRows, tVerQuery) = timed {
+      operators.Ann.ivfPqTopKVersioned(
+        spark, verRoot, queries, ivfCents, pqBooks, k = 5, nProbe = 8)
+        .select("query_id", "rank", "vec_id").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    }
+    if (incRows.exists(r => victimIds.contains(r._3)))
+      failures ::= s"ivfpq_incremental: tombstoned id resurfaced in ${incRows.toSeq}"
+    if (!incRows.contains((0L, 1, -1L)))
+      failures ::= s"ivfpq_incremental: planted batch twin (id -1) not at rank 1 for query 0"
+    if (tVerBatch >= tVerBase)
+      failures ::= f"ivfpq_incremental: ${batchVecs.count()}-row batch append took $tVerBatch%.1f s vs $tVerBase%.1f s base — not incremental"
+
     // -------- semantic dedup (SemDeDup) at 10⁶ vectors: 16-dim slices
     // (the pairwise budget is Σ|cell|²·dim — dimension is a linear
     // knob, cell count the quadratic one), 1024 seeded cells. Variant 1
@@ -471,6 +557,8 @@ object ScaleEvidence {
         s""""span_index_lifecycle":{"index_sec":${r1(tGramIdx)},"admit_sec":${r1(tSpanAdmit)},"batch_docs":$batchN,"mismatches":$spanMismatch},""" +
         s""""ann_partitioned":{"n_vectors":${nVec * variants},"layout_sec":${r1(tLayout)},"probe_sec":${r1(tProbe)},"brute_sec":${r1(tBrute)},"dirs_probed":$dirsProbed,"dirs_total":256},""" +
         s""""ann_ivfpq":{"n_vectors":${nVec * variants},"n_cells":128,"m":8,"k_star":16,"build_sec":${r1(tIvfpqBuild)},"probe_sec":${r1(tIvfpqProbe)},"flat_adc_sec":${r1(tFlatAdc)},"full_probe_sec":${r1(tIvfpqFull)},"dirs_probed":$ivfpqDirsProbed,"dirs_total":128,"full_probe_equals_flat":${ivfpqFullTop.toSet == flatAdcTop.toSet},"probe_recall_vs_flat":${f"$ivfpqRecall%.3f"}},""" +
+        s""""ann_ivfpq_rerank":{"n_vectors":${nVec * variants},"overfetch":4,"rerank_sec":${r1(tRerank)},"exact_euclidean_sec":${r1(tExactEuc)},"plain_recall_vs_exact":${f"$plainEucRecall%.3f"},"rerank_recall_vs_exact":${f"$rerankEucRecall%.3f"}},""" +
+        s""""ann_ivfpq_incremental":{"n_vectors":${nVec * variants},"batch_rows":${nVec + 1},"base_write_sec":${r1(tVerBase)},"batch_append_sec":${r1(tVerBatch)},"delete_sec":${r1(tVerDel)},"probe_sec":${r1(tVerQuery)},"tombstoned":${victimIds.length},"twin_at_rank1":${incRows.contains((0L, 1, -1L))}},""" +
         s""""semantic_dedup":{"n_vectors":$nSemVecs,"n_cells":1024,"sec":${r1(tSem)},"vecs_per_sec":${r1(nSemVecs / tSem)},"planted_twins":$nVec,"twins_same_cell":$plantedSameCell,"same_cell_twins_dropped":$sameCellDropped,"originals_kept":$semOrigKept},""" +
         s""""semantic_dedup_megacell":{"n_vectors":$nSemVecs,"n_cells":64,"max_cell_rows":5000,"mega_bits":32,"mega_bands":2,"sec":${r1(tSemMega)},"vecs_per_sec":${r1(nSemVecs / tSemMega)},"twins_same_cell":$megaSameCell,"band_sharing_twins":$megaBandShared,"band_sharing_dropped":$megaGuaranteedDropped,"twins_dropped_total":$megaTwinsDropped,"twin_recall_floor":0.8,"originals_kept":$megaOrigKept},""" +
         s""""failures":${failures.map("\"" + _ + "\"").mkString("[", ",", "]")}}"""

@@ -1758,19 +1758,29 @@ object SparkEntry {
 
     "ann_pq_trained_topk" -> ((s, dir) => {
       // TRAINED-codebook PQ: per-subspace euclidean Lloyd on the
-      // deterministic hash sample, then the same ADC scan as
-      // ann_pq_adc_topk. m=8 × dsub=8 covers the full 64-dim embedding,
-      // so ADC approximates the true euclidean distance (not a prefix's)
-      // and the trained books are shared with ann_ivfpq_topk via the
-      // fingerprint memo. k-means is not SQL-mirrorable, so like
-      // ann_ivf_topk this records rows-only; recall vs the exact
+      // deterministic hash sample, then the flat ADC scan. m=8 × dsub=8
+      // covers the full 64-dim embedding, so ADC approximates the true
+      // euclidean distance (not a prefix's) and the trained books are
+      // shared with ann_ivfpq_topk via the fingerprint memo. The scan
+      // runs through the persisted IVF-PQ layout at FULL probe — spec-
+      // pinned row-identical to the flat in-memory ADC scan (AnnSpec) —
+      // so the corpus is ENCODED ONCE per snapshot instead of per call;
+      // only the m-byte codes stream. k-means is not SQL-mirrorable, so
+      // like ann_ivf_topk this records rows-only; recall vs the exact
       // euclidean top-k is hard-gated in Verify, and the training
       // properties (determinism, monotone quantization error, recall on
       // clustered data) are spec-gated in AnnSpec.
       val emb = Tables.embeddings(s, dir)
+      val (centroids, _) = operators.Ann.buildIvfCached(
+        s, emb, cacheKey = dir, nCells = 8, maxIter = 3)
       val books = operators.Ann.trainPqCodebooksCached(
         emb, cacheKey = dir, m = 8, dsub = 8, kStar = 16, maxIter = 5)
-      operators.Ann.pqAdcTopK(emb, books, nQueries = 3, k = 10)
+      val base = new java.io.File(
+        sys.props("java.io.tmpdir"), "graft_ann_layouts").getAbsolutePath
+      val layout = operators.Ann.ivfPqLayout(s, emb, base, centroids, books)
+      val qs = emb.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"))
+      operators.Ann.ivfPqTopK(s, layout, qs, centroids, books, k = 10, nProbe = 8)
         .orderBy("query_id", "rank")
     }),
 

@@ -100,6 +100,81 @@ case class CosineSimilarity(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Codegen'd PQ subspace encoder: the argmin-distance centroid code of
+  * one `dsub`-wide slice (starting at `offset`) of an `array<float>`
+  * embedding against a literal codebook (`cents`, row-major flattened —
+  * centroid `c`'s dims at `c*dsub until (c+1)*dsub`). Ties break to the
+  * LOWEST code (strict `<` keeps the first argmin), matching the HOF
+  * form's `array_position(d, array_min(d))` first-occurrence rule and
+  * the oracle's `ORDER BY dist, code`.
+  *
+  * Exists for the same reason as [[CosineSimilarity]]: the
+  * transform/zip_with/aggregate encode tree is CodegenFallback — every
+  * encoded row paid k* × dsub interpreted, boxed ops per subspace,
+  * which is the dominant cost of an IVF-PQ layout build at corpus
+  * scale. The IEEE op order is identical (per-dim float→double cast,
+  * subtract, square, left-fold add; centroids already double), so codes
+  * are bit-identical — the hash-exact oracle mirror of
+  * `ann_pq_adc_topk` exercises encode end-to-end and pins this.
+  */
+case class PqSubspaceCode(
+    child: Expression, cents: Seq[Double], dsub: Int, offset: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  @transient private lazy val centArr: Array[Double] = cents.toArray
+
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "pq_subspace_code"
+
+  protected override def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val k = centArr.length / dsub
+    var best = 0
+    var bd = Double.MaxValue
+    var c = 0
+    while (c < k) {
+      var acc = 0.0
+      var j = 0
+      while (j < dsub) {
+        val d = x.getFloat(offset + j).toDouble - centArr(c * dsub + j)
+        acc += d * d
+        j += 1
+      }
+      if (acc < bd) { bd = acc; best = c }
+      c += 1
+    }
+    best
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val centsRef = ctx.addReferenceObj("pqCents", centArr, "double[]")
+      val k = centArr.length / dsub
+      val best = ctx.freshName("best")
+      val bd = ctx.freshName("bd")
+      val c = ctx.freshName("c")
+      val acc = ctx.freshName("acc")
+      val j = ctx.freshName("j")
+      val d = ctx.freshName("d")
+      s"""
+         |int $best = 0;
+         |double $bd = Double.MAX_VALUE;
+         |for (int $c = 0; $c < $k; $c++) {
+         |  double $acc = 0.0;
+         |  for (int $j = 0; $j < $dsub; $j++) {
+         |    final double $d = (double) $a.getFloat($offset + $j) - $centsRef[$c * $dsub + $j];
+         |    $acc += $d * $d;
+         |  }
+         |  if ($acc < $bd) { $bd = $acc; $best = $c; }
+         |}
+         |${ev.value} = $best;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): PqSubspaceCode =
+    copy(child = newChild)
+}
+
 object VectorExpressions {
   import org.apache.spark.sql.graftshim.GraftSqlShim
 
@@ -107,4 +182,10 @@ object VectorExpressions {
   def cosineSim(a: Column, b: Column): Column =
     GraftSqlShim.column(
       CosineSimilarity(GraftSqlShim.expression(a), GraftSqlShim.expression(b)))
+
+  /** Column form of [[PqSubspaceCode]]: `cents` row-major flattened. */
+  def pqSubspaceCode(
+      emb: Column, cents: Seq[Double], dsub: Int, offset: Int): Column =
+    GraftSqlShim.column(
+      PqSubspaceCode(GraftSqlShim.expression(emb), cents, dsub, offset))
 }

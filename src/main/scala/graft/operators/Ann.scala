@@ -534,16 +534,19 @@ object Ann {
 
   /** The `m` PQ code columns (`code_s` = argmin-distance centroid, ties
     * to the lowest code) for a frame with an `embedding` column — shared
-    * by [[pqEncode]] and [[writeIvfPqPartitioned]]. The per-subspace
-    * distance array is let-bound ([[letCol]]) so the k*×dsub
-    * subtract/square/sum work is evaluated ONCE per row and both the
-    * `array_min` and the `array_position` argmin read the bound value.
+    * by [[pqEncode]] and every layout writer. Each code is ONE codegen'd
+    * expression ([[graft.expressions.VectorExpressions.pqSubspaceCode]])
+    * — the HOF argmin tree it replaces was CodegenFallback and paid
+    * k*×dsub interpreted, boxed ops per row per subspace, the dominant
+    * cost of a corpus-scale layout build. Codes are bit-identical (same
+    * IEEE op order, same lowest-code tie rule — the hash-exact oracle
+    * mirror of `ann_pq_adc_topk` exercises encode end-to-end).
     */
   private def pqCodeCols(codebooks: Seq[Seq[Seq[Double]]]): Seq[Column] = {
     val dsub = codebooks.head.head.length
     codebooks.zipWithIndex.map { case (cents, s) =>
-      letCol(subspaceDists(cents, col("embedding"), s, dsub))(d =>
-        (array_position(d, array_min(d)) - 1).cast("int"))
+      VectorExpressions.pqSubspaceCode(
+        col("embedding"), cents.flatten, dsub, s * dsub)
         .as(s"code_$s")
     }
   }
@@ -688,45 +691,73 @@ object Ann {
       _ => trainPqCodebooks(corpus, m, dsub, kStar, maxIter))
   }
 
+  /** Driver-side ADC lookup table for one query vector:
+    * `lut(s)(c) = ‖q_sub(s) − codebooks(s)(c)‖²` — m × k* doubles, the
+    * classic ADC table. The IEEE op sequence is EXACTLY the column
+    * form's ([[subspaceDists]]: per-dim float→double cast, subtract,
+    * square, left-fold sum seeded at 0.0), so swapping the per-row
+    * column arithmetic for a table lookup is bit-identical — the
+    * hash-exact oracle mirror of `ann_pq_adc_topk` is unaffected.
+    *
+    * Why driver-side: the column form is a higher-order-function tree
+    * (transform/zip_with/aggregate), and HOFs are CodegenFallback —
+    * every scored row paid ~m × k* × dsub interpreted, boxed ops. The
+    * LUT costs the same arithmetic ONCE per query on the driver
+    * (microseconds), and the scan's per-row work collapses to m
+    * codegen'd literal-array lookups. Queries are a bounded probe batch
+    * by contract (the same contract under which [[ivfPqTopK]] computes
+    * probe cells driver-side).
+    */
+  private def adcLut(
+      codebooks: Seq[Seq[Seq[Double]]], q: Seq[Float]): Seq[Seq[Double]] = {
+    val dsub = codebooks.head.head.length
+    codebooks.zipWithIndex.map { case (cents, s) =>
+      cents.map { c =>
+        var acc = 0.0; var j = 0
+        while (j < dsub) {
+          val d = q(s * dsub + j).toDouble - c(j); acc += d * d; j += 1
+        }
+        acc
+      }
+    }
+  }
+
+  /** The ADC distance Σ_s `lut(s)(code_s)` over a joined `lut` column
+    * (array<array<double>>): m two-level `element_at` lookups, all
+    * codegen'd — shared by every batch ADC consumer so they score with
+    * bit-identical arithmetic (subspace sums added left to right, the
+    * same association as the LUT-free column form).
+    */
+  private def adcFromLut(m: Int): Column =
+    (0 until m).map(s =>
+      element_at(element_at(col("lut"), s + 1), col(s"code_$s") + 1))
+      .reduce(_ + _)
+
   /** Asymmetric-distance (ADC) top-k over PQ codes: the query stays
     * full-precision; each corpus vector contributes
     * Σ_s ‖q_sub(s) − centroid(code_s)‖² — by construction EXACTLY the
     * squared distance from the query to the vector's PQ reconstruction,
     * so the operator has no approximation beyond quantization itself
     * (spec-pinned against a brute-force scan of the reconstructions).
-    * The per-query distance lookup table (m × k* doubles) is inlined as
-    * column arithmetic over the broadcast query row — the scan streams
-    * ONLY the m-byte codes, never the float corpus; ranking uses the
-    * floored distance + vec_id so the cut is engine-stable.
+    * The per-query distance table (m × k* doubles, [[adcLut]]) is
+    * computed driver-side and broadcast — the scan streams ONLY the
+    * m-byte codes, never the float corpus; ranking uses the floored
+    * distance + vec_id so the cut is engine-stable.
     */
-  /** The ADC distance Σ_s ‖q_sub(s) − centroid(code_s)‖² as a column
-    * expression: per-subspace lookup tables built from `qEmb`, indexed by
-    * `codeOf(s)`. Shared by [[pqAdcTopK]], [[ivfPqTopK]] and the
-    * streaming admission gate ([[adcBestMatch]]) so every ADC consumer
-    * scores with bit-identical arithmetic (same fold order: per-subspace
-    * sums first, then across subspaces).
-    */
-  private def adcDist(
-      codebooks: Seq[Seq[Seq[Double]]],
-      qEmb: Column,
-      codeOf: Int => Column): Column = {
-    val dsub = codebooks.head.head.length
-    codebooks.zipWithIndex.map { case (cents, s) =>
-      element_at(subspaceDists(cents, qEmb, s, dsub), codeOf(s) + 1)
-    }.reduce(_ + _)
-  }
-
   def pqAdcTopK(
       vecs: DataFrame,
       codebooks: Seq[Seq[Seq[Double]]],
       nQueries: Int,
       k: Int): DataFrame = {
+    import vecs.sparkSession.implicits._
     val codes = pqEncode(vecs, codebooks)
-    val q = vecs.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
-    val adc = adcDist(codebooks, col("q_emb"), s => col(s"code_$s"))
-    codes.join(broadcast(q), col("vec_id") =!= col("query_id"))
-      .withColumn("adc_dist", graft.functions.TextAnalysis.floorScale(adc, 6))
+    val luts = vecs.filter(col("vec_id") < nQueries)
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), adcLut(codebooks, r.getSeq[Float](1)))).toSeq
+      .toDF("query_id", "lut")
+    codes.join(broadcast(luts), col("vec_id") =!= col("query_id"))
+      .withColumn("adc_dist", graft.functions.TextAnalysis.floorScale(
+        adcFromLut(codebooks.length), 6))
       .withColumn("rank", row_number().over(
         Window.partitionBy("query_id").orderBy(asc("adc_dist"), asc("vec_id"))))
       .filter(col("rank") <= k)
@@ -797,7 +828,7 @@ object Ann {
     * result is IDENTICAL to the flat [[pqAdcTopK]] over the same
     * codebooks (spec-pinned) — cell pruning is a physical optimization;
     * the ADC arithmetic, floored-distance ranking and vec_id tiebreak
-    * are shared code ([[adcDist]]).
+    * are shared code ([[adcLut]]/[[adcFromLut]]).
     */
   def ivfPqTopK(
       spark: SparkSession,
@@ -809,18 +840,18 @@ object Ann {
       nProbe: Int = 3): DataFrame = {
     import spark.implicits._
     val qRows = queries.select("query_id", "q_embedding").collect()
-    val probes: Seq[(Long, Int)] = qRows.toSeq.flatMap { r =>
+    val probes: Seq[(Long, Int, Seq[Seq[Double]])] = qRows.toSeq.flatMap { r =>
+      val lut = adcLut(codebooks, r.getSeq[Float](1))
       nearestCells(r.getSeq[Float](1), centroids, nProbe)
-        .map(c => (r.getLong(0), c))
+        .map(c => (r.getLong(0), c, lut))
     }
     val cellSet = probes.map(_._2).distinct
     val codes = spark.read.parquet(path).filter(col("cell").isin(cellSet: _*))
-    val probed = probes.toDF("query_id", "cell")
-      .join(queries.select(col("query_id"), col("q_embedding").as("q_emb")), "query_id")
+    val probed = probes.toDF("query_id", "cell", "lut")
     codes.join(broadcast(probed), "cell")
       .filter(col("vec_id") =!= col("query_id"))
       .withColumn("adc_dist", graft.functions.TextAnalysis.floorScale(
-        adcDist(codebooks, col("q_emb"), s => col(s"code_$s")), 6))
+        adcFromLut(codebooks.length), 6))
       .withColumn("rank", row_number().over(
         Window.partitionBy("query_id").orderBy(asc("adc_dist"), asc("vec_id"))))
       .filter(col("rank") <= k)
@@ -983,11 +1014,13 @@ object Ann {
     * is exactly `‖q − (centroid(cell) + reconstruction(codes))‖²`, the
     * distance from the query to the candidate's full reconstruction
     * (spec-pinned against a brute-force scan of reconstructions). The
-    * residual is let-bound ([[letCol]]) so the 64-dim subtract runs once
-    * per row, not once per subspace; everything else (partition-pruned
-    * scan, floored ranking, vec_id tiebreak) is the [[ivfPqTopK]] shape.
-    * LUT cost is nProbe× the raw-code path's — the standard IVFADC
-    * trade, paid on the tiny probed frame, never the corpus.
+    * residual LUT is computed driver-side per (query, probed cell) —
+    * `adcLut` over the FLOAT residual `q − centroid(cell)`, the same
+    * float subtract [[residualCol]] applies on the encode side;
+    * everything else (partition-pruned scan, floored ranking, vec_id
+    * tiebreak) is the [[ivfPqTopK]] shape. LUT cost is nProbe× the
+    * raw-code path's — the standard IVFADC trade, paid once per probe
+    * pair on the driver, never per scanned row.
     */
   def ivfPqResidualTopK(
       spark: SparkSession,
@@ -999,19 +1032,20 @@ object Ann {
       nProbe: Int = 3): DataFrame = {
     import spark.implicits._
     val qRows = queries.select("query_id", "q_embedding").collect()
-    val probes: Seq[(Long, Int)] = qRows.toSeq.flatMap { r =>
-      nearestCells(r.getSeq[Float](1), centroids, nProbe)
-        .map(c => (r.getLong(0), c))
+    val probes: Seq[(Long, Int, Seq[Seq[Double]])] = qRows.toSeq.flatMap { r =>
+      val q = r.getSeq[Float](1)
+      nearestCells(q, centroids, nProbe).map { c =>
+        val res = Array.tabulate(q.length)(i => q(i) - centroids(c)(i))
+        (r.getLong(0), c, adcLut(codebooks, res))
+      }
     }
     val cellSet = probes.map(_._2).distinct
     val codes = spark.read.parquet(path).filter(col("cell").isin(cellSet: _*))
-    val probed = probes.toDF("query_id", "cell")
-      .join(queries.select(col("query_id"), col("q_embedding").as("q_emb")), "query_id")
-    val adc = letCol(residualCol(centroids, col("cell"), col("q_emb")))(qr =>
-      adcDist(codebooks, qr, s => col(s"code_$s")))
+    val probed = probes.toDF("query_id", "cell", "lut")
     codes.join(broadcast(probed), "cell")
       .filter(col("vec_id") =!= col("query_id"))
-      .withColumn("adc_dist", graft.functions.TextAnalysis.floorScale(adc, 6))
+      .withColumn("adc_dist", graft.functions.TextAnalysis.floorScale(
+        adcFromLut(codebooks.length), 6))
       .withColumn("rank", row_number().over(
         Window.partitionBy("query_id").orderBy(asc("adc_dist"), asc("vec_id"))))
       .filter(col("rank") <= k)
@@ -1111,19 +1145,19 @@ object Ann {
       nProbe: Int = 3): DataFrame = {
     import spark.implicits._
     val qRows = queries.select("query_id", "q_embedding").collect()
-    val probes: Seq[(Long, Int)] = qRows.toSeq.flatMap { r =>
+    val probes: Seq[(Long, Int, Seq[Seq[Double]])] = qRows.toSeq.flatMap { r =>
+      val lut = adcLut(codebooks, r.getSeq[Float](1))
       nearestCells(r.getSeq[Float](1), centroids, nProbe)
-        .map(c => (r.getLong(0), c))
+        .map(c => (r.getLong(0), c, lut))
     }
     val cellSet = probes.map(_._2).distinct
     val codes = ivfPqLiveCodes(spark, rootPath,
       Some(col("cell").isin(cellSet: _*)))
-    val probed = probes.toDF("query_id", "cell")
-      .join(queries.select(col("query_id"), col("q_embedding").as("q_emb")), "query_id")
+    val probed = probes.toDF("query_id", "cell", "lut")
     codes.join(broadcast(probed), "cell")
       .filter(col("vec_id") =!= col("query_id"))
       .withColumn("adc_dist", graft.functions.TextAnalysis.floorScale(
-        adcDist(codebooks, col("q_emb"), s => col(s"code_$s")), 6))
+        adcFromLut(codebooks.length), 6))
       .withColumn("rank", row_number().over(
         Window.partitionBy("query_id").orderBy(asc("adc_dist"), asc("vec_id"))))
       .filter(col("rank") <= k)
