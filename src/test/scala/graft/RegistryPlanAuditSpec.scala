@@ -52,7 +52,9 @@ class RegistryPlanAuditSpec extends AnyFunSuite with SparkTestSession {
     "ann_quantized_topk", "ann_quantized_rerank",
     // PQ ADC scan: broadcast bounded query set against the m-byte code
     // table (self-pair exclusion makes the join non-equi)
-    "ann_pq_adc_topk", "ann_pq_trained_topk",
+    // (ann_pq_trained_topk left this list when it moved onto the
+    // cell-partitioned layout: its probe is now an equi-join on `cell`.)
+    "ann_pq_adc_topk",
     // broadcast 1-row corpus-statistics attach (n_docs/avgdl/LM totals)
     "bm25_topk", "tfidf_top_terms", "text_perplexity", "text_rarity_score")
 
