@@ -1855,6 +1855,51 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    "ann_ivfpq_join" -> ((s, dir) => {
+      // ANN as a JOIN: the distributed-queries form of the IVF-PQ probe
+      // for corpus-vs-corpus shapes (near-dup sweeps, nightly batch
+      // retrieval) — queries never collect to the driver; probe cells
+      // explode per row, the per-query ADC lookup table is built once
+      // per query row, and candidates come from the cell equi-join.
+      // Verify hard-gates EXACT row equality vs the driver-side
+      // ivfPqTopK at the same parameters.
+      val emb = Tables.embeddings(s, dir)
+      val (centroids, _) = operators.Ann.buildIvfCached(
+        s, emb, cacheKey = dir, nCells = 8, maxIter = 3)
+      val books = operators.Ann.trainPqCodebooksCached(
+        emb, cacheKey = dir, m = 8, dsub = 8, kStar = 16, maxIter = 5)
+      val base = new java.io.File(
+        sys.props("java.io.tmpdir"), "graft_ann_layouts").getAbsolutePath
+      val layout = operators.Ann.ivfPqLayout(s, emb, base, centroids, books)
+      val qs = emb.filter(col("vec_id") < 50)
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"))
+      operators.Ann.ivfPqJoin(s, layout, qs, centroids, books, k = 5, nProbe = 3)
+        .orderBy("query_id", "rank")
+    }),
+
+    "ann_ivfpq_residual_rerank" -> ((s, dir) => {
+      // The complete IVFADC-with-refinement pipeline: coarse cells →
+      // residual codes → per-cell ADC over-fetch → exact euclidean
+      // rerank. Residual codes order candidates better at the same byte
+      // budget; the rerank removes the quantization error that remains
+      // inside the probe. Hard-gated in Verify at the rerank tier's
+      // floor (recall ceiling is probe coverage, like its raw-code
+      // sibling).
+      val emb = Tables.embeddings(s, dir)
+      val (centroids, _) = operators.Ann.buildIvfCached(
+        s, emb, cacheKey = dir, nCells = 8, maxIter = 3)
+      val books = operators.Ann.trainPqCodebooksResidualCached(
+        emb, cacheKey = dir, centroids, m = 8, dsub = 8, kStar = 16, maxIter = 5)
+      val base = new java.io.File(
+        sys.props("java.io.tmpdir"), "graft_ann_layouts").getAbsolutePath
+      val layout = operators.Ann.ivfPqResidualLayout(s, emb, base, centroids, books)
+      val qs = emb.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"))
+      operators.Ann.ivfPqResidualTopKReranked(
+        s, layout, qs, emb, centroids, books, k = 10, nProbe = 3, overfetch = 4)
+        .orderBy("query_id", "rank")
+    }),
+
     "ann_ivfpq_incremental" -> ((s, dir) => {
       // The index MAINTENANCE lifecycle as a query: a versioned IVF-PQ
       // root built as base write + batch append (marker-gated, so

@@ -161,15 +161,42 @@ object Verify {
         spark, resLayout, qsIvf, centroids, resBooks, k = 10, nProbe = 3)
         .select("query_id", "vec_id").collect()
         .map(r => (r.getLong(0), r.getLong(1))).toSet
+      // Residual + rerank (the full IVFADC+refine pipeline) measures the
+      // best of the family — 0.640 @sf0.01 / 0.350 @sf0.1 — and shares
+      // the rerank tier's floor.
+      val residualRerankApprox = operators.Ann.ivfPqResidualTopKReranked(
+        spark, resLayout, qsIvf, emb, centroids, resBooks,
+        k = 10, nProbe = 3, overfetch = 4)
+        .select("query_id", "vec_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
       val (rerankThr, residualThr) = if (nCorpus <= 1000) (0.30, 0.20) else (0.15, 0.10)
       Seq(("ann_pq_trained_topk", pqApprox, pqThr), ("ann_ivfpq_topk", ivfpqApprox, ivfpqThr),
           ("ann_ivfpq_rerank", rerankApprox, rerankThr),
-          ("ann_ivfpq_residual_topk", residualApprox, residualThr))
+          ("ann_ivfpq_residual_topk", residualApprox, residualThr),
+          ("ann_ivfpq_residual_rerank", residualRerankApprox, rerankThr))
         .foreach { case (name, approx, thr) =>
           val recall = exactEuc.count(approx.contains).toDouble / exactEuc.size
           println(f"[recall] $name = $recall%.3f (gate >= $thr)")
           require(recall >= thr, s"$name recall $recall below gate $thr")
         }
+
+      // Distributed-join gate: ivfPqJoin must reproduce the driver-side
+      // probe EXACTLY (same LUT arithmetic, same ranking) — equality,
+      // not a recall floor.
+      {
+        val joined = operators.Ann.ivfPqJoin(
+          spark, layout, qsIvf, centroids, books, k = 10, nProbe = 3)
+          .select("query_id", "rank", "vec_id", "adc_dist").collect()
+          .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+        val driverSide = operators.Ann.ivfPqTopK(
+          spark, layout, qsIvf, centroids, books, k = 10, nProbe = 3)
+          .select("query_id", "rank", "vec_id", "adc_dist").collect()
+          .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+        println(s"[equality] ann_ivfpq_join rows=${joined.size} " +
+          s"driver=${driverSide.size} equal=${joined == driverSide}")
+        require(joined == driverSide,
+          "ann_ivfpq_join: distributed join diverged from the driver-side probe")
+      }
 
       // Incremental-index gate: NOT a recall floor but EXACT row
       // equality — the versioned root (base write + batch append −

@@ -858,6 +858,50 @@ object Ann {
       .select("query_id", "rank", "vec_id", "adc_dist")
   }
 
+  /** IVF-PQ similarity JOIN: top-k ADC neighbors from the layout for
+    * EVERY row of an arbitrarily large query frame — ANN as a JOIN, not
+    * a probe batch. [[ivfPqTopK]] collects its queries driver-side
+    * (bounded probe batches, static `PartitionFilters`); this form keeps
+    * queries DISTRIBUTED for the corpus-vs-corpus shapes (embedding
+    * near-dup sweeps, nightly batch retrieval) where the query side is
+    * itself millions of rows: probe cells come from a per-row UDF over
+    * the broadcast centroid array, the per-query ADC lookup table is
+    * built ONCE per query row as an array column (the HOF arithmetic
+    * runs on query rows only — never per scored row; scoring is the
+    * same codegen'd [[adcFromLut]] lookups), and candidates come from an
+    * equi-join on the cell key — the standard banded-candidate shape
+    * every Dedup operator here uses, so scored pairs stay
+    * O(queries × probed-cell occupancy), never queries × corpus.
+    * Row-identical to [[ivfPqTopK]] at the same parameters (spec-pinned
+    * and Verify-gated by exact equality).
+    */
+  def ivfPqJoin(
+      spark: SparkSession,
+      path: String,
+      queries: DataFrame,
+      centroids: Array[Array[Float]],
+      codebooks: Seq[Seq[Seq[Double]]],
+      k: Int,
+      nProbe: Int = 3): DataFrame = {
+    val dsub = codebooks.head.head.length
+    val probeUdf = udf { (v: Seq[Float]) => nearestCells(v, centroids, nProbe) }
+    val lutCol = array(codebooks.zipWithIndex.map { case (cents, s) =>
+      subspaceDists(cents, col("q_embedding"), s, dsub)
+    }: _*)
+    val probed = queries
+      .withColumn("lut", lutCol)
+      .withColumn("cell", explode(probeUdf(col("q_embedding"))))
+      .select("query_id", "cell", "lut")
+    spark.read.parquet(path).join(probed, "cell")
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("adc_dist", graft.functions.TextAnalysis.floorScale(
+        adcFromLut(codebooks.length), 6))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("query_id").orderBy(asc("adc_dist"), asc("vec_id"))))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "vec_id", "adc_dist")
+  }
+
   /** Two-stage IVF-PQ: ADC over-fetches `k * overfetch` candidates per
     * query from the probed cells, then an exact float EUCLIDEAN rerank
     * (ADC's own metric) of just those candidates picks the final top-k.
@@ -881,9 +925,46 @@ object Ann {
       codebooks: Seq[Seq[Seq[Double]]],
       k: Int,
       nProbe: Int = 3,
-      overfetch: Int = 4): DataFrame = {
-    val coarse = ivfPqTopK(spark, path, queries, centroids, codebooks,
-      k * overfetch, nProbe).select("query_id", "vec_id")
+      overfetch: Int = 4): DataFrame =
+    exactEuclideanRerank(
+      ivfPqTopK(spark, path, queries, centroids, codebooks,
+        k * overfetch, nProbe).select("query_id", "vec_id"),
+      queries, corpus, k)
+
+  /** [[ivfPqTopKReranked]] over the RESIDUAL layout — the complete
+    * IVFADC-with-refinement pipeline (coarse cells → residual codes →
+    * per-cell ADC → exact rerank): residual codes order candidates
+    * better at the same byte budget, the rerank then removes what
+    * quantization error remains inside the probe.
+    */
+  def ivfPqResidualTopKReranked(
+      spark: SparkSession,
+      path: String,
+      queries: DataFrame,
+      corpus: DataFrame,
+      centroids: Array[Array[Float]],
+      codebooks: Seq[Seq[Seq[Double]]],
+      k: Int,
+      nProbe: Int = 3,
+      overfetch: Int = 4): DataFrame =
+    exactEuclideanRerank(
+      ivfPqResidualTopK(spark, path, queries, centroids, codebooks,
+        k * overfetch, nProbe).select("query_id", "vec_id"),
+      queries, corpus, k)
+
+  /** The shared refinement stage: exact float EUCLIDEAN top-k over a
+    * coarse `(query_id, vec_id)` candidate list. The float corpus is
+    * touched only for the candidate rows via a broadcast id equi-join
+    * (candidates are `queries × k × overfetch` rows; the corpus never
+    * reshuffles); floored d2 + vec_id tiebreak keep the cut
+    * engine-stable. Every two-stage ANN path ([[ivfPqTopKReranked]],
+    * [[ivfPqResidualTopKReranked]]) shares this stage.
+    */
+  def exactEuclideanRerank(
+      coarse: DataFrame,
+      queries: DataFrame,
+      corpus: DataFrame,
+      k: Int): DataFrame = {
     val d2 = aggregate(
       zip_with(col("q_emb"), col("c_emb"),
         (x, y) => { val d = x.cast("double") - y.cast("double"); d * d }),

@@ -827,6 +827,68 @@ class AnnSpec extends AnyFunSuite with SparkTestSession {
       "a compacted root carries no tombstones")
   }
 
+  test("IVF-PQ join: distributed-queries form equals the driver-side probe exactly") {
+    val vecs = corpus.select("vec_id", "embedding")
+    val (centroids, _) = Ann.buildIvf(spark, vecs, nCells = 8, maxIter = 3)
+    val books = Ann.trainPqCodebooks(vecs, m = 8, dsub = 8, kStar = 8, maxIter = 3)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivfpq_join").toString
+    Ann.writeIvfPqPartitioned(vecs, centroids, books, dir)
+    // a query frame far larger than a probe batch — the join form never
+    // collects it; results must still be row-identical to the
+    // driver-side probe at the same parameters (same LUT arithmetic,
+    // same ranking, same self-exclusion)
+    val qs = vecs.filter($"vec_id" < 50)
+      .select($"vec_id".as("query_id"), $"embedding".as("q_embedding"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "rank", "vec_id", "adc_dist")
+        .as[(Long, Int, Long, Double)].collect().toSet
+    val joined = rows(Ann.ivfPqJoin(spark, dir, qs, centroids, books, k = 5, nProbe = 2))
+    val driver = rows(Ann.ivfPqTopK(spark, dir, qs, centroids, books, k = 5, nProbe = 2))
+    assert(joined == driver, "distributed join must equal the driver-side probe")
+    assert(joined.nonEmpty)
+  }
+
+  test("residual IVF-PQ rerank: full probe + full over-fetch equals exact euclidean top-k") {
+    import org.apache.spark.sql.functions.col
+    val vecs = (0L until 160L).map { i =>
+      val c = (i % 8).toInt
+      (i, Array.tabulate(16) { j =>
+        val sign = if (((c >> (j % 3)) & 1) == 0) 1.0f else -1.0f
+        sign * 0.8f + ((i / 8 % 5).toInt - 2) * 0.01f + (j % 4) * 0.005f * (if (i % 2 == 0) 1 else -1)
+      })
+    }.toDF("vec_id", "embedding")
+    val (centroids, _) = Ann.buildIvf(spark, vecs, nCells = 4, maxIter = 3,
+      sampleNum = 4, sampleDenom = 4)
+    val resBooks = Ann.trainPqCodebooksResidual(
+      vecs, centroids, m = 4, dsub = 4, kStar = 4, maxIter = 3)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivfpq_resrr").toString
+    Ann.writeIvfPqResidualPartitioned(vecs, centroids, resBooks, dir)
+    val qs = vecs.filter($"vec_id" < 3)
+      .select($"vec_id".as("query_id"), $"embedding".as("q_embedding"))
+    val k = 4
+    val out = Ann.ivfPqResidualTopKReranked(
+      spark, dir, qs, vecs, centroids, resBooks,
+      k = k, nProbe = 4, overfetch = 160)
+      .collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rank"),
+        r.getAs[Long]("vec_id"), r.getAs[Double]("d2")))
+    val raw = vecs.collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getSeq[Float](1).map(_.toDouble).toArray)
+      .toMap
+    def d2(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+      math.floor(s * 1e6) / 1e6
+    }
+    for (q <- 0L until 3L) {
+      val truth = raw.keys.filter(_ != q).toSeq
+        .map(v => (v, d2(raw(q), raw(v))))
+        .sortBy { case (v, s) => (s, v) }.take(k)
+      val got = out.filter(_._1 == q).sortBy(_._2).map(r => (r._3, r._4)).toSeq
+      assert(got == truth, s"query $q: residual rerank != exact euclidean top-k")
+    }
+  }
+
   test("fused PQ training: job count scales with iterations, not subspaces") {
     // The m per-subspace Lloyd problems share each iteration as one
     // aggregate job over the exploded (subspace, subvector) frame. At
