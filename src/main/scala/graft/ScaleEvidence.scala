@@ -36,11 +36,15 @@ import java.nio.file.{Files, Paths}
   *    twin that lands in its original's cell (within-cell pairing is
   *    exhaustive; cross-boundary jitters are counted, not hidden);
   *  - IVF-PQ at 10⁶ vectors: the composed layout (PQ codes partitioned
-  *    by IVF cell) probes 8 of 128 cell directories; full-probe must
-  *    equal the flat ADC scan, pruning must actually engage
-  *    (dirs_probed ≤ 1/4), partial-probe recall vs flat is floored;
+  *    by IVF cell) probes 8 of 128 cell directories per query over a
+  *    near-dup-family corpus (graded planted neighbors, decoy bulk —
+  *    the cluster structure real embedding corpora have and IVF
+  *    presumes); full-probe must equal the flat ADC scan, the 5-query
+  *    batch's partition filter must stay ≤ 40 dirs and under half the
+  *    layout, partial-probe recall vs flat is floored at 0.6;
   *  - IVF-PQ rerank at 10⁶: the exact-euclidean refinement's recall vs
-  *    the true euclidean top-k is never below the plain ADC path's;
+  *    the true euclidean top-k (the planted graded neighbors) is never
+  *    below the plain ADC path's and is floored at 0.5;
   *  - incremental IVF-PQ at 10⁶: a ~5k batch appends in ≪ the base
   *    write time, tombstoned ids never resurface, and a planted exact
   *    twin of query 0 (id −1) returns at rank 1 from the appended batch;
@@ -248,18 +252,42 @@ object ScaleEvidence {
       failures ::= s"span_lifecycle: $spanMismatch rows differ from the batch-mode rule"
 
     // -------- partitioned ANN at 10⁶ vectors: the embeddings table
-    // expanded the same way (variant 0 original, the rest deterministically
-    // perturbed), written PARTITIONED BY 8-bit signature (256 dirs), then
-    // probed. The probe reads only the probed signature directories
-    // (~nProbes/256 of the corpus); brute force scans everything — both
-    // must put each query's own vector at rank 1 (self-similarity 1.0).
+    // expanded into NEAR-DUP FAMILIES plus scattered decoys, written
+    // PARTITIONED BY 8-bit signature (256 dirs), then probed. The probe
+    // reads only the probed signature directories (~nProbes/256 of the
+    // corpus); brute force scans everything — both must put each query's
+    // own vector at rank 1 (self-similarity 1.0).
+    //
+    // Fixture shape (r8's uniform ±0.4/dim perturbation made every
+    // "variant" FARTHER from its base — L2 ≈ 1.96 — than random
+    // strangers are from each other (~1.41), i.e. a corpus with no
+    // cluster structure at all, which no ANN index can prune; real
+    // embedding corpora cluster, which is the entire premise of IVF):
+    //  - v = 0: the original (exact self, distance 0 to its query);
+    //  - v = 1..9: graded near-dups at L2 ≈ 0.051·s, s = ((v·5) mod 9)+1
+    //    ∈ 1..9 — a PERMUTATION of v, so true-distance rank is
+    //    decorrelated from vec_id and the deterministic (dist, vec_id)
+    //    tiebreak cannot fake recall: the exact top-k is the s-smallest
+    //    variants, not the id-smallest;
+    //  - v ≥ 10: far decoys (the old ±0.4/dim pattern, L2 ≈ 1.96) —
+    //    bulk mass scattered across the sphere, nothing near any query.
+    // Base vectors are unit-norm with min pairwise distance ≈ 1.06, so
+    // families (radius ≤ 0.4) are well-separated clusters: the exact
+    // euclidean top-5 of query q is its s ∈ {1..5} variants, a
+    // well-posed key the probe/ADC/rerank legs are graded against.
     val emb = Tables.embeddings(spark, sfDir).select("vec_id", "embedding")
     val nVec = emb.count()
+    // Per-dim pattern has rms ≈ 4.9 over 64 dims → L2 ≈ 39.2·δ; δ =
+    // 0.0013·s puts the family at L2 ≈ 0.051·s ∈ [0.05, 0.46].
+    val nearScale = (pmod(col("v") * 5, lit(9)) + 1).cast("float") * lit(0.0013f)
     val bigVecs = emb
       .crossJoin(spark.range(variants.toLong).toDF("v"))
       .select(
         (col("v") * nVec + col("vec_id")).as("vec_id"),
         when(col("v") === 0, col("embedding"))
+          .when(col("v") < 10, transform(col("embedding"), (x, i) =>
+            (x + (pmod(col("v") * 31 + i, lit(17)) - lit(8)).cast("float") * nearScale)
+              .cast("float")))
           .otherwise(transform(col("embedding"), (x, i) =>
             (x + (pmod(col("v") * 31 + i, lit(17)) - lit(8)).cast("float") * lit(0.05f))
               .cast("float")))
@@ -335,12 +363,20 @@ object ScaleEvidence {
     }
     if (ivfpqFullTop.toSet != flatAdcTop.toSet)
       failures ::= s"ivfpq: full probe != flat ADC (${ivfpqFullTop.length} vs ${flatAdcTop.length} rows)"
-    if (ivfpqDirsProbed * 4 > 128)
-      failures ::= s"ivfpq: probed $ivfpqDirsProbed/128 dirs — pruning not engaged"
+    // Pruning calibration: each query touches exactly nProbe=8 cell
+    // dirs; the BATCH scan's partition filter is the union over the
+    // query batch, structurally ≤ nQueries·nProbe = 40 (r8's assert
+    // demanded the 5-query union fit in 32 — a bound no correct 8-probe
+    // batch of 5 disjoint queries can meet; the per-query fraction,
+    // 8/128, is the number that scales).
+    if (ivfpqDirsProbed > 5 * 8)
+      failures ::= s"ivfpq: $ivfpqDirsProbed dirs for 5 queries × 8 probes — probe leak"
+    if (ivfpqDirsProbed * 2 >= 128)
+      failures ::= s"ivfpq: probed $ivfpqDirsProbed/128 dirs — batch pruning not engaged"
     val flatPairs = flatAdcTop.map(r => (r._1, r._3)).toSet
     val ivfpqRecall = ivfpqTop.count(flatPairs.contains).toDouble / flatPairs.size
-    if (ivfpqRecall < 0.4)
-      failures ::= f"ivfpq: 8/128-cell probe recall vs flat ADC $ivfpqRecall%.3f below 0.4"
+    if (ivfpqRecall < 0.6)
+      failures ::= f"ivfpq: 8/128-cell probe recall vs flat ADC $ivfpqRecall%.3f below 0.6"
 
     // -------- IVF-PQ rerank at 10⁶: the exact-euclidean refinement of
     // the same probed candidates. Evidence: recall vs the TRUE euclidean
@@ -376,8 +412,8 @@ object ScaleEvidence {
     val rerankEucRecall = rerankTop.count(exactEucPairs.contains).toDouble / exactEucPairs.size
     if (rerankEucRecall + 1e-9 < plainEucRecall)
       failures ::= f"ivfpq_rerank: recall $rerankEucRecall%.3f fell below plain ADC $plainEucRecall%.3f"
-    if (rerankEucRecall < 0.1)
-      failures ::= f"ivfpq_rerank: recall vs exact euclidean $rerankEucRecall%.3f below 0.1"
+    if (rerankEucRecall < 0.5)
+      failures ::= f"ivfpq_rerank: recall vs exact euclidean $rerankEucRecall%.3f below 0.5"
 
     // -------- incremental IVF-PQ maintenance at 10⁶: the versioned root.
     // Base = the full 10⁶-vector corpus as one batch write; then a
@@ -426,7 +462,11 @@ object ScaleEvidence {
     // -------- semantic dedup (SemDeDup) at 10⁶ vectors: 16-dim slices
     // (the pairwise budget is Σ|cell|²·dim — dimension is a linear
     // knob, cell count the quadratic one), 1024 seeded cells. Variant 1
-    // is a ±0.01-jittered twin (planted semantic dup, cos ≈ 0.999);
+    // is a ±0.005-jittered twin (planted semantic dup, cos ≈ 0.999 on
+    // the 0.5-norm slice — r8 used ±0.01, which is cos ≈ 0.997 and sat
+    // 1.1% under the 90% same-cell fixture-health floor; the tightened
+    // jitter makes the fixture match its documented cos, not the floor
+    // match the fixture);
     // variants ≥ 2 are sign-decorrelated (Rademacher flips from
     // xxhash64(v, i) — near-orthogonal to everything, controlled noise).
     // The EXACT property: every twin assigned to its original's cell is
@@ -444,7 +484,7 @@ object ScaleEvidence {
         when(col("v") === 0, slice(col("embedding"), 1, 16))
           .when(col("v") === 1,
             transform(slice(col("embedding"), 1, 16), (x, i) =>
-              (x + when(pmod(i, lit(2)) === 0, lit(0.01f)).otherwise(lit(-0.01f)))
+              (x + when(pmod(i, lit(2)) === 0, lit(0.005f)).otherwise(lit(-0.005f)))
                 .cast("float")))
           .otherwise(
             transform(slice(col("embedding"), 1, 16), (x, i) =>
@@ -526,7 +566,7 @@ object ScaleEvidence {
     // and band-miss losses INCLUDED — as a hard floor, not a report:
     // the exactness/recall trade the scaladoc documents
     // (Dedup.semanticDedup mega-cell routing) is regression-pinned at
-    // 10⁶ here. Measured ~0.93 (0.97 same-cell × 0.96 band-sharing);
+    // 10⁶ here. Measured 0.92 (0.947 same-cell × 0.973 band-sharing);
     // floor at 0.8 catches a broken band join or collapsed cells while
     // tolerating fixture drift.
     val megaTwinsDropped = megaTwinJoin.filter(!col("twin_kept")).count()
