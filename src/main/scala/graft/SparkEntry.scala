@@ -2046,6 +2046,37 @@ object SparkEntry {
         .orderBy(col("skey").desc, col("doc_id"))
     }),
 
+    // ---- DSIR importance resampling (hashed-n-gram target matching)
+    "dsir_weights" -> ((s, dir) => {
+      // Target = the Spanish slice of the corpus; every raw doc scored
+      // by how target-like its hashed unigram+bigram distribution is.
+      // Portable bucket hash so the estimator is replicated bucket-for-
+      // bucket in the oracle. Top-20 carries lang to make the semantics
+      // visible: Spanish docs should dominate the head.
+      val docs = Tables.documents(s, dir)
+      operators.Scale.dsirWeights(
+        docs.select("doc_id", "text"),
+        docs.filter(col("lang") === "es").select("doc_id", "text"),
+        nBuckets = 1024, alpha = 1.0, portable = true)
+        .orderBy(col("logw").desc, col("doc_id"))
+        .limit(20)
+        .join(docs.select("doc_id", "lang"), "doc_id")
+        .select("doc_id", "logw", "lang")
+        .orderBy(col("logw").desc, col("doc_id"))
+    }),
+
+    "dsir_select" -> ((s, dir) => {
+      // The resampling step: Gumbel top-30 over the same weights —
+      // selection probability ∝ exp(logw), deterministic via the
+      // knuthHash32 draw (seed 7).
+      val docs = Tables.documents(s, dir)
+      operators.Scale.dsirSelect(
+        docs.select("doc_id", "text"),
+        docs.filter(col("lang") === "es").select("doc_id", "text"),
+        k = 30, nBuckets = 1024, alpha = 1.0, seed = 7L, portable = true)
+        .select("doc_id", "logw", "skey")
+    }),
+
     // ---- train/val/test sharding + repetition quality rule
     "sample_split" -> ((s, dir) => {
       // Deterministic hash-bucket split (80/10/10) — pure integer
@@ -3669,6 +3700,80 @@ object SparkEntry {
         |  FROM q WHERE weight > 0)
         |SELECT doc_id, skey, weight, lang, source FROM s
         |ORDER BY skey DESC, doc_id LIMIT 25""".stripMargin,
+
+    // DSIR: unigram+bigram features bucketed by the rolling mod-p hash
+    // (the fingerprint/minhash list_reduce form) % 1024; target model =
+    // the lang='es' slice, raw model = the whole corpus; per-bucket
+    // log-ratio with add-1 smoothing over (total + 1024); per-doc weight
+    // = sum of its occurrences' log-ratios, floored at 6 dp. doc_id <
+    // 65536 at every test SF, so knuthHash32(doc_id+seed) reduces to
+    // ((doc_id+seed)*2654435761) % 2^32 exactly as in sample_weighted.
+    "dsir_weights" ->
+      """WITH tk AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^\p{L}\p{N}]+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |f0 AS (
+        |  SELECT doc_id, unnest(list_concat(toks,
+        |    [toks[i+1] || ' ' || toks[i+2] FOR i IN range(greatest(len(toks)-1, 0))])) AS term
+        |  FROM tk),
+        |fb AS (
+        |  SELECT doc_id, list_reduce(list_prepend(CAST(7 AS BIGINT),
+        |      list_transform(range(length(term)), i -> CAST(unicode(term[i+1]) AS BIGINT))),
+        |      (a, b) -> (31 * a + b) % 2147483647) % 1024 AS bucket
+        |  FROM f0),
+        |tcnt AS (
+        |  SELECT bucket, CAST(count(*) AS BIGINT) AS ct
+        |  FROM fb JOIN documents USING (doc_id) WHERE lang = 'es' GROUP BY 1),
+        |rcnt AS (SELECT bucket, CAST(count(*) AS BIGINT) AS cr FROM fb GROUP BY 1),
+        |tot AS (SELECT (SELECT CAST(sum(cr) AS DOUBLE) FROM rcnt) AS r_total,
+        |               (SELECT CAST(sum(ct) AS DOUBLE) FROM tcnt) AS t_total),
+        |lam AS (
+        |  SELECT coalesce(rcnt.bucket, tcnt.bucket) AS bucket,
+        |    ln((coalesce(ct, 0) + 1.0) / (t_total + 1024.0))
+        |      - ln((coalesce(cr, 0) + 1.0) / (r_total + 1024.0)) AS lam
+        |  FROM rcnt FULL OUTER JOIN tcnt ON rcnt.bucket = tcnt.bucket, tot),
+        |w AS (
+        |  SELECT doc_id, floor(sum(lam) * 1000000) / 1000000 AS logw
+        |  FROM fb JOIN lam USING (bucket) GROUP BY 1),
+        |top AS (SELECT doc_id, logw FROM w ORDER BY logw DESC, doc_id LIMIT 20)
+        |SELECT top.doc_id, top.logw, d.lang
+        |FROM top JOIN documents d ON top.doc_id = d.doc_id
+        |ORDER BY top.logw DESC, top.doc_id""".stripMargin,
+
+    "dsir_select" ->
+      """WITH tk AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^\p{L}\p{N}]+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |f0 AS (
+        |  SELECT doc_id, unnest(list_concat(toks,
+        |    [toks[i+1] || ' ' || toks[i+2] FOR i IN range(greatest(len(toks)-1, 0))])) AS term
+        |  FROM tk),
+        |fb AS (
+        |  SELECT doc_id, list_reduce(list_prepend(CAST(7 AS BIGINT),
+        |      list_transform(range(length(term)), i -> CAST(unicode(term[i+1]) AS BIGINT))),
+        |      (a, b) -> (31 * a + b) % 2147483647) % 1024 AS bucket
+        |  FROM f0),
+        |tcnt AS (
+        |  SELECT bucket, CAST(count(*) AS BIGINT) AS ct
+        |  FROM fb JOIN documents USING (doc_id) WHERE lang = 'es' GROUP BY 1),
+        |rcnt AS (SELECT bucket, CAST(count(*) AS BIGINT) AS cr FROM fb GROUP BY 1),
+        |tot AS (SELECT (SELECT CAST(sum(cr) AS DOUBLE) FROM rcnt) AS r_total,
+        |               (SELECT CAST(sum(ct) AS DOUBLE) FROM tcnt) AS t_total),
+        |lam AS (
+        |  SELECT coalesce(rcnt.bucket, tcnt.bucket) AS bucket,
+        |    ln((coalesce(ct, 0) + 1.0) / (t_total + 1024.0))
+        |      - ln((coalesce(cr, 0) + 1.0) / (r_total + 1024.0)) AS lam
+        |  FROM rcnt FULL OUTER JOIN tcnt ON rcnt.bucket = tcnt.bucket, tot),
+        |w AS (
+        |  SELECT doc_id, floor(sum(lam) * 1000000) / 1000000 AS logw
+        |  FROM fb JOIN lam USING (bucket) GROUP BY 1),
+        |g AS (
+        |  SELECT doc_id, logw,
+        |    floor((logw - ln(-ln((((doc_id + 7) * 2654435761) % 4294967296 + 1) / 4294967297.0)))
+        |      * 1000000) / 1000000 AS skey
+        |  FROM w)
+        |SELECT doc_id, logw, skey FROM g
+        |ORDER BY skey DESC, doc_id LIMIT 30""".stripMargin,
 
     "sample_split" ->
       """WITH b AS (

@@ -312,6 +312,13 @@ object TextAnalysis extends Serializable {
     h
   }
 
+  /** Column form of [[hashMod]] for the portable (oracle-checkable)
+    * feature-hash paths; the murmur `hash()` builtin stays the scale
+    * default wherever cross-engine exactness isn't needed.
+    */
+  def hashModUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf((s: String) => hashMod(s))
+
   /** Sentinel for the MinHash of an empty shingle set: [[ModP]] itself,
     * unreachable by any `x mod ModP`. Two empty docs therefore agree on
     * every signature slot (estimated Jaccard 1), matching the convention

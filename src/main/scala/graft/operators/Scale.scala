@@ -341,4 +341,119 @@ object Scale {
         col("src_dup_micros") <= dThresh)
     docs.join(broadcast(verdict), "source")
   }
+
+  // -------------------------------------------------- DSIR data selection
+
+  /** Unigram + bigram feature stream of a text column — the hashed
+    * n-gram feature space of DSIR (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): tokens from the shared
+    * [[TextRetrieval.tokensCol]] rule plus space-joined adjacent pairs.
+    */
+  private def dsirTermsCol(text: Column): Column = {
+    val toks = TextRetrieval.tokensCol(text)
+    val n1 = greatest(size(toks) - 1, lit(0))
+    concat(toks,
+      zip_with(slice(toks, lit(1), n1), slice(toks, lit(2), n1),
+        (a, b) => concat(a, lit(" "), b)))
+  }
+
+  /** Term → feature bucket in [0, nBuckets). The scale default is the
+    * codegen'd murmur builtin; `portable = true` swaps in the rolling
+    * mod-p hash ([[graft.functions.TextAnalysis.hashMod]]) whose exact
+    * arithmetic the DuckDB oracle replicates per character — the same
+    * dual the MinHash/SimHash family uses (murmur for production,
+    * portable for the correctness gate).
+    */
+  private def dsirBucket(term: Column, nBuckets: Int, portable: Boolean): Column =
+    if (portable)
+      pmod(graft.functions.TextAnalysis.hashModUdf(term), lit(nBuckets.toLong))
+    else pmod(hash(term).cast("long"), lit(nBuckets.toLong))
+
+  /** (doc_id, bucket) feature occurrences; the parallelism floor keeps
+    * the CPU-bound tokenize+hash off a single scan split.
+    */
+  private def dsirFeatures(docs: DataFrame, nBuckets: Int, portable: Boolean): DataFrame =
+    parallelismFloor(docs)
+      .select(col("doc_id"), explode(dsirTermsCol(col("text"))).as("term"))
+      .select(col("doc_id"), dsirBucket(col("term"), nBuckets, portable).as("bucket"))
+
+  /** DSIR importance weights (Xie et al. 2023): score every document of
+    * a RAW pool by how much its hashed-n-gram distribution looks like a
+    * TARGET corpus rather than the raw pool itself. Both corpora are
+    * reduced to bag-of-hashed-n-grams models over `nBuckets` buckets
+    * with add-`alpha` smoothing; a document's log importance weight is
+    *   log w(d) = Σ_b c_d[b] · (log p_target[b] − log p_raw[b]),
+    * the exact estimator of the paper with the feature space hashed to a
+    * fixed, engine-independent width. Output: (doc_id, logw), logw
+    * floored at 6 dp so downstream ranking is engine-stable.
+    *
+    * Plan shape at 100 TB: tokenize+hash is map-side; the two bucket
+    * models are `nBuckets`-row aggregations (map-side combinable — the
+    * shuffle carries ≤ nBuckets rows per task, never the token stream);
+    * the per-bucket log-ratio table λ is a ≤ nBuckets-row frame BROADCAST
+    * onto the raw feature stream, and the per-doc sum groups by doc_id —
+    * a doc's features are partition-local to its row, so map-side
+    * partial aggregation collapses the shuffle to ~one row per document.
+    * The corpus is tokenized once per consuming branch (model build +
+    * scoring — the same two-branch recompute [[TextRetrieval.bm25TopK]]
+    * documents); iterative selection pipelines should materialize
+    * [[dsirFeatures]] once instead of re-deriving it per sweep.
+    *
+    * The target model rides a full-outer join against the raw model so
+    * buckets seen in only one corpus still get their smoothed mass —
+    * dropping them would bias λ toward 0 exactly on the rare features
+    * that carry the most selection signal.
+    */
+  def dsirWeights(
+      raw: DataFrame,
+      target: DataFrame,
+      nBuckets: Int = 1024,
+      alpha: Double = 1.0,
+      portable: Boolean = false): DataFrame = {
+    val rawF = dsirFeatures(raw, nBuckets, portable)
+    val tgtF = dsirFeatures(target, nBuckets, portable)
+    val rawCnt = rawF.groupBy("bucket").agg(count(lit(1)).as("cr"))
+    val tgtCnt = tgtF.groupBy("bucket").agg(count(lit(1)).as("ct"))
+    val totals = rawCnt.agg(sum("cr").cast("double").as("r_total"))
+      .crossJoin(tgtCnt.agg(sum("ct").cast("double").as("t_total")))
+    val aB = alpha * nBuckets
+    val lam = rawCnt.join(tgtCnt, Seq("bucket"), "full_outer")
+      .crossJoin(broadcast(totals))
+      .select(col("bucket"),
+        (log((coalesce(col("ct"), lit(0L)) + lit(alpha)) / (col("t_total") + lit(aB))) -
+          log((coalesce(col("cr"), lit(0L)) + lit(alpha)) / (col("r_total") + lit(aB))))
+          .as("lam"))
+    rawF.join(broadcast(lam), "bucket")
+      .groupBy("doc_id")
+      .agg(graft.functions.TextAnalysis.floorScale(sum("lam"), 6).as("logw"))
+  }
+
+  /** DSIR selection: resample `k` documents from the raw pool with
+    * probability ∝ exp(log w) via deterministic Gumbel top-k — the
+    * paper's resampling step with [[knuthHash32]] of `doc_id + seed`
+    * standing in for randomness (same convention as [[weightedSample]]'s
+    * A-Res keys: no RNG state, bit-reproducible across reruns,
+    * repartitioning, and engines; a different seed draws a different
+    * sample from the same weight distribution). Key = logw + g where
+    * g = −ln(−ln u) is the document's Gumbel draw; the k largest keys
+    * are exactly a softmax(logw) sample without replacement. Keys are
+    * floored at 6 dp with doc_id tiebreaks, and the top-k plans as
+    * `TakeOrderedAndProject` — per-partition heaps, no full sort.
+    */
+  def dsirSelect(
+      raw: DataFrame,
+      target: DataFrame,
+      k: Int,
+      nBuckets: Int = 1024,
+      alpha: Double = 1.0,
+      seed: Long = 0L,
+      portable: Boolean = false): DataFrame = {
+    val u = (knuthHash32(col("doc_id") + lit(seed)) + 1).cast("double") /
+      lit(4294967297.0)
+    dsirWeights(raw, target, nBuckets, alpha, portable)
+      .withColumn("skey",
+        graft.functions.TextAnalysis.floorScale(col("logw") - log(-log(u)), 6))
+      .orderBy(col("skey").desc, col("doc_id").asc)
+      .limit(k)
+  }
 }
