@@ -1647,6 +1647,29 @@ object SparkEntry {
     }),
 
     // ---- ANN scale paths (T-4 approximations; exact form is the oracle)
+    // ---- BPE tokenizer training (no SQL oracle possible: the merge
+    // sequence is iterative with data-dependent choices; Verify
+    // hard-gates the distributed learner merge-for-merge against the
+    // sequential in-driver reference instead)
+    "bpe_learn_merges" -> ((s, dir) => {
+      import s.implicits._
+      operators.Bpe.learnMergesCached(
+        Tables.documents(s, dir).select("doc_id", "text"), dir, nMerges = 20)
+        .zipWithIndex
+        .map { case ((a, b, c), i) => (i + 1, a, b, c) }
+        .toDF("rank", "left", "right", "pair_count")
+    }),
+
+    "bpe_encode_stats" -> ((s, dir) => {
+      // Per-document subword counts under the learned table: the greedy
+      // merge loop runs once per DISTINCT word; the corpus gets its
+      // counts back through a word equi-join.
+      val docs = Tables.documents(s, dir).select("doc_id", "text")
+      val merges = operators.Bpe.learnMergesCached(docs, dir, nMerges = 20)
+      operators.Bpe.encodeStats(docs, merges.map(m => (m._1, m._2)))
+        .orderBy("doc_id")
+    }),
+
     "ann_lsh_topk" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       val qs = emb.filter(col("vec_id") < 5)

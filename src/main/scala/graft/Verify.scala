@@ -231,6 +231,26 @@ object Verify {
           "ann_ivfpq_incremental: versioned root diverged from the rebuilt layout")
       }
     }
+
+    // ---- BPE training gate: the merge sequence is iterative with
+    // data-dependent choices (no SQL oracle can express it), so the
+    // hard signal is EXACT merge-for-merge equality between the
+    // distributed learner and the sequential in-driver reference over
+    // the same word counts — the same discipline as the incremental-
+    // index rebuild gate. The memoized call is the one the registry
+    // queries share, so a learner regression fails the round here.
+    {
+      import org.apache.spark.sql.functions._
+      val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
+      val dist = operators.Bpe.learnMergesCached(docs, sfDir, nMerges = 20)
+      val wcLocal = operators.Bpe.wordCounts(docs)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      val ref = operators.Bpe.learnMergesReference(wcLocal, nMerges = 20)
+      println(s"[equality] bpe_learn_merges n=${dist.size} " +
+        s"ref=${ref.size} equal=${dist == ref}")
+      require(dist == ref,
+        "bpe_learn_merges: distributed learner diverged from the sequential reference")
+    }
     spark.stop()
   }
 }
