@@ -1647,6 +1647,33 @@ object SparkEntry {
     }),
 
     // ---- ANN scale paths (T-4 approximations; exact form is the oracle)
+    // ---- in-engine quality classifier (no SQL oracle: iterative GD;
+    // Verify hard-gates trained weights BIT-EXACT vs the sequential
+    // reference — micro-quantized integer aggregation makes the
+    // distributed result partition-order-free)
+    "quality_model_score" -> ((s, dir) => {
+      // Train target (lang='es') vs a hash-balanced sample of the rest
+      // (curated-vs-sample is the standard classifier-filter setup —
+      // balance keeps the bias from swamping the feature signal), score
+      // EVERY doc, top-20 by quality with lang attached. The head is
+      // es-ENRICHED (~10/20 vs the 17% base rate), not pure: Spanish
+      // shares its strongest function words with French/Catalanic
+      // neighbors, which caps lexical separation — the Verify gate
+      // checks the class-mean gap, the honest signal.
+      val docs = Tables.documents(s, dir)
+      val w = operators.QualityModel.trainCached(
+        docs.filter(col("lang") === "es").select("doc_id", "text"),
+        docs.filter(col("lang") =!= "es" && pmod(hash(col("doc_id")), lit(5)) === 0)
+          .select("doc_id", "text"),
+        dir, nBuckets = 4096, iters = 80, lr = 300.0)
+      operators.QualityModel.score(docs.select("doc_id", "text"), w, 4096)
+        .orderBy(col("quality").desc, col("doc_id"))
+        .limit(20)
+        .join(docs.select("doc_id", "lang"), "doc_id")
+        .select("doc_id", "quality", "lang")
+        .orderBy(col("quality").desc, col("doc_id"))
+    }),
+
     // ---- BPE tokenizer training (no SQL oracle possible: the merge
     // sequence is iterative with data-dependent choices; Verify
     // hard-gates the distributed learner merge-for-merge against the

@@ -251,6 +251,42 @@ object Verify {
       require(dist == ref,
         "bpe_learn_merges: distributed learner diverged from the sequential reference")
     }
+
+    // ---- quality-classifier gate: BIT-EXACT weight equality between
+    // the distributed micro-quantized GD and the sequential reference
+    // (exact integer aggregation makes this an equality, not a
+    // tolerance), plus a separation sanity check — the trained model
+    // must actually rank its target language above the rest.
+    {
+      import org.apache.spark.sql.functions._
+      val docs = Tables.documents(spark, sfDir)
+      val tgt = docs.filter(col("lang") === "es").select("doc_id", "text")
+      val rest = docs
+        .filter(col("lang") =!= "es" && pmod(hash(col("doc_id")), lit(5)) === 0)
+        .select("doc_id", "text")
+      val dist = operators.QualityModel.trainCached(
+        tgt, rest, sfDir, nBuckets = 4096, iters = 80, lr = 300.0)
+      val ref = operators.QualityModel.trainReference(
+        operators.QualityModel.collectExamples(tgt, rest, 4096),
+        4096, iters = 80, lr = 300.0)
+      println(s"[equality] quality_model weights=${dist.size} " +
+        s"equal=${dist == ref}")
+      require(dist == ref,
+        "quality_model: distributed GD diverged from the sequential reference")
+      val means = operators.QualityModel.score(
+        docs.select("doc_id", "text"), dist, 4096)
+        .join(docs.select("doc_id", "lang"), "doc_id")
+        .groupBy(col("lang") === "es").agg(avg("quality"))
+        .collect().map(r => (r.getBoolean(0), r.getDouble(1))).toMap
+      println(f"[separation] quality_model es=${means(true)}%.3f rest=${means(false)}%.3f")
+      // Measured gap 0.15 @sf0.01 (es 0.56 vs rest 0.41): Spanish
+      // shares its strongest function words with French ("de"/"la"/
+      // "en"), which caps lexical separation on this fixture — the
+      // floor is set for regression detection (a broken trainer gives
+      // gap ~0), not state-of-the-art langid.
+      require(means(true) > means(false) + 0.1,
+        s"quality_model: es mean ${means(true)} not separated from rest ${means(false)}")
+    }
     spark.stop()
   }
 }

@@ -370,9 +370,11 @@ object Scale {
     else pmod(hash(term).cast("long"), lit(nBuckets.toLong))
 
   /** (doc_id, bucket) feature occurrences; the parallelism floor keeps
-    * the CPU-bound tokenize+hash off a single scan split.
+    * the CPU-bound tokenize+hash off a single scan split. Public: the
+    * same hashed feature space feeds [[QualityModel]]'s discriminative
+    * classifier.
     */
-  private def dsirFeatures(docs: DataFrame, nBuckets: Int, portable: Boolean): DataFrame =
+  def dsirFeatures(docs: DataFrame, nBuckets: Int, portable: Boolean): DataFrame =
     parallelismFloor(docs)
       .select(col("doc_id"), explode(dsirTermsCol(col("text"))).as("term"))
       .select(col("doc_id"), dsirBucket(col("term"), nBuckets, portable).as("bucket"))
