@@ -217,4 +217,29 @@ object QualityModel {
           f.getField("cn") * element_at(wLit, f.getField("bucket") + 1)))
       .select(col("doc_id"), sigUdf(col("margin_microsq")).as("quality"))
   }
+
+  /** ROW-LOCAL scoring column for streaming admission: the exact same
+    * arithmetic as [[score]] — per-bucket counts, floor(c·10⁶/T)
+    * frequency micros, bias 0.1, Long margin, StrictMath sigmoid,
+    * 6-dp floor — computed per row from [[Scale.dsirBucketsCol]]'s
+    * bucket array (the murmur bucketing stays in the `hash()` builtin;
+    * this UDF does only integer counting and the sigmoid), so it needs
+    * no aggregation and is legal in a stateless streaming projection.
+    * Bit-equal to the batch path for any doc with ≥1 token (spec-pinned);
+    * a token-less doc, which the batch path DROPS, here scores its
+    * bias-only margin — a streaming gate must emit a verdict per row.
+    */
+  def qualityCol(text: org.apache.spark.sql.Column, weights: Seq[Long],
+      nBuckets: Int = 1024): org.apache.spark.sql.Column = {
+    val w = weights.toArray
+    val u = udf((buckets: Seq[Long]) => {
+      val counts = scala.collection.mutable.Map.empty[Int, Long]
+      buckets.foreach(b => counts(b.toInt) = counts.getOrElse(b.toInt, 0L) + 1L)
+      val t = buckets.length.toLong
+      var margin = 100000L * w(nBuckets) // bias at 0.1
+      counts.foreach { case (b, c) => margin += (c * 1000000L / t) * w(b) }
+      math.floor(1.0 / (1.0 + StrictMath.exp(-(margin / 1e12))) * 1e6) / 1e6
+    })
+    u(Scale.dsirBucketsCol(text, nBuckets))
+  }
 }

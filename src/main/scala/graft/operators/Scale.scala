@@ -379,6 +379,15 @@ object Scale {
       .select(col("doc_id"), explode(dsirTermsCol(col("text"))).as("term"))
       .select(col("doc_id"), dsirBucket(col("term"), nBuckets, portable).as("bucket"))
 
+  /** Row-local bucket stream of a text column (murmur path): the same
+    * features as [[dsirFeatures]] but as an ARRAY per row, no explode —
+    * usable on STREAMING frames where a per-doc aggregation is not
+    * (bucketing stays in the authoritative `hash()` builtin; consumers
+    * do only count arithmetic on the values).
+    */
+  def dsirBucketsCol(text: Column, nBuckets: Int): Column =
+    transform(dsirTermsCol(text), t => pmod(hash(t).cast("long"), lit(nBuckets.toLong)))
+
   /** DSIR importance weights (Xie et al. 2023): score every document of
     * a RAW pool by how much its hashed-n-gram distribution looks like a
     * TARGET corpus rather than the raw pool itself. Both corpora are

@@ -266,6 +266,30 @@ object Streams {
         Seq("probes", "best"): _*)
   }
 
+  /** Streaming QUALITY admission: score each arriving document under a
+    * TRAINED [[graft.operators.QualityModel]] weight vector and flag it
+    * keep/drop against a threshold — the model-based-filter stage of
+    * the ingest path run live, completing the streaming tier's gate
+    * family (exact hash → SimHash near-dup → LSH/PQ similarity →
+    * model-based quality). Entirely STATELESS: the weights ride the
+    * closure and scoring is the row-local [[graft.operators.QualityModel
+    * .qualityCol]] (bucket hashing in the `hash()` builtin, exact
+    * integer count/margin arithmetic in the UDF), so it is legal in any
+    * output mode, needs no watermark, and is bit-equal to the batch
+    * [[graft.operators.QualityModel.score]] on every doc with ≥1 token
+    * (spec-pinned). Docs are flagged, not dropped — retention stays a
+    * policy step, as with [[graft.operators.Scale.sourceQualityGate]].
+    */
+  def qualityGate(
+      docs: DataFrame,
+      weights: Seq[Long],
+      nBuckets: Int = 1024,
+      minQuality: Double = 0.5): DataFrame =
+    docs
+      .withColumn("quality",
+        graft.operators.QualityModel.qualityCol(col("text"), weights, nBuckets))
+      .withColumn("keep", col("quality") >= minQuality)
+
   /** Streaming line-dedup gate: the stream-shaped half of
     * [[graft.operators.Dedup.incrementalLineDedup]]. Each arriving
     * document explodes into lines (stateless) and stream-static

@@ -454,4 +454,45 @@ class StreamsSpec extends AnyFunSuite with SparkTestSession {
       102L -> ((true, -1L)), 103L -> ((true, -1L))),
       s"versioned-root gate verdicts: $incoming")
   }
+
+  test("quality gate: streaming scores bit-equal batch, verdicts split on threshold") {
+    import graft.operators.QualityModel
+    val onTarget = Seq("uno dos tres cuatro cinco seis", "dos tres uno cuatro seis siete",
+      "tres cuatro uno dos cinco ocho", "cuatro cinco dos tres uno nueve")
+    val offTarget = Seq("alpha beta gamma delta epsilon zeta", "beta gamma alpha delta zeta eta",
+      "gamma delta alpha beta epsilon theta", "delta epsilon beta gamma alpha iota")
+    val B = 256
+    val w = QualityModel.train(
+      onTarget.zipWithIndex.map { case (t, i) => (100L + i, t) }.toDF("doc_id", "text"),
+      offTarget.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text"),
+      nBuckets = B, iters = 30, lr = 50.0)
+
+    val probeDocs = Seq(
+      (500L, "cinco seis uno tres dos"),     // unseen on-target
+      (501L, "epsilon zeta alpha gamma"),    // unseen off-target
+      (502L, "uno dos alpha beta"))          // mixed
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val query = Streams.qualityGate(
+      input.toDF().toDF("doc_id", "text"), w, nBuckets = B, minQuality = 0.5)
+      .writeStream.format("memory").queryName("qualgate")
+      .outputMode(OutputMode.Append()).start()
+    val streamed = try {
+      input.addData(probeDocs.take(2): _*)
+      query.processAllAvailable()
+      input.addData(probeDocs.drop(2): _*) // second micro-batch, same weights
+      query.processAllAvailable()
+      spark.table("qualgate").collect()
+        .map(r => r.getAs[Long]("doc_id") ->
+          ((r.getAs[Double]("quality"), r.getAs[Boolean]("keep")))).toMap
+    } finally query.stop()
+    // bit-equal to the batch scorer on every doc (all have tokens)
+    val batch = QualityModel.score(probeDocs.toDF("doc_id", "text"), w, B)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(streamed.view.mapValues(_._1).toMap == batch,
+      s"stream=$streamed batch=$batch")
+    // and the verdicts actually split on the trained signal
+    assert(streamed(500L)._2 && !streamed(501L)._2,
+      s"on-target must pass, off-target must be flagged: $streamed")
+  }
 }
