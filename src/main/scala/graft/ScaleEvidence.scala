@@ -55,6 +55,15 @@ import java.nio.file.{Files, Paths}
   *    guaranteed-candidate set), and END-TO-END planted-twin recall
   *    (cell-miss + band-miss losses included) is floored at 0.8.
   *
+  *  - data selection at 10⁶ docs: DSIR Gumbel top-1000 must select ONLY
+  *    the verbatim-base (v<2) population (off-target docs carry
+  *    hundreds of absent-from-target tokens — a log-weight gap Gumbel
+  *    noise cannot bridge); the quality classifier trains
+  *    curated-vs-sample and the 10⁶-doc pool is scored by the map-only
+  *    row-local pass (timed for throughput), class means separated
+  *    ≥ 0.3; BPE trains 8 merges on the ~200×-vocab corpus with the
+  *    selected pair counts non-increasing (the recount invariant).
+  *
   * Records wall seconds + docs/sec per operator to SCALE_EVIDENCE.json.
   */
 object ScaleEvidence {
@@ -583,6 +592,66 @@ object ScaleEvidence {
     if (megaOrigKept < nVec * 99 / 100)
       failures ::= s"semantic_mega: only $megaOrigKept/$nVec originals kept"
 
+    // -------- data SELECTION at 10⁶ docs: DSIR, the quality
+    // classifier, and BPE training over the expanded text corpus. The
+    // corpus is its own planted signal: v0/v1 docs are verbatim base
+    // docs, v≥2 are token-suffixed with a DISJOINT vocabulary — with
+    // the v0 slice as the TARGET, the on-target population is exactly
+    // the 2·nBase v<2 docs, and both selectors must find it.
+    val selTarget = corpus.filter(col("doc_id") < nBase)
+
+    // DSIR (murmur path — the scale default): per-doc log-weights over
+    // all 10⁶ docs, Gumbel top-1000. Off-target docs carry ~hundreds of
+    // absent-from-target tokens, each a strongly negative log-ratio, so
+    // the Gumbel noise (max ~ln 10⁶ ≈ 14 over the decoys) cannot bridge
+    // the gap: ALL 1000 selections must be v<2.
+    val (dsirSel, tDsirSel) = timed {
+      operators.Scale.dsirSelect(corpus, selTarget, k = 1000, nBuckets = 4096,
+        seed = 7L)
+        .select("doc_id").collect().map(_.getLong(0))
+    }
+    val dsirOnTarget = dsirSel.count(_ < 2 * nBase)
+    if (dsirOnTarget != 1000)
+      failures ::= s"dsir: only $dsirOnTarget/1000 selections on-target"
+
+    // Quality classifier: train v0-slice vs a ~nBase hash-sample of the
+    // suffixed decoys (bounded curated-vs-sample corpora), then SCORE
+    // ALL 10⁶ docs with the ROW-LOCAL column — the map-only pass the
+    // 100 TB pool pays, timed for throughput. Disjoint vocabularies ⇒
+    // the class means must separate wide.
+    val qNeg = corpus.filter(col("doc_id") >= 2 * nBase &&
+      pmod(xxhash64(col("doc_id")), lit(variants.toLong - 2)) === 0)
+    val (qw, tQTrain) = timed {
+      operators.QualityModel.train(selTarget, qNeg, nBuckets = 4096,
+        iters = 30, lr = 300.0)
+    }
+    val (qMeans, tQScore) = timed {
+      corpus
+        .withColumn("quality",
+          operators.QualityModel.qualityCol(col("text"), qw, 4096))
+        .groupBy(col("doc_id") < 2 * nBase)
+        .agg(avg("quality"))
+        .collect().map(r => (r.getBoolean(0), r.getDouble(1))).toMap
+    }
+    if (qMeans(true) < qMeans(false) + 0.3)
+      failures ::= f"quality: on-target mean ${qMeans(true)}%.3f not separated from ${qMeans(false)}%.3f"
+
+    // BPE training over the 10⁶-doc corpus — the vocab is ~200× the
+    // base corpus's (every suffixed variant mints new words), the
+    // stress case for the word-level formulation: each round is still
+    // one explode+aggregate over the (distributed) vocab. Invariant:
+    // the selected pair counts are NON-INCREASING — a merge can only
+    // create pairs whose counts are bounded by the pair it replaced, so
+    // an increase means the recount is broken.
+    val ((bpeVocab, bpeMerges), tBpe) = timed {
+      val v = operators.Bpe.wordCounts(corpus).count()
+      (v, operators.Bpe.learnMerges(corpus, nMerges = 8))
+    }
+    if (bpeMerges.length != 8)
+      failures ::= s"bpe: learned ${bpeMerges.length}/8 merges"
+    if (bpeMerges.map(_._3).sliding(2).exists(p => p.length == 2 && p(1) > p(0)))
+      failures ::= s"bpe: merge counts not non-increasing: ${bpeMerges.map(_._3)}"
+
     spark.stop()
     def r1(v: Double): String = f"$v%.1f"
     val line =
@@ -601,6 +670,9 @@ object ScaleEvidence {
         s""""ann_ivfpq_incremental":{"n_vectors":${nVec * variants},"batch_rows":${nVec + 1},"base_write_sec":${r1(tVerBase)},"batch_append_sec":${r1(tVerBatch)},"delete_sec":${r1(tVerDel)},"probe_sec":${r1(tVerQuery)},"tombstoned":${victimIds.length},"twin_at_rank1":${incRows.contains((0L, 1, -1L))}},""" +
         s""""semantic_dedup":{"n_vectors":$nSemVecs,"n_cells":1024,"sec":${r1(tSem)},"vecs_per_sec":${r1(nSemVecs / tSem)},"planted_twins":$nVec,"twins_same_cell":$plantedSameCell,"same_cell_twins_dropped":$sameCellDropped,"originals_kept":$semOrigKept},""" +
         s""""semantic_dedup_megacell":{"n_vectors":$nSemVecs,"n_cells":64,"max_cell_rows":5000,"mega_bits":32,"mega_bands":2,"sec":${r1(tSemMega)},"vecs_per_sec":${r1(nSemVecs / tSemMega)},"twins_same_cell":$megaSameCell,"band_sharing_twins":$megaBandShared,"band_sharing_dropped":$megaGuaranteedDropped,"twins_dropped_total":$megaTwinsDropped,"twin_recall_floor":0.8,"originals_kept":$megaOrigKept},""" +
+        s""""dsir_select":{"n_docs":$nDocs,"k":1000,"sec":${r1(tDsirSel)},"docs_per_sec":${r1(nDocs / tDsirSel)},"on_target":$dsirOnTarget},""" +
+        s""""quality_model":{"n_docs":$nDocs,"train_sec":${r1(tQTrain)},"score_sec":${r1(tQScore)},"score_docs_per_sec":${r1(nDocs / tQScore)},"mean_on_target":${f"${qMeans(true)}%.3f"},"mean_off_target":${f"${qMeans(false)}%.3f"}},""" +
+        s""""bpe_train":{"n_docs":$nDocs,"vocab_words":$bpeVocab,"n_merges":${bpeMerges.length},"sec":${r1(tBpe)}},""" +
         s""""failures":${failures.map("\"" + _ + "\"").mkString("[", ",", "]")}}"""
     Files.writeString(Paths.get(out), line + "\n")
     println(line)
