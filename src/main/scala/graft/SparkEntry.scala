@@ -1656,16 +1656,17 @@ object SparkEntry {
       // (curated-vs-sample is the standard classifier-filter setup —
       // balance keeps the bias from swamping the feature signal), score
       // EVERY doc, top-20 by quality with lang attached. The head is
-      // es-ENRICHED (~10/20 vs the 17% base rate), not pure: Spanish
-      // shares its strongest function words with French/Catalanic
-      // neighbors, which caps lexical separation — the Verify gate
-      // checks the class-mean gap, the honest signal.
+      // es-ENRICHED (~13/20 vs the 17% base rate), not pure: Spanish
+      // the driver's synthetic languages all draw from one 31-word
+      // pool (only frequency/bigram profiles differ), which caps
+      // separation — the Verify gate checks balanced training
+      // accuracy, the honest signal on an iso-vocabulary fixture.
       val docs = Tables.documents(s, dir)
       val w = operators.QualityModel.trainCached(
         docs.filter(col("lang") === "es").select("doc_id", "text"),
         docs.filter(col("lang") =!= "es" && pmod(hash(col("doc_id")), lit(5)) === 0)
           .select("doc_id", "text"),
-        dir, nBuckets = 4096, iters = 80, lr = 300.0)
+        dir, nBuckets = 4096, iters = 300, lr = 300.0)
       operators.QualityModel.score(docs.select("doc_id", "text"), w, 4096)
         .orderBy(col("quality").desc, col("doc_id"))
         .limit(20)
