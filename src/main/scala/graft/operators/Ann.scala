@@ -129,6 +129,14 @@ object Ann {
       corpus: DataFrame, path: String, nBits: Int = 8): Unit =
     corpus
       .withColumn("sig", signatureUdf(nBits)(col("embedding")))
+      // Co-locate each partition value's rows before partitionBy: a
+      // direct map-side partitionBy write opens one file per (task ×
+      // value) — at cluster scale, thousands of tasks × hundreds of
+      // values is the classic small-files explosion, and every probe
+      // then pays per-file open overhead. One cheap shuffle on the
+      // partition column caps the layout at ~one file per value.
+      // (Applies to every layout writer below.)
+      .repartition(col("sig"))
       .write.mode("overwrite").partitionBy("sig").parquet(path)
 
   /** [[writeSignaturePartitioned]] with the PORTABLE squared-Lehmer
@@ -143,6 +151,7 @@ object Ann {
       if (v == null) null else Integer.valueOf(Dedup.portableSignature(v, nBits)))
     corpus
       .withColumn("sig", sigU(col("embedding")))
+      .repartition(col("sig"))
       .write.mode("overwrite").partitionBy("sig").parquet(path)
   }
 
@@ -390,6 +399,7 @@ object Ann {
       centroids: Array[Array[Float]],
       path: String): Unit =
     assignCells(corpus, centroids)
+      .repartition(col("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(path)
 
   /** [[ivfTopK]] over a [[writeCellPartitioned]] layout: probe cells are
@@ -786,6 +796,7 @@ object Ann {
       path: String): Unit =
     assignCells(corpus, centroids)
       .select(col("vec_id") +: pqCodeCols(codebooks) :+ col("cell"): _*)
+      .repartition(col("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(path)
 
   /** Build-once [[writeIvfPqPartitioned]] layout keyed by the corpus
@@ -1059,6 +1070,7 @@ object Ann {
       path: String): Unit =
     residualFrame(corpus, centroids)
       .select(col("vec_id") +: pqCodeCols(codebooks) :+ col("cell"): _*)
+      .repartition(col("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(path)
 
   /** Build-once [[writeIvfPqResidualPartitioned]] layout, fingerprint
@@ -1163,6 +1175,7 @@ object Ann {
     if (!fs.exists(success))
       assignCells(batch, centroids)
         .select(col("vec_id") +: pqCodeCols(codebooks) :+ col("cell"): _*)
+        .repartition(col("cell"))
         .write.mode("overwrite").partitionBy("cell").parquet(dir)
   }
 
