@@ -583,6 +583,14 @@ class AnnSpec extends AnyFunSuite with SparkTestSession {
     val books = Ann.trainPqCodebooks(vecs, m = 8, dsub = 8, kStar = 8, maxIter = 3)
     val dir = java.nio.file.Files.createTempDirectory("graft_ivfpq").toString
     Ann.writeIvfPqPartitioned(vecs, centroids, books, dir)
+    // layout shape: the pre-write co-location shuffle must cap the
+    // layout at ONE data file per cell — a map-side partitionBy write
+    // regresses to (tasks × cells) small files, the shape that drowns
+    // probe-time file opens at cluster scale
+    val dataFiles = new java.io.File(dir).listFiles.filter(_.getName.startsWith("cell="))
+      .map(d => d.listFiles.count(_.getName.endsWith(".parquet")))
+    assert(dataFiles.nonEmpty && dataFiles.forall(_ == 1),
+      s"expected one data file per cell dir, got ${dataFiles.toSeq}")
     val qs = vecs.filter($"vec_id" < 3)
       .select($"vec_id".as("query_id"), $"embedding".as("q_embedding"))
     // full probe: cell pruning is physical only — the composed path must
