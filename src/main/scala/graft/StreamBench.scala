@@ -101,6 +101,33 @@ object StreamBench {
     }
     ingestQ.stop()
 
+    // ---------------------------------------------------- quality gate
+    // Stateless model-scoring admission ([[graft.streaming.Streams
+    // .qualityGate]]): weights trained once on the static tables (the
+    // registry's es-vs-sample setup; iteration count reduced — scoring
+    // throughput, the quantity under test, is independent of how far
+    // training converged), then the same 10× doc replay streams through
+    // the row-local scorer. No state, no watermark — this measures the
+    // pure per-row cost of the hashed-feature margin arithmetic.
+    val qdocs = Tables.documents(spark, sfDir)
+    val qw = graft.operators.QualityModel.train(
+      qdocs.filter(col("lang") === "es").select("doc_id", "text"),
+      qdocs.filter(col("lang") =!= "es" &&
+        pmod(hash(col("doc_id")), lit(5)) === 0).select("doc_id", "text"),
+      nBuckets = 4096, iters = 20, lr = 300.0)
+    val qualIn = MemoryStream[(Timestamp, Long, String, String)]
+    val qualQ = graft.streaming.Streams.qualityGate(
+      qualIn.toDF().toDF("ts", "doc_id", "text", "source"), qw, nBuckets = 4096)
+      .writeStream.format("noop").start()
+    val qualLat = scala.collection.mutable.ArrayBuffer.empty[(Double, Long)]
+    docChunks.foreach { chunk =>
+      val c0 = System.nanoTime()
+      qualIn.addData(chunk)
+      qualQ.processAllAvailable()
+      qualLat += (((System.nanoTime() - c0) / 1e6, chunk.length.toLong))
+    }
+    qualQ.stop()
+
     // ---------------------------------------------------------- enrich
     // Events replayed in event-time order across `reps` concatenated
     // replica timelines; every 20th event doubles as a chat query at the
@@ -158,6 +185,7 @@ object StreamBench {
     val line =
       s"""{"metric":"stream_bench","sf":"$sfDir","replicas":$reps,"n_chunks":${docChunks.length},""" +
         summarize("ingest", docs.length.toLong, ingestLat.toSeq) + "," +
+        summarize("quality_gate", docs.length.toLong, qualLat.toSeq) + "," +
         summarize("enrich", events.length.toLong, enrichLat.toSeq, stateJson) + "}"
     Files.writeString(Paths.get(out), line + "\n")
     println(line)
