@@ -20,6 +20,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => graft.plans.HammingJoinRewrite)
     e.injectOptimizerRule(_ => graft.plans.RangeJoinRewrite)
+    e.injectOptimizerRule(_ => graft.plans.AnnTopKRewrite)
     e.injectFunction((
       new FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
@@ -58,7 +59,10 @@ object GraftExtensions {
       (v: Seq[Float], nBits: Int) =>
         if (v == null) null
         else Integer.valueOf(graft.operators.Dedup.portableSignature(v, nBits)))
-    Seq(graft.plans.HammingJoinRewrite, graft.plans.RangeJoinRewrite).foreach { rule =>
+    Seq[org.apache.spark.sql.catalyst.rules.Rule[
+        org.apache.spark.sql.catalyst.plans.logical.LogicalPlan]](
+      graft.plans.HammingJoinRewrite, graft.plans.RangeJoinRewrite,
+      graft.plans.AnnTopKRewrite).foreach { rule =>
       if (!spark.experimental.extraOptimizations.contains(rule))
         spark.experimental.extraOptimizations =
           spark.experimental.extraOptimizations :+ rule

@@ -424,6 +424,43 @@ object ScaleEvidence {
     if (rerankEucRecall < 0.5)
       failures ::= f"ivfpq_rerank: recall vs exact euclidean $rerankEucRecall%.3f below 0.5"
 
+    // -------- IVF-PQ parameter SWEEP (r9 verdict #6): the recall/cost
+    // frontier the Verify gates' thresholds trace to — nProbe ×
+    // overfetch over the same 10⁶-vector layout, recall vs the exact
+    // euclidean top-k, probe seconds per setting. Records the curve so
+    // the gates rest on a frontier, not a point.
+    val sweep = for {
+      np <- Seq(2, 8, 32)
+      of <- Seq(1, 4)
+    } yield {
+      val (pairs, tS) = timed {
+        (if (of == 1)
+          operators.Ann.ivfPqTopK(
+            spark, ivfpqDir, queries, ivfCents, pqBooks, k = 5, nProbe = np)
+        else
+          operators.Ann.ivfPqTopKReranked(
+            spark, ivfpqDir, queries, bigV, ivfCents, pqBooks,
+            k = 5, nProbe = np, overfetch = of))
+          .select("query_id", "vec_id").collect()
+          .map(r => (r.getLong(0), r.getLong(1)))
+      }
+      (np, of, pairs.count(exactEucPairs.contains).toDouble / exactEucPairs.size, tS)
+    }
+    // frontier sanity: within an overfetch tier, widening the probe
+    // never loses recall (same candidate superset), and the reranked
+    // tier is never below its plain-ADC sibling
+    for (of <- Seq(1, 4)) {
+      val tier = sweep.filter(_._2 == of).sortBy(_._1).map(_._3)
+      if (tier.sliding(2).exists(p => p.length == 2 && p(1) + 1e-9 < p(0)))
+        failures ::= s"ivfpq_sweep: recall not monotone in nProbe at overfetch=$of: $tier"
+    }
+    for (np <- Seq(2, 8, 32)) {
+      val plain = sweep.find(s => s._1 == np && s._2 == 1).get._3
+      val rr = sweep.find(s => s._1 == np && s._2 == 4).get._3
+      if (rr + 1e-9 < plain)
+        failures ::= f"ivfpq_sweep: rerank recall $rr%.3f below plain $plain%.3f at nProbe=$np"
+    }
+
     // -------- incremental IVF-PQ maintenance at 10⁶: the versioned root.
     // Base = the full 10⁶-vector corpus as one batch write; then a
     // ~5k-row ingest batch appends under the STANDING index (only the
@@ -652,6 +689,81 @@ object ScaleEvidence {
     if (bpeMerges.map(_._3).sliding(2).exists(p => p.length == 2 && p(1) > p(0)))
       failures ::= s"bpe: merge counts not non-increasing: ${bpeMerges.map(_._3)}"
 
+    // -------- BPE token-id corpus emit + packing at 10⁶ docs (r9 next
+    // #1): the closed tokenizer→packing loop. Map-only encode of every
+    // document to id arrays under the learned table (per-executor word
+    // memo), then training bins packed by the REAL token counts.
+    // Invariants: zero UNK ids (the alphabet came from this corpus),
+    // and the packed bins' token total equals the encoded corpus's
+    // token total exactly — packing loses nothing.
+    val bpeM = bpeMerges.map(m => (m._1, m._2))
+    val bpeIds = operators.Bpe.vocabIds(operators.Bpe.alphabet(corpus), bpeM)
+    val ((encDocs, encTokens, encUnk), tEncode) = timed {
+      val enc = operators.Bpe.encodeCorpus(corpus, bpeM, bpeIds).localCheckpoint()
+      val r = enc.agg(
+        count(lit(1)),
+        sum("n_tokens"),
+        sum(size(filter(col("token_ids"), x => x < 0)))).head()
+      (r.getLong(0), r.getLong(1), r.getLong(2))
+    }
+    if (encDocs != nDocs) failures ::= s"bpe_encode: $encDocs/$nDocs docs encoded"
+    if (encUnk != 0) failures ::= s"bpe_encode: $encUnk UNK ids on the training corpus"
+    val ((packBinsN, packTokens), tPack) = timed {
+      val enc = operators.Bpe.encodeCorpus(corpus, bpeM, bpeIds)
+      val bins = operators.Scale.packSequencesBy(
+        enc, col("n_tokens"), budgetTokens = 4096, shards = 16)
+      val r = bins.agg(count(lit(1)), sum("total_tokens")).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    if (packTokens != encTokens)
+      failures ::= s"bpe_pack: bin total $packTokens != encoded total $encTokens"
+
+    // -------- INCREMENTAL BPE trainer at a ~1.4M-word vocab (the r9
+    // scale `weak`, fixed): bulk = 10⁶ 8-hex-char words (each hex 2-gram
+    // touches only ~2.7% of them), plus a planted 400K-word family
+    // suffixed "ssss" whose (s,s) pair dominates the first merges. The
+    // recorded (touched, sec) series is the evidence the brief asked
+    // for: early family merges touch ~400K words, the following hex
+    // merges ~25K — per-merge cost tracks the touch fraction instead of
+    // staying flat at full-vocab, and the whole run must stay EXACTLY
+    // equal to the sequential reference (and to the recount path, timed
+    // alongside as the baseline the incremental form replaces).
+    val bpeBig = spark.range(1400000L).toDF("doc_id")
+      .select(col("doc_id"),
+        when(col("doc_id") < 1000000L, substring(md5(col("doc_id").cast("string")), 1, 8))
+          .otherwise(concat(substring(md5(col("doc_id").cast("string")), 1, 8), lit("ssss")))
+          .as("text"))
+      .repartition(cpus.toInt * 2)
+      .localCheckpoint()
+    val nBpeMerges = 12
+    val ((bpeIncMerges, bpeIncStats), tBpeInc) = timed {
+      operators.Bpe.learnMergesWithStats(bpeBig, nBpeMerges)
+    }
+    val (bpeRecMerges, tBpeRec) = timed {
+      operators.Bpe.learnMerges(bpeBig, nBpeMerges, recountBelow = Long.MaxValue)
+    }
+    val (bpeRefMerges, _) = timed {
+      operators.Bpe.learnMergesReference(
+        operators.Bpe.wordCounts(bpeBig)
+          .collect().map(r => (r.getString(0), r.getLong(1))).toSeq,
+        nBpeMerges)
+    }
+    if (bpeIncMerges != bpeRefMerges)
+      failures ::= "bpe_incremental: diverged from the sequential reference at 1.4M vocab"
+    if (bpeIncMerges != bpeRecMerges)
+      failures ::= "bpe_incremental: diverged from the recount path at 1.4M vocab"
+    locally {
+      val maxTouch = bpeIncStats.maxBy(_.touchedWords)
+      val minTouch = bpeIncStats.minBy(_.touchedWords)
+      if (maxTouch.touchedWords < 5 * minTouch.touchedWords)
+        failures ::= s"bpe_incremental: touch range too flat to evidence " +
+          s"(${minTouch.touchedWords}..${maxTouch.touchedWords})"
+      else if (minTouch.sec > maxTouch.sec)
+        failures ::= f"bpe_incremental: cost flat vs touch — " +
+          f"${minTouch.touchedWords} words took ${minTouch.sec}%.1f s vs " +
+          f"${maxTouch.touchedWords} words ${maxTouch.sec}%.1f s"
+    }
+
     spark.stop()
     def r1(v: Double): String = f"$v%.1f"
     val line =
@@ -673,6 +785,12 @@ object ScaleEvidence {
         s""""dsir_select":{"n_docs":$nDocs,"k":1000,"sec":${r1(tDsirSel)},"docs_per_sec":${r1(nDocs / tDsirSel)},"on_target":$dsirOnTarget},""" +
         s""""quality_model":{"n_docs":$nDocs,"train_sec":${r1(tQTrain)},"score_sec":${r1(tQScore)},"score_docs_per_sec":${r1(nDocs / tQScore)},"mean_on_target":${f"${qMeans(true)}%.3f"},"mean_off_target":${f"${qMeans(false)}%.3f"}},""" +
         s""""bpe_train":{"n_docs":$nDocs,"vocab_words":$bpeVocab,"n_merges":${bpeMerges.length},"sec":${r1(tBpe)}},""" +
+        s""""bpe_encode_pack":{"n_docs":$encDocs,"total_tokens":$encTokens,"unk_ids":$encUnk,"encode_sec":${r1(tEncode)},"encode_docs_per_sec":${r1(nDocs / tEncode)},"pack_sec":${r1(tPack)},"bins":$packBinsN,"bin_token_total":$packTokens},""" +
+        s""""ann_ivfpq_sweep":${sweep.map { case (np, of, rec, tS) =>
+          f"""{"n_probe":$np,"overfetch":$of,"recall_vs_exact":$rec%.3f,"probe_sec":${r1(tS)}}"""
+        }.mkString("[", ",", "]")},""" +
+        s""""bpe_incremental":{"vocab_words":1400000,"n_merges":${bpeIncMerges.length},"incremental_sec":${r1(tBpeInc)},"recount_sec":${r1(tBpeRec)},"per_merge":${bpeIncStats.map(st =>
+          f"""{"touched":${st.touchedWords},"sec":${st.sec}%.2f}""").mkString("[", ",", "]")}},""" +
         s""""failures":${failures.map("\"" + _ + "\"").mkString("[", ",", "]")}}"""
     Files.writeString(Paths.get(out), line + "\n")
     println(line)

@@ -1574,6 +1574,42 @@ object SparkEntry {
         .orderBy("file_id", "page", "chunk_index")
     }),
 
+    // ---- O-1 extraction-status routing: unextractable PDFs (CID/Type0
+    //      composite fonts — every 4th doc's container here) must keep
+    //      their row with null text and status 'unsupported_font' so
+    //      ingest can QUARANTINE them, not silently drop content
+    //      (reference raises and compensates, chroma_utils.py:134-144).
+    "ingest_quarantine" -> ((s, dir) => {
+      val statusUdf = udf { (t: String, broken: Boolean) =>
+        val bytes =
+          if (broken) graft.sources.DocLoader.buildPdfType0(Seq(t))
+          else graft.sources.DocLoader.buildPdf(Seq(t))
+        graft.sources.DocLoader.extractPdfStatus(bytes)
+      }
+      Tables.documents(s, dir)
+        .select(col("doc_id"), statusUdf(col("text"), col("doc_id") % 4 === 0).as("r"))
+        .select(col("doc_id"),
+          col("r._2").as("extraction_status"),
+          (col("r._2") =!= "ok").as("quarantined"),
+          sha2(col("r._1"), 256).as("text_hash")) // null on quarantined rows
+        .orderBy("doc_id")
+    }),
+
+    "ingest_quarantine_stats" -> ((s, dir) => {
+      // the quarantine COUNTS an ingest run reports per status
+      val statusUdf = udf { (t: String, broken: Boolean) =>
+        val bytes =
+          if (broken) graft.sources.DocLoader.buildPdfType0(Seq(t))
+          else graft.sources.DocLoader.buildPdf(Seq(t))
+        graft.sources.DocLoader.extractPdfStatus(bytes)._2
+      }
+      Tables.documents(s, dir)
+        .select(statusUdf(col("text"), col("doc_id") % 4 === 0).as("extraction_status"))
+        .groupBy("extraction_status")
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy("extraction_status")
+    }),
+
     // ---- flagship LLM-data pipeline: the full pretraining-corpus prep
     //      as ONE lineage — exact dedup → normalized-fingerprint near-dup
     //      → quality gate → temperature mixing → sequence packing. The
@@ -1698,6 +1734,35 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "bpe_encode_corpus" -> ((s, dir) => {
+      // Token-id corpus emit — the artifact a pretraining pipeline
+      // ships: per-doc id arrays under the learned table (ids: sorted
+      // alphabet first, merge products in learn order), encoded map-only
+      // with a per-executor word memo. Rows-only by design (greedy
+      // iterative encode has no SQL form); Verify hard-gates the id
+      // streams token-for-token against a sequential encode replay.
+      val docs = Tables.documents(s, dir).select("doc_id", "text")
+      val merges = operators.Bpe.learnMergesCached(docs, dir, nMerges = 20)
+        .map(m => (m._1, m._2))
+      val ids = operators.Bpe.vocabIdsCached(docs, dir, merges)
+      operators.Bpe.encodeCorpus(docs, merges, ids).orderBy("doc_id")
+    }),
+
+    "bpe_pack_pipeline" -> ((s, dir) => {
+      // The closed tokenizer→packing loop: train BPE, encode the corpus
+      // to token ids, pack training bins by the REAL token counts the
+      // tokenizer produced — not the whitespace proxy. Rows-only;
+      // Verify hard-gates the bins against a sequential pack replay
+      // over sequentially-encoded counts.
+      val docs = Tables.documents(s, dir).select("doc_id", "text")
+      val merges = operators.Bpe.learnMergesCached(docs, dir, nMerges = 20)
+        .map(m => (m._1, m._2))
+      val ids = operators.Bpe.vocabIdsCached(docs, dir, merges)
+      val encoded = operators.Bpe.encodeCorpus(docs, merges, ids)
+      operators.Scale.packSequencesBy(encoded, col("n_tokens"), budgetTokens = 256)
+        .orderBy("shard", "bin_id")
+    }),
+
     "ann_lsh_topk" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       val qs = emb.filter(col("vec_id") < 5)
@@ -1786,6 +1851,39 @@ object SparkEntry {
       operators.Ann.ivfTopK(qs, assigned, centroids, k = 2, nProbe = 3)
         .withColumn("sim", round(col("sim"), 6))
         .orderBy("query_id", "rank")
+    }),
+
+    "ann_rule_topk" -> ((s, dir) => {
+      // §4 ANN-aware top-k OPTIMIZER RULE (r9 next #3): the query below
+      // is the NAIVE brute-force spelling — scan the corpus parquet,
+      // sort by cosine, limit — with no operator-tier call anywhere.
+      // The registered AnnTopKRewrite rule rewrites its PLAN into the
+      // IVF cell-partitioned layout probe; the require below asserts the
+      // scan actually became PartitionFilters-pruned, so a silently
+      // non-firing rule fails the round rather than passing as a slow
+      // full scan. Rows-only by design (partial probe is approximate);
+      // Verify floors the recall vs the exact brute force.
+      GraftExtensions.register(s)
+      val embPath = s"$dir/embeddings.parquet"
+      val emb = Tables.embeddings(s, dir)
+      val (centroids, _) =
+        operators.Ann.buildIvfCached(s, emb, cacheKey = dir, nCells = 8, maxIter = 3)
+      val layout = operators.Ann.cellLayout(s, emb,
+        new java.io.File(sys.props("java.io.tmpdir"), "graft_ann_layouts").getAbsolutePath,
+        centroids)
+      plans.AnnTopKRewrite.register(embPath,
+        plans.AnnTopKRewrite.RegisteredLayout(layout, centroids, nProbe = 3))
+      val q = emb.filter(col("vec_id") === 0)
+        .select("embedding").head().getSeq[Float](0).toArray
+      val df = s.read.parquet(embPath)
+        .select(col("vec_id"),
+          expressions.VectorExpressions.cosineSim(typedLit(q), col("embedding")).as("sim"))
+        .orderBy(desc("sim"), asc("vec_id"))
+        .limit(11)
+      val leaves = df.queryExecution.executedPlan.collectLeaves().map(_.toString).mkString
+      require(leaves.contains("PartitionFilters") && leaves.contains("cell"),
+        "ann_rule_topk: AnnTopKRewrite did not rewrite the scan into the layout probe")
+      df.select(col("vec_id"), TextAnalysis.floorScale(col("sim"), 6).as("sim"))
     }),
 
     "ann_quantized_topk" -> ((s, dir) => {
@@ -2978,6 +3076,20 @@ object SparkEntry {
     "o2_docx_extract" ->
       """SELECT doc_id, sha256(text) AS text_hash
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // extraction-status routing: docs in the Type0 slice quarantine with
+    // null text; the rest round-trip, so their hash is the original's
+    "ingest_quarantine" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 4 = 0 THEN 'unsupported_font' ELSE 'ok' END AS extraction_status,
+        |  (doc_id % 4 = 0) AS quarantined,
+        |  CASE WHEN doc_id % 4 = 0 THEN NULL ELSE sha256(text) END AS text_hash
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "ingest_quarantine_stats" ->
+      """SELECT CASE WHEN doc_id % 4 = 0 THEN 'unsupported_font' ELSE 'ok' END AS extraction_status,
+        |  count(*) AS n_docs
+        |FROM documents GROUP BY 1 ORDER BY extraction_status""".stripMargin,
 
     "o1_pdf_extract" ->
       """WITH pages AS (

@@ -128,6 +128,49 @@ object StreamBench {
     }
     qualQ.stop()
 
+    // ------------------------------------------- composed pretrain gate
+    // The full streaming admission pipeline (quality → LSH near-dup →
+    // PQ vector similarity) as ONE stateless query: standing indexes are
+    // built once from the static tables (LSH band index over the
+    // documents, IVF-PQ layout over the embeddings), then the same 10×
+    // doc replay streams through all three stages. Measures the
+    // end-to-end per-row admission cost a live pretrain ingest would pay.
+    val embByDoc = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toMap
+    val lshIndex = graft.operators.Dedup.admissionIndex(
+      qdocs.select("doc_id", "text")).localCheckpoint()
+    val embTable = Tables.embeddings(spark, sfDir)
+    val (pqCentroids, _) = graft.operators.Ann.buildIvfCached(
+      spark, embTable, cacheKey = sfDir, nCells = 8, maxIter = 3)
+    val pqBooks = graft.operators.Ann.trainPqCodebooksCached(
+      embTable, cacheKey = sfDir, m = 8, dsub = 8, kStar = 16, maxIter = 5)
+    val pqDir = Files.createTempDirectory("graft_streambench_pq").toString
+    graft.operators.Ann.writeIvfPqPartitioned(embTable, pqCentroids, pqBooks, pqDir)
+    val pqIndex = graft.operators.Ann.pqAdmissionIndex(
+      spark.read.parquet(pqDir), m = 8).localCheckpoint()
+    // replayed docs carry their base doc's embedding (replica-independent:
+    // the PQ stage must probe every row, same as a live feed)
+    val gateDocs = docs.map { case (ts, docId, text, source) =>
+      (ts, docId, text, source,
+        embByDoc.getOrElse(docId % nBase, embByDoc.head._2))
+    }
+    val gateChunks = gateDocs.grouped(math.max(1, gateDocs.length / nChunks)).toSeq
+    val gateIn = MemoryStream[(Timestamp, Long, String, String, Array[Float])]
+    val gateQ = graft.streaming.Streams.pretrainAdmissionGate(
+      gateIn.toDF().toDF("ts", "doc_id", "text", "source", "embedding"),
+      qw, lshIndex, pqIndex, pqCentroids, pqBooks,
+      maxDist = 1.0, nBuckets = 4096, nProbe = 3)
+      .writeStream.format("noop").start()
+    val gateLat = scala.collection.mutable.ArrayBuffer.empty[(Double, Long)]
+    gateChunks.foreach { chunk =>
+      val c0 = System.nanoTime()
+      gateIn.addData(chunk)
+      gateQ.processAllAvailable()
+      gateLat += (((System.nanoTime() - c0) / 1e6, chunk.length.toLong))
+    }
+    gateQ.stop()
+
     // ---------------------------------------------------------- enrich
     // Events replayed in event-time order across `reps` concatenated
     // replica timelines; every 20th event doubles as a chat query at the
@@ -186,6 +229,7 @@ object StreamBench {
       s"""{"metric":"stream_bench","sf":"$sfDir","replicas":$reps,"n_chunks":${docChunks.length},""" +
         summarize("ingest", docs.length.toLong, ingestLat.toSeq) + "," +
         summarize("quality_gate", docs.length.toLong, qualLat.toSeq) + "," +
+        summarize("pretrain_gate", gateDocs.length.toLong, gateLat.toSeq) + "," +
         summarize("enrich", events.length.toLong, enrichLat.toSeq, stateJson) + "}"
     Files.writeString(Paths.get(out), line + "\n")
     println(line)

@@ -71,6 +71,28 @@ object Verify {
         require(recall >= thr, s"$name recall $recall below gate $thr")
       }
 
+      // ann_rule_topk gate: the OPTIMIZER-RULE rewrite of the naive
+      // brute-force top-k (the registry query asserts the rule fired;
+      // here the partial-probe RESULT is floored against the exact
+      // brute force over the same query — computed with the corpus
+      // UNREGISTERED so the baseline genuinely scans everything).
+      {
+        val ruleGot = SparkEntry.queries("ann_rule_topk")(spark, sfDir)
+          .select("vec_id").collect().map(_.getLong(0)).toSet
+        plans.AnnTopKRewrite.unregister(s"$sfDir/embeddings.parquet")
+        val q = emb.filter(col("vec_id") === 0)
+          .select("embedding").head().getSeq[Float](0).toArray
+        val exactRule = spark.read.parquet(s"$sfDir/embeddings.parquet")
+          .select(col("vec_id"),
+            graft.expressions.VectorExpressions.cosineSim(
+              typedLit(q), col("embedding")).as("sim"))
+          .orderBy(desc("sim"), asc("vec_id")).limit(11)
+          .select("vec_id").collect().map(_.getLong(0)).toSet
+        val recall = exactRule.count(ruleGot.contains).toDouble / exactRule.size
+        println(f"[recall] ann_rule_topk = $recall%.3f (gate >= 0.5)")
+        require(recall >= 0.5, s"ann_rule_topk recall $recall below gate 0.5")
+      }
+
       // PQ-family gates: ADC approximates SQUARED EUCLIDEAN distance, so
       // the exact baseline is the full-precision euclidean top-k. Gated
       // over 20 queries × k=10 — the registry queries' own 3-query
@@ -250,6 +272,101 @@ object Verify {
         s"ref=${ref.size} equal=${dist == ref}")
       require(dist == ref,
         "bpe_learn_merges: distributed learner diverged from the sequential reference")
+
+      // -- token-id corpus gate: the distributed map-only encode
+      // (bpe_encode_corpus) must reproduce a sequential encode replay
+      // TOKEN FOR TOKEN on every document — same merges, same
+      // first-learned-wins vocab ids — and the training corpus must
+      // contain no UNK (-1) ids (its alphabet defines the vocab).
+      val merges20 = dist.map(m => (m._1, m._2))
+      val ids = operators.Bpe.vocabIdsCached(docs, sfDir, merges20)
+      val ranks = merges20.zipWithIndex.toMap
+      val encoded = SparkEntry.queries("bpe_encode_corpus")(spark, sfDir)
+        .select("doc_id", "token_ids").collect()
+        .map(r => (r.getLong(0), r.getSeq[Int](1))).toMap
+      val docToks = docs
+        .select(col("doc_id"), operators.TextRetrieval.tokensCol(col("text")).as("toks"))
+        .collect().map(r => (r.getLong(0), r.getSeq[String](1))).toMap
+      require(encoded.keySet == docToks.keySet,
+        "bpe_encode_corpus: doc set mismatch vs the corpus")
+      var encMismatch = 0
+      docToks.foreach { case (docId, toks) =>
+        val replay = toks.flatMap(w =>
+          operators.Bpe.encodeWord(w, ranks).map(s => ids.getOrElse(s, -1)))
+        if (encoded(docId) != replay) encMismatch += 1
+      }
+      val unk = encoded.valuesIterator.map(_.count(_ < 0)).sum
+      println(s"[equality] bpe_encode_corpus docs=${encoded.size} " +
+        s"mismatches=$encMismatch unk=$unk")
+      require(encMismatch == 0,
+        s"bpe_encode_corpus: $encMismatch docs diverged from the sequential encode replay")
+      require(unk == 0, s"bpe_encode_corpus: $unk UNK ids on the training corpus")
+
+      // -- tokenizer→packing gate: bpe_pack_pipeline's bins must equal a
+      // sequential packing replay (per-shard exclusive running sum in
+      // doc_id order, budget 256) over the sequentially-encoded counts.
+      val gotBins = SparkEntry.queries("bpe_pack_pipeline")(spark, sfDir)
+        .select("shard", "bin_id", "n_docs", "total_tokens", "first_doc", "last_doc")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getLong(5))).toSet
+      val budget = 256L
+      val cum = scala.collection.mutable.Map.empty[Long, Long]
+      val bins = scala.collection.mutable.Map.empty[(Long, Long), (Long, Long, Long, Long)]
+      docToks.toSeq.sortBy(_._1).foreach { case (docId, toks) =>
+        val n = toks.iterator.map(w => operators.Bpe.encodeWord(w, ranks).length).sum.toLong
+        val shard = ((docId % 8) + 8) % 8
+        val before = cum.getOrElse(shard, 0L)
+        val bin = before / budget
+        val cur = bins.getOrElse((shard, bin), (0L, 0L, Long.MaxValue, Long.MinValue))
+        bins((shard, bin)) =
+          (cur._1 + 1, cur._2 + n, math.min(cur._3, docId), math.max(cur._4, docId))
+        cum(shard) = before + n
+      }
+      val expBins = bins.map { case ((s, b), (nd, tt, f, l)) => (s, b, nd, tt, f, l) }.toSet
+      println(s"[equality] bpe_pack_pipeline bins=${gotBins.size} " +
+        s"expected=${expBins.size} equal=${gotBins == expBins}")
+      require(gotBins == expBins,
+        "bpe_pack_pipeline: bins diverged from the sequential packing replay")
+    }
+
+    // ---- incremental BPE trainer gate (the r9 scale `weak`, fixed in
+    // r10): the maintained-pair-count learner must stay EXACTLY equal,
+    // merge for merge, to the sequential reference at a ≥200-merge
+    // budget. The sf corpus's 31-word pool exhausts its pairs in ~89
+    // merges, so the gate corpus suffixes each token per variant
+    // (ScaleEvidence's vocab-minting trick) — enough pair diversity for
+    // the full 200; maxOverlayRows=300 forces repeated overlay→base
+    // compactions so the adaptive-compaction path is inside the gate.
+    {
+      import org.apache.spark.sql.functions._
+      val base = Tables.documents(spark, sfDir).select("doc_id", "text")
+      val nBase = base.count()
+      val varied = base.crossJoin(spark.range(24).toDF("v"))
+        .select((col("v") * nBase + col("doc_id")).as("doc_id"),
+          array_join(transform(split(col("text"), " "),
+            w => concat(w, lit("x"), col("v"))), " ").as("text"))
+        .localCheckpoint()
+      // AQE off for the training loop only: at this gate's toy frame
+      // sizes each AQE stage materialization is its own job, and 200
+      // merges × extra jobs dominates the gate's wall time (measured
+      // ~6× slower with AQE on); the loop's joins are broadcast/tiny,
+      // so adaptivity buys nothing here. Restored right after.
+      val aqeWas = spark.conf.get("spark.sql.adaptive.enabled")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val dist =
+        try operators.Bpe.learnMergesIncremental(
+          varied, nMerges = 200, maxOverlayRows = 2000)
+        finally spark.conf.set("spark.sql.adaptive.enabled", aqeWas)
+      val wcLocal = operators.Bpe.wordCounts(varied)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      val ref = operators.Bpe.learnMergesReference(wcLocal, nMerges = 200)
+      println(s"[equality] bpe_incremental_200 n=${dist.size} " +
+        s"ref=${ref.size} equal=${dist == ref}")
+      require(dist.size == 200,
+        s"bpe_incremental_200: vocab exhausted at ${dist.size} merges — gate corpus too small")
+      require(dist == ref,
+        "bpe_incremental_200: incremental learner diverged from the sequential reference")
     }
 
     // ---- quality-classifier gate: BIT-EXACT weight equality between

@@ -402,6 +402,33 @@ object Ann {
       .repartition(col("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(path)
 
+  /** Build-once [[writeCellPartitioned]] layout under a
+    * fingerprint-keyed directory (same marker-gated contract as
+    * [[signaturePartitionedLayout]]) — the registered probe target of
+    * the ANN top-k optimizer rule ([[graft.plans.AnnTopKRewrite]]):
+    * corpus rows plus the `cell` partition column, so a rewritten
+    * brute-force top-k recomputes the exact same cosine over only the
+    * probed cells' directories.
+    */
+  def cellLayout(
+      spark: SparkSession,
+      corpus: DataFrame,
+      baseDir: String,
+      centroids: Array[Array[Float]]): String = {
+    val fpRow = corpus.agg(
+      count(lit(1)).as("n"),
+      coalesce(expr("bit_xor(xxhash64(vec_id, embedding))"), lit(0L)).as("fp"))
+      .head()
+    val idxFp = MurmurHash3.orderedHash(centroids.iterator.flatten.map(_.toDouble))
+    val path = s"$baseDir/cells${centroids.length}_n${fpRow.getLong(0)}" +
+      s"_fp${java.lang.Long.toHexString(fpRow.getLong(1))}_ix${Integer.toHexString(idxFp)}"
+    val success = new org.apache.hadoop.fs.Path(path, "_SUCCESS")
+    val fs = success.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(success))
+      writeCellPartitioned(corpus, centroids, path)
+    path
+  }
+
   /** [[ivfTopK]] over a [[writeCellPartitioned]] layout: probe cells are
     * computed driver-side from the tiny centroid set, so the cell filter
     * is a STATIC `isin` on the partition column — genuine

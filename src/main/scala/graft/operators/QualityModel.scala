@@ -60,15 +60,19 @@ object QualityModel {
       .groupBy("doc_id", "bucket").agg(count(lit(1)).as("c"))
       .withColumn("t", sum("c").over(
         org.apache.spark.sql.expressions.Window.partitionBy("doc_id")))
-      // normalized count in micros: floor(c·10⁶ / T) — the frequency
+      // normalized count in micros: c·10⁶ div T — the frequency
       // vector fastText-style models train on, quantized ONCE so every
-      // later aggregation stays exact Long arithmetic. Without the
-      // normalization, raw counts let document LENGTH dominate the
-      // margin and full-batch GD stalls on the bias (measured: all
-      // scores ≈ 0.0x, no class separation at sf0.01).
+      // later aggregation stays exact Long arithmetic. Integer `div`,
+      // not floor(double /): the streaming [[qualityCol]] UDF computes
+      // exactly c*1000000L/t, and the batch/streaming BIT-EQUALITY
+      // contract should rest on shared arithmetic, not on the empirical
+      // fact that a double quotient only mis-floors past ~2^33 features
+      // per doc. Without the normalization, raw counts let document
+      // LENGTH dominate the margin and full-batch GD stalls on the bias
+      // (measured: all scores ≈ 0.0x, no class separation at sf0.01).
       .select(col("doc_id"),
         col("bucket").cast("int").as("bucket"),
-        floor(col("c") * lit(1000000L) / col("t")).cast("long").as("cn"))
+        expr("c * 1000000 div t").cast("long").as("cn"))
       .groupBy("doc_id")
       .agg(sort_array(collect_list(struct(
         col("bucket").as("bucket"), col("cn").as("cn")))).as("feats"))

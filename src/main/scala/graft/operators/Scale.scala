@@ -70,7 +70,21 @@ object Scale {
       docs: DataFrame,
       budgetTokens: Long,
       shards: Int = 8): DataFrame =
-    packedDocs(docs, budgetTokens, shards)
+    packSequencesBy(docs,
+      graft.functions.TextAnalysis.tokenCount(col("text")).cast("long"),
+      budgetTokens, shards)
+
+  /** [[packSequences]] with a caller-supplied token-count column — the
+    * form the BPE pipeline uses to pack by REAL tokenizer counts
+    * ([[Bpe.encodeCorpus]]'s `n_tokens`) instead of the whitespace
+    * proxy. Same shard-parallel running-sum plan.
+    */
+  def packSequencesBy(
+      docs: DataFrame,
+      nTokens: Column,
+      budgetTokens: Long,
+      shards: Int = 8): DataFrame =
+    packedDocs(docs, nTokens, budgetTokens, shards)
       .groupBy("shard", "bin_id")
       .agg(
         count(lit(1)).as("n_docs"),
@@ -91,7 +105,18 @@ object Scale {
       docs: DataFrame,
       budgetTokens: Long,
       shards: Int = 8): DataFrame =
-    packedDocs(docs, budgetTokens, shards)
+    packManifestBy(docs,
+      graft.functions.TextAnalysis.tokenCount(col("text")).cast("long"),
+      budgetTokens, shards)
+
+  /** [[packManifest]] with a caller-supplied token-count column (see
+    * [[packSequencesBy]]). */
+  def packManifestBy(
+      docs: DataFrame,
+      nTokens: Column,
+      budgetTokens: Long,
+      shards: Int = 8): DataFrame =
+    packedDocs(docs, nTokens, budgetTokens, shards)
       .withColumn("offset", pmod(col("cum_before"), lit(budgetTokens)))
       .select("shard", "bin_id", "doc_id", "n_tokens", "offset")
 
@@ -99,12 +124,12 @@ object Scale {
     * running token sum within the shard (doc_id order), bin id.
     */
   private def packedDocs(
-      docs: DataFrame, budgetTokens: Long, shards: Int): DataFrame = {
+      docs: DataFrame, nTokens: Column, budgetTokens: Long, shards: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val toks = docs.select(
       col("doc_id"),
       pmod(col("doc_id"), lit(shards.toLong)).as("shard"),
-      graft.functions.TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"))
+      nTokens.as("n_tokens"))
     val w = Window.partitionBy("shard").orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, -1)
     toks

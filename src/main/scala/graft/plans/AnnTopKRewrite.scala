@@ -1,0 +1,179 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.types.{ArrayType, FloatType}
+
+/** Optimizer rule: rewrite a brute-force cosine top-k —
+  * `ORDER BY cosine_sim(<query literal>, embedding) DESC LIMIT k` over a
+  * corpus with a REGISTERED IVF cell-partitioned layout — into a probe
+  * of that layout: the scan is replaced by the layout parquet filtered
+  * to the query's `nProbe` nearest cells (computed driver-side from the
+  * registered centroids, so the filter is a static `isin` on the
+  * partition column → genuine `PartitionFilters` pruning), with the
+  * projection, sort and limit preserved verbatim.
+  *
+  * This is the retriever query shape of the reference
+  * (langchain_utils.py:13 — similarity top-k over the vector store) as a
+  * user would naively spell it against the raw corpus. The operator tier
+  * ([[graft.operators.Ann.ivfTopKPartitioned]]) fixes code that calls
+  * it; this rule fixes the PLAN for code that doesn't: at 100 TB the
+  * difference is scanning `nProbe/nCells` of the corpus instead of all
+  * of it. Same design split as [[HammingJoinRewrite]] — the rewrite
+  * needs facts Catalyst cannot derive (which layout materializes this
+  * corpus, what its centroids are), so they are REGISTERED per corpus
+  * path via [[register]], the rule-level analog of a secondary index
+  * catalog.
+  *
+  * Semantics: with `nProbe = nCells` (a full probe) the candidate set is
+  * the whole corpus and the result is EQUAL to the un-rewritten plan
+  * (tie order included, when the sort carries a tiebreak key —
+  * spec-pinned). A partial probe is honestly approximate — recall
+  * depends on probe coverage exactly as in the operator tier, and the
+  * Verify gate floors it. Registration is therefore an explicit opt-in
+  * per corpus, carrying the probe budget the caller chose.
+  *
+  * Applicability guards (all conservative):
+  *  - plan shape `Limit(k, Sort(keys, global, Project(proj, scan)))` or
+  *    `Limit(k, Sort(keys, global, scan))`;
+  *  - the PRIMARY sort key is `cosine_sim(q, emb)` DESC where `q` is
+  *    foldable (`array<float>` literal) and `emb` is a column of the
+  *    scanned relation; remaining keys only reference pass-through
+  *    columns (tiebreaks survive the rewrite);
+  *  - the scan is a parquet `LogicalRelation` whose root path is
+  *    registered, and every projected/sorted column exists in the
+  *    layout by name;
+  *  - every projected expression is deterministic.
+  */
+object AnnTopKRewrite extends Rule[LogicalPlan] {
+
+  /** A registered IVF layout for one corpus path:
+    * [[graft.operators.Ann.writeCellPartitioned]] output (same rows as
+    * the corpus plus the `cell` partition column) + the centroids it was
+    * assigned with + the probe budget top-k queries should pay.
+    */
+  final case class RegisteredLayout(
+      layoutPath: String,
+      centroids: Array[Array[Float]],
+      nProbe: Int)
+
+  private val registry =
+    new java.util.concurrent.ConcurrentHashMap[String, RegisteredLayout]()
+
+  private def normalize(p: String): String =
+    new org.apache.hadoop.fs.Path(p).toUri.getPath
+
+  /** Register `layout` as the probe target for scans of `corpusPath`. */
+  def register(corpusPath: String, layout: RegisteredLayout): Unit =
+    registry.put(normalize(corpusPath), layout)
+
+  def unregister(corpusPath: String): Unit = registry.remove(normalize(corpusPath))
+  def clear(): Unit = registry.clear()
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    if (registry.isEmpty) return plan
+    plan.transformUp {
+      case l @ GlobalLimit(Literal(k: Int, _),
+          LocalLimit(_, Sort(order, true, child, _))) =>
+        rewrite(k, order, child).getOrElse(l)
+    }
+  }
+
+  private def rewrite(
+      k: Int, order: Seq[SortOrder], child: LogicalPlan): Option[LogicalPlan] = {
+    // normalize both accepted shapes to (projList, relation)
+    val (projList, rel) = child match {
+      case Project(p, r: LogicalRelation) => (p, r)
+      case r: LogicalRelation => (r.output.map(a => a: NamedExpression), r)
+      case _ => return None
+    }
+    if (!projList.forall(_.deterministic)) return None
+    val layout = rel.relation match {
+      case fs: HadoopFsRelation =>
+        fs.location.rootPaths.iterator
+          .map(p => registry.get(normalize(p.toString)))
+          .collectFirst { case l if l != null => l }
+      case _ => None
+    }
+    layout.flatMap { reg =>
+      order.headOption.flatMap {
+        case SortOrder(primary, Descending, _, _) =>
+          // the primary key may be the projected alias's attribute or the
+          // cosine expression inline
+          val cos = primary match {
+            case a: Attribute => projList.collectFirst {
+              case al @ Alias(c: graft.expressions.CosineSimilarity, _)
+                  if al.exprId == a.exprId => c
+            }
+            case c: graft.expressions.CosineSimilarity => Some(c)
+            case _ => None
+          }
+          cos.flatMap { c =>
+            val (qExpr, embExpr) = (c.left, c.right) match {
+              case (q, e) if q.foldable && !e.foldable => (q, e)
+              case (e, q) if q.foldable && !e.foldable => (q, e)
+              case _ => return None
+            }
+            val embOk = embExpr match {
+              case a: Attribute => rel.outputSet.contains(a)
+              case _ => false
+            }
+            val qVec = floatArray(qExpr)
+            if (!embOk || qVec.isEmpty) None
+            else buildProbePlan(k, order, projList, rel, reg, qVec.get)
+          }
+        case _ => None
+      }
+    }
+  }
+
+  private def floatArray(e: Expression): Option[Seq[Float]] = e.dataType match {
+    case ArrayType(FloatType, _) =>
+      Option(e.eval()).map(_.asInstanceOf[ArrayData].toFloatArray().toSeq)
+    case _ => None
+  }
+
+  private def buildProbePlan(
+      k: Int,
+      order: Seq[SortOrder],
+      projList: Seq[NamedExpression],
+      rel: LogicalRelation,
+      reg: RegisteredLayout,
+      qVec: Seq[Float]): Option[LogicalPlan] = {
+    val spark = SparkSession.active
+    val cells = graft.operators.Ann
+      .nearestCells(qVec, reg.centroids, reg.nProbe).toSeq
+    val layoutPlan = spark.read.parquet(reg.layoutPath)
+      .filter(org.apache.spark.sql.functions.col("cell")
+        .isin(cells.map(Integer.valueOf): _*))
+      .queryExecution.analyzed
+    val byName = layoutPlan.output.map(a => a.name -> a).toMap
+    // every corpus column referenced anywhere must exist in the layout
+    val referenced = (projList.flatMap(_.references) ++
+      order.flatMap(_.references)).distinct
+      .filter(rel.outputSet.contains)
+    if (!referenced.forall(a => byName.contains(a.name))) return None
+    def substitute(e: Expression): Expression = e.transformUp {
+      case a: Attribute if rel.outputSet.contains(a) => byName(a.name)
+    }
+    // preserve every output exprId so Sort/parent references stay valid
+    val newProj = projList.map {
+      case al @ Alias(c, n) =>
+        Alias(substitute(c), n)(exprId = al.exprId, qualifier = al.qualifier)
+      case a: Attribute =>
+        Alias(byName(a.name), a.name)(exprId = a.exprId, qualifier = a.qualifier)
+      case other => Alias(substitute(other), other.name)(exprId = other.exprId)
+    }
+    // sort keys stay UNSUBSTITUTED: the new Project re-exports every
+    // original output exprId (passthrough columns as aliases of the
+    // layout's columns), so keys referencing projected attributes — and,
+    // in the inline shape, relation attributes — still resolve
+    Some(GlobalLimit(Literal(k),
+      LocalLimit(Literal(k),
+        Sort(order, global = true, Project(newProj, layoutPlan)))))
+  }
+}

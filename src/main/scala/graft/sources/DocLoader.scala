@@ -206,6 +206,46 @@ object DocLoader {
     if (pages == null) null else pages.map(_._2).mkString("\n")
   }
 
+  /** Extraction STATUS values of [[extractPdfStatus]]/
+    * [[loadDocumentsWithStatus]]: `ok`, `unsupported_font` (the document
+    * uses a CID/Type0 composite font — its strings are CID-encoded and
+    * this parser's UTF-8 string decode would emit garbage, so it
+    * declines honestly), `parse_error` (not a parseable PDF), and
+    * `unsupported_format` (dispatch found no extractor). The reference
+    * RAISES on extraction failure and compensates
+    * (chroma_utils.py:134-144); at 100 TB a raise is one poison file
+    * failing a whole batch, so the engine instead ROUTES: failures keep
+    * their row with null text and a status for the quarantine frame.
+    */
+  val StatusOk = "ok"
+  val StatusUnsupportedFont = "unsupported_font"
+  val StatusParseError = "parse_error"
+  val StatusUnsupportedFormat = "unsupported_format"
+
+  /** PDF text extraction with an explicit status instead of a silent
+    * null: (text, status). A document whose object set declares a
+    * /Subtype /Type0 composite font routes to `unsupported_font` with
+    * null text — extracting its CID-coded strings as UTF-8 would emit
+    * garbage that poisons dedup/quality stages downstream, and silent
+    * null (the pre-r10 behavior) made unextractable docs
+    * indistinguishable from empty ones.
+    */
+  def extractPdfStatus(bytes: Array[Byte]): (String, String) = {
+    if (bytes == null || bytes.length < 5 ||
+      !new String(bytes, 0, 5, StandardCharsets.ISO_8859_1).startsWith("%PDF"))
+      return (null, StatusParseError)
+    try {
+      val objs = parseObjects(bytes)
+      val hasType0 = objs.valuesIterator.exists(o =>
+        "/Subtype\\s*/Type0(?![a-zA-Z])".r.findFirstIn(o.dict).isDefined)
+      if (hasType0) (null, StatusUnsupportedFont)
+      else {
+        val text = extractPdf(bytes)
+        if (text == null) (null, StatusParseError) else (text, StatusOk)
+      }
+    } catch { case _: Exception => (null, StatusParseError) }
+  }
+
   /** Scan `N G obj … endobj`, honouring /Length so stream payloads that
     * happen to contain `endobj`/`endstream` bytes cannot desync the scan;
     * FlateDecode streams are inflated, other filters yield no stream.
@@ -427,6 +467,26 @@ object DocLoader {
     out.toByteArray
   }
 
+  /** [[buildPdf]] variant declaring a CID/Type0 composite font (the
+    * /Identity-H encoding a real CJK-embedding PDF would use) in every
+    * page's /Resources — the fixture class [[extractPdfStatus]] must
+    * route to `unsupported_font` rather than mis-decode.
+    */
+  def buildPdfType0(pages: Seq[String]): Array[Byte] = {
+    val base = buildPdf(pages)
+    val s = new String(base, StandardCharsets.ISO_8859_1)
+    // append the font object (unused object number) and reference it
+    // from each page dict; object content ordering is irrelevant to the
+    // scanning parser
+    val fontObj = "9000 0 obj\n<< /Type /Font /Subtype /Type0 /BaseFont /NotoSansCJK " +
+      "/Encoding /Identity-H >>\nendobj\n"
+    val withRes = s.replace("/MediaBox [0 0 612 792] ",
+      "/MediaBox [0 0 612 792] /Resources << /Font << /F1 9000 0 R >> >> ")
+    val idx = withRes.lastIndexOf("%%EOF")
+    (withRes.substring(0, idx) + fontObj + "%%EOF\n")
+      .getBytes(StandardCharsets.ISO_8859_1)
+  }
+
   private def deflate(data: Array[Byte]): Array[Byte] = {
     val out = new ByteArrayOutputStream()
     val d = new Deflater(Deflater.DEFAULT_COMPRESSION)
@@ -459,6 +519,34 @@ object DocLoader {
       .withColumn("format", formatOf(col("path")))
       .withColumn("text", extractUdf(col("format"), col("content")))
       .select("path", "format", "length", "text")
+
+  private val extractStatusUdf = udf { (fmt: String, bytes: Array[Byte]) =>
+    if (bytes == null) (null: String, StatusParseError)
+    else fmt match {
+      case "pdf" => extractPdfStatus(bytes)
+      case "docx" | "html" =>
+        val t = try {
+          if (fmt == "docx") extractDocx(bytes) else extractHtml(bytes)
+        } catch { case _: Exception => null }
+        if (t == null) (null: String, StatusParseError) else (t, StatusOk)
+      case _ => (null: String, StatusUnsupportedFormat)
+    }
+  }
+
+  /** [[loadDocuments]] with extraction-status ROUTING: emits
+    * (path, format, length, text, extraction_status) where every
+    * unextractable document keeps its row with null text and a status
+    * from the [[StatusOk]] family, so ingest pipelines can count and
+    * quarantine failures instead of silently dropping content — the
+    * engine-side analog of the reference's raise-and-compensate
+    * (chroma_utils.py:134-144), minus the poison-batch failure mode.
+    */
+  def loadDocumentsWithStatus(spark: SparkSession, dir: String): DataFrame =
+    scanBinary(spark, dir)
+      .withColumn("format", formatOf(col("path")))
+      .withColumn("r", extractStatusUdf(col("format"), col("content")))
+      .select(col("path"), col("format"), col("length"),
+        col("r._1").as("text"), col("r._2").as("extraction_status"))
 
   /** Page-granular load for PDFs (PyPDFLoader parity): one row per page
     * with `page` metadata; non-PDF formats get a single page 1 row.

@@ -290,6 +290,56 @@ object Streams {
         graft.operators.QualityModel.qualityCol(col("text"), weights, nBuckets))
       .withColumn("keep", col("quality") >= minQuality)
 
+  /** COMPOSED streaming pretrain admission — the streaming twin of the
+    * batch `pretrain_corpus_pipeline`'s gate stages as ONE lineage:
+    * model-based quality scoring ([[qualityGate]]) → LSH-band near-dup
+    * admission against the standing corpus ([[admissionGate]]) → PQ
+    * vector-similarity admission over the standing IVF-PQ index
+    * ([[pqAdmissionGate]]). Every stage is STATELESS (weights/centroids/
+    * codebooks ride the closure; corpus indexes are stream-static
+    * joins), so the composition is itself stateless: append-mode legal,
+    * no watermark, no state store — the scale property that lets one
+    * admission query run indefinitely against 100 TB standing indexes.
+    * The stage verdicts are kept as separate columns (`quality_keep`,
+    * `lsh_admitted`, `pq_admitted`) with the final
+    * `admitted = quality_keep ∧ lsh_admitted ∧ pq_admitted`, so
+    * downstream routing can distinguish drop reasons; the batch
+    * equivalence (same verdicts as running the three batch-side rules on
+    * the same rows) is spec-pinned in StreamsSpec.
+    *
+    * [[nearDupGate]] (within-stream SimHash dedup) is deliberately NOT
+    * in the chain: it is the one stateful gate, and its
+    * `dropDuplicatesWithinWatermark` would impose a watermark + state
+    * store on the whole pipeline for within-horizon stream self-dedup —
+    * which compaction handles batch-side. Callers wanting it compose it
+    * upstream of this gate.
+    *
+    * @param docs streaming (doc_id long, text string,
+    *             embedding array<float>, ...) frame — text feeds the
+    *             quality and LSH stages, embedding the PQ stage
+    */
+  def pretrainAdmissionGate(
+      docs: DataFrame,
+      weights: Seq[Long],
+      lshIndex: DataFrame,
+      pqIndex: DataFrame,
+      centroids: Array[Array[Float]],
+      codebooks: Seq[Seq[Seq[Double]]],
+      maxDist: Double,
+      nBuckets: Int = 1024,
+      minQuality: Double = 0.5,
+      nProbe: Int = 3): DataFrame = {
+    val scored = qualityGate(docs, weights, nBuckets, minQuality)
+      .withColumnRenamed("keep", "quality_keep")
+    val lsh = admissionGate(scored, lshIndex)
+      .withColumnRenamed("admitted", "lsh_admitted")
+      .withColumnRenamed("blocked_by", "lsh_blocked_by")
+    pqAdmissionGate(lsh, pqIndex, centroids, codebooks, maxDist, nProbe)
+      .withColumnRenamed("admitted", "pq_admitted")
+      .withColumn("admitted",
+        col("quality_keep") && col("lsh_admitted") && col("pq_admitted"))
+  }
+
   /** Streaming line-dedup gate: the stream-shaped half of
     * [[graft.operators.Dedup.incrementalLineDedup]]. Each arriving
     * document explodes into lines (stateless) and stream-static

@@ -1,0 +1,153 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.expressions.VectorExpressions
+import graft.operators.Ann
+import graft.plans.AnnTopKRewrite
+
+/** The brute-force-cosine-top-k → IVF-layout-probe optimizer rule: fires
+  * on the naive `ORDER BY cosine_sim(q, embedding) DESC LIMIT k` over a
+  * registered corpus path, prunes the scan to the probed cell
+  * partitions, equals the un-rewritten plan exactly at full probe, and
+  * declines on every unregistered/unsupported shape.
+  */
+class AnnRuleSpec extends AnyFunSuite with SparkTestSession {
+  import spark.implicits._
+
+  // clustered corpus: cluster = id % 8, strong geometry so IVF cells are
+  // meaningful; tiebreak-free sims via per-id jitter
+  private def clusterVec(i: Long): Array[Float] = {
+    val c = (i % 8).toInt
+    Array.tabulate(16) { j =>
+      val sign = if (((c >> (j % 3)) & 1) == 0) 1.0f else -1.0f
+      sign * 0.8f + ((i / 8 % 7).toInt - 3) * 0.013f + (j % 5) * 0.001f * (i % 3)
+    }
+  }
+
+  private def withRule[A](f: => A): A = {
+    val prev = spark.experimental.extraOptimizations
+    spark.experimental.extraOptimizations = prev :+ AnnTopKRewrite
+    try f finally {
+      spark.experimental.extraOptimizations = prev
+      AnnTopKRewrite.clear()
+    }
+  }
+
+  private def setup(): (String, Array[Array[Float]]) = {
+    val corpusDir = java.nio.file.Files.createTempDirectory("graft_annrule_corpus").toString
+    val layoutDir = java.nio.file.Files.createTempDirectory("graft_annrule_layout").toString
+    val corpus = (0L until 96L).map(i => (i, clusterVec(i))).toDF("vec_id", "embedding")
+    corpus.write.mode("overwrite").parquet(corpusDir)
+    val (centroids, _) = Ann.buildIvf(spark, corpus, nCells = 8, maxIter = 4)
+    Ann.writeCellPartitioned(spark.read.parquet(corpusDir), centroids, layoutDir)
+    AnnTopKRewrite.register(corpusDir,
+      AnnTopKRewrite.RegisteredLayout(layoutDir, centroids, nProbe = 2))
+    (corpusDir, centroids)
+  }
+
+  private def naiveTopK(corpusDir: String, q: Array[Float], k: Int) =
+    spark.read.parquet(corpusDir)
+      .select(col("vec_id"),
+        VectorExpressions.cosineSim(lit(q), col("embedding")).as("sim"))
+      .orderBy(desc("sim"), asc("vec_id"))
+      .limit(k)
+
+  test("rule fires: scan becomes a cell-pruned layout probe") {
+    withRule {
+      val (corpusDir, centroids) = setup()
+      val q = clusterVec(3L).map(_ + 0.004f)
+      val df = naiveTopK(corpusDir, q, 5)
+      val scan = df.queryExecution.executedPlan.collectLeaves()
+        .map(_.toString).mkString("\n")
+      assert(scan.contains("PartitionFilters") && scan.contains("cell"),
+        s"no partition pruning in scan:\n${scan.take(800)}")
+      // the probed layout reads ≤ nProbe of the 8 cell directories
+      val probed = Ann.nearestCells(q.toSeq, centroids, 2).toSet
+      val rows = df.collect()
+      assert(rows.length == 5)
+      // every returned vector lives in a probed cell
+      rows.foreach { r =>
+        val cell = Ann.nearestCells(clusterVec(r.getLong(0)).toSeq, centroids, 1).head
+        assert(probed.contains(cell),
+          s"vec ${r.getLong(0)} from unprobed cell $cell (probed $probed)")
+      }
+      // and the top hit is the queried cluster's own best member
+      assert(rows.head.getLong(0) % 8 == 3L)
+    }
+  }
+
+  test("full probe equals the un-rewritten plan exactly") {
+    withRule {
+      val (corpusDir, centroids) = setup()
+      // re-register with a FULL probe: candidate set = whole corpus
+      val layoutDir = java.nio.file.Files.createTempDirectory("graft_annrule_full").toString
+      Ann.writeCellPartitioned(spark.read.parquet(corpusDir), centroids, layoutDir)
+      AnnTopKRewrite.register(corpusDir,
+        AnnTopKRewrite.RegisteredLayout(layoutDir, centroids, nProbe = 8))
+      for (qid <- Seq(0L, 5L, 13L)) {
+        val q = clusterVec(qid).map(_ + 0.002f)
+        val rewritten = naiveTopK(corpusDir, q, 7).collect()
+          .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+        val plain = {
+          val prev2 = spark.experimental.extraOptimizations
+          spark.experimental.extraOptimizations =
+            prev2.filterNot(_ eq AnnTopKRewrite)
+          try naiveTopK(corpusDir, q, 7).collect()
+            .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+          finally spark.experimental.extraOptimizations = prev2
+        }
+        assert(rewritten == plain, s"q=$qid:\nrewritten=$rewritten\nplain    =$plain")
+      }
+    }
+  }
+
+  test("rule declines: unregistered path, non-literal query, asc order, other sorts") {
+    withRule {
+      val (corpusDir, _) = setup()
+      val other = java.nio.file.Files.createTempDirectory("graft_annrule_other").toString
+      (0L until 16L).map(i => (i, clusterVec(i))).toDF("vec_id", "embedding")
+        .write.mode("overwrite").parquet(other)
+      val q = clusterVec(1L)
+      def noPrune(df: org.apache.spark.sql.DataFrame): Unit = {
+        val leaves = df.queryExecution.executedPlan.collectLeaves()
+          .map(_.toString).mkString
+        assert(!leaves.contains("PartitionFilters: [cel") &&
+          !leaves.contains("cell IN"), s"rule fired where it must not:\n$leaves")
+      }
+      // unregistered path
+      noPrune(spark.read.parquet(other)
+        .select(col("vec_id"), VectorExpressions.cosineSim(lit(q), col("embedding")).as("sim"))
+        .orderBy(desc("sim")).limit(3))
+      // ascending order (bottom-k is not a probe shape)
+      noPrune(spark.read.parquet(corpusDir)
+        .select(col("vec_id"), VectorExpressions.cosineSim(lit(q), col("embedding")).as("sim"))
+        .orderBy(asc("sim")).limit(3))
+      // non-cosine sort
+      noPrune(spark.read.parquet(corpusDir)
+        .select(col("vec_id")).orderBy(desc("vec_id")).limit(3))
+      // column-vs-column cosine (no foldable query side)
+      noPrune(spark.read.parquet(corpusDir)
+        .select(col("vec_id"),
+          VectorExpressions.cosineSim(col("embedding"), col("embedding")).as("sim"))
+        .orderBy(desc("sim")).limit(3))
+    }
+  }
+
+  test("inline sort-key shape (no projection of sim) also fires") {
+    withRule {
+      val (corpusDir, centroids) = setup()
+      val q = clusterVec(5L).map(_ + 0.003f)
+      val df = spark.read.parquet(corpusDir)
+        .orderBy(VectorExpressions.cosineSim(lit(q), col("embedding")).desc,
+          col("vec_id").asc)
+        .limit(4)
+      val scan = df.queryExecution.executedPlan.collectLeaves()
+        .map(_.toString).mkString
+      assert(scan.contains("PartitionFilters") && scan.contains("cell"),
+        s"inline shape did not fire:\n${scan.take(600)}")
+      val rows = df.select("vec_id").as[Long].collect()
+      assert(rows.forall(_ % 8 == 5L), s"wrong cluster: ${rows.toSeq}")
+    }
+  }
+}

@@ -45,4 +45,38 @@ class DocRoundTripSpec extends AnyFunSuite {
         s"pdf round trip broke for pages [${pages.map(_.take(40)).mkString(" | ")}]")
     }
   }
+
+  test("extraction status: ok / unsupported_font / parse_error routing") {
+    // plain container: ok, text intact
+    val (okText, okStatus) = DocLoader.extractPdfStatus(
+      DocLoader.buildPdf(Seq("hello world", "page two")))
+    assert(okStatus == DocLoader.StatusOk)
+    assert(okText == "hello world\npage two")
+    // CID/Type0 composite font: quarantined with null text, never
+    // mis-decoded — the verdict's silent-null class, made explicit
+    val (t0Text, t0Status) = DocLoader.extractPdfStatus(
+      DocLoader.buildPdfType0(Seq("hello world", "page two")))
+    assert(t0Status == DocLoader.StatusUnsupportedFont)
+    assert(t0Text == null)
+    // the Type0 fixture still parses as a PDF for the status-less path
+    // (which is exactly why status routing is needed: without it the
+    // font defect is invisible)
+    assert(DocLoader.extractPdfPages(DocLoader.buildPdfType0(Seq("x"))) != null)
+    // not a PDF at all
+    val (badText, badStatus) = DocLoader.extractPdfStatus(
+      "not a pdf at all".getBytes("UTF-8"))
+    assert(badStatus == DocLoader.StatusParseError)
+    assert(badText == null)
+    assert(DocLoader.extractPdfStatus(null)._2 == DocLoader.StatusParseError)
+  }
+
+  test("property: Type0 routing never depends on page content") {
+    samples(60).grouped(2).foreach { pages =>
+      val (t, s) = DocLoader.extractPdfStatus(DocLoader.buildPdfType0(pages))
+      assert(t == null && s == DocLoader.StatusUnsupportedFont,
+        s"Type0 fixture leaked content for [${pages.map(_.take(30)).mkString("|")}]")
+      assert(DocLoader.extractPdfStatus(DocLoader.buildPdf(pages)) ==
+        ((pages.mkString("\n"), DocLoader.StatusOk)))
+    }
+  }
 }

@@ -191,6 +191,31 @@ class DocLoaderSpec extends AnyFunSuite with SparkTestSession {
     assert(out("unsupported").isEmpty)
   }
 
+  test("O-1 status routing: loadDocumentsWithStatus quarantines Type0 PDFs") {
+    val dir = Files.createTempDirectory("graft-docs-status")
+    Files.write(dir.resolve("good.pdf"), DocLoader.buildPdf(Seq("readable text")))
+    Files.write(dir.resolve("cjk.pdf"), DocLoader.buildPdfType0(Seq("cid encoded")))
+    Files.write(dir.resolve("broken.pdf"), "%PDX not a pdf".getBytes("UTF-8"))
+    Files.write(dir.resolve("page.html"), "<body><p>ok html</p></body>".getBytes("UTF-8"))
+    Files.write(dir.resolve("notes.txt"), "plain".getBytes("UTF-8"))
+
+    val out = DocLoader.loadDocumentsWithStatus(spark, dir.toString)
+      .collect().map { r =>
+        val name = r.getAs[String]("path").split('/').last
+        name -> ((Option(r.getAs[String]("text")), r.getAs[String]("extraction_status")))
+      }.toMap
+    assert(out("good.pdf") == ((Some("readable text"), DocLoader.StatusOk)))
+    assert(out("cjk.pdf") == ((None, DocLoader.StatusUnsupportedFont)))
+    assert(out("broken.pdf") == ((None, DocLoader.StatusParseError)))
+    assert(out("page.html") == ((Some("ok html"), DocLoader.StatusOk)))
+    assert(out("notes.txt") == ((None, DocLoader.StatusUnsupportedFormat)))
+    // the quarantine frame an ingest run routes aside: every non-ok row,
+    // no content dropped silently
+    val quarantined = DocLoader.loadDocumentsWithStatus(spark, dir.toString)
+      .filter(org.apache.spark.sql.functions.col("extraction_status") =!= DocLoader.StatusOk)
+    assert(quarantined.count() == 3)
+  }
+
   test("html extraction strips scripts, comments, entities") {
     val html = "<body><script>var x=1;</script><!-- c --><b>bold</b> &lt;tag&gt;</body>"
     assert(DocLoader.extractHtml(html.getBytes("UTF-8")) == "bold <tag>")

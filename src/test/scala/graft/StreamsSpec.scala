@@ -455,6 +455,107 @@ class StreamsSpec extends AnyFunSuite with SparkTestSession {
       s"versioned-root gate verdicts: $incoming")
   }
 
+  test("composed pretrain admission gate: replay verdicts equal the batch rules") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.{Ann, Dedup, QualityModel}
+    // corpus: clustered vectors (cluster = id % 8, same geometry as the
+    // PQ gate spec) each carrying distinct multi-word text
+    def clusterVec(i: Long): Array[Float] = {
+      val c = (i % 8).toInt
+      Array.tabulate(16) { j =>
+        val sign = if (((c >> (j % 3)) & 1) == 0) 1.0f else -1.0f
+        sign * 0.8f + ((i / 8 % 5).toInt - 2) * 0.01f
+      }
+    }
+    def corpusText(i: Long) =
+      s"corpus document number item$i about query engines and columnar storage layer$i"
+    val corpus = (0L until 64L)
+      .map(i => (i, corpusText(i), clusterVec(i)))
+      .toDF("doc_id", "text", "embedding")
+    // standing indexes: LSH bands over the corpus text, IVF-PQ layout
+    // over the corpus vectors, quality weights from a separate train set
+    val lshIndex = Dedup.admissionIndex(corpus.select("doc_id", "text"))
+    val (centroids, _) = Ann.buildIvf(
+      spark, corpus.select(col("doc_id").as("vec_id"), col("embedding")),
+      nCells = 4, maxIter = 3)
+    val books = Ann.trainPqCodebooks(
+      corpus.select(col("doc_id").as("vec_id"), col("embedding")),
+      m = 4, dsub = 4, kStar = 8, maxIter = 3)
+    val dir = java.nio.file.Files.createTempDirectory("graft_pretrain_gate").toString
+    Ann.writeIvfPqPartitioned(
+      corpus.select(col("doc_id").as("vec_id"), col("embedding")),
+      centroids, books, dir)
+    val pqIndex = Ann.pqAdmissionIndex(spark.read.parquet(dir), m = 4)
+    val B = 256
+    val w = QualityModel.train(
+      Seq("uno dos tres cuatro cinco seis", "dos tres uno cuatro seis siete",
+        "tres cuatro uno dos cinco ocho", "cuatro cinco dos tres uno nueve")
+        .zipWithIndex.map { case (t, i) => (100L + i, t) }.toDF("doc_id", "text"),
+      Seq("alpha beta gamma delta epsilon zeta", "beta gamma alpha delta zeta eta",
+        "gamma delta alpha beta epsilon theta", "delta epsilon beta gamma alpha iota")
+        .zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text"),
+      nBuckets = B, iters = 30, lr = 50.0)
+    def novel(id: Long, seed: Int): Array[Float] =
+      Array.tabulate(16)(j => (math.sin(seed * 2.1 + j * 0.9) * 3.0).toFloat)
+    val arrivals = Seq(
+      // on-target text, novel vector → fully admitted
+      (200L, "cinco seis uno tres dos cuatro siete", novel(200L, 7)),
+      // exact copy of corpus text (collides on every LSH band), novel
+      // vector → blocked by the LSH stage only (minQuality=0.3 keeps the
+      // neutral-vocabulary corpus text, ~0.49 under these weights, clear
+      // of the quality stage so the block is attributable to LSH alone)
+      (201L, corpusText(2L), novel(201L, 11)),
+      // on-target text, twin of corpus cluster 3 → blocked by PQ only
+      (202L, "uno dos tres seis cinco ocho nueve", clusterVec(3L).map(_ + 0.005f)),
+      // off-target text, novel vector → quality stage flags it
+      (203L, "epsilon zeta alpha gamma delta beta eta", novel(203L, 13)))
+
+    def verdicts(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getAs[Long]("doc_id") -> ((
+        r.getAs[Double]("quality"), r.getAs[Boolean]("quality_keep"),
+        r.getAs[Boolean]("lsh_admitted"), r.getAs[Long]("lsh_blocked_by"),
+        r.getAs[Boolean]("pq_admitted"), r.getAs[Boolean]("admitted")))).toMap
+
+    val input = MemoryStream[(Long, String, Array[Float])]
+    val query = Streams.pretrainAdmissionGate(
+      input.toDF().toDF("doc_id", "text", "embedding"),
+      w, lshIndex, pqIndex, centroids, books,
+      maxDist = 1.0, nBuckets = B, minQuality = 0.3, nProbe = 2)
+      .writeStream.format("memory").queryName("pretraingate")
+      .outputMode(OutputMode.Append()).start()
+    val streamed = try {
+      input.addData(arrivals.take(2): _*)
+      query.processAllAvailable()
+      input.addData(arrivals.drop(2): _*) // 2nd micro-batch, same indexes
+      query.processAllAvailable()
+      verdicts(spark.table("pretraingate"))
+    } finally query.stop()
+
+    // the same stateless composition applied to the SAME rows as a BATCH
+    // frame must produce identical verdicts, column for column — the
+    // replay-equals-batch contract of the composed gate
+    val batch = verdicts(Streams.pretrainAdmissionGate(
+      arrivals.toDF("doc_id", "text", "embedding"),
+      w, lshIndex, pqIndex, centroids, books,
+      maxDist = 1.0, nBuckets = B, minQuality = 0.3, nProbe = 2))
+    assert(streamed == batch, s"\nstream=$streamed\nbatch =$batch")
+
+    // per-stage semantics: each doc dropped by exactly the planted stage
+    assert(streamed(200L)._6, s"200 must be fully admitted: $streamed")
+    assert(!streamed(201L)._3 && streamed(201L)._4 == 2L &&
+      streamed(201L)._2 && streamed(201L)._5, s"201 must be LSH-blocked only: $streamed")
+    assert(!streamed(202L)._5 && streamed(202L)._2 && streamed(202L)._3,
+      s"202 must be PQ-blocked only: $streamed")
+    assert(!streamed(203L)._2 && streamed(203L)._3 && streamed(203L)._5,
+      s"203 must be quality-flagged only: $streamed")
+    assert(!streamed(201L)._6 && !streamed(202L)._6 && !streamed(203L)._6)
+    // and the quality column stays bit-equal to the batch scorer
+    val scores = QualityModel.score(
+      arrivals.map(a => (a._1, a._2)).toDF("doc_id", "text"), w, B)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(streamed.view.mapValues(_._1).toMap == scores)
+  }
+
   test("quality gate: streaming scores bit-equal batch, verdicts split on threshold") {
     import graft.operators.QualityModel
     val onTarget = Seq("uno dos tres cuatro cinco seis", "dos tres uno cuatro seis siete",
