@@ -446,13 +446,19 @@ object ScaleEvidence {
       }
       (np, of, pairs.count(exactEucPairs.contains).toDouble / exactEucPairs.size, tS)
     }
-    // frontier sanity: within an overfetch tier, widening the probe
-    // never loses recall (same candidate superset), and the reranked
-    // tier is never below its plain-ADC sibling
-    for (of <- Seq(1, 4)) {
-      val tier = sweep.filter(_._2 == of).sortBy(_._1).map(_._3)
-      if (tier.sliding(2).exists(p => p.length == 2 && p(1) + 1e-9 < p(0)))
-        failures ::= s"ivfpq_sweep: recall not monotone in nProbe at overfetch=$of: $tier"
+    // Frontier sanity. NOT asserted: monotonicity in nProbe — measured
+    // here (and a known ADC property), recall of the FINAL top-k can
+    // DROP as the probe widens (0.76 → 0.68 across 2 → 32 cells at
+    // overfetch=1): the candidate set is a superset, but every added
+    // cell adds quantization-noisy decoys that can outrank true
+    // neighbors in ADC distance before any exact refinement runs. That
+    // recorded non-monotonicity is exactly why the sweep exists — probe
+    // budget is a tuning point on a curve, not "more is safer". What IS
+    // structural: a floor under every setting, and exact rerank never
+    // below its plain-ADC sibling at the same probe.
+    sweep.foreach { case (np, of, rec, _) =>
+      if (rec < 0.5)
+        failures ::= f"ivfpq_sweep: recall $rec%.3f below 0.5 at nProbe=$np overfetch=$of"
     }
     for (np <- Seq(2, 8, 32)) {
       val plain = sweep.find(s => s._1 == np && s._2 == 1).get._3

@@ -364,6 +364,25 @@ object SparkEntry {
         .orderBy("doc_a", "doc_b")
     }),
 
+    "dedup_containment" -> ((s, dir) => {
+      // Broder containment over the df-capped shingle universe — the
+      // quote-inclusion case Jaccard misses. Salted with container docs
+      // (+30000: original text plus a doc-unique suffix), so every base
+      // doc < 30 is verbatim-CONTAINED in its container: the pair must
+      // surface with cont_a_in_b = 1.0 even though its Jaccard is
+      // diluted by the suffix.
+      val base = Tables.documents(s, dir).filter(col("doc_id") < 150)
+        .select("doc_id", "text")
+      val containers = base.filter(col("doc_id") < 30)
+        .select((col("doc_id") + 30000).as("doc_id"),
+          concat(col("text"), lit(" qq"), col("doc_id"), lit(" zz")).as("text"))
+      Dedup.containmentPairs(
+        base.unionByName(containers), n = 3, threshold = 0.8, maxDf = 120)
+        .withColumn("cont_a_in_b", round(col("cont_a_in_b"), 6))
+        .withColumn("cont_b_in_a", round(col("cont_b_in_a"), 6))
+        .orderBy("doc_a", "doc_b")
+    }),
+
     "dedup_minhash_lsh" -> ((s, dir) => {
       Dedup.minHashLshPairsPortable(Tables.documents(s, dir).filter(col("doc_id") < 200))
         .withColumn("est_jaccard", round(col("est_jaccard"), 6))
@@ -1761,6 +1780,21 @@ object SparkEntry {
       val encoded = operators.Bpe.encodeCorpus(docs, merges, ids)
       operators.Scale.packSequencesBy(encoded, col("n_tokens"), budgetTokens = 256)
         .orderBy("shard", "bin_id")
+    }),
+
+    "bpe_pack_manifest" -> ((s, dir) => {
+      // the loader-facing twin of bpe_pack_pipeline: per-document
+      // (shard, bin, starting token offset) placement under REAL BPE
+      // token counts — what a training data loader consumes to slice
+      // fixed-budget sequences out of the packed corpus. Rows-only;
+      // Verify replays the placement sequentially.
+      val docs = Tables.documents(s, dir).select("doc_id", "text")
+      val merges = operators.Bpe.learnMergesCached(docs, dir, nMerges = 20)
+        .map(m => (m._1, m._2))
+      val ids = operators.Bpe.vocabIdsCached(docs, dir, merges)
+      val encoded = operators.Bpe.encodeCorpus(docs, merges, ids)
+      operators.Scale.packManifestBy(encoded, col("n_tokens"), budgetTokens = 256)
+        .orderBy("shard", "bin_id", "doc_id")
     }),
 
     "ann_lsh_topk" -> ((s, dir) => {
@@ -3373,6 +3407,33 @@ object SparkEntry {
         |JOIN sizes sa ON sa.doc_id = doc_a
         |JOIN sizes sb ON sb.doc_id = doc_b
         |WHERE CAST(inter AS DOUBLE) / CAST(sa.n + sb.n - inter AS DOUBLE) >= 0.5
+        |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "dedup_containment" ->
+      """WITH docs2 AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id < 150
+        |  UNION ALL
+        |  SELECT doc_id + 30000, text || ' qq' || CAST(doc_id AS VARCHAR) || ' zz'
+        |  FROM documents WHERE doc_id < 30),
+        |sh0 AS (
+        |  SELECT doc_id, unnest(list_distinct(
+        |    [substr(text, i + 1, 3) FOR i IN range(length(text) - 2)])) AS shingle
+        |  FROM docs2 WHERE length(text) >= 3),
+        |dfx AS (SELECT shingle, count(*) AS df FROM sh0 GROUP BY shingle),
+        |sh AS (SELECT sh0.* FROM sh0 JOIN dfx USING (shingle) WHERE df <= 120),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id)
+        |SELECT doc_a, doc_b,
+        |  round(CAST(inter AS DOUBLE) / CAST(sa.n AS DOUBLE), 6) AS cont_a_in_b,
+        |  round(CAST(inter AS DOUBLE) / CAST(sb.n AS DOUBLE), 6) AS cont_b_in_a
+        |FROM inter
+        |JOIN sizes sa ON sa.doc_id = doc_a
+        |JOIN sizes sb ON sb.doc_id = doc_b
+        |WHERE greatest(CAST(inter AS DOUBLE) / CAST(sa.n AS DOUBLE),
+        |               CAST(inter AS DOUBLE) / CAST(sb.n AS DOUBLE)) >= 0.8
         |ORDER BY doc_a, doc_b""".stripMargin,
 
     // Step-for-step mirror of the registered query: jittered-twin union

@@ -328,6 +328,27 @@ object Verify {
         s"expected=${expBins.size} equal=${gotBins == expBins}")
       require(gotBins == expBins,
         "bpe_pack_pipeline: bins diverged from the sequential packing replay")
+
+      // -- manifest gate: the per-document (shard, bin, offset)
+      // placement must equal the same sequential replay, offset for
+      // offset (offset = running sum before the doc, mod budget)
+      val gotManifest = SparkEntry.queries("bpe_pack_manifest")(spark, sfDir)
+        .select("shard", "bin_id", "doc_id", "n_tokens", "offset")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+        .toSet
+      val cum2 = scala.collection.mutable.Map.empty[Long, Long]
+      val expManifest = docToks.toSeq.sortBy(_._1).map { case (docId, toks) =>
+        val n = toks.iterator.map(w => operators.Bpe.encodeWord(w, ranks).length).sum.toLong
+        val shard = ((docId % 8) + 8) % 8
+        val before = cum2.getOrElse(shard, 0L)
+        cum2(shard) = before + n
+        (shard, before / budget, docId, n, before % budget)
+      }.toSet
+      println(s"[equality] bpe_pack_manifest rows=${gotManifest.size} " +
+        s"expected=${expManifest.size} equal=${gotManifest == expManifest}")
+      require(gotManifest == expManifest,
+        "bpe_pack_manifest: placements diverged from the sequential packing replay")
     }
 
     // ---- incremental BPE trainer gate (the r9 scale `weak`, fixed in

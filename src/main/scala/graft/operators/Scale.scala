@@ -120,6 +120,35 @@ object Scale {
       .withColumn("offset", pmod(col("cum_before"), lit(budgetTokens)))
       .select("shard", "bin_id", "doc_id", "n_tokens", "offset")
 
+  /** Materialize the PACKED TOKEN CORPUS — the artifact a training job
+    * actually mounts: every document's token-id array placed at its
+    * (shard, bin, offset) slot from [[packManifestBy]], written
+    * `partitionBy(shard)` with rows sorted by (bin_id, offset) inside
+    * each shard so a data loader reads its shard strictly sequentially
+    * and assembles fixed-budget bins by concatenation alone — no
+    * shuffling, no index lookups at load time. The `repartition(shard)`
+    * makes each shard ONE file (the co-located layout rule every other
+    * writer here follows); inter-shard order is irrelevant to loaders,
+    * so no global sort ever happens.
+    *
+    * `encoded` is consumed by two branches (manifest + payload join) —
+    * callers feeding an expensive encode should `localCheckpoint` it
+    * first, the same two-branch note as [[dsirWeights]].
+    *
+    * @param encoded (doc_id, token_ids, n_tokens) from
+    *                [[Bpe.encodeCorpus]]
+    */
+  def writePackedTokens(
+      encoded: DataFrame,
+      budgetTokens: Long,
+      shards: Int,
+      path: String): Unit =
+    packManifestBy(encoded, col("n_tokens"), budgetTokens, shards)
+      .join(encoded.select("doc_id", "token_ids"), "doc_id")
+      .repartition(col("shard"))
+      .sortWithinPartitions("bin_id", "offset")
+      .write.partitionBy("shard").mode("overwrite").parquet(path)
+
   /** Shared packing frame: token counts, shard assignment, exclusive
     * running token sum within the shard (doc_id order), bin id.
     */

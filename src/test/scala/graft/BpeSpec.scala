@@ -203,6 +203,48 @@ class BpeSpec extends AnyFunSuite with SparkTestSession {
     assert(ids.size == 5)
   }
 
+  test("writePackedTokens: shard files are loader-sequential and lossless") {
+    val docs = corpus(
+      "low lower lowest low low",
+      "new newer newest new newer",
+      "wide wider widest low new",
+      "the cat sat on the mat",
+      "aaaa aaab aabb abbb bbbb",
+      "mississippi missive permission")
+    val merges = Bpe.learnMerges(docs, nMerges = 8).map(m => (m._1, m._2))
+    val ids = Bpe.vocabIds(Bpe.alphabet(docs), merges)
+    val encoded = Bpe.encodeCorpus(docs, merges, ids).localCheckpoint()
+    val budget = 12L
+    val path = java.nio.file.Files.createTempDirectory("graft_packed").toString
+    operators.Scale.writePackedTokens(encoded, budgetTokens = budget, shards = 2, path)
+    // one data file per shard: the loader mounts one sequential stream
+    for (sh <- 0 to 1) {
+      val dir = new java.io.File(s"$path/shard=$sh")
+      assert(dir.listFiles().count(_.getName.endsWith(".parquet")) == 1,
+        s"shard $sh not a single file")
+      // file order IS loader order: replaying the rows as read must
+      // reproduce each document's (bin, offset) from the running token
+      // sum alone — the property that lets a loader assemble bins by
+      // concatenation without any index
+      val rows = spark.read.parquet(s"$path/shard=$sh")
+        .select("bin_id", "offset", "doc_id", "n_tokens", "token_ids").collect()
+      var cum = 0L
+      rows.foreach { r =>
+        assert(r.getLong(0) == cum / budget, s"bin mismatch at doc ${r.getLong(2)}")
+        assert(r.getLong(1) == cum % budget, s"offset mismatch at doc ${r.getLong(2)}")
+        assert(r.getLong(3) == r.getSeq[Int](4).length.toLong)
+        cum += r.getLong(3)
+      }
+    }
+    // lossless: the packed corpus carries exactly the encoded corpus
+    val back = spark.read.parquet(path)
+      .select("doc_id", "token_ids").collect()
+      .map(r => (r.getLong(0), r.getSeq[Int](1))).toMap
+    val orig = encoded.select("doc_id", "token_ids").collect()
+      .map(r => (r.getLong(0), r.getSeq[Int](1))).toMap
+    assert(back == orig)
+  }
+
   test("pack by BPE token counts matches a sequential packing replay") {
     val docs = corpus(
       "low lower lowest low low",

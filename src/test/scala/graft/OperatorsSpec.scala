@@ -335,6 +335,33 @@ class DedupSpec extends AnyFunSuite with SparkTestSession {
     assert(!pairs.exists { case (a, b) => b == 4L || a == 4L })
   }
 
+  test("containment flags a doc embedded in a longer one that jaccard misses") {
+    val emb = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      // doc 1 verbatim inside a much longer wrapper: jaccard diluted,
+      // containment(1 in 2) = 1
+      (2L, "EDITORIAL PREFACE zzz qqq www " +
+        "the quick brown fox jumps over the lazy dog" +
+        " APPENDIX kkk jjj hhh ggg fff eee ddd ccc bbb aaa xxy xyz yzx"),
+      (3L, "completely different content about columnar storage engines"))
+      .toDF("doc_id", "text")
+    val cont = Dedup.containmentPairs(emb, n = 3, threshold = 0.9)
+      .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) ->
+        ((r.getAs[Double]("cont_a_in_b"), r.getAs[Double]("cont_b_in_a")))).toMap
+    assert(cont.contains((1L, 2L)), s"containment pair missing: $cont")
+    assert(cont((1L, 2L))._1 == 1.0) // every shingle of 1 appears in 2
+    assert(cont((1L, 2L))._2 < 0.9)  // but 2 is NOT contained in 1
+    // and symmetric jaccard at the same bar indeed misses the pair
+    val jac = Dedup.ngramJaccardPairs(emb, n = 3, threshold = 0.9)
+      .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")))
+    assert(!jac.contains((1L, 2L)))
+    // df-capping preserves the subset relation: still 1.0 under a cap
+    val capped = Dedup.containmentPairs(emb, n = 3, threshold = 0.9, maxDf = 2)
+      .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) ->
+        r.getAs[Double]("cont_a_in_b")).toMap
+    capped.get((1L, 2L)).foreach(c => assert(c == 1.0))
+  }
+
   test("minhash LSH surfaces duplicate candidates with est jaccard 1 for dups") {
     val out = Dedup.minHashLshPairs(docs, threshold = 0.5).collect()
     val exactDup = out.find(r => r.getAs[Long]("doc_a") == 1L && r.getAs[Long]("doc_b") == 2L)

@@ -556,6 +556,37 @@ class StreamsSpec extends AnyFunSuite with SparkTestSession {
     assert(streamed.view.mapValues(_._1).toMap == scores)
   }
 
+  test("BPE encode column is streaming-legal and token-equal to batch") {
+    import graft.operators.Bpe
+    // tokenizer trained batch-side; the encode column is stateless
+    // (merges + vocab ride the closure), so live ingest can emit
+    // token-id streams with zero state — the streaming end of the
+    // tokenizer→packing loop
+    val train = Seq((0L, "low lower lowest low"), (1L, "new newer newest new"))
+      .toDF("doc_id", "text")
+    val merges = Bpe.learnMerges(train, nMerges = 8).map(m => (m._1, m._2))
+    val ids = Bpe.vocabIds(Bpe.alphabet(train), merges)
+    val probes = Seq((10L, "lowest newer low"), (11L, "new lower lowend"))
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val query = input.toDF().toDF("doc_id", "text")
+      .withColumn("token_ids", Bpe.encodeTokensCol(col("text"), merges, ids))
+      .writeStream.format("memory").queryName("bpestream")
+      .outputMode(OutputMode.Append()).start()
+    val streamed = try {
+      input.addData(probes.head)
+      query.processAllAvailable()
+      input.addData(probes.last) // 2nd micro-batch, same closure
+      query.processAllAvailable()
+      spark.table("bpestream").collect()
+        .map(r => r.getAs[Long]("doc_id") -> r.getSeq[Int](2)).toMap
+    } finally query.stop()
+    val batch = Bpe.encodeCorpus(probes.toDF("doc_id", "text"), merges, ids)
+      .select("doc_id", "token_ids").collect()
+      .map(r => (r.getLong(0), r.getSeq[Int](1))).toMap
+    assert(streamed == batch, s"stream=$streamed batch=$batch")
+  }
+
   test("quality gate: streaming scores bit-equal batch, verdicts split on threshold") {
     import graft.operators.QualityModel
     val onTarget = Seq("uno dos tres cuatro cinco seis", "dos tres uno cuatro seis siete",
