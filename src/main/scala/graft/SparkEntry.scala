@@ -1593,20 +1593,30 @@ object SparkEntry {
         .orderBy("file_id", "page", "chunk_index")
     }),
 
-    // ---- O-1 extraction-status routing: unextractable PDFs (CID/Type0
-    //      composite fonts — every 4th doc's container here) must keep
-    //      their row with null text and status 'unsupported_font' so
-    //      ingest can QUARANTINE them, not silently drop content
-    //      (reference raises and compensates, chroma_utils.py:134-144).
+    // ---- O-1 extraction-status routing, three container classes (r11
+    //      shrank the r10 quarantine): every 8th doc is a BARE Type0
+    //      (no ToUnicode CMap — genuinely undecodable glyph indexes →
+    //      'unsupported_font', quarantined); every other 4th doc is a
+    //      Type0 WITH a ToUnicode CMap, which since r11 EXTRACTS through
+    //      the CMapFont path (hex CID strings inverted by the bfchar
+    //      map — hash-checked against the original text, proving the
+    //      decode is exact, not just non-null); the rest are plain PDFs.
+    //      Quarantined rows keep their row with null text so ingest can
+    //      route them, not silently drop content (reference raises and
+    //      compensates, chroma_utils.py:134-144).
     "ingest_quarantine" -> ((s, dir) => {
-      val statusUdf = udf { (t: String, broken: Boolean) =>
-        val bytes =
-          if (broken) graft.sources.DocLoader.buildPdfType0(Seq(t))
-          else graft.sources.DocLoader.buildPdf(Seq(t))
+      val statusUdf = udf { (t: String, cls: Int) =>
+        val bytes = cls match {
+          case 2 => graft.sources.DocLoader.buildPdfType0Bare(Seq(t))
+          case 1 => graft.sources.DocLoader.buildPdfType0(Seq(t))
+          case _ => graft.sources.DocLoader.buildPdf(Seq(t))
+        }
         graft.sources.DocLoader.extractPdfStatus(bytes)
       }
+      val cls = when(col("doc_id") % 8 === 0, 2)
+        .when(col("doc_id") % 4 === 0, 1).otherwise(0)
       Tables.documents(s, dir)
-        .select(col("doc_id"), statusUdf(col("text"), col("doc_id") % 4 === 0).as("r"))
+        .select(col("doc_id"), statusUdf(col("text"), cls).as("r"))
         .select(col("doc_id"),
           col("r._2").as("extraction_status"),
           (col("r._2") =!= "ok").as("quarantined"),
@@ -1615,15 +1625,20 @@ object SparkEntry {
     }),
 
     "ingest_quarantine_stats" -> ((s, dir) => {
-      // the quarantine COUNTS an ingest run reports per status
-      val statusUdf = udf { (t: String, broken: Boolean) =>
-        val bytes =
-          if (broken) graft.sources.DocLoader.buildPdfType0(Seq(t))
-          else graft.sources.DocLoader.buildPdf(Seq(t))
+      // the quarantine COUNTS an ingest run reports per status — the
+      // unsupported_font bucket now holds ONLY the bare-Type0 class
+      val statusUdf = udf { (t: String, cls: Int) =>
+        val bytes = cls match {
+          case 2 => graft.sources.DocLoader.buildPdfType0Bare(Seq(t))
+          case 1 => graft.sources.DocLoader.buildPdfType0(Seq(t))
+          case _ => graft.sources.DocLoader.buildPdf(Seq(t))
+        }
         graft.sources.DocLoader.extractPdfStatus(bytes)._2
       }
+      val cls = when(col("doc_id") % 8 === 0, 2)
+        .when(col("doc_id") % 4 === 0, 1).otherwise(0)
       Tables.documents(s, dir)
-        .select(statusUdf(col("text"), col("doc_id") % 4 === 0).as("extraction_status"))
+        .select(statusUdf(col("text"), cls).as("extraction_status"))
         .groupBy("extraction_status")
         .agg(count(lit(1)).as("n_docs"))
         .orderBy("extraction_status")
@@ -1743,6 +1758,34 @@ object SparkEntry {
         .toDF("rank", "left", "right", "pair_count")
     }),
 
+    "bpe_learn_merges_inc" -> ((s, dir) => {
+      // The INCREMENTAL pair-count trainer under the driver's hard
+      // signal (r10 next #7): the sf corpora sit below the size
+      // dispatch's recountBelow, so without this entry the maintained-
+      // pair-table path (Bpe.learnMergesIncremental) would only ever run
+      // in specs and evidence legs. Forced here and equality-gated
+      // IN-QUERY against the recount result (which Verify separately
+      // pins merge-for-merge to the sequential reference) — a divergence
+      // fails the row rather than returning wrong merges. AQE off for
+      // the loop only, the Verify 200-merge gate's measured discipline:
+      // at toy frame sizes each AQE stage materialization is its own
+      // job and the loop's joins are broadcast/tiny, so adaptivity buys
+      // nothing; restored right after.
+      import s.implicits._
+      val docs = Tables.documents(s, dir).select("doc_id", "text")
+      val aqeWas = s.conf.get("spark.sql.adaptive.enabled")
+      s.conf.set("spark.sql.adaptive.enabled", "false")
+      val inc =
+        try operators.Bpe.learnMergesIncrementalCached(docs, dir, nMerges = 20)
+        finally s.conf.set("spark.sql.adaptive.enabled", aqeWas)
+      val rec = operators.Bpe.learnMergesCached(docs, dir, nMerges = 20)
+      require(inc == rec,
+        "bpe_learn_merges_inc: incremental learner diverged from the recount result")
+      inc.zipWithIndex
+        .map { case ((a, b, c), i) => (i + 1, a, b, c) }
+        .toDF("rank", "left", "right", "pair_count")
+    }),
+
     "bpe_encode_stats" -> ((s, dir) => {
       // Per-document subword counts under the learned table: the greedy
       // merge loop runs once per DISTINCT word; the corpus gets its
@@ -1760,11 +1803,21 @@ object SparkEntry {
       // with a per-executor word memo. Rows-only by design (greedy
       // iterative encode has no SQL form); Verify hard-gates the id
       // streams token-for-token against a sequential encode replay.
+      // The raw array column stays the OPERATOR's product
+      // ([[operators.Bpe.encodeCorpus]]); the registry projection is
+      // driver-comparable SCALARS — the r10 driver comparator cannot
+      // sort/factorize an array column (pandas lexsort on ndarray cells),
+      // so the id stream rides along as its exact CSV rendering, which
+      // the Verify gate parses back and checks token for token.
       val docs = Tables.documents(s, dir).select("doc_id", "text")
       val merges = operators.Bpe.learnMergesCached(docs, dir, nMerges = 20)
         .map(m => (m._1, m._2))
       val ids = operators.Bpe.vocabIdsCached(docs, dir, merges)
-      operators.Bpe.encodeCorpus(docs, merges, ids).orderBy("doc_id")
+      operators.Bpe.encodeCorpus(docs, merges, ids)
+        .select(col("doc_id"), col("n_tokens"),
+          array_join(transform(col("token_ids"), i => i.cast("string")), ",")
+            .as("ids_csv"))
+        .orderBy("doc_id")
     }),
 
     "bpe_pack_pipeline" -> ((s, dir) => {
@@ -1905,19 +1958,35 @@ object SparkEntry {
       val layout = operators.Ann.cellLayout(s, emb,
         new java.io.File(sys.props("java.io.tmpdir"), "graft_ann_layouts").getAbsolutePath,
         centroids)
+      // Probe budget from the recorded recall/cost frontier
+      // (SCALE_EVIDENCE.json `ann_ivfpq_sweep`): probe coverage — not PQ
+      // quantization, absent here — is the only recall loss of this
+      // exact-cosine probe, and 5/8 cells holds recall ≥0.9 on both sf
+      // corpora (measured 1.0 @sf0.01, 0.91 @sf0.1 at k=11), so the
+      // Verify floor sits at the operator-tier 0.8, not the r10 0.5.
       plans.AnnTopKRewrite.register(embPath,
-        plans.AnnTopKRewrite.RegisteredLayout(layout, centroids, nProbe = 3))
-      val q = emb.filter(col("vec_id") === 0)
-        .select("embedding").head().getSeq[Float](0).toArray
-      val df = s.read.parquet(embPath)
-        .select(col("vec_id"),
-          expressions.VectorExpressions.cosineSim(typedLit(q), col("embedding")).as("sim"))
-        .orderBy(desc("sim"), asc("vec_id"))
-        .limit(11)
-      val leaves = df.queryExecution.executedPlan.collectLeaves().map(_.toString).mkString
-      require(leaves.contains("PartitionFilters") && leaves.contains("cell"),
-        "ann_rule_topk: AnnTopKRewrite did not rewrite the scan into the layout probe")
-      df.select(col("vec_id"), TextAnalysis.floorScale(col("sim"), 6).as("sim"))
+        plans.AnnTopKRewrite.RegisteredLayout(layout, centroids, nProbe = 5))
+      // Registration is scoped to THIS query: the probe result is
+      // materialized while registered, then the layout is unregistered in
+      // a finally — a leaked registration would silently rewrite any
+      // later naive cosine top-k over the same path to an approximate
+      // probe (the r10 advice's global-state leak).
+      try {
+        val q = emb.filter(col("vec_id") === 0)
+          .select("embedding").head().getSeq[Float](0).toArray
+        val df = s.read.parquet(embPath)
+          .select(col("vec_id"),
+            expressions.VectorExpressions.cosineSim(typedLit(q), col("embedding")).as("sim"))
+          .orderBy(desc("sim"), asc("vec_id"))
+          .limit(11)
+        val leaves = df.queryExecution.executedPlan.collectLeaves().map(_.toString).mkString
+        require(leaves.contains("PartitionFilters") && leaves.contains("cell"),
+          "ann_rule_topk: AnnTopKRewrite did not rewrite the scan into the layout probe")
+        import s.implicits._
+        df.select(col("vec_id"), TextAnalysis.floorScale(col("sim"), 6).as("sim"))
+          .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+          .toDF("vec_id", "sim")
+      } finally plans.AnnTopKRewrite.unregister(embPath)
     }),
 
     "ann_quantized_topk" -> ((s, dir) => {
@@ -1964,6 +2033,26 @@ object SparkEntry {
       val qs = emb.filter(col("vec_id") < 3)
         .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"))
       operators.Ann.ivfPqTopK(s, layout, qs, centroids, books, k = 10, nProbe = 8)
+        .orderBy("query_id", "rank")
+    }),
+
+    "ann_opq_adc_topk" -> ((s, dir) => {
+      // OPQ (r10 next #3): a learned ORTHOGONAL rotation before the
+      // subspace split (Ge et al. 2013), trained by alternating
+      // sample-local Lloyd with the Procrustes polar update — the
+      // standard lever on the ADC recall/cost frontier at overfetch=1,
+      // where plain PQ bottomed at 0.68–0.76 in the recorded sweep.
+      // The scan is the SAME flat ADC machinery over the rotated corpus
+      // (rotation is one map-only pass; euclidean geometry is
+      // rotation-invariant, so recall is graded against the
+      // original-space exact top-k). Rows-only like every trained tier;
+      // Verify hard-gates recall at the trained-PQ floor and prints the
+      // side-by-side with plain PQ.
+      val emb = Tables.embeddings(s, dir)
+      val (rot, books) = operators.Ann.trainOpqCached(
+        emb, cacheKey = dir, m = 8, dsub = 8, kStar = 16)
+      operators.Ann.pqAdcTopK(
+        operators.Ann.rotated(emb, rot), books, nQueries = 3, k = 10)
         .orderBy("query_id", "rank")
     }),
 
@@ -3111,17 +3200,19 @@ object SparkEntry {
       """SELECT doc_id, sha256(text) AS text_hash
         |FROM documents ORDER BY doc_id""".stripMargin,
 
-    // extraction-status routing: docs in the Type0 slice quarantine with
-    // null text; the rest round-trip, so their hash is the original's
+    // extraction-status routing: only the BARE-Type0 slice (doc_id % 8)
+    // quarantines with null text; Type0-with-ToUnicode and plain docs
+    // both round-trip, so their hash is the original's — which is what
+    // hash-checks that the CMap decode is EXACT, not merely non-null
     "ingest_quarantine" ->
       """SELECT doc_id,
-        |  CASE WHEN doc_id % 4 = 0 THEN 'unsupported_font' ELSE 'ok' END AS extraction_status,
-        |  (doc_id % 4 = 0) AS quarantined,
-        |  CASE WHEN doc_id % 4 = 0 THEN NULL ELSE sha256(text) END AS text_hash
+        |  CASE WHEN doc_id % 8 = 0 THEN 'unsupported_font' ELSE 'ok' END AS extraction_status,
+        |  (doc_id % 8 = 0) AS quarantined,
+        |  CASE WHEN doc_id % 8 = 0 THEN NULL ELSE sha256(text) END AS text_hash
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "ingest_quarantine_stats" ->
-      """SELECT CASE WHEN doc_id % 4 = 0 THEN 'unsupported_font' ELSE 'ok' END AS extraction_status,
+      """SELECT CASE WHEN doc_id % 8 = 0 THEN 'unsupported_font' ELSE 'ok' END AS extraction_status,
         |  count(*) AS n_docs
         |FROM documents GROUP BY 1 ORDER BY extraction_status""".stripMargin,
 

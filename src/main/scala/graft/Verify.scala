@@ -74,8 +74,15 @@ object Verify {
       // ann_rule_topk gate: the OPTIMIZER-RULE rewrite of the naive
       // brute-force top-k (the registry query asserts the rule fired;
       // here the partial-probe RESULT is floored against the exact
-      // brute force over the same query — computed with the corpus
-      // UNREGISTERED so the baseline genuinely scans everything).
+      // brute force over the same query — the registry query scopes its
+      // registration via try/finally, and the defensive unregister below
+      // keeps the baseline honest even if that discipline regresses).
+      // Floor = 0.8, the operator-tier IVF gate: this probe pays exact
+      // cosine over the probed cells, so probe COVERAGE is its only
+      // recall loss (no PQ quantization — cf. the `ann_ivfpq_sweep`
+      // frontier where overfetch=1 ADC bottoms at 0.68), and the
+      // registered 5/8-cell budget measures 1.0 @sf0.01 / 0.91 @sf0.1
+      // at k=11.
       {
         val ruleGot = SparkEntry.queries("ann_rule_topk")(spark, sfDir)
           .select("vec_id").collect().map(_.getLong(0)).toSet
@@ -89,8 +96,8 @@ object Verify {
           .orderBy(desc("sim"), asc("vec_id")).limit(11)
           .select("vec_id").collect().map(_.getLong(0)).toSet
         val recall = exactRule.count(ruleGot.contains).toDouble / exactRule.size
-        println(f"[recall] ann_rule_topk = $recall%.3f (gate >= 0.5)")
-        require(recall >= 0.5, s"ann_rule_topk recall $recall below gate 0.5")
+        println(f"[recall] ann_rule_topk = $recall%.3f (gate >= 0.8)")
+        require(recall >= 0.8, s"ann_rule_topk recall $recall below gate 0.8")
       }
 
       // PQ-family gates: ADC approximates SQUARED EUCLIDEAN distance, so
@@ -169,6 +176,26 @@ object Verify {
       // 0.210 @sf0.1 (above plain at sf0.1); its quantization-error
       // advantage is spec-pinned where clustered fixtures make it
       // visible.
+      // OPQ gate: the rotated-space ADC scan graded against the SAME
+      // original-space exact euclidean top-k (rotation preserves
+      // euclidean geometry, so the comparison is direct). Floor = the
+      // trained-PQ threshold — OPQ exists to sit ABOVE plain PQ on the
+      // frontier, and the side-by-side is printed every run (the
+      // evidence leg records it at 10⁶ where the gap is stable; at the
+      // sf corpora both hover near the same small-sample values).
+      val (opqRot, opqBooks) = operators.Ann.trainOpqCached(
+        emb, cacheKey = sfDir, m = 8, dsub = 8, kStar = 16)
+      val opqApprox = operators.Ann.pqAdcTopK(
+        operators.Ann.rotated(emb, opqRot), opqBooks, nQueries = nq, k = 10)
+        .select("query_id", "vec_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      locally {
+        val pqR = exactEuc.count(pqApprox.contains).toDouble / exactEuc.size
+        val opqR = exactEuc.count(opqApprox.contains).toDouble / exactEuc.size
+        println(f"[recall] ann_opq_adc_topk = $opqR%.3f (plain pq = $pqR%.3f, gate >= $pqThr)")
+        require(opqR >= pqThr, s"ann_opq_adc_topk recall $opqR below gate $pqThr")
+      }
+
       val rerankApprox = operators.Ann.ivfPqTopKReranked(
         spark, layout, qsIvf, emb, centroids, books, k = 10, nProbe = 3, overfetch = 4)
         .select("query_id", "vec_id").collect()
@@ -281,9 +308,14 @@ object Verify {
       val merges20 = dist.map(m => (m._1, m._2))
       val ids = operators.Bpe.vocabIdsCached(docs, sfDir, merges20)
       val ranks = merges20.zipWithIndex.toMap
+      // The registry entry projects driver-comparable scalars (doc_id,
+      // n_tokens, ids_csv) — parse the CSV back to the id stream, so the
+      // gate covers the REGISTRY output end to end, not just the operator.
       val encoded = SparkEntry.queries("bpe_encode_corpus")(spark, sfDir)
-        .select("doc_id", "token_ids").collect()
-        .map(r => (r.getLong(0), r.getSeq[Int](1))).toMap
+        .select("doc_id", "ids_csv").collect()
+        .map(r => (r.getLong(0),
+          r.getString(1).split(",").iterator
+            .filter(_.nonEmpty).map(_.toInt).toSeq)).toMap
       val docToks = docs
         .select(col("doc_id"), operators.TextRetrieval.tokensCol(col("text")).as("toks"))
         .collect().map(r => (r.getLong(0), r.getSeq[String](1))).toMap
@@ -357,8 +389,9 @@ object Verify {
     // budget. The sf corpus's 31-word pool exhausts its pairs in ~89
     // merges, so the gate corpus suffixes each token per variant
     // (ScaleEvidence's vocab-minting trick) — enough pair diversity for
-    // the full 200; maxOverlayRows=300 forces repeated overlay→base
-    // compactions so the adaptive-compaction path is inside the gate.
+    // the full 200; maxOverlayRows=2000 (small against the 744-word
+    // varied vocab's high-touch early merges) still forces repeated
+    // overlay→base compactions, so the adaptive path is inside the gate.
     {
       import org.apache.spark.sql.functions._
       val base = Tables.documents(spark, sfDir).select("doc_id", "text")

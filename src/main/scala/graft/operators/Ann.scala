@@ -728,6 +728,376 @@ object Ann {
       _ => trainPqCodebooks(corpus, m, dsub, kStar, maxIter))
   }
 
+  // ------------------------------------------ OPQ: learned rotation tier
+  //
+  // Optimized Product Quantization (Ge et al., CVPR 2013): learn an
+  // ORTHOGONAL rotation R applied before the subspace split, minimizing
+  // Σ‖R·x − q(R·x)‖² by alternating (a) PQ codebook training on the
+  // rotated sample with (b) the orthogonal-Procrustes rotation update
+  // R = V·Uᵀ of Σ xᵢx̂ᵢᵀ = U·Σ·Vᵀ. Rotation redistributes variance and
+  // decorrelates the m subspaces, which is the standard lift on the
+  // ADC recall/cost frontier at overfetch=1 (the r10 verdict's next #3):
+  // plain PQ pays for whatever axis alignment the raw embedding basis
+  // happens to have; OPQ buys the best basis an orthogonal map can reach.
+  //
+  // Scale shape: training runs on the SAME bounded deterministic hash
+  // sample as [[trainPqCodebooks]], wholly driver-local (a d×d Procrustes
+  // per iteration — 64×64 doubles here; production d ≤ a few thousand
+  // keeps this microseconds), exactly the precedent of driver-held IVF
+  // centroids. The corpus-scale work — rotate + encode — stays one
+  // map-only pass ([[rotated]] then [[pqEncode]]); queries rotate
+  // driver-side. Euclidean (and cosine) geometry is rotation-invariant,
+  // so recall vs the ORIGINAL-space exact top-k is directly comparable
+  // with the un-rotated tiers.
+
+  /** Gauss-Jordan inverse with partial pivoting (driver-local d×d).
+    * None when numerically singular.
+    */
+  private def matInvert(a0: Array[Array[Double]]): Option[Array[Array[Double]]] = {
+    val n = a0.length
+    val a = a0.map(_.clone)
+    val inv = Array.tabulate(n, n)((i, j) => if (i == j) 1.0 else 0.0)
+    var c = 0
+    while (c < n) {
+      var piv = c
+      var i = c + 1
+      while (i < n) { if (math.abs(a(i)(c)) > math.abs(a(piv)(c))) piv = i; i += 1 }
+      if (math.abs(a(piv)(c)) < 1e-12) return None
+      val t = a(c); a(c) = a(piv); a(piv) = t
+      val t2 = inv(c); inv(c) = inv(piv); inv(piv) = t2
+      val p = a(c)(c)
+      var j = 0
+      while (j < n) { a(c)(j) /= p; inv(c)(j) /= p; j += 1 }
+      i = 0
+      while (i < n) {
+        if (i != c) {
+          val f = a(i)(c)
+          if (f != 0.0) {
+            var j2 = 0
+            while (j2 < n) {
+              a(i)(j2) -= f * a(c)(j2); inv(i)(j2) -= f * inv(c)(j2); j2 += 1
+            }
+          }
+        }
+        i += 1
+      }
+      c += 1
+    }
+    Some(inv)
+  }
+
+  /** Orthogonal POLAR factor of a square matrix via Higham's Newton
+    * iteration `Q ← (Q + Q⁻ᵀ)/2` — converges quadratically to the U·Vᵀ
+    * of the SVD for nonsingular input, which is exactly the
+    * orthogonal-Procrustes maximizer trace(Q·H) needs. Deterministic
+    * (fixed iteration cap + tolerance, pure driver arithmetic); None
+    * when an iterate goes singular.
+    */
+  private def polarFactor(m0: Array[Array[Double]]): Option[Array[Array[Double]]] = {
+    val n = m0.length
+    var q = m0.map(_.clone)
+    var it = 0
+    var done = false
+    while (it < 60 && !done) {
+      val invT = matInvert(q) match {
+        case None => return None
+        case Some(x) => Array.tabulate(n, n)((i, j) => x(j)(i))
+      }
+      var delta = 0.0
+      val next = Array.tabulate(n, n) { (i, j) =>
+        val v = (q(i)(j) + invT(i)(j)) / 2
+        delta = math.max(delta, math.abs(v - q(i)(j)))
+        v
+      }
+      q = next
+      if (delta < 1e-13) done = true
+      it += 1
+    }
+    Some(q)
+  }
+
+  /** Driver-local per-subspace Lloyd over rotated sample rows — the
+    * in-memory twin of [[trainPqCodebooks]]'s rule (seeds = first kEff
+    * rows, ties → lowest centroid, empty cells keep their previous
+    * centroid), run inside the OPQ alternation where a Spark job per
+    * iteration would be pure overhead (the sample is ≤ a few thousand
+    * rows by construction).
+    */
+  private def localPqTrain(
+      ys: Array[Array[Double]], m: Int, dsub: Int, kStar: Int,
+      iters: Int): Array[Array[Array[Double]]] = {
+    val kEff = math.min(kStar, ys.length)
+    val books = Array.tabulate(m)(s =>
+      Array.tabulate(kEff)(c => ys(c).slice(s * dsub, s * dsub + dsub)))
+    var it = 0
+    while (it < iters) {
+      var s = 0
+      while (s < m) {
+        val sums = Array.fill(kEff, dsub)(0.0)
+        val counts = Array.fill(kEff)(0L)
+        ys.foreach { y =>
+          var best = 0; var bd = Double.MaxValue
+          var c = 0
+          while (c < kEff) {
+            var d = 0.0; var j = 0
+            while (j < dsub) { val x = y(s * dsub + j) - books(s)(c)(j); d += x * x; j += 1 }
+            if (d < bd) { bd = d; best = c }
+            c += 1
+          }
+          counts(best) += 1
+          var j = 0
+          while (j < dsub) { sums(best)(j) += y(s * dsub + j); j += 1 }
+        }
+        var c = 0
+        while (c < kEff) {
+          if (counts(c) > 0)
+            books(s)(c) = Array.tabulate(dsub)(j => sums(c)(j) / counts(c))
+          c += 1
+        }
+        s += 1
+      }
+      it += 1
+    }
+    books
+  }
+
+  /** PQ reconstruction of one rotated row under `books` (nearest
+    * centroid per subspace, ties → lowest — the encode rule).
+    */
+  private def localPqReconstruct(
+      y: Array[Double], books: Array[Array[Array[Double]]],
+      m: Int, dsub: Int): Array[Double] = {
+    val out = new Array[Double](m * dsub)
+    var s = 0
+    while (s < m) {
+      var best = 0; var bd = Double.MaxValue
+      var c = 0
+      while (c < books(s).length) {
+        var d = 0.0; var j = 0
+        while (j < dsub) { val x = y(s * dsub + j) - books(s)(c)(j); d += x * x; j += 1 }
+        if (d < bd) { bd = d; best = c }
+        c += 1
+      }
+      var j = 0
+      while (j < dsub) { out(s * dsub + j) = books(s)(best)(j); j += 1 }
+      s += 1
+    }
+    out
+  }
+
+  /** Eigendecomposition of a symmetric matrix by cyclic Jacobi sweeps —
+    * deterministic driver-local d×d. Returns (eigenvalues, eigenvector
+    * COLUMNS): `vecs(k)(j)` is component k of eigenvector j.
+    */
+  private def symEigen(a0: Array[Array[Double]]): (Array[Double], Array[Array[Double]]) = {
+    val n = a0.length
+    val a = a0.map(_.clone)
+    val v = Array.tabulate(n, n)((i, j) => if (i == j) 1.0 else 0.0)
+    var sweep = 0
+    var done = false
+    while (sweep < 60 && !done) {
+      var off = 0.0
+      var p = 0
+      while (p < n) {
+        var q = p + 1
+        while (q < n) { off = math.max(off, math.abs(a(p)(q))); q += 1 }
+        p += 1
+      }
+      if (off < 1e-12) done = true
+      else {
+        p = 0
+        while (p < n) {
+          var q = p + 1
+          while (q < n) {
+            if (math.abs(a(p)(q)) > 1e-15) {
+              val theta = (a(q)(q) - a(p)(p)) / (2 * a(p)(q))
+              val t = math.signum(theta) match {
+                case 0.0 => 1.0 / (math.abs(theta) + math.sqrt(theta * theta + 1))
+                case sg => sg / (math.abs(theta) + math.sqrt(theta * theta + 1))
+              }
+              val c = 1 / math.sqrt(t * t + 1)
+              val s = t * c
+              var k = 0
+              while (k < n) { // A ← Jᵀ A J, row pair then column pair
+                val akp = a(k)(p); val akq = a(k)(q)
+                a(k)(p) = c * akp - s * akq
+                a(k)(q) = s * akp + c * akq
+                k += 1
+              }
+              k = 0
+              while (k < n) {
+                val apk = a(p)(k); val aqk = a(q)(k)
+                a(p)(k) = c * apk - s * aqk
+                a(q)(k) = s * apk + c * aqk
+                val vkp = v(k)(p); val vkq = v(k)(q)
+                v(k)(p) = c * vkp - s * vkq
+                v(k)(q) = s * vkp + c * vkq
+                k += 1
+              }
+            }
+            q += 1
+          }
+          p += 1
+        }
+        sweep += 1
+      }
+    }
+    (Array.tabulate(n)(i => a(i)(i)), v)
+  }
+
+  /** Train the OPQ rotation + codebooks. Initialization is the OPQ
+    * paper's PARAMETRIC solution — eigendecompose the sample's second
+    * moment and allocate eigenvectors to subspaces balancing the
+    * log-eigenvalue mass (so no subspace hoards more signal than its k*
+    * centroids can cover; an identity init stalls in exactly that local
+    * minimum when correlated high-variance dims share a subspace) —
+    * followed by the non-parametric alternation: codebook training on
+    * the rotated sample, then the Procrustes polar update. The shipped
+    * books are trained once more under the FINAL rotation (so books and
+    * rotation are mutually consistent). Returns (R as float rows,
+    * codebooks) — feed the corpus through [[rotated]] and the books into
+    * the existing PQ/IVF-PQ machinery unchanged.
+    */
+  def trainOpq(
+      corpus: DataFrame,
+      m: Int,
+      dsub: Int,
+      kStar: Int,
+      opqIters: Int = 8,
+      lloydIters: Int = 8,
+      sampleCap: Int = 2048): (Array[Array[Float]], Seq[Seq[Seq[Double]]]) = {
+    val d = m * dsub
+    val sampled = corpus.filter(pmod(hash(col("vec_id")), lit(4)) < lit(1))
+    val src = if (sampled.count() >= 16L * kStar) sampled else corpus
+    val xs = src.orderBy("vec_id").limit(sampleCap)
+      .select("embedding").collect()
+      .map(_.getSeq[Float](0).iterator.map(_.toDouble).toArray)
+    require(xs.nonEmpty && xs.head.length == d,
+      s"trainOpq: embedding dim ${xs.headOption.map(_.length)} != m*dsub=$d")
+    def matVec(r: Array[Array[Double]], x: Array[Double]): Array[Double] = {
+      val out = new Array[Double](d)
+      var i = 0
+      while (i < d) {
+        val row = r(i); var acc = 0.0; var j = 0
+        while (j < d) { acc += row(j) * x(j); j += 1 }
+        out(i) = acc; i += 1
+      }
+      out
+    }
+    // -------- parametric init: eigen-allocation rotation --------
+    // second moment of the sample (uncentered — PQ quantizes x, not
+    // x − μ), eigenvectors allocated to subspaces by descending
+    // eigenvalue into the subspace with the smallest log-mass so far
+    // (the paper's balanced product rule, greedy form)
+    val mom = Array.fill(d, d)(0.0)
+    xs.foreach { x =>
+      var a = 0
+      while (a < d) {
+        val xa = x(a)
+        if (xa != 0.0) { val row = mom(a); var b = 0
+          while (b < d) { row(b) += xa * x(b); b += 1 } }
+        a += 1
+      }
+    }
+    var a0 = 0
+    while (a0 < d) { var b0 = 0; while (b0 < d) { mom(a0)(b0) /= xs.length; b0 += 1 }; a0 += 1 }
+    val (eigVals, eigVecs) = symEigen(mom)
+    val order = eigVals.zipWithIndex.sortBy { case (ev, i) => (-ev, i) }.map(_._2)
+    val subMass = Array.fill(m)(0.0)
+    val subSlots = Array.fill(m)(0)
+    val assignTo = Array.fill(d)(0)
+    order.foreach { ei =>
+      var best = -1
+      var s = 0
+      while (s < m) {
+        if (subSlots(s) < dsub && (best < 0 || subMass(s) < subMass(best))) best = s
+        s += 1
+      }
+      assignTo(ei) = best * dsub + subSlots(best)
+      subSlots(best) += 1
+      subMass(best) += math.log(math.max(eigVals(ei), 1e-12))
+    }
+    // R's row assignTo(ei) = eigenvector ei (rows orthonormal → R orthogonal)
+    var r = Array.fill(d, d)(0.0)
+    order.foreach { ei =>
+      val row = assignTo(ei)
+      var k = 0
+      while (k < d) { r(row)(k) = eigVecs(k)(ei); k += 1 }
+    }
+    // -------- non-parametric refinement: Lloyd ⇄ Procrustes --------
+    var it = 0
+    while (it < opqIters) {
+      val ys = xs.map(matVec(r, _))
+      val books = localPqTrain(ys, m, dsub, kStar, lloydIters)
+      val xhat = ys.map(localPqReconstruct(_, books, m, dsub))
+      // G(a)(b) = Σᵢ x̂ᵢ(a)·xᵢ(b) = (Σ x x̂ᵀ)ᵀ; R = polar(G) maximizes
+      // trace(R·Σ x x̂ᵀ), the Procrustes objective
+      val g = Array.fill(d, d)(0.0)
+      var i = 0
+      while (i < xs.length) {
+        val x = xs(i); val xh = xhat(i)
+        var a = 0
+        while (a < d) {
+          val xa = xh(a)
+          if (xa != 0.0) {
+            val row = g(a); var b = 0
+            while (b < d) { row(b) += xa * x(b); b += 1 }
+          }
+          a += 1
+        }
+        i += 1
+      }
+      r = polarFactor(g).getOrElse(r)
+      it += 1
+    }
+    val finalBooks = localPqTrain(xs.map(matVec(r, _)), m, dsub, kStar, lloydIters)
+    (r.map(_.map(_.toFloat)),
+      finalBooks.map(_.map(_.toSeq).toSeq).toSeq)
+  }
+
+  private val opqCache = new java.util.concurrent.ConcurrentHashMap[
+    String, (Array[Array[Float]], Seq[Seq[Seq[Double]]])]()
+
+  /** [[trainOpq]] memoized under `cacheKey` + the corpus content
+    * fingerprint — the [[trainPqCodebooksCached]] lifecycle.
+    */
+  def trainOpqCached(
+      corpus: DataFrame,
+      cacheKey: String,
+      m: Int,
+      dsub: Int,
+      kStar: Int,
+      opqIters: Int = 8,
+      lloydIters: Int = 8): (Array[Array[Float]], Seq[Seq[Seq[Double]]]) = {
+    val fpRow = corpus.agg(
+      count(lit(1)).as("n"),
+      coalesce(expr("bit_xor(xxhash64(vec_id, embedding))"), lit(0L)).as("fp"))
+      .head()
+    val key = s"opq|$cacheKey|${fpRow.getLong(0)}|${fpRow.getLong(1)}|$m|$dsub|$kStar|$opqIters|$lloydIters"
+    opqCache.computeIfAbsent(key,
+      _ => trainOpq(corpus, m, dsub, kStar, opqIters, lloydIters))
+  }
+
+  /** The corpus with its embedding column rotated (y = R·x): one
+    * map-only UDF pass, the d×d matrix riding the closure — at 100 TB
+    * the rotation folds into the encode scan, never a shuffle. Double
+    * accumulation per output dim, rounded once to float.
+    */
+  def rotated(vecs: DataFrame, rotation: Array[Array[Float]]): DataFrame = {
+    val rotUdf = udf { (v: Seq[Float]) =>
+      val d = rotation.length
+      val out = new Array[Float](d)
+      var i = 0
+      while (i < d) {
+        val row = rotation(i); var acc = 0.0; var j = 0
+        while (j < d) { acc += row(j).toDouble * v(j); j += 1 }
+        out(i) = acc.toFloat; i += 1
+      }
+      out.toSeq
+    }
+    vecs.withColumn("embedding", rotUdf(col("embedding")))
+  }
+
   /** Driver-side ADC lookup table for one query vector:
     * `lut(s)(c) = ‖q_sub(s) − codebooks(s)(c)‖²` — m × k* doubles, the
     * classic ADC table. The IEEE op sequence is EXACTLY the column

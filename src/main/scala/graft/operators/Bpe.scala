@@ -124,11 +124,13 @@ object Bpe {
       .localCheckpoint()
 
   /** Per-merge instrumentation row of the incremental learner:
-    * (left, right, pair count, words touched by the merge, seconds) —
-    * the evidence that per-merge cost tracks the vocab-touch fraction.
+    * (left, right, pair count, words touched by the merge, seconds,
+    * whether this round folded the overlay into base) — the evidence
+    * that per-merge cost tracks the vocab-touch fraction and that
+    * adaptive compaction amortizes instead of degrading the tail.
     */
   final case class MergeStat(a: String, b: String, c: Long,
-      touchedWords: Long, sec: Double)
+      touchedWords: Long, sec: Double, compacted: Boolean = false)
 
   /** Distributed BPE training. Returns the ordered merge table
     * (left, right, weighted pair count). Dispatches on vocabulary size:
@@ -321,6 +323,7 @@ object Bpe {
     var done = false
     while (merges.length < nMerges && !done) {
       val t0 = System.nanoTime()
+      var didCompact = false
       val top = pairs
         .orderBy(col("c").desc, col("a").asc, col("b").asc)
         .limit(1)
@@ -330,7 +333,14 @@ object Bpe {
       // when the previous round's touched frame materializes, which the
       // argmax above just forced
       if (overlay.isDefined && touchedAcc.value - accAtCompaction > maxOverlayRows) {
-        base = base.join(overlay.get, Seq("w"), "left")
+        didCompact = true
+        // overlay is broadcast-small BY CONSTRUCTION (≤ maxOverlayRows +
+        // one merge's touch) — hint it explicitly so the one full-vocab
+        // compaction join stays a map-only broadcast join even when the
+        // checkpointed overlay carries no size statistics (an unhinted
+        // plan can fall back to a full sort-merge shuffle of the vocab,
+        // the exact degenerate cost adaptive compaction exists to avoid)
+        base = base.join(broadcast(overlay.get), Seq("w"), "left")
           .select(col("w"), coalesce(col("o_syms"), col("syms")).as("syms"), col("n"))
           .localCheckpoint()
         overlay = None
@@ -375,7 +385,8 @@ object Bpe {
             .localCheckpoint(false)
         })
         if (stats != null)
-          stats += MergeStat(a, b, c, touched.count(), (System.nanoTime() - t0) / 1e9)
+          stats += MergeStat(a, b, c, touched.count(),
+            (System.nanoTime() - t0) / 1e9, didCompact)
       }
     }
     merges.toSeq
@@ -399,6 +410,26 @@ object Bpe {
       .head()
     val key = s"$cacheKey|${fpRow.getLong(0)}|${fpRow.getLong(1)}|$nMerges"
     mergeCache.computeIfAbsent(key, _ => learnMerges(docs, nMerges))
+  }
+
+  /** [[learnMergesIncremental]] memoized on the corpus fingerprint —
+    * the registry's way of exercising the incremental path under the
+    * driver (the sf corpora sit below [[learnMerges]]'s `recountBelow`,
+    * so the size dispatch alone would never run it there). Key carries
+    * the path marker so the incremental and recount memos never alias.
+    */
+  def learnMergesIncrementalCached(
+      docs: DataFrame,
+      cacheKey: String,
+      nMerges: Int,
+      maxOverlayRows: Long = 250000L): Seq[(String, String, Long)] = {
+    val fpRow = docs.agg(
+      count(lit(1)).as("n"),
+      coalesce(expr("bit_xor(xxhash64(doc_id, text))"), lit(0L)).as("fp"))
+      .head()
+    val key = s"inc|$cacheKey|${fpRow.getLong(0)}|${fpRow.getLong(1)}|$nMerges|$maxOverlayRows"
+    mergeCache.computeIfAbsent(key, _ =>
+      learnMergesIncremental(docs, nMerges, maxOverlayRows))
   }
 
   /** Greedy BPE ENCODE of a word under a learned merge table: repeatedly

@@ -64,8 +64,20 @@ object AnnTopKRewrite extends Rule[LogicalPlan] {
   private val registry =
     new java.util.concurrent.ConcurrentHashMap[String, RegisteredLayout]()
 
-  private def normalize(p: String): String =
-    new org.apache.hadoop.fs.Path(p).toUri.getPath
+  /** Registry key = the FULLY-QUALIFIED URI (scheme + authority + path),
+    * not the bare path component: `file:/data/emb.parquet` and
+    * `hdfs://ns/data/emb.parquet` are different corpora that must not
+    * alias to one layout — a layout registered for one filesystem must
+    * never rewrite (approximately!) scans of another filesystem's data
+    * at the same path.
+    */
+  private def normalize(p: String): String = {
+    val path = new org.apache.hadoop.fs.Path(p)
+    val conf = SparkSession.getActiveSession
+      .map(_.sessionState.newHadoopConf())
+      .getOrElse(new org.apache.hadoop.conf.Configuration())
+    path.getFileSystem(conf).makeQualified(path).toString
+  }
 
   /** Register `layout` as the probe target for scans of `corpusPath`. */
   def register(corpusPath: String, layout: RegisteredLayout): Unit =

@@ -189,11 +189,13 @@ object DocLoader {
       val refRe = "(\\d+)\\s+\\d+\\s+R".r
       pageOrder.zipWithIndex.map { case (pn, idx) =>
         val dict = objs(pn).dict
+        val fonts = pageFontDecoders(objs, dict)
         val contents = "/Contents\\s*(\\[[^\\]]*\\]|\\d+\\s+\\d+\\s+R)".r
           .findFirstMatchIn(dict).map(_.group(1)).getOrElse("")
         val streamBytes = refRe.findAllMatchIn(contents).map(_.group(1).toInt).toSeq
           .flatMap(objs.get).flatMap(o => Option(o.stream))
-        val text = streamBytes.map(b => contentStreamText(new String(b, StandardCharsets.UTF_8)))
+        val text = streamBytes
+          .map(b => contentStreamText(new String(b, StandardCharsets.UTF_8), fonts))
           .mkString("\n")
         (idx + 1, text)
       }
@@ -223,12 +225,17 @@ object DocLoader {
   val StatusUnsupportedFormat = "unsupported_format"
 
   /** PDF text extraction with an explicit status instead of a silent
-    * null: (text, status). A document whose object set declares a
-    * /Subtype /Type0 composite font routes to `unsupported_font` with
-    * null text — extracting its CID-coded strings as UTF-8 would emit
-    * garbage that poisons dedup/quality stages downstream, and silent
-    * null (the pre-r10 behavior) made unextractable docs
-    * indistinguishable from empty ones.
+    * null: (text, status). r10 quarantined EVERY /Subtype /Type0
+    * composite font; since r11 a Type0 font whose object carries a
+    * usable /ToUnicode CMap EXTRACTS through [[CMapFont]] (that CMap
+    * exists precisely to make the CID-coded strings recoverable — the
+    * reference's PyPDFLoader does the same), so only a Type0 WITHOUT
+    * one routes to `unsupported_font` with null text: its CIDs are
+    * glyph indexes of an embedded font program with no declared
+    * Unicode mapping, and any byte-level decode would emit garbage
+    * that poisons dedup/quality stages downstream. Silent null (the
+    * pre-r10 behavior) made unextractable docs indistinguishable from
+    * empty ones.
     */
   def extractPdfStatus(bytes: Array[Byte]): (String, String) = {
     if (bytes == null || bytes.length < 5 ||
@@ -236,9 +243,11 @@ object DocLoader {
       return (null, StatusParseError)
     try {
       val objs = parseObjects(bytes)
-      val hasType0 = objs.valuesIterator.exists(o =>
-        "/Subtype\\s*/Type0(?![a-zA-Z])".r.findFirstIn(o.dict).isDefined)
-      if (hasType0) (null, StatusUnsupportedFont)
+      val undecodableType0 = objs.valuesIterator.exists { o =>
+        "/Subtype\\s*/Type0(?![a-zA-Z])".r.findFirstIn(o.dict).isDefined &&
+          !fontDecoder(objs, o.dict).exists(_.isInstanceOf[CMapFont])
+      }
+      if (undecodableType0) (null, StatusUnsupportedFont)
       else {
         val text = extractPdf(bytes)
         if (text == null) (null, StatusParseError) else (text, StatusOk)
@@ -332,20 +341,252 @@ object DocLoader {
     }.filter(_.nonEmpty)
   }
 
+  // ------------------------------------------- font-aware string decoding
+
+  /** Per-font string decoder, resolved from the page's /Resources →
+    * /Font dictionaries (r10 verdict next #2 — extract, don't just
+    * quarantine):
+    *  - [[CMapFont]]: a /ToUnicode CMap (`bfchar`/`bfrange` sections,
+    *    PDF 32000-1:2008 §9.10.3) mapping fixed-width character codes —
+    *    2-byte CIDs under the Identity-H encoding every subset-embedded
+    *    CJK font uses — to Unicode. Codes the CMap does not cover decode
+    *    to U+FFFD rather than silently dropping (lossy glyphs stay
+    *    countable downstream).
+    *  - [[DiffFont]]: a simple font's /Encoding /Differences array
+    *    (§9.6.6) overriding byte codes with glyph names, resolved
+    *    through [[glyphToUnicode]] (Adobe Glyph List conventions); codes
+    *    outside the array keep their Latin-1 interpretation, matching
+    *    the base-encoding-plus-overrides semantics.
+    * The reference gets both behaviors from PyPDFLoader
+    * (chroma_utils.py:61-63); here they are first-class so the Type0
+    * quarantine class of r10 shrinks to genuinely undecodable fonts
+    * (Type0 WITHOUT a ToUnicode CMap).
+    */
+  private[sources] sealed trait FontDecoder
+  private[sources] final case class CMapFont(codeBytes: Int, map: Map[Int, String]) extends FontDecoder
+  private[sources] final case class DiffFont(map: Map[Int, String]) extends FontDecoder
+
+  /** Glyph name → Unicode, the Adobe Glyph List conventions: `uniXXXX`/
+    * `uXXXX(XX)` hex names decode directly; one-character names map to
+    * themselves; the table below carries the AGL names for ASCII and the
+    * common Latin-1/typographic range (the names a /Differences array in
+    * the wild overwhelmingly uses). Unknown names yield U+FFFD.
+    */
+  private[sources] def glyphToUnicode(name: String): String = {
+    if (name.startsWith("uni") && name.length >= 7 &&
+      name.substring(3, 7).forall(c => Character.digit(c, 16) >= 0))
+      return new String(Character.toChars(Integer.parseInt(name.substring(3, 7), 16)))
+    if (name.startsWith("u") && name.length >= 5 && name.length <= 7 &&
+      name.substring(1).forall(c => Character.digit(c, 16) >= 0))
+      return new String(Character.toChars(Integer.parseInt(name.substring(1), 16)))
+    if (name.length == 1) return name
+    aglNames.getOrElse(name, "�")
+  }
+
+  private val aglNames: Map[String, String] = Map(
+    "space" -> " ", "exclam" -> "!", "quotedbl" -> "\"", "numbersign" -> "#",
+    "dollar" -> "$", "percent" -> "%", "ampersand" -> "&", "quotesingle" -> "'",
+    "parenleft" -> "(", "parenright" -> ")", "asterisk" -> "*", "plus" -> "+",
+    "comma" -> ",", "hyphen" -> "-", "period" -> ".", "slash" -> "/",
+    "zero" -> "0", "one" -> "1", "two" -> "2", "three" -> "3", "four" -> "4",
+    "five" -> "5", "six" -> "6", "seven" -> "7", "eight" -> "8", "nine" -> "9",
+    "colon" -> ":", "semicolon" -> ";", "less" -> "<", "equal" -> "=",
+    "greater" -> ">", "question" -> "?", "at" -> "@", "bracketleft" -> "[",
+    "backslash" -> "\\", "bracketright" -> "]", "asciicircum" -> "^",
+    "underscore" -> "_", "grave" -> "`", "braceleft" -> "{", "bar" -> "|",
+    "braceright" -> "}", "asciitilde" -> "~",
+    "exclamdown" -> "¡", "cent" -> "¢", "sterling" -> "£", "yen" -> "¥",
+    "section" -> "§", "copyright" -> "©", "ordfeminine" -> "ª",
+    "guillemotleft" -> "«", "registered" -> "®", "degree" -> "°",
+    "plusminus" -> "±", "paragraph" -> "¶", "periodcentered" -> "·",
+    "ordmasculine" -> "º", "guillemotright" -> "»", "questiondown" -> "¿",
+    "Agrave" -> "À", "Aacute" -> "Á", "Acircumflex" -> "Â", "Atilde" -> "Ã",
+    "Adieresis" -> "Ä", "Aring" -> "Å", "AE" -> "Æ", "Ccedilla" -> "Ç",
+    "Egrave" -> "È", "Eacute" -> "É", "Ecircumflex" -> "Ê", "Edieresis" -> "Ë",
+    "Igrave" -> "Ì", "Iacute" -> "Í", "Icircumflex" -> "Î", "Idieresis" -> "Ï",
+    "Ntilde" -> "Ñ", "Ograve" -> "Ò", "Oacute" -> "Ó", "Ocircumflex" -> "Ô",
+    "Otilde" -> "Õ", "Odieresis" -> "Ö", "Oslash" -> "Ø", "Ugrave" -> "Ù",
+    "Uacute" -> "Ú", "Ucircumflex" -> "Û", "Udieresis" -> "Ü", "Yacute" -> "Ý",
+    "germandbls" -> "ß", "agrave" -> "à", "aacute" -> "á", "acircumflex" -> "â",
+    "atilde" -> "ã", "adieresis" -> "ä", "aring" -> "å", "ae" -> "æ",
+    "ccedilla" -> "ç", "egrave" -> "è", "eacute" -> "é", "ecircumflex" -> "ê",
+    "edieresis" -> "ë", "igrave" -> "ì", "iacute" -> "í", "icircumflex" -> "î",
+    "idieresis" -> "ï", "ntilde" -> "ñ", "ograve" -> "ò", "oacute" -> "ó",
+    "ocircumflex" -> "ô", "otilde" -> "õ", "odieresis" -> "ö", "oslash" -> "ø",
+    "ugrave" -> "ù", "uacute" -> "ú", "ucircumflex" -> "û", "udieresis" -> "ü",
+    "yacute" -> "ý", "ydieresis" -> "ÿ",
+    "quoteleft" -> "‘", "quoteright" -> "’",
+    "quotedblleft" -> "“", "quotedblright" -> "”",
+    "endash" -> "–", "emdash" -> "—", "bullet" -> "•",
+    "dagger" -> "†", "daggerdbl" -> "‡", "ellipsis" -> "…",
+    "perthousand" -> "‰", "guilsinglleft" -> "‹",
+    "guilsinglright" -> "›", "fraction" -> "⁄", "Euro" -> "€",
+    "trademark" -> "™", "fi" -> "ﬁ", "fl" -> "ﬂ")
+
+  /** Parse a /ToUnicode CMap stream (§9.10.3): `begincodespacerange`
+    * fixes the code width (2 bytes for the Identity-H CID case when
+    * absent), `beginbfchar` pairs map single codes, `beginbfrange`
+    * triples map either an arithmetic run (`<lo> <hi> <dstStart>`, the
+    * LAST UTF-16 unit incrementing per the spec) or an explicit
+    * destination array. Destinations are UTF-16BE hex.
+    */
+  private[sources] def parseToUnicodeCMap(cm: String): (Int, Map[Int, String]) = {
+    def hexInt(h: String): Int = java.lang.Long.parseLong(h, 16).toInt
+    def hexStr(h: String): String = {
+      val padded = if (h.length % 2 == 1) h + "0" else h
+      val bytes = padded.grouped(2).map(x => Integer.parseInt(x, 16).toByte).toArray
+      new String(bytes, StandardCharsets.UTF_16BE)
+    }
+    // last UTF-16 unit carries the range offset (the spec's "last byte"
+    // rule lifted to units, exact for every BMP destination)
+    def addOffset(h: String, off: Int): String = {
+      val s = hexStr(h)
+      if (s.isEmpty) s
+      else s.substring(0, s.length - 1) + (s.charAt(s.length - 1) + off).toChar
+    }
+    val codeBytes = "(?s)begincodespacerange\\s*<([0-9a-fA-F]+)>".r
+      .findFirstMatchIn(cm).map(m => math.max(1, m.group(1).length / 2)).getOrElse(2)
+    val map = mutable.Map.empty[Int, String]
+    val pair = "<([0-9a-fA-F]+)>\\s*<([0-9a-fA-F]+)>".r
+    "(?s)beginbfchar(.*?)endbfchar".r.findAllMatchIn(cm).foreach { sec =>
+      pair.findAllMatchIn(sec.group(1)).foreach(m =>
+        map(hexInt(m.group(1))) = hexStr(m.group(2)))
+    }
+    val triple = ("<([0-9a-fA-F]+)>\\s*<([0-9a-fA-F]+)>\\s*" +
+      "(?:<([0-9a-fA-F]+)>|\\[([^\\]]*)\\])").r
+    "(?s)beginbfrange(.*?)endbfrange".r.findAllMatchIn(cm).foreach { sec =>
+      triple.findAllMatchIn(sec.group(1)).foreach { m =>
+        val lo = hexInt(m.group(1)); val hi = hexInt(m.group(2))
+        if (m.group(3) != null)
+          (lo to hi).foreach(c => map(c) = addOffset(m.group(3), c - lo))
+        else {
+          val dsts = "<([0-9a-fA-F]+)>".r.findAllMatchIn(m.group(4)).map(_.group(1)).toSeq
+          (lo to hi).zip(dsts).foreach { case (c, d) => map(c) = hexStr(d) }
+        }
+      }
+    }
+    (codeBytes, map.toMap)
+  }
+
+  /** Parse an /Encoding /Differences array (§9.6.6): a number sets the
+    * next code, each following name assigns it (and increments).
+    */
+  private[sources] def parseDifferences(diff: String): Map[Int, String] = {
+    val tok = "(\\d+)|/([^\\s/\\[\\]<>()]+)".r
+    var code = 0
+    val map = mutable.Map.empty[Int, String]
+    tok.findAllMatchIn(diff).foreach { m =>
+      if (m.group(1) != null) code = m.group(1).toInt
+      else { map(code) = glyphToUnicode(m.group(2)); code += 1 }
+    }
+    map.toMap
+  }
+
+  /** Balanced `<< … >>` dictionary starting at/after `from` in `s`. */
+  private def balancedDict(s: String, from: Int): Option[String] = {
+    var i = s.indexOf("<<", from)
+    if (i < 0) return None
+    val start = i
+    var depth = 0
+    while (i < s.length - 1) {
+      if (s.startsWith("<<", i)) { depth += 1; i += 2 }
+      else if (s.startsWith(">>", i)) {
+        depth -= 1; i += 2
+        if (depth == 0) return Some(s.substring(start, i))
+      } else i += 1
+    }
+    None
+  }
+
+  /** Value of dict key `name`, following one indirect reference:
+    * inline `<< … >>` text, or the referenced object's dict.
+    */
+  private def dictValue(objs: Map[Int, PdfObj], dict: String, name: String): Option[String] = {
+    // (?![A-Za-z0-9]) keeps /Font from half-matching /FontDescriptor etc.
+    val keyM = (java.util.regex.Pattern.quote(name) + "(?![A-Za-z0-9])\\s*").r
+      .findFirstMatchIn(dict)
+    keyM.flatMap { m =>
+      val rest = dict.substring(m.end)
+      val refM = "^(\\d+)\\s+\\d+\\s+R".r.findFirstMatchIn(rest)
+      refM match {
+        case Some(r) => objs.get(r.group(1).toInt).map(_.dict)
+        case None if rest.startsWith("<<") => balancedDict(rest, 0)
+        case None => None
+      }
+    }
+  }
+
+  /** Decoder for one font object: /ToUnicode CMap first (authoritative
+    * when present — it exists precisely to make text extractable), else
+    * an /Encoding with /Differences, else none (default byte decode).
+    */
+  private def fontDecoder(objs: Map[Int, PdfObj], fontDict: String): Option[FontDecoder] = {
+    val isType0 = "/Subtype\\s*/Type0(?![a-zA-Z])".r.findFirstIn(fontDict).isDefined
+    val toUniSrc = "/ToUnicode\\s+(\\d+)\\s+\\d+\\s+R".r.findFirstMatchIn(fontDict)
+      .flatMap(m => objs.get(m.group(1).toInt)).flatMap(o => Option(o.stream))
+      .map(b => new String(b, StandardCharsets.ISO_8859_1))
+    val toUni = toUniSrc.map(parseToUnicodeCMap)
+    toUni match {
+      // a structurally-present CMap counts even when it maps nothing (a
+      // subset font over an empty text legitimately has zero bfchars);
+      // only a ToUnicode ref resolving to a non-CMap stream falls through
+      case Some((cb, map)) if map.nonEmpty || toUniSrc.exists(_.contains("begincmap")) =>
+        Some(CMapFont(if (isType0) math.max(cb, 2) else cb, map))
+      case _ =>
+        dictValue(objs, fontDict, "/Encoding")
+          .flatMap(enc => "(?s)/Differences\\s*\\[([^\\]]*)\\]".r.findFirstMatchIn(enc))
+          .map(m => DiffFont(parseDifferences(m.group(1))))
+    }
+  }
+
+  /** Font-name → decoder map of one page: /Resources → /Font entries
+    * (both possibly indirect), one [[fontDecoder]] per referenced font
+    * object. Empty when the page declares none — decode then keeps the
+    * default heuristics, which is what keeps [[buildPdf]]'s
+    * resource-less output an exact round trip.
+    */
+  private def pageFontDecoders(
+      objs: Map[Int, PdfObj], pageDict: String): Map[String, FontDecoder] =
+    (for {
+      res <- dictValue(objs, pageDict, "/Resources").toSeq
+      fontDict <- dictValue(objs, res, "/Font").toSeq
+      m <- "/([^\\s/\\[\\]<>()]+)\\s+(\\d+)\\s+\\d+\\s+R".r.findAllMatchIn(fontDict)
+      obj <- objs.get(m.group(2).toInt)
+      dec <- fontDecoder(objs, obj.dict)
+    } yield m.group(1) -> dec).toMap
+
   /** Tokenize a content stream and assemble text from the show operators.
     * Tj/TJ append; ' and " imply a line move then show; the T-star, Td and
     * TD positioning ops start a new line. TJ kerning numbers are ignored
     * (no word-space heuristic — keeps extraction deterministic and
-    * round-trip exact).
+    * round-trip exact). `fonts` carries the page's per-font decoders:
+    * `/Name size Tf` switches the ACTIVE decoder, and strings shown under
+    * a [[CMapFont]]/[[DiffFont]] decode through it instead of the default
+    * byte heuristics (operands precede their operator in postfix content
+    * syntax, so decode-at-parse sees the font already in force).
     */
-  private[sources] def contentStreamText(cs: String): String = {
+  private[sources] def contentStreamText(
+      cs: String, fonts: Map[String, FontDecoder] = Map.empty): String = {
     val sb = new StringBuilder
     var pending: String = null // most recent string/array-of-strings operand
     var shown = false // any show op executed — gates line-move newlines so
     // the positioning Td before the first show doesn't fabricate a line
+    var lastName: String = null // most recent /Name token (the Tf operand)
+    var decoder: Option[FontDecoder] = None // active font's decoder
     def newline(): Unit = if (shown) sb += '\n'
     var i = 0
     val n = cs.length
+    // Map raw character CODES through the active decoder. CMap fonts
+    // consume fixed-width codes (codeBytes-wide units, Identity-H CIDs);
+    // unmapped codes become U+FFFD. Differences fonts override byte
+    // codes, unmapped bytes keep the Latin-1 default.
+    def decodeCodes(codes: Array[Int]): String = decoder match {
+      case Some(CMapFont(_, map)) =>
+        codes.iterator.map(c => map.getOrElse(c, "�")).mkString
+      case Some(DiffFont(map)) =>
+        codes.iterator.map(c => map.getOrElse(c, c.toChar.toString)).mkString
+      case None => codes.iterator.map(_.toChar).mkString
+    }
     def parseLiteral(): String = { // cs(i) == '('
       val b = new StringBuilder
       var depth = 1
@@ -375,7 +616,16 @@ object DocLoader {
           case c => b += c; i += 1
         }
       }
-      b.toString
+      decoder match {
+        case Some(CMapFont(cb, _)) if cb == 2 =>
+          // literal string under a 2-byte-code font: char pairs are codes
+          val chars = b.toString
+          decodeCodes(chars.grouped(2)
+            .map(p => if (p.length == 2) (p.charAt(0) << 8) | p.charAt(1) else p.charAt(0).toInt)
+            .toArray)
+        case Some(_) => decodeCodes(b.toString.map(_.toInt).toArray)
+        case None => b.toString
+      }
     }
     def parseHex(): String = { // cs(i) == '<'
       val e = cs.indexOf('>', i)
@@ -385,11 +635,20 @@ object DocLoader {
         i = e + 1
         val padded = if (hex.length % 2 == 1) hex + "0" else hex
         val bytes = padded.grouped(2).map(h => Integer.parseInt(h, 16)).toArray
-        // UTF-16BE with BOM (FE FF) is the PDF-standard form for non-Latin
-        // text strings; everything else reads as 8-bit code points.
-        if (bytes.length >= 2 && bytes(0) == 0xFE && bytes(1) == 0xFF)
-          new String(bytes.drop(2).map(_.toByte), java.nio.charset.StandardCharsets.UTF_16BE)
-        else bytes.map(_.toChar).mkString
+        decoder match {
+          case Some(CMapFont(cb, _)) =>
+            // fixed-width codes: group the bytes into cb-wide units
+            decodeCodes(bytes.grouped(cb)
+              .map(_.foldLeft(0)((acc, b) => (acc << 8) | b)).toArray)
+          case Some(DiffFont(_)) => decodeCodes(bytes)
+          case None =>
+            // UTF-16BE with BOM (FE FF) is the PDF-standard form for
+            // non-Latin text strings; everything else reads as 8-bit
+            // code points.
+            if (bytes.length >= 2 && bytes(0) == 0xFE && bytes(1) == 0xFF)
+              new String(bytes.drop(2).map(_.toByte), java.nio.charset.StandardCharsets.UTF_16BE)
+            else bytes.map(_.toChar).mkString
+        }
       }
     }
     while (i < n) {
@@ -398,7 +657,13 @@ object DocLoader {
       else if (c == '(') pending = parseLiteral()
       else if (c == '<' && i + 1 < n && cs.charAt(i + 1) == '<') i += 2 // dict open
       else if (c == '<') pending = parseHex()
-      else if (c == '[') {
+      else if (c == '/') {
+        // name token — remembered as the potential Tf font operand
+        val start = i + 1
+        i += 1
+        while (i < n && !cs.charAt(i).isWhitespace && !"()<>[]/%".contains(cs.charAt(i))) i += 1
+        lastName = cs.substring(start, i)
+      } else if (c == '[') {
         // TJ operand: strings with interleaved kerning numbers
         val b = new StringBuilder
         i += 1
@@ -418,6 +683,7 @@ object DocLoader {
           case "Tj" | "TJ" => show()
           case "'" | "\"" => newline(); show()
           case "T*" | "Td" | "TD" => newline()
+          case "Tf" => decoder = Option(lastName).flatMap(fonts.get)
           case _ => ()
         }
       } else i += 1
@@ -467,12 +733,82 @@ object DocLoader {
     out.toByteArray
   }
 
-  /** [[buildPdf]] variant declaring a CID/Type0 composite font (the
-    * /Identity-H encoding a real CJK-embedding PDF would use) in every
-    * page's /Resources — the fixture class [[extractPdfStatus]] must
-    * route to `unsupported_font` rather than mis-decode.
+  /** Deterministic CID/Type0 PDF writer — the shape a real
+    * subset-embedded CJK font produces: each page's /Resources
+    * references ONE /Identity-H Type0 font whose /ToUnicode CMap maps
+    * the document's CIDs (assigned 1..n over the sorted distinct code
+    * points, exactly a subsetter's glyph-index allocation) back to
+    * Unicode via `bfchar` groups; content streams show hex CID strings.
+    * Exactly inverted by [[extractPdfPages]]'s [[CMapFont]] path, so the
+    * Type0 decode is oracle-checkable as an encode→decode round trip —
+    * the r10 quarantine class, now extractable.
     */
   def buildPdfType0(pages: Seq[String]): Array[Byte] = {
+    val pg = if (pages.isEmpty) Seq("") else pages
+    val nPages = pg.size
+    // CID 1..n over sorted distinct code points (0 = .notdef stays unused)
+    val cps = pg.flatMap(t => t.codePoints().toArray.toSeq).filter(_ != '\n').distinct.sorted
+    val cidOf = cps.zipWithIndex.map { case (cp, i) => cp -> (i + 1) }.toMap
+    def hex4(v: Int): String = f"$v%04X"
+    def lineToHex(l: String): String =
+      l.codePoints().toArray.map(cp => hex4(cidOf(cp))).mkString
+    // ToUnicode CMap: bfchar groups of ≤100 entries (spec limit);
+    // destinations are UTF-16BE hex of the code point
+    val bfchars = cps.grouped(100).map { grp =>
+      s"${grp.size} beginbfchar\n" + grp.map { cp =>
+        val dst = new String(Character.toChars(cp)).map(c => f"$c%04X").mkString
+        s"<${hex4(cidOf(cp))}> <$dst>"
+      }.mkString("\n") + "\nendbfchar"
+    }.mkString("\n")
+    val cmap =
+      "/CIDInit /ProcSet findresource begin\n12 dict begin\nbegincmap\n" +
+        "/CMapName /Adobe-Identity-UCS def\n/CMapType 2 def\n" +
+        "1 begincodespacerange\n<0000> <FFFF>\nendcodespacerange\n" +
+        bfchars +
+        "\nendcmap\nCMapName currentdict /CMap defineresource pop\nend\nend"
+    val cmapBytes = cmap.getBytes(StandardCharsets.ISO_8859_1)
+    val kids = (0 until nPages).map(i => s"${3 + 2 * i} 0 R").mkString(" ")
+    val objs = mutable.ArrayBuffer[Array[Byte]](
+      s"1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n".getBytes(StandardCharsets.ISO_8859_1),
+      s"2 0 obj\n<< /Type /Pages /Kids [$kids] /Count $nPages >>\nendobj\n".getBytes(StandardCharsets.ISO_8859_1))
+    pg.zipWithIndex.foreach { case (text, i) =>
+      val pageObj = 3 + 2 * i
+      val contObj = 4 + 2 * i
+      val ops = text.split("\n", -1).map(l => s"<${lineToHex(l)}> Tj").mkString("\nT*\n")
+      val stream = s"BT /F1 12 Tf 72 720 Td\n$ops\nET".getBytes(StandardCharsets.ISO_8859_1)
+      val deflated = deflate(stream)
+      objs += (s"$pageObj 0 obj\n<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] " +
+        s"/Resources << /Font << /F1 9000 0 R >> >> " +
+        s"/Contents $contObj 0 R >>\nendobj\n").getBytes(StandardCharsets.ISO_8859_1)
+      val buf = new ByteArrayOutputStream()
+      buf.write((s"$contObj 0 obj\n<< /Length ${deflated.length} /Filter /FlateDecode >>\nstream\n")
+        .getBytes(StandardCharsets.ISO_8859_1))
+      buf.write(deflated)
+      buf.write("\nendstream\nendobj\n".getBytes(StandardCharsets.ISO_8859_1))
+      objs += buf.toByteArray
+    }
+    objs += ("9000 0 obj\n<< /Type /Font /Subtype /Type0 /BaseFont /NotoSansCJK " +
+      "/Encoding /Identity-H /ToUnicode 9001 0 R >>\nendobj\n").getBytes(StandardCharsets.ISO_8859_1)
+    val cmapBuf = new ByteArrayOutputStream()
+    cmapBuf.write(s"9001 0 obj\n<< /Length ${cmapBytes.length} >>\nstream\n"
+      .getBytes(StandardCharsets.ISO_8859_1))
+    cmapBuf.write(cmapBytes)
+    cmapBuf.write("\nendstream\nendobj\n".getBytes(StandardCharsets.ISO_8859_1))
+    objs += cmapBuf.toByteArray
+    val out = new ByteArrayOutputStream()
+    out.write("%PDF-1.4\n".getBytes(StandardCharsets.ISO_8859_1))
+    objs.foreach(out.write)
+    out.write("%%EOF\n".getBytes(StandardCharsets.ISO_8859_1))
+    out.toByteArray
+  }
+
+  /** [[buildPdf]] variant declaring a CID/Type0 composite font WITHOUT a
+    * /ToUnicode CMap — the genuinely undecodable class (glyph indexes of
+    * an embedded font program, no declared Unicode mapping): the fixture
+    * [[extractPdfStatus]] must still route to `unsupported_font` rather
+    * than mis-decode.
+    */
+  def buildPdfType0Bare(pages: Seq[String]): Array[Byte] = {
     val base = buildPdf(pages)
     val s = new String(base, StandardCharsets.ISO_8859_1)
     // append the font object (unused object number) and reference it
@@ -485,6 +821,59 @@ object DocLoader {
     val idx = withRes.lastIndexOf("%%EOF")
     (withRes.substring(0, idx) + fontObj + "%%EOF\n")
       .getBytes(StandardCharsets.ISO_8859_1)
+  }
+
+  /** Deterministic simple-font PDF writer exercising the /Encoding
+    * /Differences path: the document's distinct code points are remapped
+    * onto printable byte codes 33..126 with a /Differences array of
+    * `uniXXXX` glyph names, and content literals show the REMAPPED
+    * bytes — decode is correct only if [[DiffFont]] applies the map.
+    * Capacity is the 94 printable codes; texts with more distinct
+    * non-newline code points are rejected (fixture writer, not a
+    * general encoder).
+    */
+  def buildPdfDifferences(pages: Seq[String]): Array[Byte] = {
+    val pg = if (pages.isEmpty) Seq("") else pages
+    val cps = pg.flatMap(t => t.codePoints().toArray.toSeq).filter(_ != '\n').distinct.sorted
+    require(cps.size <= 94, s"buildPdfDifferences: ${cps.size} distinct code points > 94")
+    val codeOf = cps.zipWithIndex.map { case (cp, i) => cp -> (33 + i) }.toMap
+    val diffs = cps.zipWithIndex.map { case (cp, i) =>
+      val name =
+        if (Character.charCount(cp) == 1) f"/uni$cp%04X"
+        else "/u" + f"$cp%06X" // supplementary planes use the uXXXXXX form
+      s"${33 + i} $name"
+    }.mkString(" ")
+    def lineToLiteral(l: String): String =
+      pdfEscape(l.codePoints().toArray.map(cp => codeOf(cp).toChar).mkString)
+    val nPages = pg.size
+    val kids = (0 until nPages).map(i => s"${3 + 2 * i} 0 R").mkString(" ")
+    val objs = mutable.ArrayBuffer[Array[Byte]](
+      s"1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n".getBytes(StandardCharsets.ISO_8859_1),
+      s"2 0 obj\n<< /Type /Pages /Kids [$kids] /Count $nPages >>\nendobj\n".getBytes(StandardCharsets.ISO_8859_1))
+    pg.zipWithIndex.foreach { case (text, i) =>
+      val pageObj = 3 + 2 * i
+      val contObj = 4 + 2 * i
+      val ops = text.split("\n", -1).map(l => s"(${lineToLiteral(l)}) Tj").mkString("\nT*\n")
+      val stream = s"BT /F1 12 Tf 72 720 Td\n$ops\nET".getBytes(StandardCharsets.ISO_8859_1)
+      val deflated = deflate(stream)
+      objs += (s"$pageObj 0 obj\n<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] " +
+        s"/Resources << /Font << /F1 9000 0 R >> >> " +
+        s"/Contents $contObj 0 R >>\nendobj\n").getBytes(StandardCharsets.ISO_8859_1)
+      val buf = new ByteArrayOutputStream()
+      buf.write((s"$contObj 0 obj\n<< /Length ${deflated.length} /Filter /FlateDecode >>\nstream\n")
+        .getBytes(StandardCharsets.ISO_8859_1))
+      buf.write(deflated)
+      buf.write("\nendstream\nendobj\n".getBytes(StandardCharsets.ISO_8859_1))
+      objs += buf.toByteArray
+    }
+    objs += ("9000 0 obj\n<< /Type /Font /Subtype /TrueType /BaseFont /Custom " +
+      s"/Encoding << /Type /Encoding /Differences [ $diffs ] >> >>\nendobj\n")
+      .getBytes(StandardCharsets.ISO_8859_1)
+    val out = new ByteArrayOutputStream()
+    out.write("%PDF-1.4\n".getBytes(StandardCharsets.ISO_8859_1))
+    objs.foreach(out.write)
+    out.write("%%EOF\n".getBytes(StandardCharsets.ISO_8859_1))
+    out.toByteArray
   }
 
   private def deflate(data: Array[Byte]): Array[Byte] = {

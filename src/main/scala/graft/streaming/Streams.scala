@@ -170,7 +170,8 @@ object Streams {
       index: DataFrame,
       shingleWords: Int = 3,
       numHashes: Int = 16,
-      bands: Int = 4): DataFrame = {
+      bands: Int = 4,
+      broadcastIndex: Boolean = true): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
     val sigUdf = udf { (text: String) =>
@@ -183,10 +184,21 @@ object Streams {
         concat_ws("_", (lit(b) +: (0 until rows).map(r =>
           element_at(col("sig"), b * rows + r + 1))): _*))
     }
+    // broadcastIndex (default on): a checkpointed/derived static side
+    // carries no size statistics, so without the hint EVERY per-band
+    // stream-static join plans as a sort-merge that re-shuffles and
+    // re-sorts the index once per band PER MICRO-BATCH — measured 13×
+    // the per-row cost of the stateless stages (STREAMBENCH r10,
+    // pretrain_gate 289 rows/s vs quality_gate 3,730). Broadcast turns
+    // each into a map-side hash probe. Pass false only when the standing
+    // index outgrows executor memory — then pre-bucket the index table
+    // on `band` instead and accept the per-batch stream-side shuffle.
+    def idx(b: Int): DataFrame = {
+      val sel = index.select(col("band").as(s"band_$b"), col("blocker").as(s"blocker_$b"))
+      if (broadcastIndex) broadcast(sel) else sel
+    }
     val joined = (0 until bands).foldLeft(withBands) { (df, b) =>
-      df.join(
-        index.select(col("band").as(s"band_$b"), col("blocker").as(s"blocker_$b")),
-        Seq(s"band_$b"), "left")
+      df.join(idx(b), Seq(s"band_$b"), "left")
     }
     joined
       .withColumn("blocked_by_raw",
@@ -239,7 +251,8 @@ object Streams {
       centroids: Array[Array[Float]],
       codebooks: Seq[Seq[Seq[Double]]],
       maxDist: Double,
-      nProbe: Int = 3): DataFrame = {
+      nProbe: Int = 3,
+      broadcastIndex: Boolean = true): DataFrame = {
     val probeUdf = udf { (v: Seq[Float]) =>
       graft.operators.Ann.nearestCells(v, centroids, nProbe)
     }
@@ -247,10 +260,17 @@ object Streams {
       vecs.withColumn("probes", probeUdf(col("embedding")))) { (df, p) =>
       df.withColumn(s"cell_$p", element_at(col("probes"), p + 1))
     }
+    // Same per-micro-batch sort-merge hazard (and fix) as
+    // [[admissionGate]]'s broadcastIndex: the index is one row per IVF
+    // cell (entry lists of m-byte codes — MBs at admission scale), so
+    // the hinted broadcast makes each probe join a map-side hash lookup
+    // instead of a per-batch re-shuffle of the static side.
+    def idx(p: Int): DataFrame = {
+      val sel = index.select(col("cell").as(s"cell_$p"), col("entries").as(s"entries_$p"))
+      if (broadcastIndex) broadcast(sel) else sel
+    }
     val joined = (0 until nProbe).foldLeft(withProbes) { (df, p) =>
-      df.join(
-        index.select(col("cell").as(s"cell_$p"), col("entries").as(s"entries_$p")),
-        Seq(s"cell_$p"), "left")
+      df.join(idx(p), Seq(s"cell_$p"), "left")
     }
     val bests = (0 until nProbe).map(p =>
       graft.operators.Ann.adcBestMatch(col(s"entries_$p"), col("embedding"), codebooks))

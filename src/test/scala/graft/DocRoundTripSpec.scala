@@ -52,16 +52,21 @@ class DocRoundTripSpec extends AnyFunSuite {
       DocLoader.buildPdf(Seq("hello world", "page two")))
     assert(okStatus == DocLoader.StatusOk)
     assert(okText == "hello world\npage two")
-    // CID/Type0 composite font: quarantined with null text, never
-    // mis-decoded — the verdict's silent-null class, made explicit
+    // CID/Type0 composite font WITHOUT a ToUnicode CMap: quarantined
+    // with null text, never mis-decoded — the genuinely undecodable
+    // class (glyph indexes, no declared Unicode mapping)
     val (t0Text, t0Status) = DocLoader.extractPdfStatus(
-      DocLoader.buildPdfType0(Seq("hello world", "page two")))
+      DocLoader.buildPdfType0Bare(Seq("hello world", "page two")))
     assert(t0Status == DocLoader.StatusUnsupportedFont)
     assert(t0Text == null)
-    // the Type0 fixture still parses as a PDF for the status-less path
-    // (which is exactly why status routing is needed: without it the
-    // font defect is invisible)
-    assert(DocLoader.extractPdfPages(DocLoader.buildPdfType0(Seq("x"))) != null)
+    // Type0 WITH a ToUnicode CMap extracts (r11: the CMapFont path)
+    assert(DocLoader.extractPdfStatus(
+      DocLoader.buildPdfType0(Seq("hello world", "page two"))) ==
+      (("hello world\npage two", DocLoader.StatusOk)))
+    // the bare-Type0 fixture still parses as a PDF for the status-less
+    // path (which is exactly why status routing is needed: without it
+    // the font defect is invisible)
+    assert(DocLoader.extractPdfPages(DocLoader.buildPdfType0Bare(Seq("x"))) != null)
     // not a PDF at all
     val (badText, badStatus) = DocLoader.extractPdfStatus(
       "not a pdf at all".getBytes("UTF-8"))
@@ -70,13 +75,49 @@ class DocRoundTripSpec extends AnyFunSuite {
     assert(DocLoader.extractPdfStatus(null)._2 == DocLoader.StatusParseError)
   }
 
-  test("property: Type0 routing never depends on page content") {
+  test("property: bare-Type0 routing never depends on page content") {
     samples(60).grouped(2).foreach { pages =>
-      val (t, s) = DocLoader.extractPdfStatus(DocLoader.buildPdfType0(pages))
+      val (t, s) = DocLoader.extractPdfStatus(DocLoader.buildPdfType0Bare(pages))
       assert(t == null && s == DocLoader.StatusUnsupportedFont,
         s"Type0 fixture leaked content for [${pages.map(_.take(30)).mkString("|")}]")
       assert(DocLoader.extractPdfStatus(DocLoader.buildPdf(pages)) ==
         ((pages.mkString("\n"), DocLoader.StatusOk)))
     }
+  }
+
+  test("property: Type0+ToUnicode encode→decode is the identity") {
+    // the CMapFont path: hex CID strings under a subset-style Identity-H
+    // font with a bfchar ToUnicode CMap — decode must invert exactly,
+    // including multi-page structure, unicode outside Latin-1, and the
+    // surrogate-pair emoji the charGen emits
+    samples(120).grouped(3).foreach { pages =>
+      val got = DocLoader.extractPdfPages(DocLoader.buildPdfType0(pages))
+      assert(got.map(_._1) == (1 to pages.size), "page numbering broke")
+      assert(got.map(_._2) == pages,
+        s"Type0 round trip broke for pages [${pages.map(_.take(40)).mkString(" | ")}]")
+      assert(DocLoader.extractPdfStatus(DocLoader.buildPdfType0(pages)) ==
+        ((pages.mkString("\n"), DocLoader.StatusOk)))
+    }
+  }
+
+  test("property: /Encoding /Differences encode→decode is the identity") {
+    // the DiffFont path: content bytes are REMAPPED printable codes and
+    // only the /Differences array (uniXXXX glyph names) can invert them —
+    // a decoder ignoring the encoding would emit the wrong characters
+    samples(120).grouped(3).foreach { pages0 =>
+      // cap distinct code points at the writer's 94-code capacity
+      val pages = pages0.map { t =>
+        val keep = t.codePoints().toArray.toSeq.filter(_ != '\n').distinct.take(94).toSet
+        t.codePoints().toArray.toSeq
+          .filter(cp => cp == '\n' || keep.contains(cp))
+          .map(cp => new String(Character.toChars(cp))).mkString
+      }
+      val got = DocLoader.extractPdfPages(DocLoader.buildPdfDifferences(pages))
+      assert(got.map(_._2) == pages,
+        s"Differences round trip broke for [${pages.map(_.take(40)).mkString(" | ")}]")
+    }
+    // remap actually matters: a text whose codes differ from identity
+    val tricky = Seq("zyxw vu", "¡ünïcødé—ok")
+    assert(DocLoader.extractPdfPages(DocLoader.buildPdfDifferences(tricky)).map(_._2) == tricky)
   }
 }

@@ -194,7 +194,10 @@ class DocLoaderSpec extends AnyFunSuite with SparkTestSession {
   test("O-1 status routing: loadDocumentsWithStatus quarantines Type0 PDFs") {
     val dir = Files.createTempDirectory("graft-docs-status")
     Files.write(dir.resolve("good.pdf"), DocLoader.buildPdf(Seq("readable text")))
-    Files.write(dir.resolve("cjk.pdf"), DocLoader.buildPdfType0(Seq("cid encoded")))
+    // bare Type0 (no ToUnicode): genuinely undecodable, must quarantine
+    Files.write(dir.resolve("cjk.pdf"), DocLoader.buildPdfType0Bare(Seq("cid encoded")))
+    // Type0 WITH a ToUnicode CMap: extracts through the CMapFont path
+    Files.write(dir.resolve("cjk_uni.pdf"), DocLoader.buildPdfType0(Seq("mapped text")))
     Files.write(dir.resolve("broken.pdf"), "%PDX not a pdf".getBytes("UTF-8"))
     Files.write(dir.resolve("page.html"), "<body><p>ok html</p></body>".getBytes("UTF-8"))
     Files.write(dir.resolve("notes.txt"), "plain".getBytes("UTF-8"))
@@ -206,6 +209,7 @@ class DocLoaderSpec extends AnyFunSuite with SparkTestSession {
       }.toMap
     assert(out("good.pdf") == ((Some("readable text"), DocLoader.StatusOk)))
     assert(out("cjk.pdf") == ((None, DocLoader.StatusUnsupportedFont)))
+    assert(out("cjk_uni.pdf") == ((Some("mapped text"), DocLoader.StatusOk)))
     assert(out("broken.pdf") == ((None, DocLoader.StatusParseError)))
     assert(out("page.html") == ((Some("ok html"), DocLoader.StatusOk)))
     assert(out("notes.txt") == ((None, DocLoader.StatusUnsupportedFormat)))
@@ -600,6 +604,94 @@ class AnnSpec extends AnyFunSuite with SparkTestSession {
       org.apache.spark.sql.functions.transform(col("embedding"), x => x * 2.0f))
     val k3 = Ann.trainPqCodebooksCached(mutated, "pq-spec", m = 4, dsub = 4, kStar = 8, maxIter = 3)
     assert(!(k3 eq k1), "mutated corpus must not be served stale codebooks")
+  }
+
+  test("OPQ: orthogonal deterministic rotation, capacity-rebalance beats plain PQ") {
+    import org.apache.spark.sql.functions.col
+    // The structural case rotation exists for (Ge et al. 2013's
+    // capacity-imbalance): TWO independent 8-level signals both land in
+    // subspace 0 (dims 0 and 1), so plain PQ with k*=8 must cover an
+    // 8×8 grid with 8 centroids — while a rotation (any orthogonal map
+    // moving one signal into another subspace) makes both exactly
+    // representable. OPQ must find (an equivalent of) that rotation.
+    val vecs = (0L until 256L).map { i =>
+      val a = (i % 8).toInt; val b = ((i / 8) % 8).toInt
+      (i, Array.tabulate(16) { j =>
+        val base = j match {
+          case 0 => (a - 3.5f) * 1.0f
+          case 1 => (b - 3.5f) * 1.0f
+          case _ => 0.0f
+        }
+        base + ((i / 64 % 3).toInt - 1) * 0.01f
+      })
+    }.toDF("vec_id", "embedding")
+    val (rot, opqBooks) = Ann.trainOpq(vecs, m = 4, dsub = 4, kStar = 8,
+      opqIters = 10, lloydIters = 10)
+    // determinism
+    val (rot2, opqBooks2) = Ann.trainOpq(vecs, m = 4, dsub = 4, kStar = 8,
+      opqIters = 10, lloydIters = 10)
+    assert(rot.map(_.toSeq).toSeq == rot2.map(_.toSeq).toSeq && opqBooks == opqBooks2,
+      "OPQ training must be deterministic")
+    // orthogonality: R·Rᵀ = I to float tolerance
+    val d = rot.length
+    for (i <- 0 until d; j <- 0 until d) {
+      val dot = (0 until d).map(k => rot(i)(k).toDouble * rot(j)(k)).sum
+      val expect = if (i == j) 1.0 else 0.0
+      assert(math.abs(dot - expect) < 1e-5,
+        f"R·Rᵀ[$i,$j] = $dot%.8f, expected $expect")
+    }
+    // quantization error: mean ‖R·x − q(R·x)‖² under OPQ books must beat
+    // plain-PQ ‖x − q(x)‖² decisively on this fixture (rotation
+    // preserves norms, so the comparison is apples to apples)
+    val plainBooks = Ann.trainPqCodebooks(vecs, m = 4, dsub = 4, kStar = 8, maxIter = 10)
+    val raw = vecs.collect().map(r => r.getSeq[Float](1).map(_.toDouble).toArray)
+    def qErr(xs: Seq[Array[Double]], books: Seq[Seq[Seq[Double]]]): Double =
+      xs.map { v =>
+        books.zipWithIndex.map { case (cents, s) =>
+          cents.map(c => c.zipWithIndex.map { case (x, j) =>
+            val dd = v(s * 4 + j) - x; dd * dd
+          }.sum).min
+        }.sum
+      }.sum / xs.size
+    val rotRaw = raw.map { x =>
+      Array.tabulate(16)(i => (0 until 16).map(j => rot(i)(j).toDouble * x(j)).sum)
+    }
+    val ePlain = qErr(raw.toSeq, plainBooks)
+    val eOpq = qErr(rotRaw.toSeq, opqBooks)
+    assert(eOpq < ePlain * 0.5,
+      f"OPQ error $eOpq%.4f not decisively below plain $ePlain%.4f on the capacity fixture")
+    // end-to-end: rotated ADC top-k recall vs exact euclidean must not
+    // fall below plain ADC on the same fixture
+    val exactE = {
+      val qs = vecs.filter($"vec_id" < 8)
+        .select($"vec_id".as("query_id"), $"embedding".as("q_emb"))
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.functions._
+      vecs.crossJoin(broadcast(qs)).filter($"vec_id" =!= $"query_id")
+        .withColumn("d2", aggregate(zip_with($"q_emb", $"embedding",
+          (x, y) => { val dd = x.cast("double") - y.cast("double"); dd * dd }),
+          lit(0.0d), (acc, v) => acc + v))
+        .withColumn("rank", row_number().over(
+          Window.partitionBy("query_id").orderBy(asc("d2"), asc("vec_id"))))
+        .filter($"rank" <= 5).select("query_id", "vec_id")
+        .as[(Long, Long)].collect().toSet
+    }
+    def recallOf(df: org.apache.spark.sql.DataFrame): Double = {
+      val got = df.select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+      exactE.count(got.contains).toDouble / exactE.size
+    }
+    val rPlain = recallOf(Ann.pqAdcTopK(vecs, plainBooks, nQueries = 8, k = 5))
+    val rOpq = recallOf(Ann.pqAdcTopK(Ann.rotated(vecs, rot), opqBooks, nQueries = 8, k = 5))
+    assert(rOpq + 1e-9 >= rPlain,
+      f"OPQ recall $rOpq%.3f fell below plain PQ $rPlain%.3f")
+    // memo: same corpus + key reference-equal; mutation retrains
+    val c1 = Ann.trainOpqCached(vecs, "opq-spec", m = 4, dsub = 4, kStar = 8)
+    val c2 = Ann.trainOpqCached(vecs, "opq-spec", m = 4, dsub = 4, kStar = 8)
+    assert(c1 eq c2, "same corpus + key must hit the OPQ memo")
+    val mutated = vecs.withColumn("embedding",
+      org.apache.spark.sql.functions.transform(col("embedding"), x => x * 2.0f))
+    val c3 = Ann.trainOpqCached(mutated, "opq-spec", m = 4, dsub = 4, kStar = 8)
+    assert(!(c3 eq c1), "mutated corpus must not be served a stale rotation")
   }
 
   test("IVF-PQ: full probe equals flat ADC; partial probe prunes partitions") {
