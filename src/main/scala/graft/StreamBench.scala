@@ -156,6 +156,38 @@ object StreamBench {
         embByDoc.getOrElse(docId % nBase, embByDoc.head._2))
     }
     val gateChunks = gateDocs.grouped(math.max(1, gateDocs.length / nChunks)).toSeq
+
+    // stage attribution: the LSH and PQ admission stages each run ALONE
+    // over the same replay, so the composed gate's cost decomposes into
+    // quality + lsh + pq + composition overhead instead of being one
+    // opaque number (the r10 verdict asked where the 13× went).
+    val lshIn = MemoryStream[(Timestamp, Long, String, String, Array[Float])]
+    val lshQ = graft.streaming.Streams.admissionGate(
+      lshIn.toDF().toDF("ts", "doc_id", "text", "source", "embedding"), lshIndex)
+      .writeStream.format("noop").start()
+    val lshLat = scala.collection.mutable.ArrayBuffer.empty[(Double, Long)]
+    gateChunks.foreach { chunk =>
+      val c0 = System.nanoTime()
+      lshIn.addData(chunk)
+      lshQ.processAllAvailable()
+      lshLat += (((System.nanoTime() - c0) / 1e6, chunk.length.toLong))
+    }
+    lshQ.stop()
+
+    val pqIn = MemoryStream[(Timestamp, Long, String, String, Array[Float])]
+    val pqQ = graft.streaming.Streams.pqAdmissionGate(
+      pqIn.toDF().toDF("ts", "doc_id", "text", "source", "embedding"),
+      pqIndex, pqCentroids, pqBooks, maxDist = 1.0, nProbe = 3)
+      .writeStream.format("noop").start()
+    val pqLat = scala.collection.mutable.ArrayBuffer.empty[(Double, Long)]
+    gateChunks.foreach { chunk =>
+      val c0 = System.nanoTime()
+      pqIn.addData(chunk)
+      pqQ.processAllAvailable()
+      pqLat += (((System.nanoTime() - c0) / 1e6, chunk.length.toLong))
+    }
+    pqQ.stop()
+
     val gateIn = MemoryStream[(Timestamp, Long, String, String, Array[Float])]
     val gateQ = graft.streaming.Streams.pretrainAdmissionGate(
       gateIn.toDF().toDF("ts", "doc_id", "text", "source", "embedding"),
@@ -229,6 +261,8 @@ object StreamBench {
       s"""{"metric":"stream_bench","sf":"$sfDir","replicas":$reps,"n_chunks":${docChunks.length},""" +
         summarize("ingest", docs.length.toLong, ingestLat.toSeq) + "," +
         summarize("quality_gate", docs.length.toLong, qualLat.toSeq) + "," +
+        summarize("lsh_gate", gateDocs.length.toLong, lshLat.toSeq) + "," +
+        summarize("pq_gate", gateDocs.length.toLong, pqLat.toSeq) + "," +
         summarize("pretrain_gate", gateDocs.length.toLong, gateLat.toSeq) + "," +
         summarize("enrich", events.length.toLong, enrichLat.toSeq, stateJson) + "}"
     Files.writeString(Paths.get(out), line + "\n")

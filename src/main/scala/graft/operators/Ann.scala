@@ -1719,25 +1719,47 @@ object Ann {
     * `(adc_dist, vec_id)` ordering; distances are floored to 6 decimals
     * by the same rule.
     */
+  /** Result struct of [[adcBestMatch]] — named fields so callers keep
+    * addressing `best.d` / `best.v`.
+    */
+  final case class AdcBest(d: Double, v: Long)
+
   def adcBestMatch(
       entries: Column,
       qEmb: Column,
       codebooks: Seq[Seq[Seq[Double]]]): Column = {
-    val dsub = codebooks.head.head.length
-    val luts = array(codebooks.zipWithIndex.map { case (cents, s) =>
-      subspaceDists(cents, qEmb, s, dsub)
-    }: _*)
-    // transform(null)/array_min(empty) both yield null, so a missing or
-    // empty entry list needs no special casing — the match is just null.
-    letCol(luts) { ls =>
-      array_min(transform(entries, e =>
-        struct(
-          graft.functions.TextAnalysis.floorScale(
-            codebooks.indices.map(s =>
-              element_at(element_at(ls, s + 1), e.getField(s"code_$s") + 1))
-              .reduce(_ + _), 6).as("d"),
-          e.getField("vec_id").as("v"))))
+    // A UDF kernel, not a HOF expression tree: transform/array_min/
+    // element_at chains are CodegenFallback, so the r10 column form paid
+    // interpreted, boxed evaluation per ENTRY per SUBSPACE — measured as
+    // the dominant per-micro-batch cost of the composed streaming gate
+    // (2500-entry cells × 3 probes × 8 subspaces per arriving row). The
+    // UDF runs the same arithmetic as JIT-compiled loops: the per-row
+    // LUT is [[adcLut]] itself (the bit-exact twin of the column form's
+    // [[subspaceDists]] — per-dim float→double cast, subtract, square,
+    // left-fold from 0.0), entry distances sum the m lookups left to
+    // right, and the 6-dp floor replays floorScale's floor(d·10⁶)/10⁶
+    // (Spark FLOOR→LONG then double divide). Ranking is (d, v)
+    // lexicographic min, identical to the old array_min struct order;
+    // null/empty entry lists yield null.
+    val m = codebooks.length
+    val best = udf { (es: Seq[org.apache.spark.sql.Row], q: Seq[Float]) =>
+      if (es == null || es.isEmpty || q == null) None
+      else {
+        val lut = adcLut(codebooks, q).map(_.toArray).toArray
+        var bd = Double.NaN
+        var bv = 0L
+        es.foreach { e =>
+          var d = 0.0
+          var s = 0
+          while (s < m) { d += lut(s)(e.getInt(1 + s)); s += 1 }
+          val fd = math.floor(d * 1e6).toLong / 1e6
+          val v = e.getLong(0)
+          if (bd.isNaN || fd < bd || (fd == bd && v < bv)) { bd = fd; bv = v }
+        }
+        Some(AdcBest(bd, bv))
+      }
     }
+    best(entries, qEmb)
   }
 
   def quantizedTopK(quantized: DataFrame, nQueries: Int, k: Int): DataFrame = {

@@ -468,6 +468,27 @@ object DocLoader {
     (codeBytes, map.toMap)
   }
 
+  /** Byte-code → Unicode map of a named base encoding, built from the
+    * JDK's own charset tables (windows-1252 for /WinAnsiEncoding,
+    * x-MacRoman for /MacRomanEncoding — both standard JDK charsets);
+    * bytes the charset leaves undefined are omitted so the Latin-1
+    * default applies. Honest limit shared with the rest of the literal
+    * path: content streams are UTF-8-decoded before tokenizing, so
+    * high-bit codes reach the decoder only via octal/hex escapes (the
+    * form the deterministic writers emit).
+    */
+  private def baseEncodingMap(charsetName: String): Map[Int, String] =
+    try {
+      val cs = java.nio.charset.Charset.forName(charsetName)
+      (0 until 256).flatMap { b =>
+        val s = new String(Array(b.toByte), cs)
+        if (s.length == 1 && s.charAt(0) != '�') Some(b -> s) else None
+      }.toMap
+    } catch { case _: Exception => Map.empty }
+
+  private lazy val winAnsiMap = baseEncodingMap("windows-1252")
+  private lazy val macRomanMap = baseEncodingMap("x-MacRoman")
+
   /** Parse an /Encoding /Differences array (§9.6.6): a number sets the
     * next code, each following name assigns it (and increments).
     */
@@ -533,9 +554,24 @@ object DocLoader {
       case Some((cb, map)) if map.nonEmpty || toUniSrc.exists(_.contains("begincmap")) =>
         Some(CMapFont(if (isType0) math.max(cb, 2) else cb, map))
       case _ =>
-        dictValue(objs, fontDict, "/Encoding")
+        // simple-font /Encoding: a named base encoding (/WinAnsiEncoding,
+        // /MacRomanEncoding — directly or as /BaseEncoding inside an
+        // encoding dict) layered under any /Differences overrides
+        val encDict = dictValue(objs, fontDict, "/Encoding")
+        val namedRe = "/(?:Base)?Encoding\\s*/(WinAnsiEncoding|MacRomanEncoding)".r
+        val baseMap = namedRe.findFirstMatchIn(fontDict)
+          .orElse(encDict.flatMap(namedRe.findFirstMatchIn(_)))
+          .map(_.group(1)) match {
+          case Some("WinAnsiEncoding") => winAnsiMap
+          case Some("MacRomanEncoding") => macRomanMap
+          case _ => Map.empty[Int, String]
+        }
+        val diffMap = encDict
           .flatMap(enc => "(?s)/Differences\\s*\\[([^\\]]*)\\]".r.findFirstMatchIn(enc))
-          .map(m => DiffFont(parseDifferences(m.group(1))))
+          .map(m => parseDifferences(m.group(1)))
+          .getOrElse(Map.empty[Int, String])
+        val merged = baseMap ++ diffMap
+        if (merged.nonEmpty) Some(DiffFont(merged)) else None
     }
   }
 
@@ -869,6 +905,62 @@ object DocLoader {
     objs += ("9000 0 obj\n<< /Type /Font /Subtype /TrueType /BaseFont /Custom " +
       s"/Encoding << /Type /Encoding /Differences [ $diffs ] >> >>\nendobj\n")
       .getBytes(StandardCharsets.ISO_8859_1)
+    val out = new ByteArrayOutputStream()
+    out.write("%PDF-1.4\n".getBytes(StandardCharsets.ISO_8859_1))
+    objs.foreach(out.write)
+    out.write("%%EOF\n".getBytes(StandardCharsets.ISO_8859_1))
+    out.toByteArray
+  }
+
+  /** Deterministic simple-font PDF writer exercising the NAMED
+    * base-encoding path: the font declares /Encoding /WinAnsiEncoding
+    * and content literals carry each character as its windows-1252 byte
+    * (ASCII as-is, high-bit codes as octal escapes — the escape form
+    * survives the UTF-8 content-stream decode). Characters outside
+    * cp1252 are rejected (fixture writer). Decode is correct only if
+    * the WinAnsi table is applied: bytes 0x80–0x9F (€ „ ™ smart quotes
+    * et al.) differ from the Latin-1 default exactly there.
+    */
+  def buildPdfWinAnsi(pages: Seq[String]): Array[Byte] = {
+    val pg = if (pages.isEmpty) Seq("") else pages
+    val cp1252 = java.nio.charset.Charset.forName("windows-1252")
+    def lineToLiteral(l: String): String = {
+      val enc = cp1252.newEncoder()
+      l.map { ch =>
+        if (ch == '\\') "\\\\"
+        else if (ch == '(') "\\("
+        else if (ch == ')') "\\)"
+        else if (ch >= 0x20 && ch < 0x7F) ch.toString
+        else {
+          require(enc.canEncode(ch), s"buildPdfWinAnsi: '$ch' not in cp1252")
+          val b = ch.toString.getBytes(cp1252)(0) & 0xFF
+          f"\\$b%03o"
+        }
+      }.mkString
+    }
+    val nPages = pg.size
+    val kids = (0 until nPages).map(i => s"${3 + 2 * i} 0 R").mkString(" ")
+    val objs = mutable.ArrayBuffer[Array[Byte]](
+      s"1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n".getBytes(StandardCharsets.ISO_8859_1),
+      s"2 0 obj\n<< /Type /Pages /Kids [$kids] /Count $nPages >>\nendobj\n".getBytes(StandardCharsets.ISO_8859_1))
+    pg.zipWithIndex.foreach { case (text, i) =>
+      val pageObj = 3 + 2 * i
+      val contObj = 4 + 2 * i
+      val ops = text.split("\n", -1).map(l => s"(${lineToLiteral(l)}) Tj").mkString("\nT*\n")
+      val stream = s"BT /F1 12 Tf 72 720 Td\n$ops\nET".getBytes(StandardCharsets.ISO_8859_1)
+      val deflated = deflate(stream)
+      objs += (s"$pageObj 0 obj\n<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] " +
+        s"/Resources << /Font << /F1 9000 0 R >> >> " +
+        s"/Contents $contObj 0 R >>\nendobj\n").getBytes(StandardCharsets.ISO_8859_1)
+      val buf = new ByteArrayOutputStream()
+      buf.write((s"$contObj 0 obj\n<< /Length ${deflated.length} /Filter /FlateDecode >>\nstream\n")
+        .getBytes(StandardCharsets.ISO_8859_1))
+      buf.write(deflated)
+      buf.write("\nendstream\nendobj\n".getBytes(StandardCharsets.ISO_8859_1))
+      objs += buf.toByteArray
+    }
+    objs += ("9000 0 obj\n<< /Type /Font /Subtype /TrueType /BaseFont /Helvetica " +
+      "/Encoding /WinAnsiEncoding >>\nendobj\n").getBytes(StandardCharsets.ISO_8859_1)
     val out = new ByteArrayOutputStream()
     out.write("%PDF-1.4\n".getBytes(StandardCharsets.ISO_8859_1))
     objs.foreach(out.write)

@@ -348,13 +348,15 @@ object Streams {
       maxDist: Double,
       nBuckets: Int = 1024,
       minQuality: Double = 0.5,
-      nProbe: Int = 3): DataFrame = {
+      nProbe: Int = 3,
+      broadcastIndexes: Boolean = true): DataFrame = {
     val scored = qualityGate(docs, weights, nBuckets, minQuality)
       .withColumnRenamed("keep", "quality_keep")
-    val lsh = admissionGate(scored, lshIndex)
+    val lsh = admissionGate(scored, lshIndex, broadcastIndex = broadcastIndexes)
       .withColumnRenamed("admitted", "lsh_admitted")
       .withColumnRenamed("blocked_by", "lsh_blocked_by")
-    pqAdmissionGate(lsh, pqIndex, centroids, codebooks, maxDist, nProbe)
+    pqAdmissionGate(lsh, pqIndex, centroids, codebooks, maxDist, nProbe,
+      broadcastIndex = broadcastIndexes)
       .withColumnRenamed("admitted", "pq_admitted")
       .withColumn("admitted",
         col("quality_keep") && col("lsh_admitted") && col("pq_admitted"))

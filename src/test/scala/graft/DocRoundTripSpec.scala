@@ -120,4 +120,19 @@ class DocRoundTripSpec extends AnyFunSuite {
     val tricky = Seq("zyxw vu", "¡ünïcødé—ok")
     assert(DocLoader.extractPdfPages(DocLoader.buildPdfDifferences(tricky)).map(_._2) == tricky)
   }
+
+  test("named base encoding: /WinAnsiEncoding decodes cp1252-only codes") {
+    // 0x80–0x9F is exactly where WinAnsi diverges from the Latin-1
+    // default: smart quotes, €, ™, — . A decoder ignoring the named
+    // encoding reads those octal-escaped bytes as C1 controls.
+    val pages = Seq("“smart quotes” — €99 ™", "plain ascii line")
+    val got = DocLoader.extractPdfPages(DocLoader.buildPdfWinAnsi(pages))
+    assert(got.map(_._2) == pages,
+      s"WinAnsi round trip broke: ${got.map(_._2)}")
+    assert(DocLoader.extractPdfStatus(DocLoader.buildPdfWinAnsi(pages)) ==
+      ((pages.mkString("\n"), DocLoader.StatusOk)))
+    // Latin-1 range decodes identically through the base table
+    val latin = Seq("café naïve Ærø")
+    assert(DocLoader.extractPdfPages(DocLoader.buildPdfWinAnsi(latin)).map(_._2) == latin)
+  }
 }

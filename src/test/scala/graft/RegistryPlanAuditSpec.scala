@@ -54,7 +54,9 @@ class RegistryPlanAuditSpec extends AnyFunSuite with SparkTestSession {
     // table (self-pair exclusion makes the join non-equi)
     // (ann_pq_trained_topk left this list when it moved onto the
     // cell-partitioned layout: its probe is now an equi-join on `cell`.)
-    "ann_pq_adc_topk",
+    // ann_opq_adc_topk is the same flat ADC probe over the ROTATED
+    // corpus — identical bounded-broadcast shape.
+    "ann_pq_adc_topk", "ann_opq_adc_topk",
     // broadcast 1-row corpus-statistics attach (n_docs/avgdl/LM totals)
     "bm25_topk", "tfidf_top_terms", "text_perplexity", "text_rarity_score",
     // DSIR: broadcast 1-row (r_total, t_total) attach onto the
