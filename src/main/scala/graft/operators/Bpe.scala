@@ -278,6 +278,36 @@ object Bpe {
     (merges, stats.toSeq)
   }
 
+  /** Eager localCheckpoint + a stats-FRESH rebuild of the frame.
+    *
+    * Spark's `localCheckpoint` PRESERVES the child plan's estimated
+    * statistics on the resulting `LogicalRDD`
+    * (`rewriteStatsAndConstraints`), and a join's size estimate is the
+    * PRODUCT of its children's. The compaction join (base ⟕ overlay)
+    * therefore hands round k's base a size estimate that compounds
+    * multiplicatively per compaction — and since the overlay's own
+    * estimate already carries base × overlay products from its epoch,
+    * the inherited `sizeInBytes` BigInt grows EXPONENTIALLY in digits
+    * with the compaction count. Measured on the 1000-merge evidence
+    * leg: by compaction ~20 every per-round checkpoint spent minutes
+    * inside `SizeInBytesOnlyStatsPlanVisitor`'s BigInt products
+    * (Toom-Cook on million-digit integers) — a planning-time hang, no
+    * job ever launched. Rebuilding from the checkpointed RDD through
+    * `createDataFrame` resets the estimate to the size-unknown default;
+    * nothing is lost — the loop's join strategies are pinned by
+    * explicit `broadcast()` hints, not statistics. Applied to the
+    * OVERLAY side of the compaction join (≤ maxOverlayRows rows, so the
+    * row-conversion detour is pennies, once per compaction): with the
+    * overlay's estimate constant, the base's inherited estimate grows
+    * linearly per compaction instead of exponentially, and every other
+    * chain (overlay/pairs within an epoch) is bounded by the epoch
+    * length.
+    */
+  private def checkpointStatsFresh(df: DataFrame): DataFrame = {
+    val ck = df.localCheckpoint()
+    ck.sparkSession.createDataFrame(ck.rdd, ck.schema)
+  }
+
   private def learnMergesIncrementalImpl(
       vocab0: DataFrame,
       nMerges: Int,
@@ -340,7 +370,7 @@ object Bpe {
         // checkpointed overlay carries no size statistics (an unhinted
         // plan can fall back to a full sort-merge shuffle of the vocab,
         // the exact degenerate cost adaptive compaction exists to avoid)
-        base = base.join(broadcast(overlay.get), Seq("w"), "left")
+        base = base.join(broadcast(checkpointStatsFresh(overlay.get)), Seq("w"), "left")
           .select(col("w"), coalesce(col("o_syms"), col("syms")).as("syms"), col("n"))
           .localCheckpoint()
         overlay = None
