@@ -2056,6 +2056,32 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    "ann_ivfpq_opq_topk" -> ((s, dir) => {
+      // OPQ composed with the IVF-PQ layout — the production shape of
+      // the rotation tier: rotate (one map-only pass) → IVF cells built
+      // on the ROTATED corpus → PQ codes partitioned by cell → probe
+      // with rotated queries. Euclidean (and cosine) geometry is
+      // rotation-invariant, so recall grades against the SAME
+      // original-space exact top-k as the un-rotated tiers; the 10⁶
+      // evidence (`ann_opq` in SCALE_EVIDENCE.json) records the
+      // frontier shift — 0.84–0.88 vs plain 0.68–0.76 at overfetch=1,
+      // equal probe cost. Rows-only (trained); Verify floors recall at
+      // the IVF-PQ tier's threshold with the plain side-by-side.
+      val emb = Tables.embeddings(s, dir)
+      val (rot, books) = operators.Ann.trainOpqCached(
+        emb, cacheKey = dir, m = 8, dsub = 8, kStar = 16)
+      val embRot = operators.Ann.rotated(emb, rot)
+      val (centroids, _) = operators.Ann.buildIvfCached(
+        s, embRot, cacheKey = s"$dir|opq", nCells = 8, maxIter = 3)
+      val base = new java.io.File(
+        sys.props("java.io.tmpdir"), "graft_ann_layouts").getAbsolutePath
+      val layout = operators.Ann.ivfPqLayout(s, embRot, base, centroids, books)
+      val qs = embRot.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"))
+      operators.Ann.ivfPqTopK(s, layout, qs, centroids, books, k = 10, nProbe = 3)
+        .orderBy("query_id", "rank")
+    }),
+
     "ann_ivfpq_topk" -> ((s, dir) => {
       // IVF-PQ: the composed 100 TB ANN shape — PQ codes persisted
       // PARTITIONED BY IVF cell (build-once, fingerprint-keyed layout),

@@ -196,6 +196,31 @@ object Verify {
         require(opqR >= pqThr, s"ann_opq_adc_topk recall $opqR below gate $pqThr")
       }
 
+      // OPQ ∘ IVF-PQ composed gate: the rotated cell-partitioned layout
+      // probed at the same budget as plain ann_ivfpq_topk, floored at
+      // the same tier threshold (rotation changes the quantization
+      // basis, not the probe semantics; the 10⁶ `ann_opq` sweep records
+      // the frontier shift the sf corpora are too small to pin).
+      locally {
+        val embRotV = operators.Ann.rotated(emb, opqRot)
+        val (centsR, _) = operators.Ann.buildIvfCached(
+          spark, embRotV, cacheKey = s"$sfDir|opq", nCells = 8, maxIter = 3)
+        val layoutR = operators.Ann.ivfPqLayout(
+          spark, embRotV,
+          new java.io.File(sys.props("java.io.tmpdir"), "graft_ann_layouts").getAbsolutePath,
+          centsR, opqBooks)
+        val qsRot = embRotV.filter(col("vec_id") < nq)
+          .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"))
+        val got = operators.Ann.ivfPqTopK(
+          spark, layoutR, qsRot, centsR, opqBooks, k = 10, nProbe = 3)
+          .select("query_id", "vec_id").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        val r = exactEuc.count(got.contains).toDouble / exactEuc.size
+        val plainR = exactEuc.count(ivfpqApprox.contains).toDouble / exactEuc.size
+        println(f"[recall] ann_ivfpq_opq_topk = $r%.3f (plain ivfpq = $plainR%.3f, gate >= $ivfpqThr)")
+        require(r >= ivfpqThr, s"ann_ivfpq_opq_topk recall $r below gate $ivfpqThr")
+      }
+
       val rerankApprox = operators.Ann.ivfPqTopKReranked(
         spark, layout, qsIvf, emb, centroids, books, k = 10, nProbe = 3, overfetch = 4)
         .select("query_id", "vec_id").collect()

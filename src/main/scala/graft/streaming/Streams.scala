@@ -374,15 +374,22 @@ object Streams {
     * the gate is conservative — it never strips a line the batch rule
     * would keep, and reassembly is a per-doc groupBy at compaction.
     */
-  def lineDedupGate(docs: DataFrame, index: DataFrame): DataFrame =
+  def lineDedupGate(
+      docs: DataFrame, index: DataFrame, broadcastIndex: Boolean = true): DataFrame = {
+    // same stream-static join discipline as [[admissionGate]]: the
+    // distinct line set is hinted broadcast (default) so the per-batch
+    // join is a hash probe, not a sort-merge re-shuffling the static
+    // side; callers with corpus-scale line indexes pass false and
+    // pre-bucket (the distinct itself re-runs per micro-batch either
+    // way — pre-aggregate and persist the index frame to avoid that)
+    val lines = index.select(col("line")).distinct().withColumn("in_corpus", lit(1))
     docs
       .select(col("doc_id"),
         posexplode(split(col("text"), "\n")).as(Seq("line_idx", "line")))
-      .join(
-        index.select(col("line")).distinct().withColumn("in_corpus", lit(1)),
-        Seq("line"), "left")
+      .join(if (broadcastIndex) broadcast(lines) else lines, Seq("line"), "left")
       .withColumn("keep", col("in_corpus").isNull)
       .select("doc_id", "line_idx", "line", "keep")
+  }
 
   /** Custom per-session state via mapGroupsWithState: running message count
     * and last-seen timestamp per user, with a real event-time timeout —
