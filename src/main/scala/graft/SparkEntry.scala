@@ -389,6 +389,33 @@ object SparkEntry {
         .orderBy("doc_a", "doc_b")
     }),
 
+    "dedup_minhash_verified" -> ((s, dir) => {
+      // Two-stage near-dup: LOOSE LSH candidate generation (signature
+      // agreement >= 0.25) -> exact edit-distance verification on the
+      // candidate set only. The input salts the base slice with BOTH
+      // candidate classes: +30000 = suffix near-copies (tiny edit ->
+      // verified) and +40000 = 100-char ROTATIONS of their base (the
+      // shingle SET barely changes, so MinHash sees a near-dup and the
+      // pair becomes a candidate — but the text moved wholesale, so the
+      // edit check REJECTS it: exactly the false-positive class a
+      // set-based estimate cannot see, made visible in the output as
+      // verified=false rows).
+      val base = Tables.documents(s, dir).filter(col("doc_id") < 200)
+        .select(col("doc_id"), col("text"))
+      val nearCopies = base.filter(col("doc_id") < 40)
+        .select((col("doc_id") + 30000).as("doc_id"),
+          concat(col("text"), lit(" graft salt")).as("text"))
+      val rotations = base.filter(col("doc_id") < 40)
+        .select((col("doc_id") + 40000).as("doc_id"),
+          concat(substring(col("text"), 101, 1000000), lit(" "),
+            substring(col("text"), 1, 100)).as("text"))
+      Dedup.minHashVerifiedPairs(
+        base.unionByName(nearCopies).unionByName(rotations),
+        minAgreement = 0.25, minEditSim = 0.9)
+        .withColumn("est_jaccard", round(col("est_jaccard"), 6))
+        .orderBy("doc_a", "doc_b")
+    }),
+
     "dedup_minhash_full" -> ((s, dir) => {
       // UNCAPPED: the whole documents table (5,000 docs at sf0.1 — 25×
       // the doc_id<200 slice the other dedup queries use to keep their
@@ -4736,6 +4763,68 @@ object SparkEntry {
         |FROM cand
         |WHERE CAST(len(list_filter(range(16), i -> sig_a[CAST(i+1 AS INT)] = sig_b[CAST(i+1 AS INT)])) AS DOUBLE) / 16.0 >= 0.5
         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // Two-stage near-dup: the same portable-MinHash chain at the LOOSE
+    // 0.25 agreement floor over the salted input (suffix near-copies +
+    // 100-char rotations), then the edit-distance verify — DuckDB's
+    // levenshtein mirrors Spark's builtin, and edit_sim replays
+    // floorScale (floor(x*1e6)/1e6) so the float hashes bit-match.
+    "dedup_minhash_verified" ->
+      """WITH input AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id < 200
+        |  UNION ALL
+        |  SELECT doc_id + 30000, text || ' graft salt' FROM documents WHERE doc_id < 40
+        |  UNION ALL
+        |  SELECT doc_id + 40000, substr(text, 101) || ' ' || substr(text, 1, 100)
+        |  FROM documents WHERE doc_id < 40),
+        |t AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^\p{L}\p{N}]+'), x -> x <> '') AS toks
+        |  FROM input),
+        |sh AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(toks) = 0 THEN CAST([] AS VARCHAR[])
+        |         WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+        |         ELSE list_transform(range(len(toks) - 2),
+        |           i -> toks[CAST(i+1 AS INT)] || ' ' || toks[CAST(i+2 AS INT)] || ' ' || toks[CAST(i+3 AS INT)]) END AS shingles
+        |  FROM t),
+        |hs AS (
+        |  SELECT doc_id,
+        |    list_transform(shingles, s ->
+        |      list_reduce(
+        |        list_prepend(CAST(7 AS BIGINT),
+        |          list_transform(range(length(s)), i -> CAST(unicode(s[CAST(i+1 AS INT)]) AS BIGINT))),
+        |        (a, b) -> (31 * a + b) % 2147483647)) AS hashes
+        |  FROM sh),
+        |sg AS (
+        |  SELECT doc_id,
+        |    list_transform(range(16), k -> coalesce(
+        |      list_min(list_transform(hashes,
+        |        h -> ((48271 * (k + 1)) % 2147483647 * h + (16807 * (k + 1) + 11) % 2147483647) % 2147483647)),
+        |      2147483647)) AS sig
+        |  FROM hs),
+        |bd AS (
+        |  SELECT doc_id, sig, unnest(range(4)) AS b FROM sg),
+        |bd2 AS (
+        |  SELECT doc_id, sig, b, sig[CAST(4*b+1 AS INT):CAST(4*b+4 AS INT)] AS band FROM bd),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.sig AS sig_a, b.sig AS sig_b
+        |  FROM bd2 a JOIN bd2 b ON a.b = b.b AND a.band = b.band AND a.doc_id < b.doc_id),
+        |agreed AS (
+        |  SELECT doc_a, doc_b,
+        |    CAST(len(list_filter(range(16), i -> sig_a[CAST(i+1 AS INT)] = sig_b[CAST(i+1 AS INT)])) AS DOUBLE) / 16.0 AS est_jaccard
+        |  FROM cand
+        |  WHERE CAST(len(list_filter(range(16), i -> sig_a[CAST(i+1 AS INT)] = sig_b[CAST(i+1 AS INT)])) AS DOUBLE) / 16.0 >= 0.25),
+        |scored AS (
+        |  SELECT g.doc_a, g.doc_b, g.est_jaccard,
+        |    floor((CASE WHEN greatest(length(ta.text), length(tb.text)) = 0 THEN 1.0
+        |           ELSE 1.0 - CAST(levenshtein(ta.text, tb.text) AS DOUBLE) /
+        |                CAST(greatest(length(ta.text), length(tb.text)) AS DOUBLE) END) * 1000000.0) / 1000000.0 AS edit_sim
+        |  FROM agreed g
+        |  JOIN input ta ON ta.doc_id = g.doc_a
+        |  JOIN input tb ON tb.doc_id = g.doc_b)
+        |SELECT doc_a, doc_b, round(est_jaccard, 6) AS est_jaccard, edit_sim,
+        |  (edit_sim >= 0.9) AS verified
+        |FROM scored ORDER BY doc_a, doc_b""".stripMargin,
 
     // Line ranks mirror the Spark window exactly (partition by line,
     // order by doc_id then position); reassembly via ORDER BY inside

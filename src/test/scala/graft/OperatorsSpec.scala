@@ -385,6 +385,35 @@ class DedupSpec extends AnyFunSuite with SparkTestSession {
       r.getAs[Int]("hamming") == 0))
   }
 
+  test("minhash verify stage: accepts near-copies, rejects shingle-set twins") {
+    // the two candidate classes: 101 is a suffix near-copy of 100 (tiny
+    // edit -> verified); 102 is a ROTATION of 100 (shingle set nearly
+    // unchanged -> MinHash candidate, but the text moved wholesale ->
+    // edit_sim low -> candidate REJECTED). 103 is unrelated (no pair).
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon phi chi psi omega"
+    val rotated = base.split(" ").drop(12).mkString(" ") + " " +
+      base.split(" ").take(12).mkString(" ")
+    val vdocs = Seq(
+      (100L, base),
+      (101L, base + " tiny"),
+      (102L, rotated),
+      (103L, "wholly unrelated text about glacier melt and alpine flora"))
+      .toDF("doc_id", "text")
+    val out = Dedup.minHashVerifiedPairs(vdocs, minAgreement = 0.25, minEditSim = 0.9)
+      .collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) ->
+        ((r.getAs[Double]("edit_sim"), r.getAs[Boolean]("verified")))).toMap
+    val nearCopy = out((100L, 101L))
+    assert(nearCopy._2, s"near-copy must verify: $nearCopy")
+    assert(nearCopy._1 > 0.95)
+    val rot = out((100L, 102L))
+    assert(!rot._2, s"rotation must be a REJECTED candidate: $rot")
+    assert(rot._1 < 0.9)
+    assert(!out.keySet.exists { case (a, b) => a == 103L || b == 103L },
+      "unrelated doc must not appear as a candidate")
+  }
+
   test("incremental admit: corpus dups, batch-sibling dups and novel docs") {
     val existing = Seq(
       (1L, "the quick brown fox jumps over the lazy dog near the river bank today"),
