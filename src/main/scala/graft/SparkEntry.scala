@@ -1877,6 +1877,42 @@ object SparkEntry {
         .orderBy("shard", "bin_id", "doc_id")
     }),
 
+    // ---- Unigram-LM tokenizer training (SentencePiece-style, Kudo
+    // 2018) — the second tokenizer family next to BPE. No SQL oracle
+    // possible (iterative EM + lattice prune with data-dependent
+    // choices); Verify hard-gates the distributed trainer piece-for-
+    // piece / micro-for-micro against the sequential in-driver
+    // reference, and the encode token-for-token against a sequential
+    // Viterbi replay. Every data-dependent float crossing a shuffle is
+    // micro-quantized per word so the aggregation is an exact integer
+    // sum — that is what makes the equality gate possible.
+    "unigram_train" -> ((s, dir) => {
+      import s.implicits._
+      val docs = Tables.documents(s, dir).select("doc_id", "text")
+      val (model, _) = operators.Unigram.trainCached(
+        docs, dir, targetVocab = 150, seedSize = 400, maxPieceLen = 4)
+      model.scoreMicros.sortBy { case (p, m) => (-m, p) }
+        .zipWithIndex
+        .map { case ((p, m), i) => (i + 1, p, m) }
+        .toDF("rank", "piece", "score_micros")
+    }),
+
+    "unigram_encode_corpus" -> ((s, dir) => {
+      // Viterbi token-id corpus under the trained unigram model —
+      // map-only with a per-executor segmentation memo, the
+      // bpe_encode_corpus twin (same driver-comparable CSV projection
+      // of the id stream; Verify parses it back and replays
+      // sequentially).
+      val docs = Tables.documents(s, dir).select("doc_id", "text")
+      val (model, _) = operators.Unigram.trainCached(
+        docs, dir, targetVocab = 150, seedSize = 400, maxPieceLen = 4)
+      operators.Unigram.encodeCorpus(docs, model)
+        .select(col("doc_id"), col("n_tokens"),
+          array_join(transform(col("token_ids"), i => i.cast("string")), ",")
+            .as("ids_csv"))
+        .orderBy("doc_id")
+    }),
+
     "ann_lsh_topk" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       val qs = emb.filter(col("vec_id") < 5)

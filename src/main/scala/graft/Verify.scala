@@ -448,6 +448,62 @@ object Verify {
         "bpe_incremental_200: incremental learner diverged from the sequential reference")
     }
 
+    // ---- Unigram-LM tokenizer gates: EM + lattice prune have no SQL
+    // form, so the hard signal is (a) EXACT piece-for-piece,
+    // micro-for-micro model equality between the distributed trainer
+    // and the sequential in-driver reference (per-word micro
+    // quantization makes every cross-word aggregate an exact integer
+    // sum — order-independent, hence an equality, not a tolerance),
+    // including the per-EM-step log-likelihood trace; and (b) the
+    // registry encode output replayed TOKEN FOR TOKEN through a
+    // sequential Viterbi pass under the same model, with 0 UNK on the
+    // training corpus (single-code-point coverage is never pruned).
+    {
+      import org.apache.spark.sql.functions._
+      val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
+      val (dist, llDist) = operators.Unigram.trainCached(
+        docs, sfDir, targetVocab = 150, seedSize = 400, maxPieceLen = 4)
+      val wcLocal = operators.Bpe.wordCounts(docs)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      val (ref, llRef) = operators.Unigram.trainReference(
+        wcLocal, targetVocab = 150, seedSize = 400, maxPieceLen = 4)
+      println(s"[equality] unigram_train pieces=${dist.pieces.size} " +
+        s"ref=${ref.pieces.size} equal=${dist.scoreMicros == ref.scoreMicros} " +
+        s"llEqual=${llDist == llRef}")
+      require(dist.scoreMicros == ref.scoreMicros,
+        "unigram_train: distributed trainer diverged from the sequential reference")
+      require(llDist == llRef,
+        "unigram_train: log-likelihood trace diverged from the sequential reference")
+
+      val ids = operators.Unigram.vocabIds(dist)
+      val encoded = SparkEntry.queries("unigram_encode_corpus")(spark, sfDir)
+        .select("doc_id", "ids_csv").collect()
+        .map(r => (r.getLong(0),
+          r.getString(1).split(",").iterator
+            .filter(_.nonEmpty).map(_.toInt).toSeq)).toMap
+      val docToks = docs
+        .select(col("doc_id"), operators.TextRetrieval.tokensCol(col("text")).as("toks"))
+        .collect().map(r => (r.getLong(0), r.getSeq[String](1))).toMap
+      require(encoded.keySet == docToks.keySet,
+        "unigram_encode_corpus: doc set mismatch vs the corpus")
+      var encMismatch = 0
+      docToks.foreach { case (docId, toks) =>
+        val replay = toks.flatMap { w =>
+          operators.Unigram.viterbi(w, dist.logp, dist.maxLen) match {
+            case Nil => Seq(-1)
+            case ps  => ps.map(p => ids.getOrElse(p, -1))
+          }
+        }
+        if (encoded(docId) != replay) encMismatch += 1
+      }
+      val unk = encoded.valuesIterator.map(_.count(_ < 0)).sum
+      println(s"[equality] unigram_encode_corpus docs=${encoded.size} " +
+        s"mismatches=$encMismatch unk=$unk")
+      require(encMismatch == 0,
+        s"unigram_encode_corpus: $encMismatch docs diverged from the sequential Viterbi replay")
+      require(unk == 0, s"unigram_encode_corpus: $unk UNK ids on the training corpus")
+    }
+
     // ---- quality-classifier gate: BIT-EXACT weight equality between
     // the distributed micro-quantized GD and the sequential reference
     // (exact integer aggregation makes this an equality, not a
