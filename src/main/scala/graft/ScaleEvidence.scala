@@ -868,6 +868,47 @@ object ScaleEvidence {
         failures ::= f"bpe_deep: tail per-merge cost $tail%.2f s degraded vs mid $mid%.2f s"
     }
 
+    // -------- Z-order data-skipping layout at 2M rows: the claim under
+    // test is GEOMETRIC, not throughput — a conjunctive 2-D box query
+    // over the Morton-clustered layout must materialize a small
+    // multi-dimensional neighborhood from parquet, while the best
+    // single-column sort can only prune one dimension. Hard checks:
+    // both layouts return the identical answer; z materializes ≤ half
+    // of linear's rows and ≤ 10% of the table. (At 100 TB the same
+    // footer-stats mechanism prunes row groups instead of whole small
+    // files; the ratio is what transfers.)
+    val zN = 2000000L
+    val zSrc = spark.range(zN).select(
+      col("id"),
+      (col("id") * 2654435761L % 1000003L).cast("double").as("a"),
+      (col("id") * 40503L % 999983L).cast("double").as("b"),
+      md5(col("id").cast("string")).as("payload"))
+    val zDir = Files.createTempDirectory("graft_scale_zorder").toString
+    val (_, tZWrite) = timed {
+      operators.Layout.writeZOrdered(zSrc, Seq("a", "b"), s"$zDir/z", nFiles = 256)
+    }
+    val (_, tLinWrite) = timed {
+      operators.Layout.writeLinear(zSrc, "a", s"$zDir/lin", nFiles = 256)
+    }
+    def zBox(df: DataFrame) = df.filter(
+      col("a").between(100000, 150000) && col("b").between(400000, 450000))
+    val zAnswer = zBox(spark.read.parquet(s"$zDir/z")).agg(
+      count(lit(1)), coalesce(expr("bit_xor(xxhash64(id))"), lit(0L))).head()
+    val linAnswer = zBox(spark.read.parquet(s"$zDir/lin")).agg(
+      count(lit(1)), coalesce(expr("bit_xor(xxhash64(id))"), lit(0L))).head()
+    if (zAnswer != linAnswer)
+      failures ::= s"zorder: layouts disagree — z=$zAnswer linear=$linAnswer"
+    val (zMat, tZScan) = timed {
+      operators.Layout.scanRowsMaterialized(zBox(spark.read.parquet(s"$zDir/z")))
+    }
+    val (linMat, tLinScan) = timed {
+      operators.Layout.scanRowsMaterialized(zBox(spark.read.parquet(s"$zDir/lin")))
+    }
+    if (zMat * 2 > linMat)
+      failures ::= s"zorder: z materialized $zMat, not under half of linear $linMat"
+    if (zMat * 10 > zN)
+      failures ::= s"zorder: z materialized $zMat of $zN — over 10% of the table"
+
     spark.stop()
     def r1(v: Double): String = f"$v%.1f"
     val line =
@@ -901,6 +942,9 @@ object ScaleEvidence {
         s""""bpe_incremental":{"vocab_words":1400000,"n_merges":${bpeIncMerges.length},"incremental_sec":${r1(tBpeInc)},"recount_sec":${r1(tBpeRec)},"per_merge":${bpeIncStats.map(st =>
           f"""{"touched":${st.touchedWords},"sec":${st.sec}%.2f}""").mkString("[", ",", "]")},""" +
         s""""deep":{"vocab_words":200000,"n_merges":${deepMerges.length},"sec":${r1(tDeep)},"max_overlay_rows":30000,"compactions":$deepCompactions,"per_100_median_sec":${deepCurve.map(v => f"$v%.3f").mkString("[", ",", "]")}}},""" +
+        s""""zorder_layout":{"n_rows":$zN,"n_files":256,"z_write_sec":${r1(tZWrite)},"linear_write_sec":${r1(tLinWrite)},""" +
+        s""""box_selected":${zAnswer.getLong(0)},"z_rows_materialized":$zMat,"linear_rows_materialized":$linMat,""" +
+        s""""z_scan_sec":${r1(tZScan)},"linear_scan_sec":${r1(tLinScan)},"answers_equal":${zAnswer == linAnswer}},""" +
         s""""failures":${failures.map("\"" + _ + "\"").mkString("[", ",", "]")}}"""
     Files.writeString(Paths.get(out), line + "\n")
     println(line)

@@ -1913,6 +1913,45 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- §4 Z-order data-skipping layout: lineitem re-clustered on the
+    // Morton key of (l_shipdate, l_extendedprice), then scanned with a
+    // conjunctive 2-D range — the query shape a single-column date sort
+    // cannot prune on both sides of. The require asserts the footer
+    // stats actually skipped (rows materialized from parquet stay well
+    // under the table), so a silently non-pruning layout fails the
+    // round instead of passing as a slow full scan. Fully
+    // oracle-checked: the layout is a row-identical re-clustering, so
+    // DuckDB over the ORIGINAL lineitem parquet is the exact mirror.
+    "layout_zorder_scan" -> ((s, dir) => {
+      // The timestamp z-dimension is cast to TimestampType before the
+      // layout write: TIMESTAMP_NTZ (which the fixture ships) is not in
+      // ParquetFilters' conversion table, so its predicates never reach
+      // the parquet reader and can skip nothing. Session tz is pinned
+      // UTC at every entry point, so the cast is value-lossless; Layout
+      // itself pins TIMESTAMP_MICROS output (INT96, the Spark default,
+      // carries no usable stats).
+      val li = Tables.lineitem(s, dir)
+        .withColumn("l_shipdate", col("l_shipdate").cast("timestamp"))
+      val path = operators.Layout.zOrderedLayout(s, li,
+        Seq("l_shipdate", "l_extendedprice"),
+        new java.io.File(sys.props("java.io.tmpdir"), "graft_zorder_layouts").getAbsolutePath,
+        nFiles = 64,
+        fingerprintCols = Seq("l_orderkey", "l_linenumber", "l_extendedprice"))
+      def q = s.read.parquet(path)
+        .filter(col("l_shipdate").between(
+          lit("1997-01-01").cast("timestamp"), lit("1998-06-30").cast("timestamp")) &&
+          col("l_extendedprice").between(20000.0, 40000.0))
+        .select("l_orderkey", "l_linenumber", "l_extendedprice", "l_shipdate")
+      val total = li.count()
+      val made = operators.Layout.scanRowsMaterialized(q)
+      // ~21% x ~19% box over a 64-file z-layout touches ~15% of rows;
+      // a full scan (no skipping) would put this at 100%.
+      require(made * 100 <= total * 35,
+        s"layout_zorder_scan: z-layout materialized $made of $total rows — footer-stats " +
+          "skipping did not fire")
+      q.orderBy("l_orderkey", "l_linenumber", "l_extendedprice", "l_shipdate")
+    }),
+
     "ann_lsh_topk" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       val qs = emb.filter(col("vec_id") < 5)
@@ -3001,6 +3040,13 @@ object SparkEntry {
   }
 
   private val oracleMap: Map[String, String] = Map(
+    "layout_zorder_scan" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice, l_shipdate
+        |FROM lineitem
+        |WHERE l_shipdate BETWEEN TIMESTAMP '1997-01-01' AND TIMESTAMP '1998-06-30'
+        |  AND l_extendedprice BETWEEN 20000 AND 40000
+        |ORDER BY l_orderkey, l_linenumber, l_extendedprice, l_shipdate""".stripMargin,
+
     "q4_order_priority" ->
       """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
         |FROM orders
