@@ -909,6 +909,41 @@ object ScaleEvidence {
     if (zMat * 10 > zN)
       failures ::= s"zorder: z materialized $zMat of $zN — over 10% of the table"
 
+    // -------- Bloom-gated incremental dedup at 10M history keys: the
+    // claim under test is the SHUFFLE ASYMMETRY — the gate's answer must
+    // equal the plain anti-join bit-for-bit while the history side is
+    // only scanned (bloom build + broadcast-probe), never exchanged, and
+    // the exact-verify join sees only the candidate sliver (true dups +
+    // ~fpp of the novel rows), not the whole batch. At 100 TB the bloom
+    // (~1.2 bytes/key) is built once and amortized across every daily
+    // batch; the anti-join baseline re-shuffles the full history per
+    // batch.
+    val bgHistN = 10000000L
+    val bgBatchN = 1000000L
+    val bgHist = spark.range(bgHistN).select(col("id").as("k"),
+      (col("id") * 31L % 1000L).as("payload"))
+    // 10% of the batch collides with history, 90% is novel.
+    val bgBatch = spark.range(bgBatchN).select(
+      when(col("id") % 10 === 0, col("id"))
+        .otherwise(col("id") + bgHistN).as("k"),
+      lit(-1L).as("payload"))
+    val ((bgOut, bgStats), tBloomGate) = timed {
+      val r = operators.Dedup.bloomGateWithStats(bgHist, bgBatch, Seq("k"), fpp = 0.01)
+      (r._1.agg(count(lit(1)), coalesce(expr("bit_xor(xxhash64(k))"), lit(0L))).head(), r._2)
+    }
+    val (bgRef, tAntiJoin) = timed {
+      bgBatch.join(bgHist.select("k"), Seq("k"), "left_anti")
+        .agg(count(lit(1)), coalesce(expr("bit_xor(xxhash64(k))"), lit(0L))).head()
+    }
+    if (bgOut != bgRef)
+      failures ::= s"bloom_gate: gate=$bgOut anti-join=$bgRef disagree"
+    val bgDups = bgBatchN / 10
+    if (bgStats.candidates > bgDups + (3 * 0.01 * (bgBatchN - bgDups)).toLong)
+      failures ::= s"bloom_gate: ${bgStats.candidates} candidates — fp rate " +
+        "far above the fpp=0.01 regime"
+    if (bgStats.confirmedDups != bgDups)
+      failures ::= s"bloom_gate: confirmed ${bgStats.confirmedDups} dups, expected $bgDups"
+
     spark.stop()
     def r1(v: Double): String = f"$v%.1f"
     val line =
@@ -945,6 +980,10 @@ object ScaleEvidence {
         s""""zorder_layout":{"n_rows":$zN,"n_files":256,"z_write_sec":${r1(tZWrite)},"linear_write_sec":${r1(tLinWrite)},""" +
         s""""box_selected":${zAnswer.getLong(0)},"z_rows_materialized":$zMat,"linear_rows_materialized":$linMat,""" +
         s""""z_scan_sec":${r1(tZScan)},"linear_scan_sec":${r1(tLinScan)},"answers_equal":${zAnswer == linAnswer}},""" +
+        s""""bloom_gate":{"history_keys":$bgHistN,"batch_rows":$bgBatchN,"fpp":0.01,""" +
+        s""""bloom_negatives":${bgStats.bloomNegatives},"candidates":${bgStats.candidates},""" +
+        s""""confirmed_dups":${bgStats.confirmedDups},"false_positives":${bgStats.falsePositives},""" +
+        s""""gate_sec":${r1(tBloomGate)},"anti_join_sec":${r1(tAntiJoin)},"answers_equal":${bgOut == bgRef}},""" +
         s""""failures":${failures.map("\"" + _ + "\"").mkString("[", ",", "]")}}"""
     Files.writeString(Paths.get(out), line + "\n")
     println(line)

@@ -520,6 +520,34 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "dedup_bloom_gate" -> ((s, dir) => {
+      // Incremental-ingestion novelty gate: lineitems of 1997H1 are the
+      // batch, everything shipped before 1997 the standing corpus; a row
+      // is admitted iff its (l_partkey, l_suppkey) pairing was never seen
+      // — EXACT anti-join semantics (the DuckDB NOT EXISTS is the
+      // oracle), but the history side is summarized into a broadcast
+      // Bloom filter so it is scanned, never shuffled. The requires pin
+      // the mechanism: the no-join fast path must carry >=50% of the
+      // batch (measured ~90% bloom-negative), and the fixture must
+      // actually exercise the false-positive verify path (dups > 0) so a
+      // degenerate always-negative bloom can't pass.
+      val li = Tables.lineitem(s, dir)
+      val history = li.filter(col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+      val batch = li.filter(
+        col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-07-01").cast("timestamp"))
+      val (out, st) = Dedup.bloomGateWithStats(
+        history, batch, Seq("l_partkey", "l_suppkey"), fpp = 0.01)
+      require(st.bloomNegatives * 2 >= st.batchRows,
+        s"dedup_bloom_gate: fast path carried ${st.bloomNegatives} of " +
+          s"${st.batchRows} batch rows — bloom is not pruning")
+      require(st.confirmedDups > 0,
+        "dedup_bloom_gate: fixture exercised no true duplicates — the " +
+          "verify path went untested")
+      out.select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
+        .orderBy("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
+    }),
+
     "dedup_simhash" -> ((s, dir) => {
       // maxHamming 2 of 31 bits: the synthetic docs share vocabulary so
       // random pairs center at distance ~7; 2 keeps the output a
@@ -5088,6 +5116,17 @@ object SparkEntry {
     // split into a standing corpus (doc_id < 150) and a new batch
     // (150-299): a batch doc is blocked by its smallest >=0.5-estimated-
     // Jaccard match among corpus docs and lower-id batch siblings.
+    "dedup_bloom_gate" ->
+      """SELECT b.l_orderkey, b.l_linenumber, b.l_partkey, b.l_suppkey
+        |FROM lineitem b
+        |WHERE b.l_shipdate >= TIMESTAMP '1997-01-01'
+        |  AND b.l_shipdate < TIMESTAMP '1997-07-01'
+        |  AND NOT EXISTS (
+        |    SELECT 1 FROM lineitem h
+        |    WHERE h.l_shipdate < TIMESTAMP '1997-01-01'
+        |      AND h.l_partkey = b.l_partkey AND h.l_suppkey = b.l_suppkey)
+        |ORDER BY b.l_orderkey, b.l_linenumber, b.l_partkey, b.l_suppkey""".stripMargin,
+
     "dedup_incremental" ->
       """WITH t AS (
         |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^\p{L}\p{N}]+'), x -> x <> '') AS toks
