@@ -1705,6 +1705,28 @@ object SparkEntry {
     //      input is salted with synthetic exact copies (+10000) and
     //      case-variant copies (+20000) so both dedup stages measurably
     //      remove rows; min-doc_id keeps the originals.
+    "pipeline_attributes" -> ((s, dir) => {
+      // Dolma-style attribute sidecar + declarative policy: every tagger
+      // family (Gopher rules, quality, language-ID, exact-dup) runs once
+      // and lands as per-doc attribute columns; the keep decision and
+      // its first-failed attribution are pure projections over the
+      // sidecar — re-filtering under a new policy never re-runs a
+      // tagger. doc_id < 40 re-enters as an exact copy so the dedup
+      // attribute actually fires in the fixture.
+      val base = Tables.documents(s, dir).select("doc_id", "text", "lang")
+      val corpus = base.unionByName(
+        base.filter(col("doc_id") < 40).withColumn("doc_id", col("doc_id") + 10000))
+      val attrs = operators.Attributes.tag(corpus)
+      operators.Attributes.decide(attrs, Seq(
+        "exact_dup" -> !col("is_exact_dup"),
+        "gopher" -> col("gopher_keep"),
+        "quality" -> (col("quality") >= 0.5),
+        "lang_mismatch" -> col("lang_match")))
+        .select("doc_id", "n_tokens", "gopher_keep", "quality", "lang_pred",
+          "lang_match", "is_exact_dup", "first_failed", "keep")
+        .orderBy("doc_id")
+    }),
+
     "pretrain_corpus_pipeline" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val base = Tables.documents(s, dir).select(col("doc_id"), col("text"), col("lang"))
@@ -3790,6 +3812,68 @@ object SparkEntry {
         |SELECT best.vec_id, best.cell, (dup.vec_id IS NULL) AS kept
         |FROM best LEFT JOIN dup ON best.vec_id = dup.vec_id
         |ORDER BY best.vec_id""".stripMargin,
+
+    // Attribute sidecar mirror: the gopher CTEs (text_gopher_rules), the
+    // floored quality formula (text_quality), the shared langid chain,
+    // and a min-doc_id-per-text dup window, all rebased onto docs2 (the
+    // corpus plus the doc_id<40 exact copies); first_failed is the same
+    // ordered CASE the Scala policy declares.
+    "pipeline_attributes" ->
+      s"""WITH docs2 AS (
+         |  SELECT doc_id, text, lang FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 10000, text, lang FROM documents WHERE doc_id < 40),
+         |${langidChainSql.replace("FROM documents", "FROM docs2")},
+         |w AS (
+         |  SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), x -> x <> '')) AS w
+         |  FROM docs2),
+         |c AS (SELECT doc_id, w, count(*) AS c FROM w GROUP BY 1, 2),
+         |rep AS (SELECT doc_id, CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE) AS rep_ratio FROM c GROUP BY 1),
+         |gbase AS (
+         |  SELECT doc_id,
+         |    CASE WHEN length(trim(text)) = 0 THEN 0
+         |         ELSE CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS INT) END AS n_tokens,
+         |    CASE WHEN length(trim(text)) = 0 THEN 0.0
+         |         ELSE CAST(len(array_to_string(regexp_split_to_array(trim(text), '\\s+'), '')) AS DOUBLE)
+         |              / CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS DOUBLE) END AS mean_len,
+         |    len(list_distinct(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+         |      x -> list_contains(['the','a','an','and','or','of','to','in','is','it','that','this','for','on','with','as','at','by','be','are'], x)))) AS n_stop
+         |  FROM docs2),
+         |g AS (
+         |  SELECT gbase.doc_id, n_tokens,
+         |    (n_tokens >= 30 AND n_tokens <= 100000) AND (mean_len >= 4.0 AND mean_len <= 10.0)
+         |      AND (coalesce(rep_ratio, 0.0) <= 0.125) AND (n_stop >= 2) AS gopher_keep
+         |  FROM gbase LEFT JOIN rep ON gbase.doc_id = rep.doc_id),
+         |q AS (
+         |  SELECT doc_id,
+         |    floor((least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) * 0.4
+         |      + greatest(0.0, 1.0 - (CASE WHEN length(text) = 0 THEN 0.0
+         |          ELSE CAST(length(regexp_replace(text, '[^[:punct:]]', '', 'g')) AS DOUBLE)
+         |               / CAST(length(text) AS DOUBLE) END) * 5.0) * 0.3
+         |      + least((CASE WHEN length(trim(text)) = 0 THEN 0.0
+         |          ELSE CAST(len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+         |                 x -> list_contains(['the','a','an','and','or','of','to','in','is','it','that','this','for','on','with','as','at','by','be','are'], x))) AS DOUBLE)
+         |               / CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS DOUBLE) END) * 2.5, 1.0) * 0.3
+         |      ) * 1000000.0) / 1000000.0 AS quality
+         |  FROM docs2),
+         |dup AS (
+         |  SELECT doc_id, doc_id <> min(doc_id) OVER (PARTITION BY text) AS is_exact_dup FROM docs2),
+         |j AS (
+         |  SELECT d2.doc_id, g.n_tokens, g.gopher_keep, q.quality, lpred.lang_pred,
+         |    lpred.lang_pred = d2.lang AS lang_match, dup.is_exact_dup
+         |  FROM docs2 d2
+         |  JOIN g ON g.doc_id = d2.doc_id
+         |  JOIN q ON q.doc_id = d2.doc_id
+         |  JOIN lpred ON lpred.doc_id = d2.doc_id
+         |  JOIN dup ON dup.doc_id = d2.doc_id)
+         |SELECT doc_id, n_tokens, gopher_keep, quality, lang_pred, lang_match, is_exact_dup,
+         |  CASE WHEN is_exact_dup THEN 'exact_dup'
+         |       WHEN NOT gopher_keep THEN 'gopher'
+         |       WHEN quality < 0.5 THEN 'quality'
+         |       WHEN NOT lang_match THEN 'lang_mismatch'
+         |       ELSE 'none' END AS first_failed,
+         |  NOT is_exact_dup AND gopher_keep AND quality >= 0.5 AND lang_match AS keep
+         |FROM j ORDER BY doc_id""".stripMargin,
 
     "text_quality" ->
       """WITH t AS (
