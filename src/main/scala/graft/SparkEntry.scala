@@ -964,6 +964,14 @@ object SparkEntry {
       operators.TextRetrieval.lmPerplexity(docs, docs).orderBy("doc_id")
     }),
 
+    "text_perplexity_sb" -> ((s, dir) => {
+      // Trigram Stupid Backoff, self-scored like text_perplexity — the
+      // sharper LM signal for boilerplate (trigram hits) with smooth
+      // backoff for novel text.
+      val docs = Tables.documents(s, dir)
+      operators.TextRetrieval.stupidBackoffPerplexity(docs, docs).orderBy("doc_id")
+    }),
+
     "pack_sequences" -> ((s, dir) => {
       operators.Scale.packSequences(Tables.documents(s, dir), budgetTokens = 512)
         .orderBy("shard", "bin_id")
@@ -4714,6 +4722,50 @@ object SparkEntry {
         |  FROM bg LEFT JOIN bc USING (w1, w2) LEFT JOIN uc ON bg.w1 = uc.w1, v)
         |SELECT doc_id, floor(exp(-avg(logp)) * 10000) / 10000 AS perplexity,
         |  CAST(count(*) AS BIGINT) AS n_bigrams
+        |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // Stupid-backoff mirror: the token/uni/bi CTEs of text_perplexity's
+    // oracle plus trigram counts; the CASE ladder is the same
+    // seen-trigram / backoff-bigram / floored-unigram order as the
+    // Scala `when` chain, with literally matching float shapes
+    // (0.4 * 0.4 * x, doubles divided after CAST).
+    "text_perplexity_sb" ->
+      """WITH tk AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^\p{L}\p{N}]+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |uc AS (SELECT w, CAST(count(*) AS BIGINT) AS uc FROM
+        |  (SELECT unnest(toks) AS w FROM tk) GROUP BY 1),
+        |nt AS (SELECT CAST(sum(uc) AS BIGINT) AS n FROM uc),
+        |bgl AS (
+        |  SELECT doc_id,
+        |    unnest(CASE WHEN len(toks) < 2 THEN CAST([] AS VARCHAR[])
+        |      ELSE list_transform(range(len(toks) - 1),
+        |        i -> toks[CAST(i+1 AS INT)] || ' ' || toks[CAST(i+2 AS INT)]) END) AS gram
+        |  FROM tk),
+        |bc AS (SELECT split_part(gram, ' ', 1) AS w1, split_part(gram, ' ', 2) AS w2,
+        |  CAST(count(*) AS BIGINT) AS bc FROM bgl GROUP BY 1, 2),
+        |tgl AS (
+        |  SELECT doc_id,
+        |    unnest(CASE WHEN len(toks) < 3 THEN CAST([] AS VARCHAR[])
+        |      ELSE list_transform(range(len(toks) - 2),
+        |        i -> toks[CAST(i+1 AS INT)] || ' ' || toks[CAST(i+2 AS INT)] || ' ' || toks[CAST(i+3 AS INT)]) END) AS gram
+        |  FROM tk),
+        |tg AS (SELECT doc_id, split_part(gram, ' ', 1) AS w1, split_part(gram, ' ', 2) AS w2,
+        |  split_part(gram, ' ', 3) AS w3 FROM tgl),
+        |tc AS (SELECT w1, w2, w3, CAST(count(*) AS BIGINT) AS tc FROM tg GROUP BY 1, 2, 3),
+        |sc AS (
+        |  SELECT tg.doc_id,
+        |    ln(CASE WHEN tc.tc IS NOT NULL THEN CAST(tc.tc AS DOUBLE) / CAST(b12.bc AS DOUBLE)
+        |            WHEN b23.bc IS NOT NULL THEN 0.4 * CAST(b23.bc AS DOUBLE) / CAST(u2.uc AS DOUBLE)
+        |            ELSE 0.4 * 0.4 * CAST(COALESCE(u3.uc, 1) AS DOUBLE) / CAST(nt.n AS DOUBLE) END) AS logp
+        |  FROM tg
+        |  LEFT JOIN tc USING (w1, w2, w3)
+        |  LEFT JOIN bc b12 ON tg.w1 = b12.w1 AND tg.w2 = b12.w2
+        |  LEFT JOIN bc b23 ON tg.w2 = b23.w1 AND tg.w3 = b23.w2
+        |  LEFT JOIN uc u2 ON tg.w2 = u2.w
+        |  LEFT JOIN uc u3 ON tg.w3 = u3.w, nt)
+        |SELECT doc_id, floor(exp(-avg(logp)) * 10000) / 10000 AS perplexity,
+        |  CAST(count(*) AS BIGINT) AS n_trigrams
         |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "ngram_top_bigrams" ->

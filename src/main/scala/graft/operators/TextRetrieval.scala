@@ -193,6 +193,81 @@ object TextRetrieval {
           element_at(col("toks"), i + 2).as("w2")))).as("bg"))
       .select(col("doc_id"), col("bg.w1"), col("bg.w2"))
 
+  private def trigramOccurrences(toks: DataFrame): DataFrame =
+    toks
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(0), size(col("toks")) - 3),
+        i => struct(
+          element_at(col("toks"), i + 1).as("w1"),
+          element_at(col("toks"), i + 2).as("w2"),
+          element_at(col("toks"), i + 3).as("w3")))).as("tg"))
+      .select(col("doc_id"), col("tg.w1"), col("tg.w2"), col("tg.w3"))
+
+  /** Trigram Stupid Backoff scorer (Brants et al., EMNLP 2007, "Large
+    * Language Models in Machine Translation") — the n-gram LM designed
+    * FOR distributed count tables: no discounting or normalization pass,
+    * just relative frequencies with a fixed backoff penalty, which is
+    * why it trains as three hash aggregations and scores as equi-joins:
+    *
+    *   S(w3|w1 w2) = C(w1w2w3)/C(w1w2)          if the trigram was seen
+    *               = α · C(w2w3)/C(w2)          else, if the bigram was
+    *               = α² · C(w3)/N               else (α = 0.4, the
+    *                 paper's constant; unseen w3 floors at count 1 so
+    *                 the log stays finite).
+    *
+    * Per-document score = exp(−mean ln S) over its trigrams, floored at
+    * 4 decimals (engine-stable hashing); documents with fewer than
+    * three tokens have no trigrams and are absent. Sharper than the
+    * add-k bigram [[lmPerplexity]] on repeated-phrase boilerplate
+    * (trigram hits dominate) while still backing off smoothly on novel
+    * text — the scale shape is identical: the uni/bi/tri count tables
+    * stay distributed and join on their natural keys (AQE broadcasts
+    * only what measures small), the scalar N broadcasts.
+    */
+  def stupidBackoffPerplexity(
+      lmCorpus: DataFrame,
+      docs: DataFrame,
+      alpha: Double = 0.4): DataFrame = {
+    def tokenized(d: DataFrame) =
+      Scale.parallelismFloor(d)
+        .select(col("doc_id"), tokensCol(col("text")).as("toks"))
+    val lmToks = tokenized(lmCorpus)
+    val uni = lmToks
+      .select(explode(col("toks")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("uc"))
+    val total = uni.agg(sum(col("uc")).as("n_total"))
+    val bi = bigramOccurrences(lmToks)
+      .groupBy("w1", "w2").agg(count(lit(1)).as("bc"))
+    val tri = trigramOccurrences(lmToks)
+      .groupBy("w1", "w2", "w3").agg(count(lit(1)).as("tc"))
+    trigramOccurrences(tokenized(docs))
+      .join(tri, Seq("w1", "w2", "w3"), "left")
+      .join(bi.select(col("w1"), col("w2"), col("bc").as("bc12")),
+        Seq("w1", "w2"), "left")
+      .join(bi.select(col("w1").as("w2"), col("w2").as("w3"), col("bc").as("bc23")),
+        Seq("w2", "w3"), "left")
+      .join(uni.select(col("w").as("w2"), col("uc").as("uc2")), Seq("w2"), "left")
+      .join(uni.select(col("w").as("w3"), col("uc").as("uc3")), Seq("w3"), "left")
+      .crossJoin(broadcast(total))
+      // An empty LM corpus has n_total null — no model to score under;
+      // drop the rows (empty output = "no signal"), same convention as
+      // lmPerplexity.
+      .filter(col("n_total").isNotNull && col("n_total") > 0)
+      .withColumn("s",
+        when(col("tc").isNotNull,
+          col("tc").cast("double") / col("bc12").cast("double"))
+        .when(col("bc23").isNotNull,
+          lit(alpha) * col("bc23").cast("double") / col("uc2").cast("double"))
+        .otherwise(lit(alpha) * lit(alpha) *
+          coalesce(col("uc3"), lit(1L)).cast("double") /
+            col("n_total").cast("double")))
+      .groupBy("doc_id")
+      .agg(
+        TextAnalysis.floorScale(exp(-avg(log(col("s")))), 4).as("perplexity"),
+        count(lit(1)).as("n_trigrams"))
+  }
+
   /** Bigram language-model perplexity per document — the classic
     * pretraining-corpus quality signal (a well-formed document scores a
     * low perplexity under an LM trained on a trusted reference corpus; a
