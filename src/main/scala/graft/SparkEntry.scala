@@ -1048,6 +1048,15 @@ object SparkEntry {
         .limit(20)
     }),
 
+    "w7_funnel" -> ((s, dir) => {
+      // Strict-order conversion funnel with a 7-day completion window —
+      // the drop-off table (classic product analytics; exact
+      // epoch-micros integers end to end, so it hashes).
+      operators.Sessions.funnel(Tables.events(s, dir),
+        Seq("view", "click", "purchase"), maxSpanSeconds = 7L * 86400)
+        .orderBy("step_idx")
+    }),
+
     "w6_sessionize" -> ((s, dir) => {
       // Full gap-based sessionization (w1 is the building block): a
       // > 1-day silence starts a new session; cumulative session index
@@ -4015,6 +4024,26 @@ object SparkEntry {
         |    - CAST(floor(epoch(lag(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id))) AS BIGINT)
         |    AS gap_seconds
         |FROM events ORDER BY user_id, event_id""".stripMargin,
+
+    // Funnel mirror: the same frontier-join chain — each step's first
+    // occurrence strictly after the previous step, within 7 days of the
+    // anchor; all arithmetic in epoch-micros BIGINTs.
+    "w7_funnel" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+        |s1 AS (SELECT user_id, min(us) AS t1 FROM e WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, s1.t1, min(e.us) AS tp FROM e JOIN s1 USING (user_id)
+        |  WHERE e.event_type = 'click' AND e.us > s1.t1
+        |    AND e.us <= s1.t1 + 604800000000 GROUP BY 1, 2),
+        |s3 AS (SELECT e.user_id, s2.t1, min(e.us) AS tp FROM e JOIN s2 USING (user_id)
+        |  WHERE e.event_type = 'purchase' AND e.us > s2.tp
+        |    AND e.us <= s2.t1 + 604800000000 GROUP BY 1, 2)
+        |SELECT 1 AS step_idx, 'view' AS event_type,
+        |  CAST(count(*) AS BIGINT) AS n_users, CAST(0 AS BIGINT) AS sum_latency_us FROM s1
+        |UNION ALL SELECT 2, 'click', CAST(count(*) AS BIGINT),
+        |  CAST(coalesce(sum(tp - t1), 0) AS BIGINT) FROM s2
+        |UNION ALL SELECT 3, 'purchase', CAST(count(*) AS BIGINT),
+        |  CAST(coalesce(sum(tp - t1), 0) AS BIGINT) FROM s3
+        |ORDER BY step_idx""".stripMargin,
 
     "w2_rollup_daily" ->
       """SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day, event_type, count(*) AS n

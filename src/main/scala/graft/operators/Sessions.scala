@@ -81,4 +81,47 @@ object Sessions {
       countDistinct("user_id").as("total_sessions"),
       countDistinct(when(col("ts") > lit(activeCutoff).cast("timestamp"), col("user_id")))
         .as("active_sessions"))
+
+  /** Strict-order funnel: per user, the first `steps.head` event anchors
+    * the funnel; each later step counts only at its first occurrence
+    * STRICTLY AFTER the previous step's time, and the whole chain must
+    * land within `maxSpanSeconds` of the anchor. Emits one row per step
+    * — (step_idx, event_type, n_users, sum_latency_us) — the classic
+    * drop-off table, in exact integers (epoch-micros sums, no float
+    * aggregation) so every engine hashes it identically.
+    *
+    * Plan shape: step 1 is one user-keyed aggregate; each later step is
+    * an equi-join of the (compact, one-row-per-qualifying-user) frontier
+    * frame against only that step's event type, re-aggregated on the
+    * same user key — k−1 shuffles on `user_id` that all share one
+    * partitioning, never a window over the full log and never a
+    * cross-step self-join of events. At 100 TB with date-partitioned
+    * logs the per-step type filter prunes before the shuffle.
+    */
+  def funnel(
+      logs: DataFrame,
+      steps: Seq[String],
+      maxSpanSeconds: Long): DataFrame = {
+    require(steps.size >= 2, "a funnel needs at least two steps")
+    val spanUs = maxSpanSeconds * 1000000L
+    val us = logs.select(
+      col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+    // frontier: (user_id, t1, tPrev) per user still alive in the funnel
+    val first = us.filter(col("event_type") === steps.head)
+      .groupBy("user_id").agg(min(col("us")).as("t1"))
+    val frontiers = steps.tail.scanLeft(first.withColumn("tp", col("t1"))) {
+      case (prev, step) =>
+        us.filter(col("event_type") === step)
+          .join(prev, Seq("user_id"))
+          .filter(col("us") > col("tp") && col("us") <= col("t1") + lit(spanUs))
+          .groupBy("user_id", "t1").agg(min(col("us")).as("tp"))
+    }
+    frontiers.zip(steps).zipWithIndex.map { case ((f, step), i) =>
+      f.agg(
+        lit(i + 1).as("step_idx"),
+        lit(step).as("event_type"),
+        count(lit(1)).as("n_users"),
+        coalesce(sum(col("tp") - col("t1")), lit(0L)).as("sum_latency_us"))
+    }.reduce(_ unionByName _)
+  }
 }
