@@ -1048,6 +1048,18 @@ object SparkEntry {
         .limit(20)
     }),
 
+    "graph_pagerank" -> ((s, dir) => {
+      // Weighted PageRank over the click-stream item-transition graph —
+      // the fixed-point-ranking class (crawl-frontier importance prior,
+      // the Common Crawl host-rank family). Rows-only: 15 float power
+      // iterations don't hash across engines; the Verify gate compares
+      // the distributed fixed point against an independent dense driver
+      // power iteration at 1e-6.
+      operators.Graphs.pageRank(
+          operators.Graphs.itemTransitions(Tables.events(s, dir)))
+        .orderBy(desc("pr"), col("node"))
+    }),
+
     "w7_funnel" -> ((s, dir) => {
       // Strict-order conversion funnel with a 7-day completion window —
       // the drop-off table (classic product analytics; exact

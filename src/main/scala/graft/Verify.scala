@@ -556,6 +556,39 @@ object Verify {
       require(means(true) > means(false),
         s"quality_model: es mean ${means(true)} below rest ${means(false)}")
     }
+
+    // ---- PageRank gate: float power iterations have no cross-engine
+    // hash, so the hard signal is agreement between the DISTRIBUTED
+    // fixed point and an independently-written dense driver power
+    // iteration over the same collected edge list (the item graph is
+    // ~10² nodes — a bounded probe; the distributed path never
+    // collects). 1e-6 absorbs only summation-order float drift.
+    {
+      import org.apache.spark.sql.functions._
+      val got = SparkEntry.queries("graph_pagerank")(spark, sfDir)
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      val edges = operators.Graphs.itemTransitions(Tables.events(spark, sfDir))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+      val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct.sorted
+      val n = nodes.size
+      val outW = edges.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+      var ref = nodes.map(_ -> 1.0 / n).toMap
+      val d = 0.85
+      for (_ <- 1 to 15) {
+        val dangling = nodes.filterNot(outW.contains).map(ref).sum
+        val inC = edges.groupBy(_._2).view.mapValues(
+          _.map { case (s, _, wt) => ref(s) * wt / outW(s) }.sum).toMap
+        ref = nodes.map(v =>
+          v -> ((1 - d) / n + d * (inC.getOrElse(v, 0.0) + dangling / n))).toMap
+      }
+      val maxDiff = nodes.map(v => math.abs(got(v) - ref(v))).max
+      println(f"[equality] graph_pagerank nodes=${got.size} ref=$n maxDiff=$maxDiff%.2e")
+      require(got.keySet == ref.keySet, "graph_pagerank: node set mismatch")
+      require(maxDiff < 1e-6,
+        f"graph_pagerank: diverged from the dense reference by $maxDiff%.2e")
+      require(math.abs(got.values.sum - 1.0) < 1e-9,
+        s"graph_pagerank: ranks sum to ${got.values.sum}, not 1")
+    }
     spark.stop()
   }
 }
