@@ -402,6 +402,70 @@ object Streams {
   case class SessionState(count: Long, lastSeen: Timestamp)
   case class SessionUpdate(user_id: Long, count: Long, lastSeen: Timestamp, expired: Boolean)
 
+  /** One funnel advance: `user_id` reached step `step_idx` (1-based) at
+    * `ts`, `latency_us` after their anchor event. */
+  case class FunnelAdvance(
+      user_id: Long, step_idx: Int, event_type: String,
+      ts: Timestamp, latency_us: Long)
+  case class FunnelProgress(times: List[Long])
+
+  /** Streaming strict-order funnel via flatMapGroupsWithState — the
+    * incremental twin of [[graft.operators.Sessions.funnel]]: per user,
+    * the first `steps.head` event anchors; each later step advances only
+    * at its first occurrence strictly after the previous step and within
+    * `maxSpanSeconds` of the anchor, emitting one [[FunnelAdvance]] per
+    * step reached (0..k records per micro-batch per user — the flatMap
+    * shape mapGroupsWithState can't express).
+    *
+    * State is BOUNDED two ways: a completed funnel removes its state
+    * immediately, and an incomplete one times out (event-time) once the
+    * watermark passes anchor + span — past that point no event can
+    * advance it. Within a micro-batch events are processed in event-time
+    * order (ties are order-insensitive: a same-timestamp event can never
+    * advance past its twin because the order test is strict), so replay
+    * of an in-event-time-order stream emits EXACTLY the batch funnel's
+    * frontier — the spec gate asserts count-and-latency equality per
+    * step. Late events beyond the watermark are dropped, the standard
+    * streaming-completeness trade the batch form doesn't face.
+    */
+  def funnelStream(
+      events: Dataset[SessionEvent],
+      steps: Seq[String],
+      maxSpanSeconds: Long,
+      watermark: String = "1 hour"): Dataset[FunnelAdvance] = {
+    require(steps.size >= 2, "a funnel needs at least two steps")
+    import events.sparkSession.implicits._
+    val spanUs = maxSpanSeconds * 1000000L
+    def micros(t: Timestamp): Long = (t.getTime / 1000) * 1000000L + t.getNanos / 1000
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelProgress, FunnelAdvance](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case (uid, rows, state: GroupState[FunnelProgress]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            var times = state.getOption.map(_.times).getOrElse(Nil)
+            val out = scala.collection.mutable.ArrayBuffer.empty[FunnelAdvance]
+            rows.toSeq.sortBy(e => micros(e.ts)).foreach { e =>
+              val us = micros(e.ts)
+              val k = times.length
+              if (k < steps.size && e.event_type == steps(k) &&
+                  (k == 0 || (us > times.last && us <= times.head + spanUs))) {
+                times = times :+ us
+                out += FunnelAdvance(uid, k + 1, steps(k), e.ts, us - times.head)
+              }
+            }
+            if (times.length == steps.size) state.remove()
+            else if (times.nonEmpty) {
+              state.update(FunnelProgress(times))
+              state.setTimeoutTimestamp(times.head / 1000 + maxSpanSeconds * 1000)
+            }
+            out.iterator
+          }
+      }
+  }
+
   def trackSessions(
       events: Dataset[SessionEvent],
       watermark: String = "1 hour",

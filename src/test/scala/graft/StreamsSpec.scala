@@ -627,4 +627,83 @@ class StreamsSpec extends AnyFunSuite with SparkTestSession {
     assert(streamed(500L)._2 && !streamed(501L)._2,
       s"on-target must pass, off-target must be flagged: $streamed")
   }
+
+  test("streaming funnel: replayed advances equal the batch funnel exactly") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // Mixed per-user shapes: full completion, out-of-order purchase,
+    // past-window purchase, no anchor, same-ts non-advance — every
+    // FunnelSpec case, replayed through three in-event-time-order
+    // micro-batches.
+    val all = Seq(
+      (1L, "view", ts("2024-01-01 00:00:00")), (1L, "click", ts("2024-01-02 00:00:00")),
+      (1L, "purchase", ts("2024-01-04 00:00:00")),
+      (2L, "view", ts("2024-01-01 06:00:00")), (2L, "purchase", ts("2024-01-01 07:00:00")),
+      (2L, "click", ts("2024-01-01 08:00:00")),
+      (3L, "view", ts("2024-01-01 00:00:00")), (3L, "click", ts("2024-01-02 00:00:00")),
+      (3L, "purchase", ts("2024-01-10 00:00:00")), // past the 7-day window
+      (4L, "click", ts("2024-01-01 00:00:00")), (4L, "purchase", ts("2024-01-02 00:00:00")),
+      (5L, "view", ts("2024-01-03 00:00:00")), (5L, "click", ts("2024-01-03 00:00:00")))
+      .sortBy(_._3.getTime)
+    val input = MemoryStream[Streams.SessionEvent]
+    val query = Streams.funnelStream(input.toDS(),
+        Seq("view", "click", "purchase"), maxSpanSeconds = 7L * 86400,
+        watermark = "0 seconds")
+      .writeStream.format("memory").queryName("funnel_adv")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      all.grouped(5).foreach { chunk =>
+        input.addData(chunk.map { case (u, t, time) =>
+          Streams.SessionEvent(time, u, t) }: _*)
+        query.processAllAvailable()
+      }
+      val advances = spark.table("funnel_adv").collect()
+        .map(r => (r.getAs[Int]("step_idx"),
+          (1L, r.getAs[Long]("latency_us"))))
+        .groupBy(_._1).view
+        .mapValues(v => (v.map(_._2._1).sum, v.map(_._2._2).sum)).toMap
+      val batch = graft.operators.Sessions.funnel(
+          all.map { case (u, t, time) => (time, u, t) }.toDF("ts", "user_id", "event_type"),
+          Seq("view", "click", "purchase"), maxSpanSeconds = 7L * 86400)
+        .select("step_idx", "n_users", "sum_latency_us")
+        .as[(Int, Long, Long)].collect()
+        .map(r => r._1 -> ((r._2, r._3))).toMap
+      val streamed = (1 to 3).map(i => i -> advances.getOrElse(i, (0L, 0L))).toMap
+      assert(streamed == batch, s"stream=$streamed batch=$batch")
+      // sanity on the fixture: real drop-off at each step
+      assert(batch(1)._1 == 4 && batch(2)._1 == 3 && batch(3)._1 == 1, batch.toString)
+    } finally query.stop()
+  }
+
+  test("streaming funnel evicts state: completion removes it, timeout reaps the rest") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Streams.SessionEvent]
+    val query = Streams.funnelStream(input.toDS(),
+        Seq("view", "click"), maxSpanSeconds = 60L, watermark = "0 seconds")
+      .writeStream.format("memory").queryName("funnel_evict")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(
+        Streams.SessionEvent(ts("2024-01-01 10:00:00"), 1L, "view"),
+        Streams.SessionEvent(ts("2024-01-01 10:00:30"), 1L, "click"))
+      query.processAllAvailable()
+      // a second click after completion must NOT emit (state was removed,
+      // so the funnel restarts only at a fresh anchor)
+      input.addData(Streams.SessionEvent(ts("2024-01-01 10:00:40"), 1L, "click"))
+      query.processAllAvailable()
+      // user 2 anchors but never converts; watermark far past anchor+span
+      // reaps the state without emitting
+      input.addData(Streams.SessionEvent(ts("2024-01-01 10:01:00"), 2L, "view"))
+      query.processAllAvailable()
+      input.addData(Streams.SessionEvent(ts("2024-01-01 12:00:00"), 3L, "view"))
+      query.processAllAvailable()
+      input.addData(Streams.SessionEvent(ts("2024-01-01 12:00:10"), 3L, "click"))
+      query.processAllAvailable()
+      val rows = spark.table("funnel_evict").collect()
+        .map(r => (r.getAs[Long]("user_id"), r.getAs[Int]("step_idx")))
+      assert(rows.count(_ == ((1L, 2))) == 1, s"duplicate completion: ${rows.toSeq}")
+      assert(!rows.contains((2L, 2)), s"reaped user advanced: ${rows.toSeq}")
+      assert(rows.contains((3L, 2)), s"fresh funnel must still work: ${rows.toSeq}")
+    } finally query.stop()
+  }
 }
