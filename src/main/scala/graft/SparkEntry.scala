@@ -559,6 +559,28 @@ object SparkEntry {
         .orderBy("doc_a", "doc_b")
     }),
 
+    "sample_split_leakage_safe" -> ((s, dir) => {
+      // Split at duplicate-cluster granularity so near-dup twins never
+      // straddle train/test (Lee et al. 2021's leakage failure mode);
+      // singletons split by their own id. The require pins the
+      // by-construction invariant as a regression gate, plus
+      // non-degeneracy of both splits.
+      val docs = Tables.documents(s, dir).filter(col("doc_id") < 200)
+        .select("doc_id", "text")
+      val pairs = Dedup.ngramJaccardPairs(docs, n = 3, threshold = 0.5, maxDf = 150)
+      val out = operators.Scale.leakageSafeSplit(
+        docs.select("doc_id"), pairs, Seq("train" -> 0.8, "test" -> 0.2))
+      val straddle = out.groupBy("cluster_id")
+        .agg(countDistinct(col("split")).as("ns")).filter(col("ns") > 1).count()
+      require(straddle == 0,
+        s"sample_split_leakage_safe: $straddle clusters straddle splits")
+      val sizes = out.groupBy("split").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      require(sizes.getOrElse("train", 0L) > 0 && sizes.getOrElse("test", 0L) > 0,
+        s"sample_split_leakage_safe: degenerate split $sizes")
+      out.select("doc_id", "cluster_id", "split").orderBy("doc_id")
+    }),
+
     "dedup_clusters" -> ((s, dir) => {
       // Pair generation -> connected components -> canonical survivor per
       // duplicate group (what a retention pass actually consumes).
@@ -4826,6 +4848,45 @@ object SparkEntry {
     // Same pair generation as dedup_ngram_jaccard, then transitive
     // closure via recursive CTE; min reachable id = cluster id (Spark
     // converges min-label propagation to the same fixpoint).
+    // Leakage-safe split mirror: the dedup_clusters transitive-closure
+    // chain for cluster labels, singletons defaulting to their own id,
+    // then the shard_deterministic Knuth hash of (cluster_id + seed 42)
+    // against floor(0.8 * 2^32) = 3435973836.
+    "sample_split_leakage_safe" ->
+      """WITH RECURSIVE sh0 AS (
+        |  SELECT doc_id, unnest(list_distinct(
+        |    [substr(text, i + 1, 3) FOR i IN range(length(text) - 2)])) AS shingle
+        |  FROM documents WHERE doc_id < 200 AND length(text) >= 3),
+        |dfx AS (SELECT shingle, count(*) AS df FROM sh0 GROUP BY shingle),
+        |sh AS (SELECT sh0.* FROM sh0 JOIN dfx USING (shingle) WHERE df <= 150),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id),
+        |pairs AS (
+        |  SELECT doc_a, doc_b FROM inter
+        |  JOIN sizes sa ON sa.doc_id = doc_a
+        |  JOIN sizes sb ON sb.doc_id = doc_b
+        |  WHERE CAST(inter AS DOUBLE) / CAST(sa.n + sb.n - inter AS DOUBLE) >= 0.5),
+        |edges AS (
+        |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+        |  UNION SELECT doc_b, doc_a FROM pairs),
+        |reach(node, r) AS (
+        |  SELECT DISTINCT src, src FROM edges
+        |  UNION
+        |  SELECT e.src, r.r FROM edges e JOIN reach r ON e.dst = r.node),
+        |cl AS (SELECT node AS doc_id, min(r) AS cluster_id FROM reach GROUP BY node),
+        |lab AS (
+        |  SELECT d.doc_id, coalesce(cl.cluster_id, d.doc_id) AS cluster_id
+        |  FROM (SELECT doc_id FROM documents WHERE doc_id < 200) d
+        |  LEFT JOIN cl USING (doc_id)),
+        |hx AS (SELECT doc_id, cluster_id,
+        |  ((cluster_id + 42) * 2654435761) % 4294967296 AS sh FROM lab)
+        |SELECT doc_id, cluster_id,
+        |  CASE WHEN sh < 3435973836 THEN 'train' ELSE 'test' END AS split
+        |FROM hx ORDER BY doc_id""".stripMargin,
+
     "dedup_clusters" ->
       """WITH RECURSIVE sh0 AS (
         |  SELECT doc_id, unnest(list_distinct(

@@ -268,6 +268,45 @@ object Scale {
       .withColumn("shard", pmod(col("shuffle_hash"), lit(shards.toLong)))
   }
 
+  /** Leakage-safe split: assign train/val/test at the DUPLICATE-CLUSTER
+    * granularity, not the document — near-dup twins straddling a split
+    * leak test content into training and inflate held-out metrics (the
+    * failure mode Lee et al. 2021, "Deduplicating Training Data Makes
+    * Language Models Better", measures). Documents in no pair form
+    * singleton clusters (their own doc_id); every document of a cluster
+    * then follows one deterministic hash of the CLUSTER id through the
+    * cumulative split weights — by construction no cluster can straddle.
+    *
+    * Scale shape: clusters come from the iterative components pass over
+    * the pairs frame ([[Dedup.duplicateClusters]] — O(log n) rounds of
+    * short-key equi-joins); the assignment itself is a broadcast-free
+    * left join plus a pure integer projection ([[knuthHash32]], the
+    * shard_deterministic discipline), so re-splitting under new weights
+    * re-runs only the projection.
+    */
+  def leakageSafeSplit(
+      docs: DataFrame,
+      dupPairs: DataFrame,
+      splits: Seq[(String, Double)],
+      seed: Long = 42L): DataFrame = {
+    require(splits.size >= 2 && splits.forall(_._2 > 0),
+      "leakageSafeSplit needs >= 2 positive-weight splits")
+    val m = 4294967296L
+    val total = splits.map(_._2).sum
+    val bounds = splits.map(_._2).scanLeft(0.0)(_ + _).tail
+      .map(c => math.floor(c / total * m).toLong)
+    val clusters = Dedup.duplicateClusters(dupPairs)
+      .select(col("doc_id"), col("cluster_id"))
+    val h = knuthHash32(pmod(col("cluster_id"), lit(m)) + lit(seed))
+    val split = splits.init.zip(bounds.init).reverse
+      .foldLeft(lit(splits.last._1): Column) { case (acc, ((name, _), b)) =>
+        when(h < lit(b), name).otherwise(acc)
+      }
+    docs.join(clusters, Seq("doc_id"), "left")
+      .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id")))
+      .withColumn("split", split)
+  }
+
   def temperatureMixSample(
       docs: DataFrame,
       strataCol: String = "lang",
