@@ -538,9 +538,16 @@ object SparkEntry {
           col("l_shipdate") < lit("1997-07-01").cast("timestamp"))
       val (out, st) = Dedup.bloomGateWithStats(
         history, batch, Seq("l_partkey", "l_suppkey"), fpp = 0.01)
-      require(st.bloomNegatives * 2 >= st.batchRows,
-        s"dedup_bloom_gate: fast path carried ${st.bloomNegatives} of " +
-          s"${st.batchRows} batch rows — bloom is not pruning")
+      // Scale-free pruning invariant: candidates beyond the TRUE dups
+      // must stay inside the fpp regime (3x margin + a small-sample
+      // floor) — at every sf the verify join sees only the dup sliver,
+      // never the batch. (A fixed "fast path >= 50%" bound is NOT
+      // scale-free: at sf0.001 the tiny part/supplier key space makes
+      // the genuine dup fraction itself ~60%.)
+      val novel = st.batchRows - st.confirmedDups
+      require(st.falsePositives <= math.max(50L, (3 * 0.01 * novel).toLong),
+        s"dedup_bloom_gate: ${st.falsePositives} false positives over " +
+          s"$novel novel rows — far above the fpp=0.01 regime")
       require(st.confirmedDups > 0,
         "dedup_bloom_gate: fixture exercised no true duplicates — the " +
           "verify path went untested")
@@ -2058,6 +2065,19 @@ object SparkEntry {
       val qs = emb.filter(col("vec_id") < 5)
         .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"))
       operators.Ann.lshTopK(qs, emb, k = 2, nBits = 8, probeBits = 2)
+        .withColumn("sim", round(col("sim"), 6))
+        .orderBy("query_id", "rank")
+    }),
+
+    "ann_lsh_multiprobe" -> ((s, dir) => {
+      // Query-adaptive multi-probe (Lv et al. 2007): 16 margin-ordered
+      // probes instead of the 37-bucket Hamming-2 ball — recall floor
+      // HIGHER than the blind tier at under half the bucket reads
+      // (Verify gates both tiers side by side).
+      val emb = Tables.embeddings(s, dir)
+      val qs = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"))
+      operators.Ann.lshTopKAdaptive(qs, emb, k = 2, nBits = 8, nProbes = 16)
         .withColumn("sim", round(col("sim"), 6))
         .orderBy("query_id", "rank")
     }),

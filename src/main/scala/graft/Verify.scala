@@ -62,7 +62,14 @@ object Verify {
       // 0.6 @sf0.1, IVF 1.0 at both) with margin for data drift, not so
       // far under that a real regression (a broken probe or band join)
       // slips through.
-      Seq("ann_lsh_topk" -> 0.5, "ann_ivf_topk" -> 0.8).foreach { case (name, thr) =>
+      // ann_lsh_multiprobe: 16 margin-ordered adaptive probes vs
+      // ann_lsh_topk's 37-bucket Hamming-2 ball — measured 0.60
+      // @sf0.01 / 0.70 @sf0.1 (vs the blind tier's 0.70/0.60), i.e. the
+      // same recall class at 43% of the bucket reads; floor 0.55 sits
+      // above the blind tier's 0.5 with drift margin under both
+      // measurements.
+      Seq("ann_lsh_topk" -> 0.5, "ann_lsh_multiprobe" -> 0.55,
+          "ann_ivf_topk" -> 0.8).foreach { case (name, thr) =>
         val approx = SparkEntry.queries(name)(spark, sfDir)
           .select("query_id", "vec_id").collect()
           .map(r => (r.getLong(0), r.getLong(1))).toSet

@@ -59,6 +59,78 @@ object Ann {
     }.distinct.filterNot(_ == sig)
   }
 
+  /** Query-adaptive multi-probe order (Lv et al., VLDB 2007,
+    * "Multi-Probe LSH"): instead of probing EVERY Hamming-≤r neighbor,
+    * probe the `nProbes` buckets a near neighbor is most likely to land
+    * in — perturbation sets ordered by the summed |margin| of the
+    * flipped hyperplanes (a plane whose dot product was near zero is
+    * the plane a true neighbor most plausibly sits across; a
+    * high-margin plane almost never flips). Enumerates subsets of the
+    * `maxFlipBits` lowest-margin planes and keeps the `nProbes`
+    * cheapest; probe 0 is always the home bucket. The probe count IS
+    * the scale cost — each probe is a bucket read (a partition
+    * directory in the layout form) — so better probes buy either
+    * recall at fixed cost or cost at fixed recall.
+    */
+  def adaptiveProbes(
+      v: Seq[Float], nBits: Int, nProbes: Int, maxFlipBits: Int = 10): Array[Int] = {
+    val dots = new Array[Double](nBits)
+    var b = 0
+    while (b < nBits) {
+      var d = 0.0
+      var i = 0
+      while (i < v.length) { d += v(i) * planeComp(b, i); i += 1 }
+      dots(b) = d
+      b += 1
+    }
+    var sig = 0
+    for (b2 <- 0 until nBits) if (dots(b2) >= 0) sig |= 1 << b2
+    val order = (0 until nBits).sortBy(b2 => math.abs(dots(b2)))
+      .take(math.min(maxFlipBits, nBits))
+    val m = order.length
+    val scored = (0 until (1 << m)).map { mask =>
+      var score = 0.0
+      var flip = 0
+      var j = 0
+      while (j < m) {
+        if ((mask & (1 << j)) != 0) {
+          score += math.abs(dots(order(j)))
+          flip |= 1 << order(j)
+        }
+        j += 1
+      }
+      (score, sig ^ flip)
+    }
+    scored.sortBy(_._1).take(nProbes).map(_._2).toArray
+  }
+
+  /** [[lshTopK]] with the query-adaptive probe order: same bucket join
+    * and exact rerank, but each query probes its `nProbes` best buckets
+    * instead of the full Hamming ball (37 buckets at nBits=8,
+    * probeBits=2) — the Verify gate holds this to a HIGHER recall floor
+    * than the Hamming tier at under half the probes.
+    */
+  def lshTopKAdaptive(
+      queries: DataFrame,
+      corpus: DataFrame,
+      k: Int,
+      nBits: Int = 8,
+      nProbes: Int = 16): DataFrame = {
+    val sigU = signatureUdf(nBits)
+    val probesU = udf((v: Seq[Float]) =>
+      if (v == null) Array.empty[Int]
+      else adaptiveProbes(v, nBits, nProbes))
+    val bucketed = corpus.withColumn("sig", sigU(col("embedding")))
+    val probed = queries.withColumn("sig", explode(probesU(col("q_embedding"))))
+    val cands = bucketed.join(broadcast(probed), "sig")
+      .withColumn("sim", VectorExpressions.cosineSim(col("q_embedding"), col("embedding")))
+    val w = Window.partitionBy("query_id").orderBy(desc("sim"), asc("vec_id"))
+    cands
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "vec_id", "sim")
+  }
+
   /** LSH-bucketed top-k: join queries to corpus on (probed) signature
     * buckets, exact-rerank candidates. `queries(query_id, q_embedding)`,
     * `corpus(vec_id, embedding)`.

@@ -78,6 +78,16 @@ class BloomGateSpec extends AnyFunSuite with SparkTestSession {
     assert(out.filter(col("key") === "x").count() == 0)
   }
 
+  test("bloom sizing honors the requested fpp at 10M keys (no maxNumBits cap)") {
+    // stat.bloomFilter routes through BloomFilterAggregate, whose bit
+    // count is clamped at 2^26 by default — at 10M keys that silently
+    // degrades fpp to ~0.11. buildBloom must report the OPTIMAL sizing.
+    val hashes = spark.range(10000000L).select(xxhash64(col("id")).as("h"))
+    val bf = Dedup.buildBloom(hashes, 10000000L, 0.01)
+    assert(bf.bitSize() > (1L << 26), s"bits=${bf.bitSize()} — capped")
+    assert(bf.expectedFpp() <= 0.02, s"expectedFpp=${bf.expectedFpp()}")
+  }
+
   test("broadcast-verify path never sort-merge-joins (history not shuffled)") {
     val out = Dedup.bloomGate(history, batch, Seq("key"), fpp = 0.01)
     out.collect()

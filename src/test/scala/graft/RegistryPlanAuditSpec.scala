@@ -58,7 +58,8 @@ class RegistryPlanAuditSpec extends AnyFunSuite with SparkTestSession {
     // corpus — identical bounded-broadcast shape.
     "ann_pq_adc_topk", "ann_opq_adc_topk",
     // broadcast 1-row corpus-statistics attach (n_docs/avgdl/LM totals)
-    "bm25_topk", "tfidf_top_terms", "text_perplexity", "text_rarity_score",
+    "bm25_topk", "tfidf_top_terms", "text_perplexity", "text_perplexity_sb",
+    "text_rarity_score",
     // DSIR: broadcast 1-row (r_total, t_total) attach onto the
     // ≤nBuckets-row λ table — the corpus-scale feature stream joins λ
     // by an equi-join on bucket, never through the NLJ
