@@ -575,8 +575,11 @@ object SparkEntry {
       val docs = Tables.documents(s, dir).filter(col("doc_id") < 200)
         .select("doc_id", "text")
       val pairs = Dedup.ngramJaccardPairs(docs, n = 3, threshold = 0.5, maxDf = 150)
+      // One materialization feeds the two require-audits AND the
+      // result: without it each action re-runs the components lineage.
       val out = operators.Scale.leakageSafeSplit(
         docs.select("doc_id"), pairs, Seq("train" -> 0.8, "test" -> 0.2))
+        .localCheckpoint(true)
       val straddle = out.groupBy("cluster_id")
         .agg(countDistinct(col("split")).as("ns")).filter(col("ns") > 1).count()
       require(straddle == 0,

@@ -62,24 +62,38 @@ object Graphs {
       .localCheckpoint(true)
     val n = nodes.count()
     require(n > 0, "pageRank needs a non-empty graph")
+    // Normalized transition shares and the per-node dangling flag are
+    // ITERATION-INVARIANT — build them once, checkpoint once; each
+    // iteration then costs exactly one materialization job (the
+    // localCheckpoint), with the dangling-mass total riding the lineage
+    // as a broadcast 1-row aggregate instead of a per-iteration
+    // driver collect.
     val outW = e.groupBy(col("src")).agg(sum(col("w")).as("out_w"))
+    val shares = e.join(outW, "src")
+      .select(col("src").as("node"), col("dst"),
+        (col("w") / col("out_w")).as("share"))
       .localCheckpoint(true)
-    var pr = nodes.withColumn("pr", lit(1.0 / n)).localCheckpoint(true)
+    val marked = nodes.join(
+        outW.select(col("src").as("node"), lit(true).as("has_out")),
+        Seq("node"), "left")
+      .select(col("node"), coalesce(col("has_out"), lit(false)).as("has_out"))
+      .localCheckpoint(true)
+    var pr = marked.withColumn("pr", lit(1.0 / n)).localCheckpoint(true)
     for (_ <- 1 to iters) {
-      val dangling = pr.join(outW, pr("node") === outW("src"), "left_anti")
-        .agg(coalesce(sum(col("pr")), lit(0.0))).head().getDouble(0)
-      val contrib = e
-        .join(outW, "src")
-        .join(pr, e("src") === pr("node"))
-        .select(col("dst").as("node"), (col("pr") * col("w") / col("out_w")).as("c"))
+      val mass = pr.agg(
+        coalesce(sum(when(!col("has_out"), col("pr"))), lit(0.0)).as("dangling"))
+      val contrib = shares.join(pr.select(col("node"), col("pr")), Seq("node"))
+        .select(col("dst").as("node"), (col("pr") * col("share")).as("c"))
         .groupBy("node").agg(sum(col("c")).as("in_c"))
-      pr = nodes.join(contrib, Seq("node"), "left")
-        .select(col("node"),
+      pr = marked.join(contrib, Seq("node"), "left")
+        .crossJoin(broadcast(mass))
+        .select(col("node"), col("has_out"),
           (lit((1 - damping) / n) +
-            lit(damping) * (coalesce(col("in_c"), lit(0.0)) + lit(dangling / n)))
+            lit(damping) * (coalesce(col("in_c"), lit(0.0)) +
+              col("dangling") / lit(n.toDouble)))
             .as("pr"))
         .localCheckpoint(true)
     }
-    pr
+    pr.select(col("node"), col("pr"))
   }
 }
