@@ -2354,6 +2354,29 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    "ann_ivfpq_local_topk" -> ((s, dir) => {
+      // LOPQ-style per-cell residual books (Kalantidis & Avrithis 2014):
+      // every IVF cell trains its own m x k* books via mapGroups (cells
+      // train in parallel), so the code budget adapts to each cell's
+      // local residual distribution — the standard low-overfetch recall
+      // lever after OPQ. Query-side LUTs are built per (query, probed
+      // cell) with that cell's books; recall hard-gated in Verify
+      // side-by-side with the global-residual tier.
+      val emb = Tables.embeddings(s, dir)
+      val (centroids, _) = operators.Ann.buildIvfCached(
+        s, emb, cacheKey = dir, nCells = 8, maxIter = 3)
+      val books = operators.Ann.trainLocalPqCodebooksCached(
+        emb, cacheKey = dir, centroids, m = 8, dsub = 8, kStar = 16, maxIter = 5)
+      val base = new java.io.File(
+        sys.props("java.io.tmpdir"), "graft_ann_layouts").getAbsolutePath
+      val layout = operators.Ann.ivfPqLocalLayout(s, emb, base, centroids, books)
+      val qs = emb.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"))
+      operators.Ann.ivfPqLocalTopK(
+        s, layout, qs, centroids, books, k = 10, nProbe = 3)
+        .orderBy("query_id", "rank")
+    }),
+
     "ann_ivfpq_residual_topk" -> ((s, dir) => {
       // Residual-encoded IVF-PQ (IVFADC proper, Jégou et al. TPAMI
       // 2011): codes quantize x − centroid(cell) under books trained on

@@ -250,7 +250,30 @@ object Verify {
         k = 10, nProbe = 3, overfetch = 4)
         .select("query_id", "vec_id").collect()
         .map(r => (r.getLong(0), r.getLong(1))).toSet
+      // Per-cell (LOPQ) gate: same probe budget and layout discipline as
+      // the global-residual tier, with each probed cell scored under its
+      // OWN books; floored at the residual tier's threshold and printed
+      // side-by-side (cells adapt the code budget locally — the lift
+      // shows where cells have structure; the near-random sf corpora
+      // bound it near the residual figure).
+      val localBooks = operators.Ann.trainLocalPqCodebooksCached(
+        emb, cacheKey = sfDir, centroids, m = 8, dsub = 8, kStar = 16, maxIter = 5)
+      val localLayout = operators.Ann.ivfPqLocalLayout(
+        spark, emb,
+        new java.io.File(sys.props("java.io.tmpdir"), "graft_ann_layouts").getAbsolutePath,
+        centroids, localBooks)
+      val localApprox = operators.Ann.ivfPqLocalTopK(
+        spark, localLayout, qsIvf, centroids, localBooks, k = 10, nProbe = 3)
+        .select("query_id", "vec_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
       val (rerankThr, residualThr) = if (nCorpus <= 1000) (0.30, 0.20) else (0.15, 0.10)
+      locally {
+        val localR = exactEuc.count(localApprox.contains).toDouble / exactEuc.size
+        val resR = exactEuc.count(residualApprox.contains).toDouble / exactEuc.size
+        println(f"[recall] ann_ivfpq_local_topk = $localR%.3f (global residual = $resR%.3f, gate >= $residualThr)")
+        require(localR >= residualThr,
+          s"ann_ivfpq_local_topk recall $localR below gate $residualThr")
+      }
       Seq(("ann_pq_trained_topk", pqApprox, pqThr), ("ann_ivfpq_topk", ivfpqApprox, ivfpqThr),
           ("ann_ivfpq_rerank", rerankApprox, rerankThr),
           ("ann_ivfpq_residual_topk", residualApprox, residualThr),

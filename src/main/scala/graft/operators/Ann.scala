@@ -1614,6 +1614,185 @@ object Ann {
       .select("query_id", "rank", "vec_id", "adc_dist")
   }
 
+  // ------------------------------------------- per-cell (local) codebooks
+  /** LOPQ-style per-cell residual codebooks (Kalantidis & Avrithis,
+    * CVPR 2014, "Locally Optimized Product Quantization"): every IVF
+    * cell trains its OWN m×k* residual books, so the code budget adapts
+    * to each cell's local residual distribution instead of one global
+    * compromise across all cells — the standard recall lift at low
+    * overfetch after OPQ.
+    *
+    * Training is distributed BY CELL: a bounded lowest-vec_id sample
+    * per cell (`maxPerCell`, via one per-cell rank window — at 100 TB
+    * put a hash pre-sample in front so no cell's sample exceeds the
+    * cap by orders of magnitude) feeds `mapGroups`, where each group
+    * runs the in-memory Lloyd twin ([[localPqTrain]], the OPQ
+    * alternation's trainer) on its own cell — cells train in PARALLEL
+    * across executors and per-task state is one cell's sample. Sample
+    * rows are sorted by vec_id inside the group, so training is
+    * deterministic regardless of partitioning. Driver state is
+    * `nCells × m × k* × dsub` doubles (a few MB at production shapes).
+    */
+  def trainLocalPqCodebooks(
+      corpus: DataFrame,
+      centroids: Array[Array[Float]],
+      m: Int,
+      dsub: Int,
+      kStar: Int,
+      maxIter: Int = 5,
+      maxPerCell: Int = 2000): Map[Int, Seq[Seq[Seq[Double]]]] = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val w = Window.partitionBy("cell").orderBy("vec_id")
+    val sampled = residualFrame(corpus, centroids)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= maxPerCell)
+      .select(col("cell"), col("vec_id"), col("embedding"))
+      .as[(Int, Long, Seq[Float])]
+    sampled.groupByKey(_._1).mapGroups { (cell, it) =>
+      val ys = it.toArray.sortBy(_._2).map(_._3.map(_.toDouble).toArray)
+      (cell,
+        localPqTrain(ys, m, dsub, kStar, maxIter).map(_.map(_.toSeq).toSeq).toSeq)
+    }.collect().toMap
+  }
+
+  private val localBookCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Map[Int, Seq[Seq[Seq[Double]]]]]()
+
+  /** [[trainLocalPqCodebooks]] memoized under the corpus fingerprint +
+    * centroid hash (the [[trainPqCodebooksResidualCached]] lifecycle).
+    */
+  def trainLocalPqCodebooksCached(
+      corpus: DataFrame,
+      cacheKey: String,
+      centroids: Array[Array[Float]],
+      m: Int,
+      dsub: Int,
+      kStar: Int,
+      maxIter: Int = 5,
+      maxPerCell: Int = 2000): Map[Int, Seq[Seq[Seq[Double]]]] = {
+    val fpRow = corpus.agg(
+      count(lit(1)).as("n"),
+      coalesce(expr("bit_xor(xxhash64(vec_id, embedding))"), lit(0L)).as("fp"))
+      .head()
+    val cFp = MurmurHash3.orderedHash(centroids.iterator.flatten.map(_.toDouble))
+    val key = s"$cacheKey|lopq$cFp|${fpRow.getLong(0)}|${fpRow.getLong(1)}" +
+      s"|$m|$dsub|$kStar|$maxIter|$maxPerCell"
+    localBookCache.computeIfAbsent(key,
+      _ => trainLocalPqCodebooks(corpus, centroids, m, dsub, kStar, maxIter, maxPerCell))
+  }
+
+  /** [[writeIvfPqResidualPartitioned]] with PER-CELL books: each row's
+    * residual encodes under its own cell's codebooks. The encoder is a
+    * broadcast-map UDF (the books differ per cell, so the codegen'd
+    * literal-codebook expression can't apply) — a one-pass write-side
+    * cost; the probe side still streams only the m-byte codes. Same
+    * argmin/lowest-code tie rule as every other encoder.
+    */
+  def writeIvfPqLocalPartitioned(
+      corpus: DataFrame,
+      centroids: Array[Array[Float]],
+      localBooks: Map[Int, Seq[Seq[Seq[Double]]]],
+      path: String): Unit = {
+    val spark = corpus.sparkSession
+    val m = localBooks.values.head.length
+    val bc = spark.sparkContext.broadcast(localBooks)
+    val encU = udf { (cell: Int, emb: Seq[Float]) =>
+      val books = bc.value(cell)
+      Array.tabulate(books.length) { s =>
+        val ds = books(s).head.length
+        var best = 0
+        var bd = Double.MaxValue
+        var c = 0
+        while (c < books(s).length) {
+          var d = 0.0
+          var j = 0
+          while (j < ds) {
+            val x = emb(s * ds + j) - books(s)(c)(j); d += x * x; j += 1
+          }
+          if (d < bd) { bd = d; best = c }
+          c += 1
+        }
+        best
+      }
+    }
+    residualFrame(corpus, centroids)
+      .withColumn("codes", encU(col("cell"), col("embedding")))
+      .select(col("vec_id") +:
+        (0 until m).map(s => col("codes").getItem(s).as(s"code_$s")) :+
+        col("cell"): _*)
+      .repartition(col("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(path)
+  }
+
+  /** Build-once [[writeIvfPqLocalPartitioned]] layout (distinct
+    * `ivfpqlo_` prefix; fingerprint covers corpus, centroids and every
+    * cell's books in cell order).
+    */
+  def ivfPqLocalLayout(
+      spark: SparkSession,
+      corpus: DataFrame,
+      baseDir: String,
+      centroids: Array[Array[Float]],
+      localBooks: Map[Int, Seq[Seq[Seq[Double]]]]): String = {
+    val fpRow = corpus.agg(
+      count(lit(1)).as("n"),
+      coalesce(expr("bit_xor(xxhash64(vec_id, embedding))"), lit(0L)).as("fp"))
+      .head()
+    val idxFp = MurmurHash3.orderedHash(
+      centroids.iterator.flatten.map(_.toDouble) ++
+        localBooks.toSeq.sortBy(_._1).iterator.flatMap(
+          kv => Iterator(kv._1.toDouble) ++ kv._2.iterator.flatten.flatten))
+    val path = s"$baseDir/ivfpqlo_c${centroids.length}" +
+      s"_n${fpRow.getLong(0)}_fp${java.lang.Long.toHexString(fpRow.getLong(1))}" +
+      s"_ix${Integer.toHexString(idxFp)}"
+    val success = new org.apache.hadoop.fs.Path(path, "_SUCCESS")
+    val fs = success.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(success))
+      writeIvfPqLocalPartitioned(corpus, centroids, localBooks, path)
+    path
+  }
+
+  /** [[ivfPqResidualTopK]] under per-cell books: the (query, probed
+    * cell) LUT is built from the query residual with THAT CELL's
+    * codebooks — everything else (partition-pruned scan, broadcast
+    * probe frame, floored ADC ranking) is the residual path verbatim.
+    * Probed cells that hold no corpus rows have no books and no
+    * candidates; they are skipped.
+    */
+  def ivfPqLocalTopK(
+      spark: SparkSession,
+      path: String,
+      queries: DataFrame,
+      centroids: Array[Array[Float]],
+      localBooks: Map[Int, Seq[Seq[Seq[Double]]]],
+      k: Int,
+      nProbe: Int = 3): DataFrame = {
+    import spark.implicits._
+    val m = localBooks.values.head.length
+    val qRows = queries.select("query_id", "q_embedding").collect()
+    val probes: Seq[(Long, Int, Seq[Seq[Double]])] = qRows.toSeq.flatMap { r =>
+      val q = r.getSeq[Float](1)
+      nearestCells(q, centroids, nProbe)
+        .filter(localBooks.contains)
+        .map { c =>
+          val res = Array.tabulate(q.length)(i => q(i) - centroids(c)(i))
+          (r.getLong(0), c, adcLut(localBooks(c), res))
+        }
+    }
+    val cellSet = probes.map(_._2).distinct
+    val codes = spark.read.parquet(path).filter(col("cell").isin(cellSet: _*))
+    val probed = probes.toDF("query_id", "cell", "lut")
+    codes.join(broadcast(probed), "cell")
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("adc_dist", graft.functions.TextAnalysis.floorScale(
+        adcFromLut(m), 6))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("query_id").orderBy(asc("adc_dist"), asc("vec_id"))))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "vec_id", "adc_dist")
+  }
+
   // ------------------------------------------- incremental IVF-PQ index
   /** Append one ingest batch to a VERSIONED IVF-PQ root as its own
     * `batch=<id>` partition tree (`root/batch=<id>/cell=<c>/…`): assign +
