@@ -519,6 +519,41 @@ object ScaleEvidence {
         failures ::= f"opq_sweep: recall $rec%.3f below 0.5 at nProbe=$np overfetch=1"
     }
 
+    // -------- LOPQ (per-cell residual books) at 10⁶: the
+    // after-OPQ lever on the overfetch=1 frontier — every one of the
+    // 128 cells trains its own books in parallel (mapGroups), encoding
+    // and probing under the cell's own codebook. Graded against the
+    // SAME exact euclidean top-k at the sweep's nProbe points. Failure
+    // wiring mirrors OPQ: floor under every setting + non-inferiority
+    // vs the plain global-book sweep with 0.05 slack (the structural
+    // win — per-cell adaptation — is spec-pinned on a cell-structured
+    // fixture in LopqSpec; the claim recorded at scale is "never worse,
+    // same probe cost").
+    val (lopqBooks, tLopqTrain) = timed {
+      operators.Ann.trainLocalPqCodebooks(
+        bigV, ivfCents, m = 8, dsub = 8, kStar = 16, maxIter = 5)
+    }
+    val lopqDir = Files.createTempDirectory("graft_scale_lopq").toString
+    val (_, tLopqBuild) = timed {
+      operators.Ann.writeIvfPqLocalPartitioned(bigV, ivfCents, lopqBooks, s"$lopqDir/codes")
+    }
+    val lopqSweep = Seq(2, 8, 32).map { np =>
+      val (pairs, tS) = timed {
+        operators.Ann.ivfPqLocalTopK(
+          spark, s"$lopqDir/codes", queries, ivfCents, lopqBooks, k = 5, nProbe = np)
+          .select("query_id", "vec_id").collect()
+          .map(r => (r.getLong(0), r.getLong(1)))
+      }
+      (np, pairs.count(exactEucPairs.contains).toDouble / exactEucPairs.size, tS)
+    }
+    lopqSweep.foreach { case (np, rec, _) =>
+      if (rec < 0.5)
+        failures ::= f"lopq_sweep: recall $rec%.3f below 0.5 at nProbe=$np overfetch=1"
+      val plain = sweep.find(s => s._1 == np && s._2 == 1).get._3
+      if (rec + 0.05 < plain)
+        failures ::= f"lopq_sweep: recall $rec%.3f more than 0.05 below plain $plain%.3f at nProbe=$np"
+    }
+
     // -------- incremental IVF-PQ maintenance at 10⁶: the versioned root.
     // Base = the full 10⁶-vector corpus as one batch write; then a
     // ~5k-row ingest batch appends under the STANDING index (only the
@@ -972,6 +1007,10 @@ object ScaleEvidence {
         s""""ann_opq":{"train_sec":${r1(tOpqTrain)},"build_sec":${r1(tOpqBuild)},"flat_adc_sec":${r1(tOpqFlat)},""" +
         f""""flat_recall_plain":$flatPlainEucRecall%.3f,"flat_recall_opq":$opqFlatRecall%.3f,""" +
         s""""sweep":${opqSweep.map { case (np, rec, tS) =>
+          f"""{"n_probe":$np,"overfetch":1,"recall_vs_exact":$rec%.3f,"probe_sec":${r1(tS)}}"""
+        }.mkString("[", ",", "]")}},""" +
+        s""""ann_lopq":{"train_sec":${r1(tLopqTrain)},"build_sec":${r1(tLopqBuild)},"n_cells":${lopqBooks.size},""" +
+        s""""sweep":${lopqSweep.map { case (np, rec, tS) =>
           f"""{"n_probe":$np,"overfetch":1,"recall_vs_exact":$rec%.3f,"probe_sec":${r1(tS)}}"""
         }.mkString("[", ",", "]")}},""" +
         s""""bpe_incremental":{"vocab_words":1400000,"n_merges":${bpeIncMerges.length},"incremental_sec":${r1(tBpeInc)},"recount_sec":${r1(tBpeRec)},"per_merge":${bpeIncStats.map(st =>
