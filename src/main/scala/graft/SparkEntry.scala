@@ -2377,6 +2377,24 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    "ann_ivfpq_local_rerank" -> ((s, dir) => {
+      // The locally-optimized IVFADC+refine pipeline: per-cell codes
+      // order candidates, exact euclidean refinement inside the probe.
+      val emb = Tables.embeddings(s, dir)
+      val (centroids, _) = operators.Ann.buildIvfCached(
+        s, emb, cacheKey = dir, nCells = 8, maxIter = 3)
+      val books = operators.Ann.trainLocalPqCodebooksCached(
+        emb, cacheKey = dir, centroids, m = 8, dsub = 8, kStar = 16, maxIter = 5)
+      val base = new java.io.File(
+        sys.props("java.io.tmpdir"), "graft_ann_layouts").getAbsolutePath
+      val layout = operators.Ann.ivfPqLocalLayout(s, emb, base, centroids, books)
+      val qs = emb.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"))
+      operators.Ann.ivfPqLocalTopKReranked(
+        s, layout, qs, emb, centroids, books, k = 10, nProbe = 3, overfetch = 4)
+        .orderBy("query_id", "rank")
+    }),
+
     "ann_ivfpq_residual_topk" -> ((s, dir) => {
       // Residual-encoded IVF-PQ (IVFADC proper, Jégou et al. TPAMI
       // 2011): codes quantize x − centroid(cell) under books trained on

@@ -274,10 +274,16 @@ object Verify {
         require(localR >= residualThr,
           s"ann_ivfpq_local_topk recall $localR below gate $residualThr")
       }
+      val localRerankApprox = operators.Ann.ivfPqLocalTopKReranked(
+        spark, localLayout, qsIvf, emb, centroids, localBooks,
+        k = 10, nProbe = 3, overfetch = 4)
+        .select("query_id", "vec_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
       Seq(("ann_pq_trained_topk", pqApprox, pqThr), ("ann_ivfpq_topk", ivfpqApprox, ivfpqThr),
           ("ann_ivfpq_rerank", rerankApprox, rerankThr),
           ("ann_ivfpq_residual_topk", residualApprox, residualThr),
-          ("ann_ivfpq_residual_rerank", residualRerankApprox, rerankThr))
+          ("ann_ivfpq_residual_rerank", residualRerankApprox, rerankThr),
+          ("ann_ivfpq_local_rerank", localRerankApprox, rerankThr))
         .foreach { case (name, approx, thr) =>
           val recall = exactEuc.count(approx.contains).toDouble / exactEuc.size
           println(f"[recall] $name = $recall%.3f (gate >= $thr)")

@@ -1793,6 +1793,25 @@ object Ann {
       .select("query_id", "rank", "vec_id", "adc_dist")
   }
 
+  /** LOPQ with refinement: per-cell codes order candidates, the shared
+    * exact-euclidean stage removes remaining quantization error inside
+    * the probe — the full locally-optimized IVFADC+refine pipeline.
+    */
+  def ivfPqLocalTopKReranked(
+      spark: SparkSession,
+      path: String,
+      queries: DataFrame,
+      corpus: DataFrame,
+      centroids: Array[Array[Float]],
+      localBooks: Map[Int, Seq[Seq[Seq[Double]]]],
+      k: Int,
+      nProbe: Int = 3,
+      overfetch: Int = 4): DataFrame =
+    exactEuclideanRerank(
+      ivfPqLocalTopK(spark, path, queries, centroids, localBooks,
+        k * overfetch, nProbe).select("query_id", "vec_id"),
+      queries, corpus, k)
+
   // ------------------------------------------- incremental IVF-PQ index
   /** Append one ingest batch to a VERSIONED IVF-PQ root as its own
     * `batch=<id>` partition tree (`root/batch=<id>/cell=<c>/…`): assign +
