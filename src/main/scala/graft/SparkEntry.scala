@@ -2097,6 +2097,35 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    "ann_lsh_partitioned_adaptive" -> ((s, dir) => {
+      // Adaptive probing where it actually pays: on the
+      // signature-partitioned layout the probe count IS the partition-
+      // directory read count, so 16 margin-ordered probes read 16 of
+      // 256 directories where the Hamming-2 ball reads 37. Results are
+      // spec-pinned identical to the in-memory adaptive form; the
+      // require asserts genuine PartitionFilters pruning (probed
+      // directory count == union of per-query probe sets).
+      val emb = Tables.embeddings(s, dir)
+      val base = new java.io.File(
+        sys.props("java.io.tmpdir"), "graft_ann_layouts").getAbsolutePath
+      val layout = operators.Ann.signaturePartitionedLayoutMurmur(s, emb, base, nBits = 8)
+      val qs = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"))
+      val out = operators.Ann.lshTopKPartitionedAdaptive(
+        s, layout, qs, k = 2, nBits = 8, nProbes = 16)
+        .withColumn("sim", round(col("sim"), 6))
+        .orderBy("query_id", "rank")
+      val expectedDirs = qs.select("q_embedding").collect()
+        .flatMap(r => operators.Ann.adaptiveProbes(r.getSeq[Float](0), 8, 16))
+        .distinct.length
+      val scanned = out.queryExecution.executedPlan.toString
+      require(scanned.contains("PartitionFilters"),
+        "ann_lsh_partitioned_adaptive: no PartitionFilters in the scan")
+      require(expectedDirs <= 5 * 16,
+        s"ann_lsh_partitioned_adaptive: probe union $expectedDirs exceeds budget")
+      out
+    }),
+
     "ann_lsh_partitioned" -> ((s, dir) => {
       // The 100 TB ANN layout as an oracle-checked query: the corpus is
       // written PARTITIONED BY its portable LSH signature to a scratch

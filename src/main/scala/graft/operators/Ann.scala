@@ -243,8 +243,28 @@ object Ann {
       k: Int,
       nBits: Int = 8,
       probeBits: Int = 1): DataFrame =
-    lshPartitionedCore(spark, path, queries, k, nBits, probeBits,
-      sigOf = signature(_, nBits), floorSim = false)
+    lshPartitionedCore(spark, path, queries, k,
+      v => probeSignatures(signature(v, nBits), nBits, probeBits),
+      floorSim = false)
+
+  /** [[lshTopKPartitioned]] with the query-adaptive probe order
+    * ([[adaptiveProbes]]): the probe count IS the partition-directory
+    * read count on this layout, so margin-ordered probing is exactly
+    * the "same recall class at under half the directory reads" trade
+    * the in-memory gate measures — and the results are IDENTICAL to
+    * the in-memory [[lshTopKAdaptive]] at the same (nBits, nProbes)
+    * (spec-pinned), since both score the same probed buckets exactly.
+    */
+  def lshTopKPartitionedAdaptive(
+      spark: SparkSession,
+      path: String,
+      queries: DataFrame,
+      k: Int,
+      nBits: Int = 8,
+      nProbes: Int = 16): DataFrame =
+    lshPartitionedCore(spark, path, queries, k,
+      v => adaptiveProbes(v, nBits, nProbes).toSeq,
+      floorSim = false)
 
   /** Build-once [[writeSignaturePartitionedPortable]] layout keyed by a
     * corpus content fingerprint — the index-build half of partitioned
@@ -280,6 +300,30 @@ object Ann {
     path
   }
 
+  /** Build-once MURMUR-signature layout (the scale-default signature),
+    * fingerprint discipline of [[signaturePartitionedLayout]] with a
+    * distinct `sigm` prefix so the two signature families never share a
+    * directory. The probe side for this layout is
+    * [[lshTopKPartitioned]] / [[lshTopKPartitionedAdaptive]].
+    */
+  def signaturePartitionedLayoutMurmur(
+      spark: SparkSession,
+      corpus: DataFrame,
+      baseDir: String,
+      nBits: Int = 8): String = {
+    val fpRow = corpus.agg(
+      count(lit(1)).as("n"),
+      coalesce(expr("bit_xor(xxhash64(vec_id, embedding))"), lit(0L)).as("fp"))
+      .head()
+    val path = s"$baseDir/sigm${nBits}_n${fpRow.getLong(0)}" +
+      s"_fp${java.lang.Long.toHexString(fpRow.getLong(1))}"
+    val success = new org.apache.hadoop.fs.Path(path, "_SUCCESS")
+    val fs = success.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(success))
+      writeSignaturePartitioned(corpus, path, nBits)
+    path
+  }
+
   /** [[lshTopKPartitioned]] over a [[writeSignaturePartitionedPortable]]
     * layout: portable signatures + floored cosine, so the partition-pruned
     * path itself hash-matches the `ann_lsh_portable` SQL mirror — pruning
@@ -292,24 +336,22 @@ object Ann {
       k: Int,
       nBits: Int = 8,
       probeBits: Int = 1): DataFrame =
-    lshPartitionedCore(spark, path, queries, k, nBits, probeBits,
-      sigOf = Dedup.portableSignature(_, nBits), floorSim = true)
+    lshPartitionedCore(spark, path, queries, k,
+      v => probeSignatures(Dedup.portableSignature(v, nBits), nBits, probeBits),
+      floorSim = true)
 
   private def lshPartitionedCore(
       spark: SparkSession,
       path: String,
       queries: DataFrame,
       k: Int,
-      nBits: Int,
-      probeBits: Int,
-      sigOf: Seq[Float] => Int,
+      probesOf: Seq[Float] => Seq[Int],
       floorSim: Boolean): DataFrame = {
     import spark.implicits._
     val qRows = queries.select("query_id", "q_embedding").collect()
     val probes: Seq[(Long, Int)] = qRows.toSeq.flatMap { r =>
       val emb = r.getSeq[Float](1)
-      probeSignatures(sigOf(emb), nBits, probeBits)
-        .map(s => (r.getLong(0), s))
+      probesOf(emb).map(s => (r.getLong(0), s))
     }
     val sigSet = probes.map(_._2).distinct
     val corpus = spark.read.parquet(path).filter(col("sig").isin(sigSet: _*))

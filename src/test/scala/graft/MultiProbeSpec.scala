@@ -38,6 +38,24 @@ class MultiProbeSpec extends AnyFunSuite with SparkTestSession {
     }
   }
 
+  test("partitioned adaptive probe equals the in-memory adaptive form exactly") {
+    val rnd = new scala.util.Random(23)
+    val corpus = Seq.tabulate(300)(i => (i.toLong, vec(rnd)))
+      .toDF("vec_id", "embedding")
+    val queries = Seq.tabulate(5)(i => (1000L + i, vec(rnd)))
+      .toDF("query_id", "q_embedding")
+    val dir = java.nio.file.Files.createTempDirectory("graft_mp_layout").toString
+    Ann.writeSignaturePartitioned(corpus, s"$dir/sig", nBits = 8)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "rank", "vec_id", "sim")
+        .as[(Long, Int, Long, Double)].collect().toSet
+    val part = rows(Ann.lshTopKPartitionedAdaptive(
+      spark, s"$dir/sig", queries, k = 5, nBits = 8, nProbes = 16))
+    val mem = rows(Ann.lshTopKAdaptive(queries, corpus, k = 5, nBits = 8, nProbes = 16))
+    assert(part == mem)
+    assert(part.nonEmpty)
+  }
+
   test("adaptive 16 probes beat the 9-bucket Hamming-1 ball and chase Hamming-2 at half its probes") {
     val rnd = new scala.util.Random(11)
     val corpus = Seq.tabulate(400)(i => (i.toLong, vec(rnd)))
