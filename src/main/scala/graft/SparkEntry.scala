@@ -1101,6 +1101,20 @@ object SparkEntry {
         .orderBy("step_idx")
     }),
 
+    "w8_pivot_daily" -> ((s, dir) => {
+      // Long-to-wide pivot: daily event-type count matrix. The value
+      // list is EXPLICIT, so Spark skips the value-discovery job and the
+      // output schema is static — the pivot is then one partial-agg
+      // shuffle on the day key, same cost as the long-format rollup.
+      Tables.events(s, dir)
+        .withColumn("day", col("ts").cast("date").cast("string"))
+        .groupBy("day")
+        .pivot("event_type", Seq("view", "click", "purchase", "signup", "error"))
+        .count()
+        .na.fill(0L)
+        .orderBy("day")
+    }),
+
     "w6_sessionize" -> ((s, dir) => {
       // Full gap-based sessionization (w1 is the building block): a
       // > 1-day silence starts a new session; cumulative session index
@@ -4171,6 +4185,15 @@ object SparkEntry {
         |UNION ALL SELECT 3, 'purchase', CAST(count(*) AS BIGINT),
         |  CAST(coalesce(sum(tp - t1), 0) AS BIGINT) FROM s3
         |ORDER BY step_idx""".stripMargin,
+
+    "w8_pivot_daily" ->
+      """SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+        |  CAST(count(*) FILTER (event_type = 'view') AS BIGINT) AS view,
+        |  CAST(count(*) FILTER (event_type = 'click') AS BIGINT) AS click,
+        |  CAST(count(*) FILTER (event_type = 'purchase') AS BIGINT) AS purchase,
+        |  CAST(count(*) FILTER (event_type = 'signup') AS BIGINT) AS signup,
+        |  CAST(count(*) FILTER (event_type = 'error') AS BIGINT) AS error
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "w2_rollup_daily" ->
       """SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day, event_type, count(*) AS n
