@@ -252,6 +252,45 @@ object StreamBench {
       }
     }
     enrichQ.stop()
+
+    // ---------------------------------------------------------- funnel
+    // Stateful strict-order funnel over the same replayed event log
+    // (per-replica user offset so replica funnels never interleave;
+    // per-replica monotone time keeps watermarks advancing). State is
+    // bounded by completion-removal + the anchor+span timeout — the
+    // state rows tracked here must reflect in-flight funnels, not the
+    // replay's total users.
+    val funnelEvents = (0 until reps).flatMap { rep =>
+      baseEvents.map { r =>
+        (new Timestamp(r.getTimestamp(0).getTime + rep * evSpanMs),
+          rep * 1000000L + r.getLong(1), r.getString(2))
+      }
+    }
+    val fnChunks = funnelEvents.grouped(
+      math.max(1, funnelEvents.length / nChunks)).toSeq
+    val fnIn = MemoryStream[graft.streaming.Streams.SessionEvent]
+    val fnQ = graft.streaming.Streams.funnelStream(
+        fnIn.toDS(), Seq("view", "click", "purchase"),
+        maxSpanSeconds = 7L * 86400, watermark = "1 hour")
+      .writeStream.format("noop").start()
+    val fnLat = scala.collection.mutable.ArrayBuffer.empty[(Double, Long)]
+    var fnStateMax = 0L
+    var fnStateFinal = 0L
+    fnChunks.foreach { chunk =>
+      val c0 = System.nanoTime()
+      fnIn.addData(chunk.map { case (ts, uid, et) =>
+        graft.streaming.Streams.SessionEvent(ts, uid, et) })
+      fnQ.processAllAvailable()
+      fnLat += (((System.nanoTime() - c0) / 1e6, chunk.length.toLong))
+      Option(fnQ.lastProgress).foreach { p =>
+        val rows = p.stateOperators.map(_.numRowsTotal).sum
+        fnStateMax = math.max(fnStateMax, rows)
+        fnStateFinal = rows
+      }
+    }
+    fnQ.stop()
+    val fnStateJson =
+      s""","state_max_rows":$fnStateMax,"state_final_rows":$fnStateFinal"""
     spark.stop()
 
     val stateJson =
@@ -264,7 +303,8 @@ object StreamBench {
         summarize("lsh_gate", gateDocs.length.toLong, lshLat.toSeq) + "," +
         summarize("pq_gate", gateDocs.length.toLong, pqLat.toSeq) + "," +
         summarize("pretrain_gate", gateDocs.length.toLong, gateLat.toSeq) + "," +
-        summarize("enrich", events.length.toLong, enrichLat.toSeq, stateJson) + "}"
+        summarize("enrich", events.length.toLong, enrichLat.toSeq, stateJson) + "," +
+        summarize("funnel", funnelEvents.length.toLong, fnLat.toSeq, fnStateJson) + "}"
     Files.writeString(Paths.get(out), line + "\n")
     println(line)
   }
