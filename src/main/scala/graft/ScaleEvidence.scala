@@ -395,7 +395,9 @@ object ScaleEvidence {
     // queries × k × overfetch float rows (the brute pass below is the
     // full-scan cost it avoids).
     import org.apache.spark.sql.expressions.Window
-    val (exactEucPairs, tExactEuc) = timed {
+    // One exact pass collects ranks to 10: rank<=5 grades the k=5 sweep
+    // legs (unchanged), the full set grades the recall@10 frontier leg.
+    val (exactEucRanked, tExactEuc) = timed {
       val qsE = queries.select(col("query_id"), col("q_embedding").as("q_emb"))
       val d2 = aggregate(
         zip_with(col("q_emb"), col("embedding"),
@@ -406,10 +408,12 @@ object ScaleEvidence {
         .withColumn("d2", d2)
         .withColumn("rank", row_number().over(
           Window.partitionBy("query_id").orderBy(asc("d2"), asc("vec_id"))))
-        .filter(col("rank") <= 5)
-        .select("query_id", "vec_id").collect()
-        .map(r => (r.getLong(0), r.getLong(1))).toSet
+        .filter(col("rank") <= 10)
+        .select("query_id", "vec_id", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
     }
+    val exactEucPairs = exactEucRanked.filter(_._3 <= 5).map(r => (r._1, r._2)).toSet
+    val exactEucPairs10 = exactEucRanked.map(r => (r._1, r._2)).toSet
     val (rerankTop, tRerank) = timed {
       operators.Ann.ivfPqTopKReranked(
         spark, ivfpqDir, queries, bigV, ivfCents, pqBooks,
@@ -553,6 +557,33 @@ object ScaleEvidence {
       if (rec + 0.05 < plain)
         failures ::= f"lopq_sweep: recall $rec%.3f more than 0.05 below plain $plain%.3f at nProbe=$np"
     }
+
+    // -------- ≥0.9 recall@10 frontier point (r12 verdict #4): the
+    // approximate tier must be able to BUY its way to near-exact — the
+    // k-NN retrieval contract is exact top-k, so the question a user of
+    // the approximate path asks is "what probe budget reaches ~exact?".
+    // LOPQ layout + exact-euclidean rerank, escalating (nProbe,
+    // overfetch) until recall@10 vs the exact top-10 crosses 0.9; the
+    // recorded cost multiplier is probe seconds vs the overfetch=1
+    // probe at the same layout (the sweep's economy setting) — the
+    // price of near-exactness on a 10⁶-vector corpus where the full
+    // exact scan costs tExactEuc.
+    val frontierSettings = Seq((8, 4), (16, 4), (32, 8))
+    val frontier = frontierSettings.map { case (np, of) =>
+      val (pairs, tS) = timed {
+        operators.Ann.ivfPqLocalTopKReranked(
+          spark, s"$lopqDir/codes", queries, bigV, ivfCents, lopqBooks,
+          k = 10, nProbe = np, overfetch = of)
+          .select("query_id", "vec_id").collect()
+          .map(r => (r.getLong(0), r.getLong(1)))
+      }
+      (np, of, pairs.count(exactEucPairs10.contains).toDouble / exactEucPairs10.size, tS)
+    }
+    val crossing = frontier.find(_._3 >= 0.9)
+    if (crossing.isEmpty)
+      failures ::= s"ann_frontier: no (nProbe, overfetch) setting reached " +
+        f"recall@10 >= 0.9 — best ${frontier.map(_._3).max}%.3f"
+    val lopqEconomyT = lopqSweep.find(_._1 == 8).get._3
 
     // -------- incremental IVF-PQ maintenance at 10⁶: the versioned root.
     // Base = the full 10⁶-vector corpus as one batch write; then a
@@ -978,6 +1009,14 @@ object ScaleEvidence {
         "far above the fpp=0.01 regime"
     if (bgStats.confirmedDups != bgDups)
       failures ::= s"bloom_gate: confirmed ${bgStats.confirmedDups} dups, expected $bgDups"
+    // Measured-fpp gate at the scale where the r12 under-sizing bug bit
+    // (stat.bloomFilter's 2^26 maxNumBits clamp measured ~11% here):
+    // the MEASURED rate over the batch's novel keys must sit within 2x
+    // the requested fpp, and the filter must be bigger than the clamp.
+    if (bgStats.measuredFpp > 2 * 0.01)
+      failures ::= f"bloom_gate: measured fpp ${bgStats.measuredFpp}%.4f over 2x requested 0.01"
+    if (bgStats.filterBits <= (1L << 26))
+      failures ::= s"bloom_gate: ${bgStats.filterBits} bits — inside the maxNumBits clamp regime"
 
     spark.stop()
     def r1(v: Double): String = f"$v%.1f"
@@ -1019,9 +1058,18 @@ object ScaleEvidence {
         s""""zorder_layout":{"n_rows":$zN,"n_files":256,"z_write_sec":${r1(tZWrite)},"linear_write_sec":${r1(tLinWrite)},""" +
         s""""box_selected":${zAnswer.getLong(0)},"z_rows_materialized":$zMat,"linear_rows_materialized":$linMat,""" +
         s""""z_scan_sec":${r1(tZScan)},"linear_scan_sec":${r1(tLinScan)},"answers_equal":${zAnswer == linAnswer}},""" +
+        s""""ann_frontier":{"n_vectors":${nVec * variants},"k":10,"exact_scan_sec":${r1(tExactEuc)},""" +
+        s""""economy_probe_sec":${r1(lopqEconomyT)},""" +
+        s""""sweep":[${frontier.map { case (np, of, rec, tS) =>
+          s"""{"n_probe":$np,"overfetch":$of,"recall_at_10":${f"$rec%.3f"},"probe_sec":${r1(tS)},"cost_multiplier_vs_economy":${f"${tS / lopqEconomyT}%.2f"}}"""
+        }.mkString(",")}],""" +
+        s""""crossing":${crossing.map { case (np, of, rec, tS) =>
+          s"""{"n_probe":$np,"overfetch":$of,"recall_at_10":${f"$rec%.3f"},"probe_sec":${r1(tS)},"cost_multiplier_vs_economy":${f"${tS / lopqEconomyT}%.2f"}}"""
+        }.getOrElse("null")}},""" +
         s""""bloom_gate":{"history_keys":$bgHistN,"batch_rows":$bgBatchN,"fpp":0.01,""" +
         s""""bloom_negatives":${bgStats.bloomNegatives},"candidates":${bgStats.candidates},""" +
         s""""confirmed_dups":${bgStats.confirmedDups},"false_positives":${bgStats.falsePositives},""" +
+        s""""measured_fpp":${f"${bgStats.measuredFpp}%.5f"},"expected_fpp":${f"${bgStats.expectedFpp}%.5f"},"filter_bits":${bgStats.filterBits},""" +
         s""""gate_sec":${r1(tBloomGate)},"anti_join_sec":${r1(tAntiJoin)},"answers_equal":${bgOut == bgRef}},""" +
         s""""failures":${failures.map("\"" + _ + "\"").mkString("[", ",", "]")}}"""
     Files.writeString(Paths.get(out), line + "\n")

@@ -1083,13 +1083,21 @@ object SparkEntry {
     "graph_pagerank" -> ((s, dir) => {
       // Weighted PageRank over the click-stream item-transition graph —
       // the fixed-point-ranking class (crawl-frontier importance prior,
-      // the Common Crawl host-rank family). Rows-only: 15 float power
-      // iterations don't hash across engines; the Verify gate compares
-      // the distributed fixed point against an independent dense driver
-      // power iteration at 1e-6.
-      operators.Graphs.pageRank(
+      // the Common Crawl host-rank family). HASH-GREEN since r13: ranks
+      // live on a 1e-12 integer grid (pageRankPicos) whose truncating-
+      // division power iteration is pure 64-bit integer arithmetic, so
+      // the DuckDB oracle replays all 15 iterations move for move
+      // (unrolled SQL) and the values hash exactly. pr is the derived
+      // double pr_picos/1e12 (one correctly-rounded IEEE op — identical
+      // on both engines); the Verify gate additionally pins the
+      // distributed result EXACTLY to the sequential integer reference
+      // and within 1e-4 of the dense FLOAT power iteration
+      // (quantization bound ~6e-6).
+      operators.Graphs.pageRankPicos(
           operators.Graphs.itemTransitions(Tables.events(s, dir)))
-        .orderBy(desc("pr"), col("node"))
+        .select(col("node"),
+          (col("pr_picos").cast("double") / 1e12).as("pr"), col("pr_picos"))
+        .orderBy(desc("pr_picos"), col("node"))
     }),
 
     "w7_funnel" -> ((s, dir) => {
@@ -1737,13 +1745,19 @@ object SparkEntry {
     "ingest_quarantine" -> ((s, dir) => {
       val statusUdf = udf { (t: String, cls: Int) =>
         val bytes = cls match {
+          case 3 => graft.sources.DocLoader.buildPdfType0Embedded(Seq(t))
           case 2 => graft.sources.DocLoader.buildPdfType0Bare(Seq(t))
           case 1 => graft.sources.DocLoader.buildPdfType0(Seq(t))
           case _ => graft.sources.DocLoader.buildPdf(Seq(t))
         }
         graft.sources.DocLoader.extractPdfStatus(bytes)
       }
-      val cls = when(col("doc_id") % 8 === 0, 2)
+      // r13: the doc_id%16 slice of the old bare-Type0 class now ships
+      // its Unicode mapping ONLY in the embedded font program's cmap —
+      // extraction must recover it (FontFile2 fallback), shrinking the
+      // unsupported_font bucket to the genuinely mapping-less class.
+      val cls = when(col("doc_id") % 16 === 0, 3)
+        .when(col("doc_id") % 8 === 0, 2)
         .when(col("doc_id") % 4 === 0, 1).otherwise(0)
       Tables.documents(s, dir)
         .select(col("doc_id"), statusUdf(col("text"), cls).as("r"))
@@ -1756,16 +1770,20 @@ object SparkEntry {
 
     "ingest_quarantine_stats" -> ((s, dir) => {
       // the quarantine COUNTS an ingest run reports per status — the
-      // unsupported_font bucket now holds ONLY the bare-Type0 class
+      // unsupported_font bucket holds ONLY the bare-Type0 class WITHOUT
+      // a usable embedded cmap (r13: the %16 slice carries one and
+      // extracts)
       val statusUdf = udf { (t: String, cls: Int) =>
         val bytes = cls match {
+          case 3 => graft.sources.DocLoader.buildPdfType0Embedded(Seq(t))
           case 2 => graft.sources.DocLoader.buildPdfType0Bare(Seq(t))
           case 1 => graft.sources.DocLoader.buildPdfType0(Seq(t))
           case _ => graft.sources.DocLoader.buildPdf(Seq(t))
         }
         graft.sources.DocLoader.extractPdfStatus(bytes)._2
       }
-      val cls = when(col("doc_id") % 8 === 0, 2)
+      val cls = when(col("doc_id") % 16 === 0, 3)
+        .when(col("doc_id") % 8 === 0, 2)
         .when(col("doc_id") % 4 === 0, 1).otherwise(0)
       Tables.documents(s, dir)
         .select(statusUdf(col("text"), cls).as("extraction_status"))
@@ -1869,32 +1887,37 @@ object SparkEntry {
     }),
 
     // ---- ANN scale paths (T-4 approximations; exact form is the oracle)
-    // ---- in-engine quality classifier (no SQL oracle: iterative GD;
-    // Verify hard-gates trained weights BIT-EXACT vs the sequential
-    // reference — micro-quantized integer aggregation makes the
-    // distributed result partition-order-free)
+    // ---- in-engine quality classifier. HASH-GREEN since r13: features
+    // use the PORTABLE rolling mod-p hash (the MinHash/SimHash dual),
+    // the output is the exact integer pre-sigmoid MARGIN (monotone in
+    // quality, so the top-20 is unchanged), and the oracle SQL replays
+    // the scoring path under the trained weights embedded as literals —
+    // while the Verify gate keeps hard-pinning those weights BIT-EXACT
+    // against the sequential reference (micro-quantized integer
+    // aggregation makes the distributed trainer partition-order-free).
     "quality_model_score" -> ((s, dir) => {
       // Train target (lang='es') vs a hash-balanced sample of the rest
       // (curated-vs-sample is the standard classifier-filter setup —
       // balance keeps the bias from swamping the feature signal), score
-      // EVERY doc, top-20 by quality with lang attached. The head is
-      // es-ENRICHED (~13/20 vs the 17% base rate), not pure: Spanish
-      // the driver's synthetic languages all draw from one 31-word
-      // pool (only frequency/bigram profiles differ), which caps
-      // separation — the Verify gate checks balanced training
-      // accuracy, the honest signal on an iso-vocabulary fixture.
+      // EVERY doc, top-20 by margin with lang attached. The head is
+      // es-ENRICHED, not pure: the driver's synthetic languages all
+      // draw from one 31-word pool (only frequency/bigram profiles
+      // differ), which caps separation — the Verify gate checks
+      // balanced training accuracy, the honest signal on an
+      // iso-vocabulary fixture.
       val docs = Tables.documents(s, dir)
       val w = operators.QualityModel.trainCached(
         docs.filter(col("lang") === "es").select("doc_id", "text"),
         docs.filter(col("lang") =!= "es" && pmod(hash(col("doc_id")), lit(5)) === 0)
           .select("doc_id", "text"),
-        dir, nBuckets = 4096, iters = 300, lr = 300.0)
-      operators.QualityModel.score(docs.select("doc_id", "text"), w, 4096)
-        .orderBy(col("quality").desc, col("doc_id"))
+        dir, nBuckets = 4096, iters = 300, lr = 300.0, portable = true)
+      operators.QualityModel.scoreMargin(
+          docs.select("doc_id", "text"), w, 4096, portable = true)
+        .orderBy(col("margin_microsq").desc, col("doc_id"))
         .limit(20)
         .join(docs.select("doc_id", "lang"), "doc_id")
-        .select("doc_id", "quality", "lang")
-        .orderBy(col("quality").desc, col("doc_id"))
+        .select("doc_id", "margin_microsq", "lang")
+        .orderBy(col("margin_microsq").desc, col("doc_id"))
     }),
 
     // ---- BPE tokenizer training (no SQL oracle possible: the merge
@@ -3211,7 +3234,105 @@ object SparkEntry {
   // The optimizer-rule variant computes the identical exact result, so it
   // shares dedup_simhash's oracle verbatim.
   def oracleSql: Map[String, String] =
-    oracleMap + ("dedup_simhash_auto" -> oracleMap("dedup_simhash"))
+    oracleMap +
+      ("dedup_simhash_auto" -> oracleMap("dedup_simhash")) +
+      ("graph_pagerank" -> pageRankOracleSql) ++
+      qualityModelOracleSql
+
+  /** DuckDB replay of [[graft.operators.Graphs.pageRankPicos]]: the
+    * 15-iteration integer power iteration UNROLLED (it0..it15 CTEs) —
+    * recursive-CTE aggregate semantics vary by engine, a generated
+    * unroll does not. Every step is 64-bit integer arithmetic with
+    * truncating division (`//` floors, but all quantities are
+    * non-negative, so it equals Spark's `div`), which is why the two
+    * engines agree BIT FOR BIT and the row hashes.
+    */
+  private def pageRankOracleSql: String = {
+    val steps = (1 to 15).map { i =>
+      s"""it$i AS MATERIALIZED (
+         |  SELECT m.node, m.has_out,
+         |    CAST((150000000000 // nn.n)
+         |      + (85 * (COALESCE(c.in_c, 0) + (dg.d // nn.n))) // 100 AS BIGINT) AS pr
+         |  FROM marked m
+         |  LEFT JOIN (SELECT s.dst AS node,
+         |               CAST(sum((p.pr * s.sm) // 1000000) AS BIGINT) AS in_c
+         |             FROM shares s JOIN it${i - 1} p ON s.src = p.node
+         |             GROUP BY 1) c ON m.node = c.node
+         |  CROSS JOIN (SELECT CAST(COALESCE(sum(CASE WHEN NOT has_out THEN pr END), 0)
+         |                AS BIGINT) AS d FROM it${i - 1}) dg
+         |  CROSS JOIN nn)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH tr AS MATERIALIZED (
+       |  SELECT CAST(props->>'$$.k' AS BIGINT) AS item,
+       |    LEAD(CAST(props->>'$$.k' AS BIGINT))
+       |      OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_item
+       |  FROM events),
+       |edges AS MATERIALIZED (
+       |  SELECT item AS src, next_item AS dst, CAST(count(*) AS BIGINT) AS w
+       |  FROM tr WHERE next_item IS NOT NULL AND next_item <> item
+       |  GROUP BY 1, 2),
+       |nodes AS MATERIALIZED (SELECT DISTINCT node FROM
+       |  (SELECT src AS node FROM edges UNION ALL SELECT dst AS node FROM edges)),
+       |nn AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+       |outw AS MATERIALIZED (SELECT src, CAST(sum(w) AS BIGINT) AS ow FROM edges GROUP BY 1),
+       |shares AS MATERIALIZED (SELECT e.src, e.dst, (e.w * 1000000) // o.ow AS sm
+       |           FROM edges e JOIN outw o USING (src)),
+       |marked AS MATERIALIZED (SELECT n.node, o.src IS NOT NULL AS has_out
+       |           FROM nodes n LEFT JOIN outw o ON n.node = o.src),
+       |it0 AS MATERIALIZED (SELECT m.node, m.has_out,
+       |          CAST(1000000000000 // nn.n AS BIGINT) AS pr
+       |        FROM marked m CROSS JOIN nn),
+       |$steps
+       |SELECT node, CAST(pr AS DOUBLE) / 1000000000000.0 AS pr, pr AS pr_picos
+       |FROM it15 ORDER BY pr_picos DESC, node""".stripMargin
+  }
+
+  /** DuckDB mirror of the `quality_model_score` SCORING path under the
+    * trained weights: portable rolling-hash features, integer frequency
+    * normalization, exact Long margin, top-20. The WEIGHTS are embedded
+    * as literals captured from the registry query's own (memoized)
+    * training run in this JVM — training itself is verified by the
+    * Verify gate's bit-exact equality against the sequential reference,
+    * so oracle + gate together cover the whole operator. Before the
+    * query has run (cold cache) the entry is omitted and the row
+    * degrades to the rows-only check.
+    */
+  private def qualityModelOracleSql: Map[String, String] =
+    operators.QualityModel.lastPortableWeights
+      .filter(_.exists(_ != 0L)).map { w =>
+      val nBuckets = w.length - 1
+      val nonzero = w.zipWithIndex.collect { case (wt, b) if wt != 0L => (b, wt) }
+      val wvals = nonzero.map { case (b, wt) => s"($b,$wt)" }.mkString(", ")
+      val bias = w(nBuckets)
+      "quality_model_score" ->
+        s"""WITH tk AS (
+           |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^\\p{L}\\p{N}]+'), x -> x <> '') AS toks
+           |  FROM documents),
+           |f0 AS (
+           |  SELECT doc_id, unnest(list_concat(toks,
+           |    [toks[i+1] || ' ' || toks[i+2] FOR i IN range(greatest(len(toks)-1, 0))])) AS term
+           |  FROM tk),
+           |fb AS (
+           |  SELECT doc_id, list_reduce(list_prepend(CAST(7 AS BIGINT),
+           |      list_transform(range(length(term)), i -> CAST(unicode(term[i+1]) AS BIGINT))),
+           |      (a, b) -> (31 * a + b) % 2147483647) % $nBuckets AS bucket
+           |  FROM f0),
+           |cnt AS (SELECT doc_id, bucket, CAST(count(*) AS BIGINT) AS c FROM fb GROUP BY 1, 2),
+           |tot AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS t FROM cnt GROUP BY 1),
+           |wt(bucket, w) AS (SELECT * FROM (VALUES $wvals) v(bucket, w)),
+           |marg AS (
+           |  SELECT cnt.doc_id,
+           |    CAST(sum(((cnt.c * 1000000) // tot.t) * COALESCE(wt.w, 0)) AS BIGINT)
+           |      + (100000 * CAST($bias AS BIGINT)) AS margin_microsq
+           |  FROM cnt JOIN tot USING (doc_id)
+           |  LEFT JOIN wt ON cnt.bucket = wt.bucket
+           |  GROUP BY 1),
+           |top AS (SELECT doc_id, margin_microsq FROM marg
+           |        ORDER BY margin_microsq DESC, doc_id LIMIT 20)
+           |SELECT top.doc_id, top.margin_microsq, d.lang
+           |FROM top JOIN documents d ON top.doc_id = d.doc_id
+           |ORDER BY top.margin_microsq DESC, top.doc_id""".stripMargin
+    }.toMap
 
   /** Shared DuckDB mirror of [[TextAnalysis.detectLanguageCol]]: CTE
     * chain `ln → lg → ls → lpred` ending in (doc_id, lang_pred) over
@@ -3549,13 +3670,13 @@ object SparkEntry {
     // hash-checks that the CMap decode is EXACT, not merely non-null
     "ingest_quarantine" ->
       """SELECT doc_id,
-        |  CASE WHEN doc_id % 8 = 0 THEN 'unsupported_font' ELSE 'ok' END AS extraction_status,
-        |  (doc_id % 8 = 0) AS quarantined,
-        |  CASE WHEN doc_id % 8 = 0 THEN NULL ELSE sha256(text) END AS text_hash
+        |  CASE WHEN doc_id % 8 = 0 AND doc_id % 16 <> 0 THEN 'unsupported_font' ELSE 'ok' END AS extraction_status,
+        |  (doc_id % 8 = 0 AND doc_id % 16 <> 0) AS quarantined,
+        |  CASE WHEN doc_id % 8 = 0 AND doc_id % 16 <> 0 THEN NULL ELSE sha256(text) END AS text_hash
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "ingest_quarantine_stats" ->
-      """SELECT CASE WHEN doc_id % 8 = 0 THEN 'unsupported_font' ELSE 'ok' END AS extraction_status,
+      """SELECT CASE WHEN doc_id % 8 = 0 AND doc_id % 16 <> 0 THEN 'unsupported_font' ELSE 'ok' END AS extraction_status,
         |  count(*) AS n_docs
         |FROM documents GROUP BY 1 ORDER BY extraction_status""".stripMargin,
 

@@ -553,9 +553,10 @@ object Verify {
         .filter(col("lang") =!= "es" && pmod(hash(col("doc_id")), lit(5)) === 0)
         .select("doc_id", "text")
       val dist = operators.QualityModel.trainCached(
-        tgt, rest, sfDir, nBuckets = 4096, iters = 300, lr = 300.0)
+        tgt, rest, sfDir, nBuckets = 4096, iters = 300, lr = 300.0,
+        portable = true)
       val ref = operators.QualityModel.trainReference(
-        operators.QualityModel.collectExamples(tgt, rest, 4096),
+        operators.QualityModel.collectExamples(tgt, rest, 4096, portable = true),
         4096, iters = 300, lr = 300.0)
       println(s"[equality] quality_model weights=${dist.size} " +
         s"equal=${dist == ref}")
@@ -571,16 +572,16 @@ object Verify {
       // What a gate CAN pin robustly is that the optimizer optimizes:
       // a broken trainer scores 0.5 on its own balanced training set.
       val acc = {
-        val pos = operators.QualityModel.score(tgt, dist, 4096)
+        val pos = operators.QualityModel.score(tgt, dist, 4096, portable = true)
           .agg(avg(when(col("quality") >= 0.5, 1.0).otherwise(0.0)))
           .head().getDouble(0)
-        val neg = operators.QualityModel.score(rest, dist, 4096)
+        val neg = operators.QualityModel.score(rest, dist, 4096, portable = true)
           .agg(avg(when(col("quality") < 0.5, 1.0).otherwise(0.0)))
           .head().getDouble(0)
         (pos + neg) / 2 // balanced accuracy, robust to class skew
       }
       val means = operators.QualityModel.score(
-        docs.select("doc_id", "text"), dist, 4096)
+        docs.select("doc_id", "text"), dist, 4096, portable = true)
         .join(docs.select("doc_id", "lang"), "doc_id")
         .groupBy(col("lang") === "es").agg(avg("quality"))
         .collect().map(r => (r.getBoolean(0), r.getDouble(1))).toMap
@@ -593,18 +594,37 @@ object Verify {
         s"quality_model: es mean ${means(true)} below rest ${means(false)}")
     }
 
-    // ---- PageRank gate: float power iterations have no cross-engine
-    // hash, so the hard signal is agreement between the DISTRIBUTED
-    // fixed point and an independently-written dense driver power
-    // iteration over the same collected edge list (the item graph is
-    // ~10² nodes — a bounded probe; the distributed path never
-    // collects). 1e-6 absorbs only summation-order float drift.
+    // ---- PageRank gate (r13: the registry row is the integer-grid
+    // pageRankPicos and hash-green vs the DuckDB replay; this gate adds
+    // two independent in-driver checks over the same collected edge
+    // list — the item graph is ~10² nodes, a bounded probe; the
+    // distributed path never collects):
+    //  1. EXACT equality of the distributed picos fixed point with the
+    //     sequential integer reference (order-free Long arithmetic on
+    //     both sides makes this an equality, not a tolerance);
+    //  2. 1e-4 agreement with an independently-written dense FLOAT
+    //     power iteration — the analytic quantization bound is
+    //     ~1e-6·d/(1−d) ≈ 5.7e-6 (share truncation at the fixed
+    //     point; measured 1.6e-6 @sf0.01), so 1e-4 catches a broken
+    //     iteration while never tripping on grid truncation.
+    // Mass: truncating division only LOSES picos. The dominant term is
+    // share truncation — Σ_dst share(u,·) undershoots 10⁶ micros by up
+    // to outdeg(u), so one application loses ≤ d·maxOutdeg·1e-6 of the
+    // mass and the fixed point ≤ d/(1−d)·maxOutdeg·1e-6 ≈ 5.7e-4 at
+    // outdeg ≤ 100 (measured 1.35e-4 @sf0.01) — the sum must sit in
+    // (1 − 1e-3, 1] · 10¹².
     {
       import org.apache.spark.sql.functions._
       val got = SparkEntry.queries("graph_pagerank")(spark, sfDir)
-        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+        .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+      val gotPicos = got.map(r => r._1 -> r._3).toMap
       val edges = operators.Graphs.itemTransitions(Tables.events(spark, sfDir))
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+      val refPicos = operators.Graphs.pageRankPicosReference(
+        edges.map { case (s, d2, w) => (s, d2, w.toLong) })
+      require(gotPicos.keySet == refPicos.keySet,
+        "graph_pagerank: node set mismatch")
+      val picosEqual = gotPicos == refPicos
       val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct.sorted
       val n = nodes.size
       val outW = edges.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
@@ -617,13 +637,16 @@ object Verify {
         ref = nodes.map(v =>
           v -> ((1 - d) / n + d * (inC.getOrElse(v, 0.0) + dangling / n))).toMap
       }
-      val maxDiff = nodes.map(v => math.abs(got(v) - ref(v))).max
-      println(f"[equality] graph_pagerank nodes=${got.size} ref=$n maxDiff=$maxDiff%.2e")
-      require(got.keySet == ref.keySet, "graph_pagerank: node set mismatch")
-      require(maxDiff < 1e-6,
-        f"graph_pagerank: diverged from the dense reference by $maxDiff%.2e")
-      require(math.abs(got.values.sum - 1.0) < 1e-9,
-        s"graph_pagerank: ranks sum to ${got.values.sum}, not 1")
+      val maxDiff = nodes.map(v => math.abs(gotPicos(v) / 1e12 - ref(v))).max
+      val mass = gotPicos.values.sum
+      println(f"[equality] graph_pagerank nodes=${gotPicos.size} ref=$n " +
+        f"picosEqual=$picosEqual floatDiff=$maxDiff%.2e mass=$mass")
+      require(picosEqual,
+        "graph_pagerank: distributed picos != sequential integer reference")
+      require(maxDiff < 1e-4,
+        f"graph_pagerank: diverged from the dense float reference by $maxDiff%.2e")
+      require(mass <= 1000000000000L && mass > 1000000000000L - 1000000000L,
+        s"graph_pagerank: picos mass $mass outside (1-1e-3, 1]*1e12")
     }
     spark.stop()
   }

@@ -119,9 +119,8 @@ object Bpe {
   /** Checkpointed (word, symbols, n) vocabulary of a corpus — the shared
     * starting state of both training paths. */
   private def symbolVocab(docs: DataFrame): DataFrame =
-    wordCounts(docs)
-      .select(col("w"), split(col("w"), "").as("syms"), col("n"))
-      .localCheckpoint()
+    LoopCheckpoint(wordCounts(docs)
+      .select(col("w"), split(col("w"), "").as("syms"), col("n")))
 
   /** Per-merge instrumentation row of the incremental learner:
     * (left, right, pair count, words touched by the merge, seconds,
@@ -188,9 +187,8 @@ object Bpe {
         val (a, b, c) = top.head
         merges += ((a, b, c))
         val mergeUdf = udf((syms: Seq[String]) => mergeOnce(syms, a, b))
-        vocab = vocab
-          .select(mergeUdf(col("syms")).as("syms"), col("n"))
-          .localCheckpoint()
+        vocab = LoopCheckpoint(vocab
+          .select(mergeUdf(col("syms")).as("syms"), col("n")))
       }
     }
     merges.toSeq
@@ -304,7 +302,7 @@ object Bpe {
     * length.
     */
   private def checkpointStatsFresh(df: DataFrame): DataFrame = {
-    val ck = df.localCheckpoint()
+    val ck = LoopCheckpoint(df)
     ck.sparkSession.createDataFrame(ck.rdd, ck.schema)
   }
 
@@ -323,11 +321,10 @@ object Bpe {
     // through (which would trip LogicalRDD's output-mismatch warning on
     // the lazy checkpoints).
     var overlay: Option[DataFrame] = None
-    var pairs = base
+    var pairs = LoopCheckpoint(base
       .select(explode(adjacentPairsCol(col("syms"))).as("p"), col("n"))
       .groupBy(col("p.a").as("a"), col("p.b").as("b"))
-      .agg(sum("n").as("c"))
-      .localCheckpoint(false)
+      .agg(sum("n").as("c")), eager = false)
     // exact multiset difference of adjacent pairs, before vs after the
     // merge — the only per-word work of a round, and only on touched rows
     val deltaUdf = udf((oldS: Seq[String], newS: Seq[String]) => {
@@ -370,9 +367,9 @@ object Bpe {
         // checkpointed overlay carries no size statistics (an unhinted
         // plan can fall back to a full sort-merge shuffle of the vocab,
         // the exact degenerate cost adaptive compaction exists to avoid)
-        base = base.join(broadcast(checkpointStatsFresh(overlay.get)), Seq("w"), "left")
-          .select(col("w"), coalesce(col("o_syms"), col("syms")).as("syms"), col("n"))
-          .localCheckpoint()
+        base = LoopCheckpoint(
+          base.join(broadcast(checkpointStatsFresh(overlay.get)), Seq("w"), "left")
+            .select(col("w"), coalesce(col("o_syms"), col("syms")).as("syms"), col("n")))
         overlay = None
         accAtCompaction = touchedAcc.value
       }
@@ -391,10 +388,9 @@ object Bpe {
           touchedAcc.add(1L)
           mergeOnce(syms, a, b)
         }
-        val touched = current.filter(hasPair)
+        val touched = LoopCheckpoint(current.filter(hasPair)
           .select(col("w"), col("syms").as("old_syms"),
-            mergeUdf(col("syms")).as("new_syms"), col("n"))
-          .localCheckpoint(false)
+            mergeUdf(col("syms")).as("new_syms"), col("n")), eager = false)
         val delta = touched
           .select(explode(deltaUdf(col("old_syms"), col("new_syms"))).as("d"), col("n"))
           .groupBy(col("d._1").as("a"), col("d._2").as("b"))
@@ -403,16 +399,16 @@ object Bpe {
         // over (pair table + delta) instead of two join-side plans, and
         // it naturally handles both the resurrection case (a pair back
         // from 0 via a later merge) and count-0 retirement
-        pairs = pairs.unionByName(delta.select(col("a"), col("b"), col("dc").as("c")))
-          .groupBy("a", "b").agg(sum("c").as("c"))
-          .filter(col("c") > 0)
-          .localCheckpoint(false)
+        pairs = LoopCheckpoint(
+          pairs.unionByName(delta.select(col("a"), col("b"), col("dc").as("c")))
+            .groupBy("a", "b").agg(sum("c").as("c"))
+            .filter(col("c") > 0), eager = false)
         val touchedRows = touched.select(col("w"), col("new_syms").as("o_syms"))
         overlay = Some(overlay match {
-          case None => touchedRows.localCheckpoint(false)
-          case Some(o) => o.join(touched.select("w"), Seq("w"), "left_anti")
-            .unionByName(touchedRows)
-            .localCheckpoint(false)
+          case None => LoopCheckpoint(touchedRows, eager = false)
+          case Some(o) => LoopCheckpoint(
+            o.join(touched.select("w"), Seq("w"), "left_anti")
+              .unionByName(touchedRows), eager = false)
         })
         if (stats != null)
           stats += MergeStat(a, b, c, touched.count(),

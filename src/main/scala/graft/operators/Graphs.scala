@@ -44,7 +44,9 @@ object Graphs {
     * can co-partition across iterations; the only driver-side values per
     * iteration are two scalar aggregates (dangling mass; nothing
     * node-sized is ever collected). Each iteration's rank frame is
-    * eagerly localCheckpoint'ed: the lineage (and the join-size
+    * eagerly re-materialized via [[LoopCheckpoint]] (localCheckpoint by
+    * default, reliable checkpoint under `spark.graft.loop.checkpointDir`
+    * for executor-loss safety): the lineage (and the join-size
     * statistics) reset every round instead of compounding across the
     * fixed point — the iterative-loop discipline the BPE trainer
     * established.
@@ -85,15 +87,101 @@ object Graphs {
       val contrib = shares.join(pr.select(col("node"), col("pr")), Seq("node"))
         .select(col("dst").as("node"), (col("pr") * col("share")).as("c"))
         .groupBy("node").agg(sum(col("c")).as("in_c"))
-      pr = marked.join(contrib, Seq("node"), "left")
+      pr = LoopCheckpoint(marked.join(contrib, Seq("node"), "left")
         .crossJoin(broadcast(mass))
         .select(col("node"), col("has_out"),
           (lit((1 - damping) / n) +
             lit(damping) * (coalesce(col("in_c"), lit(0.0)) +
               col("dangling") / lit(n.toDouble)))
-            .as("pr"))
-        .localCheckpoint(true)
+            .as("pr")))
     }
     pr.select(col("node"), col("pr"))
+  }
+
+  /** [[pageRank]] on a fixed-point INTEGER grid — ranks in picos
+    * (1e-12), transition shares in micros (1e-6), every step pure
+    * 64-bit integer arithmetic with truncating division:
+    *
+    *   share_u→v = (w·10⁶) div outW(u)                    [micros]
+    *   in_c(v)   = Σ_u (pr(u)·share_u→v) div 10⁶          [picos]
+    *   pr'(v)    = (15·10¹⁰ div N) +
+    *               (85·(in_c(v) + dangling div N)) div 100 [picos]
+    *
+    * Integer sums are associative and commutative, so the result is
+    * BIT-IDENTICAL under any partitioning AND on any engine with 64-bit
+    * integers — this is the variant the DuckDB oracle replays move for
+    * move (unrolled 15-step SQL), turning the registry row hash-green.
+    * Quantization cost vs the float fixed point: share truncation is
+    * ≤ 1e-6 relative, amplified by at most d/(1−d) ≈ 5.67 at the fixed
+    * point → ranks within ~6e-6 of [[pageRank]]'s (the Verify gate
+    * cross-checks at 1e-4 against the dense float reference and
+    * EXACTLY against the integer sequential reference).
+    *
+    * Overflow headroom: pr ≤ 10¹², share ≤ 10⁶ → the per-edge product
+    * ≤ 10¹⁸ < 2⁶³−1; all sums are bounded by the total mass 10¹².
+    * Requires integral edge weights (transition counts); damping is
+    * fixed at the standard 0.85 so the constants stay exact integers.
+    *
+    * Same plan shape and per-iteration cost as [[pageRank]]: one
+    * equi-join + one aggregation + one [[LoopCheckpoint]]
+    * materialization per iteration, dangling mass riding the lineage as
+    * a broadcast 1-row aggregate.
+    */
+  def pageRankPicos(edges: DataFrame, iters: Int = 15): DataFrame = {
+    val e = edges.select(
+      col("src"), col("dst"), col("weight").cast("long").as("w"))
+    val nodes = e.select(col("src").as("node"))
+      .unionByName(e.select(col("dst").as("node")))
+      .distinct()
+      .localCheckpoint(true)
+    val n = nodes.count()
+    require(n > 0, "pageRankPicos needs a non-empty graph")
+    val outW = e.groupBy(col("src")).agg(sum(col("w")).as("out_w"))
+    val shares = LoopCheckpoint(e.join(outW, "src")
+      .select(col("src").as("node"), col("dst"),
+        expr("(w * 1000000L) div out_w").as("sm")))
+    val marked = LoopCheckpoint(nodes.join(
+        outW.select(col("src").as("node"), lit(true).as("has_out")),
+        Seq("node"), "left")
+      .select(col("node"), coalesce(col("has_out"), lit(false)).as("has_out")))
+    val base = 150000000000L / n // (1-d)/N in picos, d = 0.85
+    var pr = LoopCheckpoint(marked.withColumn("pr", lit(1000000000000L / n)))
+    for (_ <- 1 to iters) {
+      val mass = pr.agg(
+        coalesce(sum(when(!col("has_out"), col("pr"))), lit(0L)).as("dangling"))
+      val contrib = shares.join(pr.select(col("node"), col("pr")), Seq("node"))
+        .select(col("dst").as("node"), expr("(pr * sm) div 1000000L").as("c"))
+        .groupBy("node").agg(sum(col("c")).as("in_c"))
+      pr = LoopCheckpoint(marked.join(contrib, Seq("node"), "left")
+        .crossJoin(broadcast(mass))
+        .select(col("node"), col("has_out"),
+          (lit(base) + expr(
+            "(85L * (coalesce(in_c, 0L) + dangling div " + n + "L)) div 100L"))
+            .as("pr")))
+    }
+    pr.select(col("node"), col("pr").as("pr_picos"))
+  }
+
+  /** Sequential in-driver twin of [[pageRankPicos]] over a collected
+    * edge list — the Verify gate's exact-equality reference (same
+    * integer arithmetic, order-free by construction).
+    */
+  def pageRankPicosReference(
+      edges: Seq[(Long, Long, Long)], iters: Int = 15): Map[Long, Long] = {
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct.sorted
+    val n = nodes.size
+    require(n > 0, "pageRankPicosReference needs a non-empty graph")
+    val outW = edges.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    val sm = edges.map { case (s, d, w) => (s, d, w * 1000000L / outW(s)) }
+    val base = 150000000000L / n
+    var pr = nodes.map(_ -> 1000000000000L / n).toMap
+    for (_ <- 1 to iters) {
+      val dangling = nodes.filterNot(outW.contains).map(pr).sum
+      val inC = sm.groupBy(_._2).view.mapValues(
+        _.map { case (s, _, m) => pr(s) * m / 1000000L }.sum).toMap
+      pr = nodes.map(v =>
+        v -> (base + 85L * (inC.getOrElse(v, 0L) + dangling / n) / 100L)).toMap
+    }
+    pr
   }
 }

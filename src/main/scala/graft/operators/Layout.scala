@@ -114,7 +114,12 @@ object Layout {
     val aggs = cols.flatMap(c =>
       Seq(min(numericize(df, c)).as(s"mn_$c"), max(numericize(df, c)).as(s"mx_$c")))
     val r = df.agg(aggs.head, aggs.tail: _*).head()
-    cols.indices.map(i => (r.getDouble(2 * i), r.getDouble(2 * i + 1)))
+    cols.indices.map { i =>
+      require(!r.isNullAt(2 * i) && !r.isNullAt(2 * i + 1),
+        s"z-order layout needs a non-empty input with non-null values " +
+          s"in z-column '${cols(i)}'")
+      (r.getDouble(2 * i), r.getDouble(2 * i + 1))
+    }
   }
 
   /** Monotone map of a numeric/timestamp column onto [0, 2^bits) given

@@ -55,8 +55,9 @@ object QualityModel {
     * counts, bias bucket = nBuckets at count 1. Sorting fixes the
     * array order so even non-exact folds over it would be deterministic.
     */
-  private def docFeatures(docs: DataFrame, label: Int, nBuckets: Int): DataFrame =
-    Scale.dsirFeatures(docs, nBuckets, portable = false)
+  private def docFeatures(docs: DataFrame, label: Int, nBuckets: Int,
+      portable: Boolean = false): DataFrame =
+    Scale.dsirFeatures(docs, nBuckets, portable)
       .groupBy("doc_id", "bucket").agg(count(lit(1)).as("c"))
       .withColumn("t", sum("c").over(
         org.apache.spark.sql.expressions.Window.partitionBy("doc_id")))
@@ -136,11 +137,12 @@ object QualityModel {
       raw: DataFrame,
       nBuckets: Int = 1024,
       iters: Int = 60,
-      lr: Double = 300.0): Seq[Long] = {
+      lr: Double = 300.0,
+      portable: Boolean = false): Seq[Long] = {
     val spark = target.sparkSession
     import spark.implicits._
-    val feats = docFeatures(target, 1, nBuckets)
-      .unionAll(docFeatures(raw, 0, nBuckets))
+    val feats = docFeatures(target, 1, nBuckets, portable)
+      .unionAll(docFeatures(raw, 0, nBuckets, portable))
       .localCheckpoint()
     val n = feats.count().max(1L)
     val resUdf = udf((m: Long, y: Int) => residualMicros(m, y))
@@ -182,15 +184,26 @@ object QualityModel {
       cacheKey: String,
       nBuckets: Int = 1024,
       iters: Int = 60,
-      lr: Double = 300.0): Seq[Long] = {
+      lr: Double = 300.0,
+      portable: Boolean = false): Seq[Long] = {
     def fp(df: DataFrame): String = {
       val r = df.agg(count(lit(1)),
         coalesce(expr("bit_xor(xxhash64(doc_id, text))"), lit(0L))).head()
       s"${r.getLong(0)}_${r.getLong(1)}"
     }
-    val key = s"$cacheKey|${fp(target)}|${fp(raw)}|$nBuckets|$iters|$lr"
-    weightCache.computeIfAbsent(key, _ => train(target, raw, nBuckets, iters, lr))
+    val key = s"$cacheKey|${fp(target)}|${fp(raw)}|$nBuckets|$iters|$lr|$portable"
+    val w = weightCache.computeIfAbsent(key,
+      _ => train(target, raw, nBuckets, iters, lr, portable))
+    if (portable) lastPortableWeights = Some(w)
+    w
   }
+
+  /** Most recent portable-hash weight vector trained via [[trainCached]]
+    * in this JVM — the literals [[graft.SparkEntry.oracleSql]] embeds so
+    * the DuckDB oracle can replay the SCORING path (training itself is
+    * bit-exact-gated against [[trainReference]] by the Verify main).
+    */
+  @volatile var lastPortableWeights: Option[Seq[Long]] = None
 
   /** Collected examples in the reference trainer's shape — shared by the
     * Verify gate and specs.
@@ -198,9 +211,11 @@ object QualityModel {
   def collectExamples(
       target: DataFrame,
       raw: DataFrame,
-      nBuckets: Int): Seq[(Seq[(Int, Long)], Int)] = {
+      nBuckets: Int,
+      portable: Boolean = false): Seq[(Seq[(Int, Long)], Int)] = {
     import org.apache.spark.sql.Row
-    docFeatures(target, 1, nBuckets).unionAll(docFeatures(raw, 0, nBuckets))
+    docFeatures(target, 1, nBuckets, portable)
+      .unionAll(docFeatures(raw, 0, nBuckets, portable))
       .collect().map { r =>
         (r.getSeq[Row](2).map(f => (f.getInt(0), f.getLong(1))), r.getInt(1))
       }.toSeq
@@ -211,15 +226,28 @@ object QualityModel {
     * quality ∈ (0,1), floored at 6 dp. No shuffle beyond the per-doc
     * feature assembly.
     */
-  def score(docs: DataFrame, weights: Seq[Long], nBuckets: Int = 1024): DataFrame = {
-    val wLit = typedLit(weights)
+  def score(docs: DataFrame, weights: Seq[Long], nBuckets: Int = 1024,
+      portable: Boolean = false): DataFrame = {
     val sigUdf = udf((m: Long) =>
       math.floor(1.0 / (1.0 + StrictMath.exp(-(m / 1e12))) * 1e6) / 1e6)
-    docFeatures(docs, 0, nBuckets)
+    scoreMargin(docs, weights, nBuckets, portable)
+      .select(col("doc_id"), sigUdf(col("margin_microsq")).as("quality"))
+  }
+
+  /** [[score]]'s exact integer pre-sigmoid margin (micro² units) —
+    * monotone in quality, so top-k by margin equals top-k by quality,
+    * and being a pure Long it hashes bit-for-bit across engines (the
+    * `quality_model_score` oracle row compares THIS, keeping the
+    * transcendental sigmoid out of the cross-engine contract).
+    */
+  def scoreMargin(docs: DataFrame, weights: Seq[Long], nBuckets: Int = 1024,
+      portable: Boolean = false): DataFrame = {
+    val wLit = typedLit(weights)
+    docFeatures(docs, 0, nBuckets, portable)
       .withColumn("margin_microsq", aggregate(col("feats"), lit(0L),
         (acc, f) => acc +
           f.getField("cn") * element_at(wLit, f.getField("bucket") + 1)))
-      .select(col("doc_id"), sigUdf(col("margin_microsq")).as("quality"))
+      .select(col("doc_id"), col("margin_microsq"))
   }
 
   /** ROW-LOCAL scoring column for streaming admission: the exact same

@@ -287,7 +287,7 @@ object Unigram {
     * seed touches; only (seedSize)-many rows are collected.
     */
   def seedModel(wordCounts: DataFrame, seedSize: Int, maxPieceLen: Int): Model = {
-    val cand = seedCandidates(wordCounts, maxPieceLen).localCheckpoint()
+    val cand = LoopCheckpoint(seedCandidates(wordCounts, maxPieceLen))
     val isSingle = udf((p: String) => symbols(p).length == 1)
     val singleRows = cand.filter(isSingle(col("piece")))
       .collect().map(r => (r.getString(0), r.getLong(1)))
@@ -350,7 +350,7 @@ object Unigram {
       maxPieceLen: Int = 4,
       emIters: Int = 2,
       shrink: Double = 0.75): (Model, Seq[Long]) = {
-    val wc = Bpe.wordCounts(docs).localCheckpoint()
+    val wc = LoopCheckpoint(Bpe.wordCounts(docs))
     trainOverWordCounts(wc, targetVocab, seedSize, maxPieceLen, emIters, shrink)
   }
 

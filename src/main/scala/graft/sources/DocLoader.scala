@@ -537,8 +537,93 @@ object DocLoader {
     }
   }
 
+  /** Invert an embedded TrueType font program's 'cmap' table into
+    * GID → Unicode (the decode a bare-Identity-H Type0 font needs,
+    * since its CIDs ARE glyph ids). Understands the sfnt table
+    * directory plus cmap subtable formats 4 (segmented BMP — the
+    * format every Windows-compatible font must carry) and 12
+    * (segmented coverage for supplementary planes), preferring
+    * (platform 3, encoding 10) > (3, 1) > platform 0. When several
+    * code points map to one glyph the SMALLEST wins (deterministic;
+    * real subset fonts allocate one glyph per code point anyway).
+    * Missing/malformed/truncated tables yield None ("no decode", never
+    * an error); a structurally-present supported subtable yields
+    * Some(map) even when it maps nothing — a subset font over an
+    * empty text legitimately has zero mappings, the same rule the
+    * ToUnicode path applies.
+    */
+  private[graft] def invertTrueTypeCmap(font: Array[Byte]): Option[Map[Int, String]] = {
+    def u8(i: Int): Int = font(i) & 0xFF
+    def u16(i: Int): Int = (u8(i) << 8) | u8(i + 1)
+    def u32(i: Int): Long =
+      ((u8(i).toLong << 24) | (u8(i + 1) << 16) | (u8(i + 2) << 8) | u8(i + 3)) & 0xFFFFFFFFL
+    try {
+      if (font.length < 12) return None
+      val numTables = u16(4)
+      val cmapOff = (0 until numTables).iterator.map(12 + 16 * _).collectFirst {
+        case e if font.length >= e + 16 &&
+          new String(font, e, 4, StandardCharsets.ISO_8859_1) == "cmap" =>
+          u32(e + 8).toInt
+      }.getOrElse(return None)
+      val nSub = u16(cmapOff + 2)
+      val records = (0 until nSub).map { i =>
+        val r = cmapOff + 4 + 8 * i
+        (u16(r), u16(r + 2), cmapOff + u32(r + 4).toInt)
+      }
+      val sub = records.find(r => r._1 == 3 && r._2 == 10)
+        .orElse(records.find(r => r._1 == 3 && r._2 == 1))
+        .orElse(records.find(_._1 == 0))
+        .getOrElse(return None)._3
+      val fwd = scala.collection.mutable.Map.empty[Int, Int] // cp -> gid
+      u16(sub) match {
+        case 4 =>
+          val segCount = u16(sub + 6) / 2
+          val endBase = sub + 14
+          val startBase = endBase + segCount * 2 + 2
+          val deltaBase = startBase + segCount * 2
+          val rangeBase = deltaBase + segCount * 2
+          for (i <- 0 until segCount) {
+            val end = u16(endBase + 2 * i)
+            val start = u16(startBase + 2 * i)
+            val delta = u16(deltaBase + 2 * i)
+            val rangeOff = u16(rangeBase + 2 * i)
+            if (start != 0xFFFF)
+              for (cp <- start to math.min(end, 0xFFFE)) {
+                val gid =
+                  if (rangeOff == 0) (cp + delta) & 0xFFFF
+                  else {
+                    val gi = rangeBase + 2 * i + rangeOff + 2 * (cp - start)
+                    if (gi + 1 >= font.length) 0
+                    else {
+                      val g = u16(gi)
+                      if (g == 0) 0 else (g + delta) & 0xFFFF
+                    }
+                  }
+                if (gid != 0 && !fwd.get(cp).exists(_ != 0)) fwd(cp) = gid
+              }
+          }
+        case 12 =>
+          val nGroups = u32(sub + 12).toInt
+          for (g <- 0 until math.min(nGroups, 1 << 20)) {
+            val o = sub + 16 + 12 * g
+            val startCp = u32(o).toInt
+            val endCp = u32(o + 4).toInt
+            val startGid = u32(o + 8).toInt
+            for (cp <- startCp to math.min(endCp, 0x10FFFF))
+              if (Character.isValidCodePoint(cp))
+                fwd(cp) = startGid + (cp - startCp)
+          }
+        case _ => return None
+      }
+      Some(fwd.toSeq.sortBy(_._1).reverseIterator // smallest cp wins per gid
+        .map { case (cp, gid) => gid -> new String(Character.toChars(cp)) }
+        .toMap)
+    } catch { case _: Exception => None }
+  }
+
   /** Decoder for one font object: /ToUnicode CMap first (authoritative
     * when present — it exists precisely to make text extractable), else
+    * the embedded font program's cmap for a bare Identity Type0, else
     * an /Encoding with /Differences, else none (default byte decode).
     */
   private def fontDecoder(objs: Map[Int, PdfObj], fontDict: String): Option[FontDecoder] = {
@@ -553,6 +638,34 @@ object DocLoader {
       // only a ToUnicode ref resolving to a non-CMap stream falls through
       case Some((cb, map)) if map.nonEmpty || toUniSrc.exists(_.contains("begincmap")) =>
         Some(CMapFont(if (isType0) math.max(cb, 2) else cb, map))
+      case _ if isType0 =>
+        // Bare Type0 (no usable /ToUnicode): before quarantining, try
+        // the embedded font program's own 'cmap' table (the reference's
+        // PyPDFLoader path for predefined/identity CMaps,
+        // chroma_utils.py:61-63). Sound exactly when code = CID = GID:
+        // /Encoding /Identity-H|V (code = CID) and the descendant
+        // CIDFontType2's /CIDToGIDMap absent or /Identity (CID = GID) —
+        // then inverting the TrueType cmap (Unicode → GID) decodes the
+        // shown CIDs. Anything else stays on the quarantine path.
+        val identityEnc =
+          "/Encoding\\s*/Identity-[HV]".r.findFirstIn(fontDict).isDefined
+        val fromFontProgram = for {
+          _ <- if (identityEnc) Some(()) else None
+          descM <- "/DescendantFonts\\s*\\[?\\s*(\\d+)\\s+\\d+\\s+R".r
+            .findFirstMatchIn(fontDict)
+          desc <- objs.get(descM.group(1).toInt)
+          _ <- if ("/CIDToGIDMap\\s*/(?!Identity)".r
+            .findFirstIn(desc.dict).isEmpty) Some(()) else None
+          fdM <- "/FontDescriptor\\s+(\\d+)\\s+\\d+\\s+R".r
+            .findFirstMatchIn(desc.dict)
+          fd <- objs.get(fdM.group(1).toInt)
+          ffM <- "/FontFile2\\s+(\\d+)\\s+\\d+\\s+R".r
+            .findFirstMatchIn(fd.dict)
+          ff <- objs.get(ffM.group(1).toInt)
+          program <- Option(ff.stream)
+          inv <- invertTrueTypeCmap(program)
+        } yield CMapFont(2, inv)
+        fromFontProgram
       case _ =>
         // simple-font /Encoding: a named base encoding (/WinAnsiEncoding,
         // /MacRomanEncoding — directly or as /BaseEncoding inside an
@@ -857,6 +970,114 @@ object DocLoader {
     val idx = withRes.lastIndexOf("%%EOF")
     (withRes.substring(0, idx) + fontObj + "%%EOF\n")
       .getBytes(StandardCharsets.ISO_8859_1)
+  }
+
+  /** Minimal TrueType font program carrying ONLY an sfnt directory and a
+    * format-4 'cmap' subtable (platform 3, encoding 1) mapping each
+    * code point to its glyph id — one single-char segment per mapping
+    * plus the mandatory 0xFFFF terminator. Enough structure for any
+    * cmap reader; no outlines (extraction never rasterizes).
+    */
+  private[graft] def buildTrueTypeWithCmap(cpToGid: Seq[(Int, Int)]): Array[Byte] = {
+    val segs = cpToGid.sortBy(_._1) :+ ((0xFFFF, 0)) // terminator segment
+    val segCount = segs.size
+    def u16(v: Int): Array[Byte] = Array(((v >> 8) & 0xFF).toByte, (v & 0xFF).toByte)
+    def u32(v: Long): Array[Byte] = Array(
+      ((v >> 24) & 0xFF).toByte, ((v >> 16) & 0xFF).toByte,
+      ((v >> 8) & 0xFF).toByte, (v & 0xFF).toByte)
+    val buf = new ByteArrayOutputStream()
+    // format 4 body
+    val fmt = new ByteArrayOutputStream()
+    val segX2 = segCount * 2
+    val search = {
+      var p = 1; while (p * 2 <= segCount) p *= 2; p * 2
+    }
+    fmt.write(u16(4)); fmt.write(u16(16 + 8 * segCount)); fmt.write(u16(0))
+    fmt.write(u16(segX2)); fmt.write(u16(search))
+    fmt.write(u16((math.log(search / 2.0) / math.log(2)).toInt))
+    fmt.write(u16(segX2 - search))
+    segs.foreach { case (cp, _) => fmt.write(u16(cp)) } // endCode
+    fmt.write(u16(0)) // reservedPad
+    segs.foreach { case (cp, _) => fmt.write(u16(cp)) } // startCode
+    segs.foreach { case (cp, gid) => // idDelta: gid = (cp + delta) & 0xFFFF
+      val delta = if (cp == 0xFFFF) 1 else (gid - cp) & 0xFFFF
+      fmt.write(u16(delta))
+    }
+    segs.foreach(_ => fmt.write(u16(0))) // idRangeOffset: all direct
+    val fmtBytes = fmt.toByteArray
+    // cmap header: version 0, one subtable record (3, 1) at offset 12
+    val cmap = new ByteArrayOutputStream()
+    cmap.write(u16(0)); cmap.write(u16(1))
+    cmap.write(u16(3)); cmap.write(u16(1)); cmap.write(u32(12))
+    cmap.write(fmtBytes)
+    val cmapBytes = cmap.toByteArray
+    // sfnt: version 1.0, one table, 'cmap' at offset 28
+    buf.write(u32(0x00010000L)); buf.write(u16(1))
+    buf.write(u16(16)); buf.write(u16(0)); buf.write(u16(0)) // search fields
+    buf.write("cmap".getBytes(StandardCharsets.ISO_8859_1))
+    buf.write(u32(0)) // checksum (readers don't verify here)
+    buf.write(u32(28)); buf.write(u32(cmapBytes.length.toLong))
+    buf.write(cmapBytes)
+    buf.toByteArray
+  }
+
+  /** [[buildPdfType0]] variant with NO /ToUnicode CMap: the Unicode
+    * mapping lives ONLY in the embedded TrueType font program's cmap
+    * table (/DescendantFonts → /FontDescriptor → /FontFile2) — the
+    * bare-Type0-with-cmap class the r12 verdict's #7 names. CID
+    * allocation matches [[buildPdfType0]] (1..n over sorted distinct
+    * code points), /Encoding /Identity-H and an Identity /CIDToGIDMap,
+    * so decode is exact iff the extractor inverts the font cmap.
+    */
+  def buildPdfType0Embedded(pages: Seq[String]): Array[Byte] = {
+    val pg = if (pages.isEmpty) Seq("") else pages
+    val nPages = pg.size
+    val cps = pg.flatMap(t => t.codePoints().toArray.toSeq).filter(_ != '\n').distinct.sorted
+    val cidOf = cps.zipWithIndex.map { case (cp, i) => cp -> (i + 1) }.toMap
+    def hex4(v: Int): String = f"$v%04X"
+    def lineToHex(l: String): String =
+      l.codePoints().toArray.map(cp => hex4(cidOf(cp))).mkString
+    val fontProgram = buildTrueTypeWithCmap(
+      cps.filter(_ <= 0xFFFE).map(cp => cp -> cidOf(cp)))
+    val kids = (0 until nPages).map(i => s"${3 + 2 * i} 0 R").mkString(" ")
+    val objs = mutable.ArrayBuffer[Array[Byte]](
+      s"1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n".getBytes(StandardCharsets.ISO_8859_1),
+      s"2 0 obj\n<< /Type /Pages /Kids [$kids] /Count $nPages >>\nendobj\n".getBytes(StandardCharsets.ISO_8859_1))
+    pg.zipWithIndex.foreach { case (text, i) =>
+      val pageObj = 3 + 2 * i
+      val contObj = 4 + 2 * i
+      val ops = text.split("\n", -1).map(l => s"<${lineToHex(l)}> Tj").mkString("\nT*\n")
+      val stream = s"BT /F1 12 Tf 72 720 Td\n$ops\nET".getBytes(StandardCharsets.ISO_8859_1)
+      val deflated = deflate(stream)
+      objs += (s"$pageObj 0 obj\n<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] " +
+        s"/Resources << /Font << /F1 9000 0 R >> >> " +
+        s"/Contents $contObj 0 R >>\nendobj\n").getBytes(StandardCharsets.ISO_8859_1)
+      val buf = new ByteArrayOutputStream()
+      buf.write((s"$contObj 0 obj\n<< /Length ${deflated.length} /Filter /FlateDecode >>\nstream\n")
+        .getBytes(StandardCharsets.ISO_8859_1))
+      buf.write(deflated)
+      buf.write("\nendstream\nendobj\n".getBytes(StandardCharsets.ISO_8859_1))
+      objs += buf.toByteArray
+    }
+    objs += ("9000 0 obj\n<< /Type /Font /Subtype /Type0 /BaseFont /NotoSansCJK " +
+      "/Encoding /Identity-H /DescendantFonts [9002 0 R] >>\nendobj\n")
+      .getBytes(StandardCharsets.ISO_8859_1)
+    objs += ("9002 0 obj\n<< /Type /Font /Subtype /CIDFontType2 /BaseFont /NotoSansCJK " +
+      "/CIDToGIDMap /Identity /FontDescriptor 9003 0 R >>\nendobj\n")
+      .getBytes(StandardCharsets.ISO_8859_1)
+    objs += ("9003 0 obj\n<< /Type /FontDescriptor /FontName /NotoSansCJK " +
+      "/FontFile2 9004 0 R >>\nendobj\n").getBytes(StandardCharsets.ISO_8859_1)
+    val ffBuf = new ByteArrayOutputStream()
+    ffBuf.write(s"9004 0 obj\n<< /Length ${fontProgram.length} >>\nstream\n"
+      .getBytes(StandardCharsets.ISO_8859_1))
+    ffBuf.write(fontProgram)
+    ffBuf.write("\nendstream\nendobj\n".getBytes(StandardCharsets.ISO_8859_1))
+    objs += ffBuf.toByteArray
+    val out = new ByteArrayOutputStream()
+    out.write("%PDF-1.4\n".getBytes(StandardCharsets.ISO_8859_1))
+    objs.foreach(out.write)
+    out.write("%%EOF\n".getBytes(StandardCharsets.ISO_8859_1))
+    out.toByteArray
   }
 
   /** Deterministic simple-font PDF writer exercising the /Encoding

@@ -445,7 +445,18 @@ object Streams {
         case (uid, rows, state: GroupState[FunnelProgress]) =>
           if (state.hasTimedOut) { state.remove(); Iterator.empty }
           else {
+            // Reap state the timeout hasn't collected yet: if the
+            // watermark already passed anchor + span, no event this
+            // batch can legally advance the funnel, and re-updating
+            // would set a timeout BEHIND the watermark (Spark throws).
+            // The group was invoked with data before its timeout fired
+            // — drop the expired progress and let the batch's events
+            // anchor a fresh funnel if they qualify.
+            val wmMs = state.getCurrentWatermarkMs()
             var times = state.getOption.map(_.times).getOrElse(Nil)
+            if (times.nonEmpty && times.head / 1000 + maxSpanSeconds * 1000 <= wmMs) {
+              state.remove(); times = Nil
+            }
             val out = scala.collection.mutable.ArrayBuffer.empty[FunnelAdvance]
             rows.toSeq.sortBy(e => micros(e.ts)).foreach { e =>
               val us = micros(e.ts)
@@ -459,7 +470,10 @@ object Streams {
             if (times.length == steps.size) state.remove()
             else if (times.nonEmpty) {
               state.update(FunnelProgress(times))
-              state.setTimeoutTimestamp(times.head / 1000 + maxSpanSeconds * 1000)
+              // Clamp to just past the watermark: a timeout at or
+              // behind the current watermark is an IllegalArgumentException.
+              state.setTimeoutTimestamp(
+                math.max(times.head / 1000 + maxSpanSeconds * 1000, wmMs + 1))
             }
             out.iterator
           }

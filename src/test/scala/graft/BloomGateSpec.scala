@@ -68,6 +68,16 @@ class BloomGateSpec extends AnyFunSuite with SparkTestSession {
     assertSameRows(out, batch)
   }
 
+  test("a stale expectedHistoryKeys=0 is rejected, never a silent dedup skip") {
+    // The sizing hint must not become a correctness hinge: Some(0) on a
+    // non-empty history used to return the batch unchanged.
+    val e = intercept[IllegalArgumentException] {
+      Dedup.bloomGate(history, batch, Seq("key"), fpp = 0.01,
+        expectedHistoryKeys = Some(0L))
+    }
+    assert(e.getMessage.contains("expectedHistoryKeys"))
+  }
+
   test("null keys never match (NOT-EXISTS semantics), like the anti-join") {
     val h = Seq(Some("x"), None).toDF("key")
     val b = Seq(Some("x"), Some("y"), None).toDF("key")

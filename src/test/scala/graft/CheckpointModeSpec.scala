@@ -1,0 +1,81 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.{Bpe, Dedup, Graphs, LoopCheckpoint}
+
+/** The reliable-checkpoint mode (`spark.graft.loop.checkpointDir`) must
+  * be a pure EXECUTION choice: every iterative loop produces bit-equal
+  * results under localCheckpoint (the local[N] default) and under
+  * reliable `checkpoint(dir)` (the executor-loss-safe cluster mode).
+  * Exercised on the three loop families the engine runs: the PageRank
+  * fixed point, star-round connected components, and the BPE trainer
+  * (both the recount path and the incremental overlay path share
+  * [[LoopCheckpoint]] internally).
+  */
+class CheckpointModeSpec extends AnyFunSuite with SparkTestSession {
+  import spark.implicits._
+
+  // ONE directory for the whole suite: SparkContext.setCheckpointDir is
+  // set once per context (LoopCheckpoint documents first-set-wins), so a
+  // per-test temp dir would silently keep writing under the first one.
+  private lazy val reliableDir =
+    java.nio.file.Files.createTempDirectory("graft_ckpt")
+
+  private def withReliableDir[T](f: => T): T = {
+    spark.conf.set(LoopCheckpoint.ConfKey, reliableDir.toString)
+    try f
+    finally spark.conf.unset(LoopCheckpoint.ConfKey)
+  }
+
+  private def edgesDf = Seq(
+    (1L, 2L, 3L), (2L, 3L, 1L), (3L, 1L, 2L), (1L, 3L, 1L),
+    (4L, 1L, 5L), (5L, 5L, 1L), (6L, 2L, 2L), (7L, 7L, 4L))
+    .toDF("src", "dst", "weight")
+    .filter(col("src") =!= col("dst")) // drop self-loops like itemTransitions
+
+  test("pageRankPicos: reliable checkpoint equals localCheckpoint bit for bit") {
+    val local = Graphs.pageRankPicos(edgesDf, iters = 8)
+      .as[(Long, Long)].collect().toMap
+    val reliable = withReliableDir {
+      Graphs.pageRankPicos(edgesDf, iters = 8)
+        .as[(Long, Long)].collect().toMap
+    }
+    assert(local == reliable)
+    assert(local.nonEmpty)
+  }
+
+  test("duplicateClustersStar: both modes produce the identical clustering") {
+    val pairs = Seq(
+      (1L, 2L), (2L, 3L), (10L, 11L), (11L, 12L), (12L, 13L), (20L, 21L))
+      .toDF("doc_a", "doc_b")
+    val local = Dedup.duplicateClustersStar(pairs)
+      .as[(Long, Long)].collect().toSet
+    val reliable = withReliableDir {
+      Dedup.duplicateClustersStar(pairs).as[(Long, Long)].collect().toSet
+    }
+    assert(local == reliable)
+    assert(local.map(_._2) == Set(1L, 10L, 20L))
+  }
+
+  test("BPE learnMerges: both modes learn the identical merge sequence") {
+    val docs = Seq(
+      (1L, "lower lower lowest low low low"),
+      (2L, "newer newest new new lower"),
+      (3L, "wider wide widest lowest")).toDF("doc_id", "text")
+    val local = Bpe.learnMerges(docs, nMerges = 6)
+    val reliable = withReliableDir { Bpe.learnMerges(docs, nMerges = 6) }
+    assert(local == reliable)
+    assert(local.size == 6)
+  }
+
+  test("the reliable mode actually writes checkpoint files") {
+    withReliableDir {
+      Graphs.pageRankPicos(edgesDf, iters = 2).collect()
+    }
+    val it = java.nio.file.Files.walk(reliableDir).iterator()
+    var n = 0
+    while (it.hasNext) { it.next(); n += 1 }
+    assert(n > 1, s"expected checkpoint files under $reliableDir")
+  }
+}

@@ -100,6 +100,45 @@ class DocRoundTripSpec extends AnyFunSuite {
     }
   }
 
+  test("property: bare Type0 with an embedded font cmap decodes exactly") {
+    // r13 FontFile2 fallback: NO /ToUnicode anywhere — the Unicode
+    // mapping lives only in the embedded TrueType program's format-4
+    // cmap, inverted at decode time (Identity-H ⇒ code = CID = GID).
+    // BMP-only pages (format 4 can't carry supplementary planes; the
+    // emoji class stays on the ToUnicode path).
+    samples(120).grouped(3).foreach { pages0 =>
+      val pages = pages0.map(t => t.codePoints().toArray.toSeq
+        .filter(cp => cp == '\n' || cp <= 0xFFFE)
+        .map(cp => new String(Character.toChars(cp))).mkString)
+      val bytes = DocLoader.buildPdfType0Embedded(pages)
+      assert(!new String(bytes, java.nio.charset.StandardCharsets.ISO_8859_1)
+        .contains("/ToUnicode"), "fixture must be ToUnicode-free")
+      val got = DocLoader.extractPdfPages(bytes)
+      assert(got.map(_._1) == (1 to pages.size), "page numbering broke")
+      assert(got.map(_._2) == pages,
+        s"embedded-cmap round trip broke for [${pages.map(_.take(40)).mkString(" | ")}]")
+      assert(DocLoader.extractPdfStatus(bytes) ==
+        ((pages.mkString("\n"), DocLoader.StatusOk)))
+    }
+    // the TRULY bare class (no font program either) still quarantines —
+    // the fallback must not have fail-opened the routing
+    assert(DocLoader.extractPdfStatus(
+      DocLoader.buildPdfType0Bare(Seq("still quarantined")))._2 ==
+      DocLoader.StatusUnsupportedFont)
+  }
+
+  test("invertTrueTypeCmap: format 4 inversion, malformed input is empty") {
+    val ttf = DocLoader.buildTrueTypeWithCmap(Seq('a'.toInt -> 1, 'b'.toInt -> 2, 'é'.toInt -> 3))
+    val inv = DocLoader.invertTrueTypeCmap(ttf)
+    assert(inv.contains(Map(1 -> "a", 2 -> "b", 3 -> "é")))
+    // present-but-empty cmap is Some(empty) — decodable, maps nothing
+    assert(DocLoader.invertTrueTypeCmap(
+      DocLoader.buildTrueTypeWithCmap(Seq.empty)).contains(Map.empty))
+    assert(DocLoader.invertTrueTypeCmap(Array.emptyByteArray).isEmpty)
+    assert(DocLoader.invertTrueTypeCmap("garbage-not-sfnt".getBytes("UTF-8")).isEmpty)
+    assert(DocLoader.invertTrueTypeCmap(ttf.take(40)).isEmpty) // truncated
+  }
+
   test("property: /Encoding /Differences encode→decode is the identity") {
     // the DiffFont path: content bytes are REMAPPED printable codes and
     // only the /Differences array (uniXXXX glyph names) can invert them —

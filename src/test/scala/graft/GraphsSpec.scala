@@ -68,4 +68,26 @@ class GraphsSpec extends AnyFunSuite with SparkTestSession {
     }
     assert(math.abs(out.values.sum - 1.0) < 1e-9)
   }
+
+  test("pageRankPicos: exact vs the integer reference, ~float fixed point") {
+    val rnd = new scala.util.Random(11)
+    val edges = Seq.fill(300)(
+      (rnd.nextInt(40).toLong, rnd.nextInt(40).toLong, (rnd.nextInt(5) + 1).toDouble))
+      .filter(e => e._1 != e._2).distinct
+    val got = Graphs.pageRankPicos(edges.toDF("src", "dst", "weight"))
+      .as[(Long, Long)].collect().toMap
+    // EXACT equality with the sequential integer twin — order-free Long
+    // arithmetic on both sides makes this an equality, not a tolerance
+    val refPicos = Graphs.pageRankPicosReference(
+      edges.map { case (s, d, w) => (s, d, w.toLong) })
+    assert(got == refPicos)
+    // within the analytic quantization bound of the FLOAT fixed point
+    // (share truncation ≤1e-6 amplified ≤ d/(1−d) ≈ 5.67 ⇒ < 1e-4)
+    val fl = ref(edges, 0.85, 15)
+    val maxDiff = got.map { case (v, p) => math.abs(p / 1e12 - fl(v)) }.max
+    assert(maxDiff < 1e-4, s"maxDiff=$maxDiff")
+    // truncation only loses mass, and boundedly so
+    val mass = got.values.sum
+    assert(mass <= 1000000000000L && mass > 999000000000L, s"mass=$mass")
+  }
 }

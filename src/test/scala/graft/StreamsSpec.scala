@@ -706,4 +706,100 @@ class StreamsSpec extends AnyFunSuite with SparkTestSession {
       assert(rows.contains((3L, 2)), s"fresh funnel must still work: ${rows.toSeq}")
     } finally query.stop()
   }
+
+  test("streaming funnel survives data arriving for already-expired state") {
+    // Regression for the timeout-behind-watermark crash: user 1's state
+    // expires (anchor + span < watermark, advanced by user 9) but the
+    // event-time TIMEOUT has not fired because user 1 has DATA in the
+    // batch. The group is invoked with hasTimedOut=false; re-updating
+    // the old state would set a timeout behind the watermark and Spark
+    // would kill the query with IllegalArgumentException. The fix reaps
+    // the expired progress in-function and lets the batch's own events
+    // anchor a FRESH funnel.
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Streams.SessionEvent]
+    val query = Streams.funnelStream(input.toDS(),
+        Seq("view", "click"), maxSpanSeconds = 60L, watermark = "0 seconds")
+      .writeStream.format("memory").queryName("funnel_expired_data")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // batch 1: u1 anchors at 10:00 (timeout 10:01); u9 pushes the
+      // watermark to 14:00 at batch end
+      input.addData(
+        Streams.SessionEvent(ts("2024-01-01 10:00:00"), 1L, "view"),
+        Streams.SessionEvent(ts("2024-01-01 14:00:00"), 9L, "view"))
+      query.processAllAvailable()
+      // batch 2 runs with watermark 14:00 > anchor+span 10:01, and u1
+      // HAS data — a non-advancing "view". Pre-fix: crash. Post-fix:
+      // expired state reaped, the view re-anchors a fresh funnel.
+      input.addData(Streams.SessionEvent(ts("2024-01-01 14:30:00"), 1L, "view"))
+      query.processAllAvailable()
+      // the fresh funnel is live: a click inside ITS window completes it
+      input.addData(Streams.SessionEvent(ts("2024-01-01 14:30:30"), 1L, "click"))
+      query.processAllAvailable()
+      assert(query.exception.isEmpty, s"query died: ${query.exception}")
+      val rows = spark.table("funnel_expired_data").collect()
+        .map(r => (r.getAs[Long]("user_id"), r.getAs[Int]("step_idx"),
+          r.getAs[Long]("latency_us")))
+      val u1 = rows.filter(_._1 == 1L).toSeq.sortBy(r => (r._2, r._3))
+      // two anchors (10:00 and the re-anchor at 14:30), one completion
+      // whose latency is measured from the FRESH anchor, not the expired one
+      assert(u1.count(_._2 == 1) == 2, s"anchors: $u1")
+      assert(u1.filter(_._2 == 2).map(_._3).toSeq == Seq(30000000L),
+        s"completion must ride the fresh anchor: $u1")
+    } finally query.stop()
+  }
+
+  test("streaming funnel late data: intra-batch disorder absorbed, " +
+      "beyond-watermark events dropped and counted") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[Streams.SessionEvent]
+    val query = Streams.funnelStream(input.toDS(),
+        Seq("view", "click", "purchase"), maxSpanSeconds = 7L * 86400,
+        watermark = "1 hour")
+      .writeStream.format("memory").queryName("funnel_late")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // batch 1: user 1's whole funnel delivered REVERSED — events are
+      // sorted by event time inside the group, so within-batch disorder
+      // (any disorder inside the watermark that lands in one trigger)
+      // must produce exactly the batch funnel's advances
+      val u1 = Seq(
+        Streams.SessionEvent(ts("2024-01-01 10:00:00"), 1L, "view"),
+        Streams.SessionEvent(ts("2024-01-01 10:05:00"), 1L, "click"),
+        Streams.SessionEvent(ts("2024-01-01 10:10:00"), 1L, "purchase"))
+      input.addData(u1.reverse: _*)
+      query.processAllAvailable()
+      // batch 2: watermark is now 09:10 (10:10 − 1h). user 2 anchors
+      // far ahead and pushes the watermark to 19:00 at batch end.
+      input.addData(Streams.SessionEvent(ts("2024-01-01 20:00:00"), 2L, "view"))
+      query.processAllAvailable()
+      // batch 3: a click for user 2 stamped 08:00 — BEYOND the
+      // watermark (19:00). Spark's pre-stateful late filter drops it
+      // before the function ever sees it; the batch funnel over the
+      // same four events would also not advance (08:00 < anchor), but
+      // the pinned semantics here is the DROP: no advance, and the
+      // drop is visible in numRowsDroppedByWatermark.
+      input.addData(Streams.SessionEvent(ts("2024-01-01 08:00:00"), 2L, "click"))
+      query.processAllAvailable()
+      assert(query.exception.isEmpty, s"query died: ${query.exception}")
+      val rows = spark.table("funnel_late").collect()
+        .map(r => (r.getAs[Long]("user_id"), r.getAs[Int]("step_idx")))
+      // intra-batch disorder: full 3-step completion, equal to batch
+      val batch = graft.operators.Sessions.funnel(
+          u1.map(e => (e.ts, e.user_id, e.event_type))
+            .toDF("ts", "user_id", "event_type"),
+          Seq("view", "click", "purchase"), maxSpanSeconds = 7L * 86400)
+        .select("step_idx", "n_users").as[(Int, Long)].collect().toMap
+      assert(batch == Map(1 -> 1L, 2 -> 1L, 3 -> 1L), batch.toString)
+      assert(rows.filter(_._1 == 1L).map(_._2).sorted.toSeq == Seq(1, 2, 3),
+        s"shuffled-within-batch funnel must equal batch: ${rows.toSeq}")
+      // beyond-watermark click: dropped, never advanced
+      assert(!rows.contains((2L, 2)), s"late event advanced: ${rows.toSeq}")
+      val dropped = query.recentProgress
+        .flatMap(_.stateOperators.map(_.numRowsDroppedByWatermark)).sum
+      assert(dropped >= 1L, s"expected a counted watermark drop, got $dropped")
+    } finally query.stop()
+  }
 }

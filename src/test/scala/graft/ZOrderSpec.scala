@@ -112,4 +112,17 @@ class ZOrderSpec extends AnyFunSuite with SparkTestSession {
     assert(zRows * 2 <= linRows, s"z=$zRows not < linear=$linRows / 2")
     assert(zRows * 100 <= n * 8, s"z=$zRows over 8% of $n")
   }
+
+  test("empty or all-null z-input fails with a descriptive error, not an NPE") {
+    val empty = spark.range(0).select(col("id").cast("double").as("a"))
+    val e1 = intercept[IllegalArgumentException] {
+      Layout.colRanges(empty, Seq("a"))
+    }
+    assert(e1.getMessage.contains("z-order"), e1.getMessage)
+    val allNull = spark.range(5).select(lit(null).cast("double").as("a"))
+    val e2 = intercept[IllegalArgumentException] {
+      Layout.colRanges(allNull, Seq("a"))
+    }
+    assert(e2.getMessage.contains("a"), e2.getMessage)
+  }
 }
