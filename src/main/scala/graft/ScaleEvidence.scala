@@ -568,8 +568,22 @@ object ScaleEvidence {
     // probe at the same layout (the sweep's economy setting) — the
     // price of near-exactness on a 10⁶-vector corpus where the full
     // exact scan costs tExactEuc.
-    val frontierSettings = Seq((8, 4), (16, 4), (32, 8))
-    val frontier = frontierSettings.map { case (np, of) =>
+    // Escalation ladder with early stop at the crossing. The endpoint
+    // is structurally near-exact: nProbe=128 probes EVERY cell (zero
+    // coverage loss) and deep overfetch hands the exact reranker
+    // k×overfetch candidates, so the only loss left is a true
+    // neighbor ranking below that ADC cut — driven to ~zero as the
+    // overfetch widens. Measured first at r13: recall@10 plateaus at
+    // 0.72–0.80 through (8,4)/(16,4)/(32,8) on these near-random
+    // synthetic embeddings (deep ranks are barely-closer-than-random,
+    // exactly PQ's worst case), and crosses only on the wide settings.
+    val frontierSettings =
+      Seq((8, 4), (32, 8), (64, 16), (128, 32), (128, 64), (128, 256))
+    val frontier = scala.collection.mutable.ArrayBuffer
+      .empty[(Int, Int, Double, Double)]
+    val settingsIt = frontierSettings.iterator
+    while (settingsIt.hasNext && !frontier.lastOption.exists(_._3 >= 0.9)) {
+      val (np, of) = settingsIt.next()
       val (pairs, tS) = timed {
         operators.Ann.ivfPqLocalTopKReranked(
           spark, s"$lopqDir/codes", queries, bigV, ivfCents, lopqBooks,
@@ -577,7 +591,8 @@ object ScaleEvidence {
           .select("query_id", "vec_id").collect()
           .map(r => (r.getLong(0), r.getLong(1)))
       }
-      (np, of, pairs.count(exactEucPairs10.contains).toDouble / exactEucPairs10.size, tS)
+      frontier += ((np, of,
+        pairs.count(exactEucPairs10.contains).toDouble / exactEucPairs10.size, tS))
     }
     val crossing = frontier.find(_._3 >= 0.9)
     if (crossing.isEmpty)

@@ -255,7 +255,13 @@ object Verify {
       // OWN books; floored at the residual tier's threshold and printed
       // side-by-side (cells adapt the code budget locally — the lift
       // shows where cells have structure; the near-random sf corpora
-      // bound it near the residual figure).
+      // bound it near the residual figure). These floors grade the
+      // ECONOMY probe settings (nProbe=3, overfetch=4); the recorded
+      // `ann_frontier` leg in SCALE_EVIDENCE.json traces the same
+      // LOPQ+rerank tier's escalation ladder to the recall@10 ≥ 0.9
+      // crossing at 10⁶-scale, with its cost multiplier — approximate
+      // recall is a BUDGET choice on that recorded curve, and the
+      // floors here pin only that the economy point hasn't regressed.
       val localBooks = operators.Ann.trainLocalPqCodebooksCached(
         emb, cacheKey = sfDir, centroids, m = 8, dsub = 8, kStar = 16, maxIter = 5)
       val localLayout = operators.Ann.ivfPqLocalLayout(

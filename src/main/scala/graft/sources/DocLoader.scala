@@ -575,6 +575,11 @@ object DocLoader {
         .orElse(records.find(_._1 == 0))
         .getOrElse(return None)._3
       val fwd = scala.collection.mutable.Map.empty[Int, Int] // cp -> gid
+      // Inversion budget: a hostile/degenerate font can declare segments
+      // or groups spanning the whole code space; 2^17 mappings is far
+      // beyond any real subset font (PDF CIDs are 16-bit anyway) and
+      // keeps the per-document ingest cost bounded.
+      val budget = 1 << 17
       u16(sub) match {
         case 4 =>
           val segCount = u16(sub + 6) / 2
@@ -587,8 +592,8 @@ object DocLoader {
             val start = u16(startBase + 2 * i)
             val delta = u16(deltaBase + 2 * i)
             val rangeOff = u16(rangeBase + 2 * i)
-            if (start != 0xFFFF)
-              for (cp <- start to math.min(end, 0xFFFE)) {
+            if (start != 0xFFFF && fwd.size < budget)
+              for (cp <- start to math.min(end, 0xFFFE) if fwd.size < budget) {
                 val gid =
                   if (rangeOff == 0) (cp + delta) & 0xFFFF
                   else {
@@ -604,12 +609,12 @@ object DocLoader {
           }
         case 12 =>
           val nGroups = u32(sub + 12).toInt
-          for (g <- 0 until math.min(nGroups, 1 << 20)) {
+          for (g <- 0 until math.min(nGroups, 1 << 16) if fwd.size < budget) {
             val o = sub + 16 + 12 * g
             val startCp = u32(o).toInt
             val endCp = u32(o + 4).toInt
             val startGid = u32(o + 8).toInt
-            for (cp <- startCp to math.min(endCp, 0x10FFFF))
+            for (cp <- startCp to math.min(endCp, 0x10FFFF) if fwd.size < budget)
               if (Character.isValidCodePoint(cp))
                 fwd(cp) = startGid + (cp - startCp)
           }

@@ -495,7 +495,18 @@ object Streams {
             state.remove()
             SessionUpdate(userId, prev.count, prev.lastSeen, expired = true)
           } else {
-            val prev = state.getOption.getOrElse(SessionState(0L, new Timestamp(0L)))
+            // Reap a session the gap already ended but whose timeout
+            // hasn't fired (the timeout only fires in a batch where the
+            // group has NO data — a user returning right after the
+            // watermark passed last+gap would otherwise merge into the
+            // dead session). Gap semantics demand a FRESH session; the
+            // dead one's expiry row is superseded by this update (one
+            // row per group per batch under mapGroupsWithState).
+            val prev = state.getOption match {
+              case Some(p) if p.lastSeen.getTime + gapMs <=
+                  state.getCurrentWatermarkMs() => SessionState(0L, new Timestamp(0L))
+              case other => other.getOrElse(SessionState(0L, new Timestamp(0L)))
+            }
             var count = prev.count
             var last = prev.lastSeen
             rows.foreach { e =>

@@ -81,6 +81,71 @@ class StreamsSpec extends AnyFunSuite with SparkTestSession {
     } finally query.stop()
   }
 
+  test("trackSessions: a return after the gap starts a FRESH session, " +
+      "even when the dead session's timeout hasn't fired yet") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[SessionEvent]
+    val query = Streams.trackSessions(input.toDS(),
+        watermark = "0 seconds", gapMs = 60000L)
+      .writeStream.format("memory").queryName("sess_reap")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      // user 1: two events, session count 2, lastSeen 10:00:30
+      input.addData(
+        SessionEvent(ts("2024-01-01 10:00:00"), 1L, "a"),
+        SessionEvent(ts("2024-01-01 10:00:30"), 1L, "b"))
+      query.processAllAvailable()
+      // user 9 pushes the watermark past 10:01:30 (lastSeen + gap)
+      input.addData(SessionEvent(ts("2024-01-01 11:00:00"), 9L, "x"))
+      query.processAllAvailable()
+      // user 1 returns IN THE SAME BATCH the reap would apply: the gap
+      // ended the old session, so this is session #2 with count 1 —
+      // not a continuation at count 3
+      input.addData(SessionEvent(ts("2024-01-01 12:00:00"), 1L, "c"))
+      query.processAllAvailable()
+      assert(query.exception.isEmpty, s"query died: ${query.exception}")
+      val u1 = spark.table("sess_reap").collect()
+        .filter(_.getAs[Long]("user_id") == 1L)
+        .map(r => (r.getAs[Long]("count"), r.getAs[Boolean]("expired")))
+      assert(u1.contains((1L, false)),
+        s"return after gap must reset the count: ${u1.toSeq}")
+      assert(!u1.contains((3L, false)),
+        s"dead session must not absorb the return: ${u1.toSeq}")
+    } finally query.stop()
+  }
+
+  test("trackSessions late data: within-watermark disorder updates, " +
+      "beyond-watermark events are dropped") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[SessionEvent]
+    val query = Streams.trackSessions(input.toDS(),
+        watermark = "1 hour", gapMs = 24L * 3600 * 1000)
+      .writeStream.format("memory").queryName("sess_late_drop")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      input.addData(SessionEvent(ts("2024-01-01 10:00:00"), 1L, "a"))
+      query.processAllAvailable()
+      // out-of-order but within the 1h watermark: counted, lastSeen
+      // stays at the max event time
+      input.addData(SessionEvent(ts("2024-01-01 09:30:00"), 1L, "b"))
+      query.processAllAvailable()
+      // another user advances the watermark to 19:00
+      input.addData(SessionEvent(ts("2024-01-01 20:00:00"), 2L, "x"))
+      query.processAllAvailable()
+      // beyond-watermark straggler: dropped before the stateful op
+      input.addData(SessionEvent(ts("2024-01-01 08:00:00"), 1L, "c"))
+      query.processAllAvailable()
+      assert(query.exception.isEmpty, s"query died: ${query.exception}")
+      val u1 = spark.table("sess_late_drop").collect()
+        .filter(r => r.getAs[Long]("user_id") == 1L && !r.getAs[Boolean]("expired"))
+        .map(_.getAs[Long]("count"))
+      assert(u1.max == 2L, s"late-beyond-watermark event was counted: ${u1.toSeq}")
+      val dropped = query.recentProgress
+        .flatMap(_.stateOperators.map(_.numRowsDroppedByWatermark)).sum
+      assert(dropped >= 1L, s"expected a counted watermark drop, got $dropped")
+    } finally query.stop()
+  }
+
   test("session windows merge late-but-within-watermark events across batches") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Timestamp, Long, String)]
