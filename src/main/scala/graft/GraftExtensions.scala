@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.expressions.{CosineSimilarity, SplitChunks}
+import graft.expressions.{CharShingles, CosineSimilarity, SplitChunks}
 
 /** Session extension registering the engine's custom expressions on the
   * SQL surface, so `spark.sql("... cosine_sim(a, b) ...")` plans the
@@ -29,6 +29,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("split_chunks"),
       new ExpressionInfo(classOf[SplitChunks].getName, "split_chunks"),
       (exprs: Seq[Expression]) => SplitChunks.fromArgs(exprs)))
+    e.injectFunction((
+      new FunctionIdentifier("char_shingles"),
+      new ExpressionInfo(classOf[CharShingles].getName, "char_shingles"),
+      (exprs: Seq[Expression]) => CharShingles(exprs(0),
+        exprs(1).eval().asInstanceOf[Number].intValue())))
   }
 }
 
@@ -49,6 +54,9 @@ object GraftExtensions {
       spark, "cosine_sim", exprs => CosineSimilarity(exprs(0), exprs(1)))
     org.apache.spark.sql.graftshim.GraftSqlShim.registerFunction(
       spark, "split_chunks", exprs => SplitChunks.fromArgs(exprs))
+    org.apache.spark.sql.graftshim.GraftSqlShim.registerFunction(
+      spark, "char_shingles", exprs => CharShingles(exprs(0),
+        exprs(1).eval().asInstanceOf[Number].intValue()))
     spark.udf.register("graft_langid", (s: String) => TextAnalysis.detectLanguage(s))
     spark.udf.register("graft_fingerprint", (s: String) => TextAnalysis.fingerprint(s))
     spark.udf.register("graft_fingerprint_mod", (s: String) => TextAnalysis.fingerprintMod(s))

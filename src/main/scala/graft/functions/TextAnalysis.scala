@@ -387,7 +387,17 @@ object TextAnalysis extends Serializable {
     * n-char substrings. Used by n-gram Jaccard dedup; expressible in ANSI
     * SQL so it stays oracle-checkable.
     */
-  def charShingles(text: Column, n: Int): Column =
+  def charShingles(text: Column, n: Int): Column = {
+    import org.apache.spark.sql.graftshim.GraftSqlShim
+    GraftSqlShim.column(
+      graft.expressions.CharShingles(GraftSqlShim.expression(text), n))
+  }
+
+  /** The composed higher-order-function form [[charShingles]] replaced
+    * (r13): kept as the equality-spec twin — the fused expression must
+    * match it bit for bit on any input (TextAnalysisSpec).
+    */
+  private[graft] def charShinglesHof(text: Column, n: Int): Column =
     when(length(text) < n, array().cast("array<string>"))
       .otherwise(array_sort(array_distinct(
         transform(

@@ -75,4 +75,19 @@ class SqlSurfaceSpec extends AnyFunSuite with SparkTestSession {
       .collect().head.getAs[Int]("s")
     assert(sig == graft.operators.Dedup.portableSignature(Seq(0.5f, -0.25f), 16))
   }
+
+  test("char_shingles is SQL-callable and matches the column form") {
+    GraftExtensions.register(spark)
+    val sql = spark.sql("SELECT char_shingles('abcab', 3) AS sh")
+      .collect().head.getSeq[String](0)
+    assert(sql == Seq("abc", "bca", "cab"))
+    val viaCol = {
+      import spark.implicits._
+      import org.apache.spark.sql.functions.col
+      Seq("abcab").toDF("t")
+        .select(graft.functions.TextAnalysis.charShingles(col("t"), 3))
+        .head().getSeq[String](0)
+    }
+    assert(sql == viaCol)
+  }
 }
