@@ -37,6 +37,16 @@ object ExprBench {
       docs.select(sum(size(functions.TextAnalysis.charShinglesHof(col("text"), n))))
         .head().getLong(0)
     }
+    // DSIR term stream (unigrams + zip_with bigrams) vs tokens alone —
+    // isolates the bigram HOF's marginal cost over the regex split.
+    time("dsir_terms") {
+      docs.select(sum(size(operators.Scale.dsirTermsCol(col("text")))))
+        .head().getLong(0)
+    }
+    time("tokens_only") {
+      docs.select(sum(size(operators.TextRetrieval.tokensCol(col("text")))))
+        .head().getLong(0)
+    }
     spark.stop()
   }
 }

@@ -442,7 +442,16 @@ object Scale {
     * Language Models via Importance Resampling"): tokens from the shared
     * [[TextRetrieval.tokensCol]] rule plus space-joined adjacent pairs.
     */
-  private def dsirTermsCol(text: Column): Column = {
+  private[graft] def dsirTermsCol(text: Column): Column = {
+    import org.apache.spark.sql.graftshim.GraftSqlShim
+    GraftSqlShim.column(
+      graft.expressions.WordNgramTerms(GraftSqlShim.expression(text)))
+  }
+
+  /** The composed HOF form [[dsirTermsCol]] replaced (r13) — kept as the
+    * equality-spec twin (WordNgramTermsSpec pins bit-identity).
+    */
+  private[graft] def dsirTermsColHof(text: Column): Column = {
     val toks = TextRetrieval.tokensCol(text)
     val n1 = greatest(size(toks) - 1, lit(0))
     concat(toks,
