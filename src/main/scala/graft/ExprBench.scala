@@ -47,6 +47,17 @@ object ExprBench {
       docs.select(sum(size(operators.TextRetrieval.tokensCol(col("text")))))
         .head().getLong(0)
     }
+    // span-dedup per-window gram hashing, fused vs HOF
+    val toksDf = docs.select(split(trim(col("text")), "\\s+").as("toks"))
+      .filter(size(col("toks")) >= n)
+    time("gram_fused") {
+      toksDf.select(sum(size(operators.Dedup.gramHashes(col("toks"), n))))
+        .head().getLong(0)
+    }
+    time("gram_hof") {
+      toksDf.select(sum(size(operators.Dedup.gramHashesHof(col("toks"), n))))
+        .head().getLong(0)
+    }
     spark.stop()
   }
 }
