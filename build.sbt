@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver parses ONE raw JSON line from the captured output tail of
+// `sbt runMain graft.Bench`. sbt's default fork output strategy
+// (LoggedOutput) prefixes every forked-stdout line with "[info] ", which
+// makes a per-line json.loads fail — BENCH_r{1..13}.json all recorded
+// parsed:null for exactly this reason. StdoutOutput hands the forked
+// JVM sbt's own raw stdout/stderr, so the JSON line survives verbatim.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

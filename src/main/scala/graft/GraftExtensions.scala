@@ -32,8 +32,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((
       new FunctionIdentifier("char_shingles"),
       new ExpressionInfo(classOf[CharShingles].getName, "char_shingles"),
-      (exprs: Seq[Expression]) => CharShingles(exprs(0),
-        exprs(1).eval().asInstanceOf[Number].intValue())))
+      (exprs: Seq[Expression]) => CharShingles.fromArgs(exprs)))
   }
 }
 
@@ -55,8 +54,7 @@ object GraftExtensions {
     org.apache.spark.sql.graftshim.GraftSqlShim.registerFunction(
       spark, "split_chunks", exprs => SplitChunks.fromArgs(exprs))
     org.apache.spark.sql.graftshim.GraftSqlShim.registerFunction(
-      spark, "char_shingles", exprs => CharShingles(exprs(0),
-        exprs(1).eval().asInstanceOf[Number].intValue()))
+      spark, "char_shingles", exprs => CharShingles.fromArgs(exprs))
     spark.udf.register("graft_langid", (s: String) => TextAnalysis.detectLanguage(s))
     spark.udf.register("graft_fingerprint", (s: String) => TextAnalysis.fingerprint(s))
     spark.udf.register("graft_fingerprint_mod", (s: String) => TextAnalysis.fingerprintMod(s))

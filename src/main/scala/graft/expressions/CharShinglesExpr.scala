@@ -71,3 +71,16 @@ case class CharShingles(child: Expression, n: Int)
   override protected def withNewChildInternal(newChild: Expression): CharShingles =
     copy(child = newChild)
 }
+
+object CharShingles {
+  /** Validated builder for SQL registration: char_shingles(text, width).
+    * The width must be a foldable non-null integer — anything else is a
+    * clean AnalysisException at plan time, not an executor NPE/CCE
+    * (r13 ADVICE).
+    */
+  def fromArgs(exprs: Seq[Expression]): CharShingles = {
+    SqlArgs.arity("char_shingles", exprs, 2, 2)
+    CharShingles(exprs.head, SqlArgs.foldableInt("char_shingles", exprs, 1,
+      sys.error("unreachable: arity enforces 2 args")))
+  }
+}

@@ -48,12 +48,15 @@ case class SplitChunks(child: Expression, chunkSize: Int, chunkOverlap: Int)
 }
 
 object SplitChunks {
-  /** Builder for SQL registration: split_chunks(text[, size[, overlap]]). */
+  /** Validated builder for SQL registration:
+    * split_chunks(text[, size[, overlap]]) — size/overlap must be
+    * foldable non-null integers (clean AnalysisException otherwise,
+    * same discipline as [[CharShingles.fromArgs]]).
+    */
   def fromArgs(exprs: Seq[Expression]): SplitChunks = {
-    def intArg(i: Int, default: Int): Int =
-      if (exprs.length > i) exprs(i).eval(null).asInstanceOf[Number].intValue else default
+    SqlArgs.arity("split_chunks", exprs, 1, 3)
     SplitChunks(exprs.head,
-      intArg(1, TextSplit.DefaultChunkSize),
-      intArg(2, TextSplit.DefaultChunkOverlap))
+      SqlArgs.foldableInt("split_chunks", exprs, 1, TextSplit.DefaultChunkSize),
+      SqlArgs.foldableInt("split_chunks", exprs, 2, TextSplit.DefaultChunkOverlap))
   }
 }

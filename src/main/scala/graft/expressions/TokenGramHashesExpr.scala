@@ -44,14 +44,14 @@ case class TokenGramHashes(child: Expression, k: Int)
       var i = 0
       while (i < n) { toks(i) = arr.getUTF8String(i); i += 1 }
       val out = new Array[Any](n - k + 1)
-      val window = new Array[UTF8String](2 * k - 1)
-      var j = 1
-      while (j < 2 * k - 1) { window(j) = space; j += 2 }
+      val window = new Array[UTF8String](k)
       i = 0
       while (i <= n - k) {
         var w = 0
-        while (w < k) { window(2 * w) = toks(i + w); w += 1 }
-        val gram = UTF8String.concat(window: _*).toLowerCase
+        while (w < k) { window(w) = toks(i + w); w += 1 }
+        // concatWs skips null inputs — the same array_join semantics as
+        // the HOF twin (a null token joins as if absent, no NPE).
+        val gram = UTF8String.concatWs(space, window: _*).toLowerCase
         out(i) = XxHash64Function.hash(gram, StringType, 42L)
         i += 1
       }

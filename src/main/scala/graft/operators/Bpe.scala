@@ -171,6 +171,7 @@ object Bpe {
     val spark = vocab0.sparkSession
     import spark.implicits._
     var vocab = vocab0.select(col("syms"), col("n"))
+    val vocabIter = new LoopCheckpoint.IterScope
     val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
     var done = false
     while (merges.length < nMerges && !done) {
@@ -187,7 +188,7 @@ object Bpe {
         val (a, b, c) = top.head
         merges += ((a, b, c))
         val mergeUdf = udf((syms: Seq[String]) => mergeOnce(syms, a, b))
-        vocab = LoopCheckpoint(vocab
+        vocab = vocabIter(vocab
           .select(mergeUdf(col("syms")).as("syms"), col("n")))
       }
     }
@@ -301,8 +302,9 @@ object Bpe {
     * chain (overlay/pairs within an epoch) is bounded by the epoch
     * length.
     */
-  private def checkpointStatsFresh(df: DataFrame): DataFrame = {
-    val ck = LoopCheckpoint(df)
+  private def checkpointStatsFresh(
+      df: DataFrame, iter: LoopCheckpoint.IterScope): DataFrame = {
+    val ck = iter(df)
     ck.sparkSession.createDataFrame(ck.rdd, ck.schema)
   }
 
@@ -321,7 +323,24 @@ object Bpe {
     // through (which would trip LogicalRDD's output-mismatch warning on
     // the lazy checkpoints).
     var overlay: Option[DataFrame] = None
-    var pairs = LoopCheckpoint(base
+    // Reliable-mode retention (r13 ADVICE): track the frames whose
+    // checkpoint FILES provably exist when superseded — `pairs` (the
+    // argmax at the top of each round is an action whose first marked
+    // lineage node is the previous round's pairs checkpoint, so its
+    // files are written before the older round's are deleted), `base`
+    // (eager), and the compaction temp. The lazy touched/overlay chain
+    // is deliberately NOT tracked: under the default
+    // spark.checkpoint.checkpointAllMarkedAncestors=false those marked
+    // RDDs usually never write files at all (doCheckpoint stops at the
+    // first marked node), so there is nothing to clean — and a written
+    // ancestor must outlive unwritten descendants that recompute
+    // through it. What little the overlay chain does write (the
+    // compaction temp) is released right after each compaction folds it
+    // into base.
+    val baseIter = new LoopCheckpoint.IterScope
+    val pairsIter = new LoopCheckpoint.IterScope
+    val overlayIter = new LoopCheckpoint.IterScope
+    var pairs = pairsIter(base
       .select(explode(adjacentPairsCol(col("syms"))).as("p"), col("n"))
       .groupBy(col("p.a").as("a"), col("p.b").as("b"))
       .agg(sum("n").as("c")), eager = false)
@@ -356,6 +375,9 @@ object Bpe {
         .limit(1)
         .as[(String, String, Long)]
         .collect()
+      // The argmax wrote the current pairs checkpoint's files — the
+      // previous round's pair table is now dead.
+      pairsIter.materialized()
       // compaction check sits AFTER the argmax — the accumulator fills
       // when the previous round's touched frame materializes, which the
       // argmax above just forced
@@ -367,9 +389,12 @@ object Bpe {
         // checkpointed overlay carries no size statistics (an unhinted
         // plan can fall back to a full sort-merge shuffle of the vocab,
         // the exact degenerate cost adaptive compaction exists to avoid)
-        base = LoopCheckpoint(
-          base.join(broadcast(checkpointStatsFresh(overlay.get)), Seq("w"), "left")
+        base = baseIter(
+          base.join(broadcast(checkpointStatsFresh(overlay.get, overlayIter)), Seq("w"), "left")
             .select(col("w"), coalesce(col("o_syms"), col("syms")).as("syms"), col("n")))
+        // The compaction folded the whole overlay chain into base (just
+        // materialized) — every overlay checkpoint is dead.
+        overlayIter.released()
         overlay = None
         accAtCompaction = touchedAcc.value
       }
@@ -399,7 +424,7 @@ object Bpe {
         // over (pair table + delta) instead of two join-side plans, and
         // it naturally handles both the resurrection case (a pair back
         // from 0 via a later merge) and count-0 retirement
-        pairs = LoopCheckpoint(
+        pairs = pairsIter(
           pairs.unionByName(delta.select(col("a"), col("b"), col("dc").as("c")))
             .groupBy("a", "b").agg(sum("c").as("c"))
             .filter(col("c") > 0), eager = false)

@@ -71,23 +71,26 @@ object Graphs {
     // as a broadcast 1-row aggregate instead of a per-iteration
     // driver collect.
     val outW = e.groupBy(col("src")).agg(sum(col("w")).as("out_w"))
-    val shares = e.join(outW, "src")
+    // Loop-invariants go through LoopCheckpoint (not bare localCheckpoint)
+    // so reliable mode covers them too; the loop-carried `pr` uses an
+    // IterScope, which additionally deletes each superseded iteration's
+    // reliable-checkpoint files once the next materializes.
+    val shares = LoopCheckpoint(e.join(outW, "src")
       .select(col("src").as("node"), col("dst"),
-        (col("w") / col("out_w")).as("share"))
-      .localCheckpoint(true)
-    val marked = nodes.join(
+        (col("w") / col("out_w")).as("share")))
+    val marked = LoopCheckpoint(nodes.join(
         outW.select(col("src").as("node"), lit(true).as("has_out")),
         Seq("node"), "left")
-      .select(col("node"), coalesce(col("has_out"), lit(false)).as("has_out"))
-      .localCheckpoint(true)
-    var pr = marked.withColumn("pr", lit(1.0 / n)).localCheckpoint(true)
+      .select(col("node"), coalesce(col("has_out"), lit(false)).as("has_out")))
+    val iter = new LoopCheckpoint.IterScope
+    var pr = iter(marked.withColumn("pr", lit(1.0 / n)))
     for (_ <- 1 to iters) {
       val mass = pr.agg(
         coalesce(sum(when(!col("has_out"), col("pr"))), lit(0.0)).as("dangling"))
       val contrib = shares.join(pr.select(col("node"), col("pr")), Seq("node"))
         .select(col("dst").as("node"), (col("pr") * col("share")).as("c"))
         .groupBy("node").agg(sum(col("c")).as("in_c"))
-      pr = LoopCheckpoint(marked.join(contrib, Seq("node"), "left")
+      pr = iter(marked.join(contrib, Seq("node"), "left")
         .crossJoin(broadcast(mass))
         .select(col("node"), col("has_out"),
           (lit((1 - damping) / n) +
@@ -145,14 +148,15 @@ object Graphs {
         Seq("node"), "left")
       .select(col("node"), coalesce(col("has_out"), lit(false)).as("has_out")))
     val base = 150000000000L / n // (1-d)/N in picos, d = 0.85
-    var pr = LoopCheckpoint(marked.withColumn("pr", lit(1000000000000L / n)))
+    val iter = new LoopCheckpoint.IterScope
+    var pr = iter(marked.withColumn("pr", lit(1000000000000L / n)))
     for (_ <- 1 to iters) {
       val mass = pr.agg(
         coalesce(sum(when(!col("has_out"), col("pr"))), lit(0L)).as("dangling"))
       val contrib = shares.join(pr.select(col("node"), col("pr")), Seq("node"))
         .select(col("dst").as("node"), expr("(pr * sm) div 1000000L").as("c"))
         .groupBy("node").agg(sum(col("c")).as("in_c"))
-      pr = LoopCheckpoint(marked.join(contrib, Seq("node"), "left")
+      pr = iter(marked.join(contrib, Seq("node"), "left")
         .crossJoin(broadcast(mass))
         .select(col("node"), col("has_out"),
           (lit(base) + expr(

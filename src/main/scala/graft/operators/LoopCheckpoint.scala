@@ -1,6 +1,8 @@
 package graft.operators
 
+import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.LogicalRDD
 
 /** Per-iteration re-materialization for the engine's iterative loops
   * (PageRank, star-clustering rounds, the BPE/Unigram trainers).
@@ -46,4 +48,66 @@ object LoopCheckpoint {
         df.checkpoint(eager)
       case None => df.localCheckpoint(eager)
     }
+
+  /** Loop-carried iterate with RETENTION: in reliable mode, each call
+    * deletes the previous iterate's checkpoint files once the new one
+    * has materialized, so a 300-iteration trainer holds at most two
+    * iterations on the distributed FS instead of all 300 (Spark's own
+    * checkpoint cleaner is opt-in — `spark.cleaner.referenceTracking
+    * .cleanCheckpoints` — and GC-driven even then).
+    *
+    * Contract: use ONE scope per loop-carried variable, and only for
+    * frames the loop fully supersedes — a superseded iterate's files
+    * are gone, so callers must not hold references to earlier iterates
+    * (loop-invariant frames keep using plain [[LoopCheckpoint.apply]]).
+    * The FINAL iterate's files are intentionally retained: the returned
+    * frame reads them downstream. Lazy (`eager = false`) iterates defer
+    * deletion until a later eager call, since an unmaterialized
+    * checkpoint still recomputes through its predecessor's files.
+    * In default (localCheckpoint) mode this is exactly
+    * [[LoopCheckpoint.apply]] — executor block managers already evict
+    * superseded blocks via the reference-tracking cleaner.
+    */
+  final class IterScope {
+    private var session: org.apache.spark.sql.SparkSession = null
+    private var pending: List[RDD[_]] = Nil
+
+    def apply(df: DataFrame, eager: Boolean = true): DataFrame = {
+      val out = LoopCheckpoint(df, eager)
+      if (reliableDir(df).isDefined) {
+        session = df.sparkSession
+        pending =
+          out.queryExecution.analyzed.collectFirst { case l: LogicalRDD => l.rdd }
+            .toList ::: pending
+        if (eager) materialized()
+      }
+      out
+    }
+
+    /** Signal that all but the newest `keep` iterates are superseded AND
+      * no longer recompute-reachable (eager applies call this
+      * automatically with keep = 1; lazy loops call it after their
+      * materializing action) — everything older is deleted. Use
+      * keep = 2 for chains where iterate k's checkpoint only writes when
+      * iterate k+1 first computes (e.g. the BPE overlay chain), so the
+      * newest entry may still recompute through its predecessor. */
+    def materialized(keep: Int = 1): Unit = {
+      val (kept, olds) = pending.splitAt(keep)
+      olds.foreach(deleteCheckpointFiles)
+      pending = kept
+    }
+
+    /** Delete EVERY tracked checkpoint, including the latest — for a
+      * loop-carried frame that has been folded into another frame (e.g.
+      * the BPE overlay after a compaction) and is dead entirely. */
+    def released(): Unit = { pending.foreach(deleteCheckpointFiles); pending = Nil }
+
+    private def deleteCheckpointFiles(rdd: RDD[_]): Unit =
+      rdd.getCheckpointFile.foreach { file =>
+        try {
+          val p = new org.apache.hadoop.fs.Path(file)
+          p.getFileSystem(session.sessionState.newHadoopConf()).delete(p, true)
+        } catch { case _: java.io.IOException => () } // best-effort cleanup
+      }
+  }
 }

@@ -659,8 +659,13 @@ object DocLoader {
           descM <- "/DescendantFonts\\s*\\[?\\s*(\\d+)\\s+\\d+\\s+R".r
             .findFirstMatchIn(fontDict)
           desc <- objs.get(descM.group(1).toInt)
-          _ <- if ("/CIDToGIDMap\\s*/(?!Identity)".r
-            .findFirstIn(desc.dict).isEmpty) Some(()) else None
+          // CID = GID requires /CIDToGIDMap absent or the literal name
+          // /Identity. A stream-valued map ("/CIDToGIDMap 12 0 R") is
+          // valid PDF and means CID != GID, so anything present that is
+          // not exactly the /Identity name must quarantine, not decode.
+          _ <- if (!desc.dict.contains("/CIDToGIDMap") ||
+            "/CIDToGIDMap\\s*/Identity\\b".r
+              .findFirstIn(desc.dict).isDefined) Some(()) else None
           fdM <- "/FontDescriptor\\s+(\\d+)\\s+\\d+\\s+R".r
             .findFirstMatchIn(desc.dict)
           fd <- objs.get(fdM.group(1).toInt)

@@ -488,25 +488,31 @@ object Streams {
     events
       .withWatermark("ts", watermark)
       .groupByKey(_.user_id)
-      .mapGroupsWithState[SessionState, SessionUpdate](GroupStateTimeout.EventTimeTimeout) {
+      // flatMapGroupsWithState, not mapGroupsWithState: the in-function
+      // reap below must emit TWO rows in one batch — the superseded
+      // session's terminal expired=true closure AND the fresh session's
+      // first update. mapGroupsWithState's one-row-per-group contract
+      // silently dropped the closure (r13 ADVICE), so a consumer that
+      // finalizes sessions on expiry rows lost that session.
+      .flatMapGroupsWithState[SessionState, SessionUpdate](
+        OutputMode.Update, GroupStateTimeout.EventTimeTimeout) {
         case (userId, rows, state: GroupState[SessionState]) =>
           if (state.hasTimedOut) {
             val prev = state.get
             state.remove()
-            SessionUpdate(userId, prev.count, prev.lastSeen, expired = true)
+            Iterator.single(SessionUpdate(userId, prev.count, prev.lastSeen, expired = true))
           } else {
             // Reap a session the gap already ended but whose timeout
             // hasn't fired (the timeout only fires in a batch where the
             // group has NO data — a user returning right after the
             // watermark passed last+gap would otherwise merge into the
             // dead session). Gap semantics demand a FRESH session; the
-            // dead one's expiry row is superseded by this update (one
-            // row per group per batch under mapGroupsWithState).
-            val prev = state.getOption match {
-              case Some(p) if p.lastSeen.getTime + gapMs <=
-                  state.getCurrentWatermarkMs() => SessionState(0L, new Timestamp(0L))
-              case other => other.getOrElse(SessionState(0L, new Timestamp(0L)))
-            }
+            // dead one still gets its terminal expiry row, emitted
+            // alongside the fresh session's update.
+            val reaped = state.getOption.filter(p =>
+              p.lastSeen.getTime + gapMs <= state.getCurrentWatermarkMs())
+            val prev = if (reaped.isDefined) SessionState(0L, new Timestamp(0L))
+              else state.getOption.getOrElse(SessionState(0L, new Timestamp(0L)))
             var count = prev.count
             var last = prev.lastSeen
             rows.foreach { e =>
@@ -515,7 +521,8 @@ object Streams {
             }
             state.update(SessionState(count, last))
             state.setTimeoutTimestamp(last.getTime + gapMs)
-            SessionUpdate(userId, count, last, expired = false)
+            reaped.map(p => SessionUpdate(userId, p.count, p.lastSeen, expired = true)).iterator ++
+              Iterator.single(SessionUpdate(userId, count, last, expired = false))
           }
       }
   }

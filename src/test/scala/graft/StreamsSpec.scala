@@ -111,6 +111,11 @@ class StreamsSpec extends AnyFunSuite with SparkTestSession {
         s"return after gap must reset the count: ${u1.toSeq}")
       assert(!u1.contains((3L, false)),
         s"dead session must not absorb the return: ${u1.toSeq}")
+      // The superseded session must still get its terminal closure row
+      // in the same batch as the fresh session's first update (r13
+      // ADVICE: mapGroupsWithState could emit only one of the two).
+      assert(u1.contains((2L, true)),
+        s"reaped session lost its expired=true closure: ${u1.toSeq}")
     } finally query.stop()
   }
 

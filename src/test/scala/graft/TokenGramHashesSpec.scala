@@ -51,6 +51,24 @@ class TokenGramHashesSpec extends AnyFunSuite with SparkTestSession {
     assert(got.isEmpty)
   }
 
+  test("null token elements join as if absent (array_join semantics), no NPE") {
+    // Call sites feed split() output (null-free), but the expression
+    // accepts any array<string>; a null element must behave like the HOF
+    // twin's array_join — skipped along with its separator — not kill
+    // the task with an executor NPE (r13 ADVICE).
+    val df = Seq(
+        (1L, Seq("a", null, "b", "c")),
+        (2L, Seq[String](null, null, "x", "y", "z")))
+      .toDF("id", "toks")
+    for (k <- Seq(2, 3)) {
+      val both = df.select(
+          Dedup.gramHashes(col("toks"), k).as("fused"),
+          Dedup.gramHashesHof(col("toks"), k).as("hof"))
+        .collect()
+      both.foreach(r => assert(r.getSeq[Long](0) == r.getSeq[Long](1)))
+    }
+  }
+
   test("hash value matches the xxhash64 builtin on the joined gram") {
     val direct = Seq("the QUICK fox").toDF("g")
       .select(xxhash64(lower(col("g")))).head().getLong(0)
