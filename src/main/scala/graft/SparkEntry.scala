@@ -1920,10 +1920,11 @@ object SparkEntry {
         .orderBy(col("margin_microsq").desc, col("doc_id"))
     }),
 
-    // ---- BPE tokenizer training (no SQL oracle possible: the merge
-    // sequence is iterative with data-dependent choices; Verify
-    // hard-gates the distributed learner merge-for-merge against the
-    // sequential in-driver reference instead)
+    // ---- BPE tokenizer training. Two independent checks: the Verify
+    // gate pins the distributed learner merge-for-merge against the
+    // sequential in-driver reference, AND the generated DuckDB unroll
+    // ([[BpeOracle.learnMergesSql]]) replays the argmax sequence step
+    // for step — the pageRank discipline applied to a tokenizer.
     "bpe_learn_merges" -> ((s, dir) => {
       import s.implicits._
       operators.Bpe.learnMergesCached(
@@ -1975,9 +1976,11 @@ object SparkEntry {
       // Token-id corpus emit — the artifact a pretraining pipeline
       // ships: per-doc id arrays under the learned table (ids: sorted
       // alphabet first, merge products in learn order), encoded map-only
-      // with a per-executor word memo. Rows-only by design (greedy
-      // iterative encode has no SQL form); Verify hard-gates the id
-      // streams token-for-token against a sequential encode replay.
+      // with a per-executor word memo. Oracle-checked: the generated
+      // DuckDB unroll replays the greedy encode (lowest-rank-present
+      // recursion, [[BpeOracle.encodeCorpusSql]]); Verify additionally
+      // hard-gates the id streams token-for-token against a sequential
+      // encode replay.
       // The raw array column stays the OPERATOR's product
       // ([[operators.Bpe.encodeCorpus]]); the registry projection is
       // driver-comparable SCALARS — the r10 driver comparator cannot
@@ -1998,9 +2001,10 @@ object SparkEntry {
     "bpe_pack_pipeline" -> ((s, dir) => {
       // The closed tokenizer→packing loop: train BPE, encode the corpus
       // to token ids, pack training bins by the REAL token counts the
-      // tokenizer produced — not the whitespace proxy. Rows-only;
-      // Verify hard-gates the bins against a sequential pack replay
-      // over sequentially-encoded counts.
+      // tokenizer produced — not the whitespace proxy. Oracle-checked
+      // via the generated unroll ([[BpeOracle.packPipelineSql]]);
+      // Verify additionally hard-gates the bins against a sequential
+      // pack replay over sequentially-encoded counts.
       val docs = Tables.documents(s, dir).select("doc_id", "text")
       val merges = operators.Bpe.learnMergesCached(docs, dir, nMerges = 20)
         .map(m => (m._1, m._2))
@@ -2014,8 +2018,9 @@ object SparkEntry {
       // the loader-facing twin of bpe_pack_pipeline: per-document
       // (shard, bin, starting token offset) placement under REAL BPE
       // token counts — what a training data loader consumes to slice
-      // fixed-budget sequences out of the packed corpus. Rows-only;
-      // Verify replays the placement sequentially.
+      // fixed-budget sequences out of the packed corpus. Oracle-checked
+      // via the generated unroll ([[BpeOracle.packManifestSql]]);
+      // Verify additionally replays the placement sequentially.
       val docs = Tables.documents(s, dir).select("doc_id", "text")
       val merges = operators.Bpe.learnMergesCached(docs, dir, nMerges = 20)
         .map(m => (m._1, m._2))
@@ -3237,7 +3242,19 @@ object SparkEntry {
     oracleMap +
       ("dedup_simhash_auto" -> oracleMap("dedup_simhash")) +
       ("graph_pagerank" -> pageRankOracleSql) ++
-      qualityModelOracleSql
+      qualityModelOracleSql ++
+      Map(
+        // Generated unrolled-trainer mirrors (see [[graft.BpeOracle]]):
+        // the whole BPE family — training argmax sequence, greedy
+        // encode, packing — replayed move-for-move by DuckDB. The
+        // sequential-reference equality gates in graft.Verify stay as
+        // the second, independent signal.
+        "bpe_learn_merges" -> BpeOracle.learnMergesSql(),
+        "bpe_learn_merges_inc" -> BpeOracle.learnMergesSql(),
+        "bpe_encode_stats" -> BpeOracle.encodeStatsSql(),
+        "bpe_encode_corpus" -> BpeOracle.encodeCorpusSql(),
+        "bpe_pack_manifest" -> BpeOracle.packManifestSql(),
+        "bpe_pack_pipeline" -> BpeOracle.packPipelineSql())
 
   /** DuckDB replay of [[graft.operators.Graphs.pageRankPicos]]: the
     * 15-iteration integer power iteration UNROLLED (it0..it15 CTEs) —
