@@ -58,10 +58,14 @@ object Graphs {
     val e = edges.select(
       col("src"), col("dst"),
       coalesce(col("weight").cast("double"), lit(1.0)).as("w"))
-    val nodes = e.select(col("src").as("node"))
+    // LoopCheckpoint, not bare localCheckpoint: in reliable mode NOTHING
+    // the loop's lineage can reach may live only on executor block
+    // managers — FaultToleranceSpec's executor kill found exactly this
+    // frame unrecoverable when the loss lands during setup (marked's
+    // own materialization recomputes through nodes).
+    val nodes = LoopCheckpoint(e.select(col("src").as("node"))
       .unionByName(e.select(col("dst").as("node")))
-      .distinct()
-      .localCheckpoint(true)
+      .distinct())
     val n = nodes.count()
     require(n > 0, "pageRank needs a non-empty graph")
     // Normalized transition shares and the per-node dangling flag are
@@ -133,10 +137,12 @@ object Graphs {
   def pageRankPicos(edges: DataFrame, iters: Int = 15): DataFrame = {
     val e = edges.select(
       col("src"), col("dst"), col("weight").cast("long").as("w"))
-    val nodes = e.select(col("src").as("node"))
+    // LoopCheckpoint for the same reason as [[pageRank]]: an executor
+    // loss during setup must not strand marked/shares behind a
+    // local-only nodes block (FaultToleranceSpec).
+    val nodes = LoopCheckpoint(e.select(col("src").as("node"))
       .unionByName(e.select(col("dst").as("node")))
-      .distinct()
-      .localCheckpoint(true)
+      .distinct())
     val n = nodes.count()
     require(n > 0, "pageRankPicos needs a non-empty graph")
     val outW = e.groupBy(col("src")).agg(sum(col("w")).as("out_w"))

@@ -141,9 +141,12 @@ object QualityModel {
       portable: Boolean = false): Seq[Long] = {
     val spark = target.sparkSession
     import spark.implicits._
-    val feats = docFeatures(target, 1, nBuckets, portable)
-      .unionAll(docFeatures(raw, 0, nBuckets, portable))
-      .localCheckpoint()
+    // LoopCheckpoint, not bare localCheckpoint: feats is consumed by
+    // every one of the `iters` gradient steps, so in reliable mode it
+    // must live as files an executor loss can't take down (the same
+    // class of bug FaultToleranceSpec caught in pageRank's nodes frame).
+    val feats = LoopCheckpoint(docFeatures(target, 1, nBuckets, portable)
+      .unionAll(docFeatures(raw, 0, nBuckets, portable)))
     val n = feats.count().max(1L)
     val resUdf = udf((m: Long, y: Int) => residualMicros(m, y))
     var w = Seq.fill(nBuckets + 1)(0L)

@@ -1,0 +1,60 @@
+package graft
+
+import java.nio.file.Files
+
+import scala.io.Source
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Executor-loss test for the reliable-checkpoint mode (r13 verdict #3):
+  * CheckpointModeSpec pins that both modes compute EQUAL results, but on
+  * local[N] nothing can die — this suite runs [[FaultSim]] on a
+  * `local-cluster[2,1,...]` master (separate executor JVMs) and halts
+  * one executor process mid-PageRank from inside a task.
+  *
+  * Each scenario runs in a CHILD JVM (one SparkContext per JVM — the
+  * suite's shared local[2] session must keep living), assembled from
+  * this JVM's own classpath and module options.
+  *
+  *  - reliable mode must COMPLETE with the exact sequential-reference
+  *    fixed point (checkpoint files on the shared FS survive the loss);
+  *  - default localCheckpoint mode under the same kill must FAIL
+  *    (truncated lineage, blocks gone) — the negative leg proving the
+  *    kill actually bites.
+  */
+class FaultToleranceSpec extends AnyFunSuite {
+
+  private def runChild(mode: String): String = {
+    val workDir = Files.createTempDirectory(s"graft_faultsim_$mode").toString
+    val javaBin = s"${sys.props("java.home")}/bin/java"
+    val moduleOpts = org.apache.spark.launcher.JavaModuleOptions
+      .defaultModuleOptions().split("\\s+").toSeq
+    val cmd = Seq(javaBin) ++ moduleOpts ++ Seq(
+      "-Xmx1g", "-cp", sys.props("java.class.path"),
+      "graft.FaultSim", mode, workDir)
+    val pb = new ProcessBuilder(cmd: _*)
+    pb.environment().put("SPARK_HOME", "/opt/spark")
+    // short-circuits WorkerCommandBuilder's source-tree probe ("Cannot
+    // find any build directories") when launching executor processes
+    pb.environment().put("SPARK_SCALA_VERSION", "2.13")
+    pb.redirectErrorStream(true)
+    val proc = pb.start()
+    val out = Source.fromInputStream(proc.getInputStream).mkString
+    val finished = proc.waitFor(300, java.util.concurrent.TimeUnit.SECONDS)
+    if (!finished) { proc.destroyForcibly(); fail(s"FaultSim $mode timed out:\n${out.takeRight(4000)}") }
+    out.linesIterator.find(_.startsWith("FAULTSIM_RESULT="))
+      .getOrElse(fail(s"no FAULTSIM_RESULT line from $mode run:\n${out.takeRight(4000)}"))
+  }
+
+  test("reliable checkpoint mode survives an executor halt mid-PageRank, result exact") {
+    val line = runChild("reliable")
+    assert(line.contains("FAULTSIM_RESULT=ok"), line)
+    assert(line.contains("killed=true"), s"kill never fired: $line")
+  }
+
+  test("default localCheckpoint mode dies under the same executor halt (negative leg)") {
+    val line = runChild("local")
+    assert(line.startsWith("FAULTSIM_RESULT=failed"), line)
+    assert(line.contains("killed=true"), s"kill never fired: $line")
+  }
+}
