@@ -389,6 +389,25 @@ object SparkEntry {
         .orderBy("doc_a", "doc_b")
     }),
 
+    "dedup_minhash_hubcap" -> ((s, dir) => {
+      // Zipf-head guard under the hard signal: the base slice plus 30
+      // planted copies of doc 0's text — every band bucket of that text
+      // holds 31 docs > cap 10, so the bucket emits a STAR to its
+      // min-id hub (doc 0 itself) instead of 465 quadratic pairs, while
+      // cold buckets stay byte-identical to dedup_minhash_lsh. The
+      // oracle replays the whole thing: bucket sizes, hot set, hub
+      // attach, star emission.
+      val base = Tables.documents(s, dir)
+        .filter(col("doc_id") < 200).select("doc_id", "text")
+      val hotCopies = base.filter(col("doc_id") === 0).select("text")
+        .crossJoin(s.range(30).toDF("i"))
+        .select((col("i") + lit(50000L)).as("doc_id"), col("text"))
+      Dedup.minHashLshPairsHubCapped(
+        base.unionByName(hotCopies), maxBandSize = 10)
+        .withColumn("est_jaccard", round(col("est_jaccard"), 6))
+        .orderBy("doc_a", "doc_b")
+    }),
+
     "dedup_minhash_verified" -> ((s, dir) => {
       // Two-stage near-dup: LOOSE LSH candidate generation (signature
       // agreement >= 0.25) -> exact edit-distance verification on the
@@ -577,9 +596,9 @@ object SparkEntry {
       val pairs = Dedup.ngramJaccardPairs(docs, n = 3, threshold = 0.5, maxDf = 150)
       // One materialization feeds the two require-audits AND the
       // result: without it each action re-runs the components lineage.
-      val out = operators.Scale.leakageSafeSplit(
-        docs.select("doc_id"), pairs, Seq("train" -> 0.8, "test" -> 0.2))
-        .localCheckpoint(true)
+      // LoopCheckpoint so reliable mode covers the multi-action reuse.
+      val out = operators.LoopCheckpoint(operators.Scale.leakageSafeSplit(
+        docs.select("doc_id"), pairs, Seq("train" -> 0.8, "test" -> 0.2)))
       val straddle = out.groupBy("cluster_id")
         .agg(countDistinct(col("split")).as("ns")).filter(col("ns") > 1).count()
       require(straddle == 0,
@@ -5360,6 +5379,70 @@ object SparkEntry {
         |cand AS (
         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.sig AS sig_a, b.sig AS sig_b
         |  FROM bd2 a JOIN bd2 b ON a.b = b.b AND a.band = b.band AND a.doc_id < b.doc_id)
+        |SELECT doc_a, doc_b,
+        |  round(CAST(len(list_filter(range(16), i -> sig_a[CAST(i+1 AS INT)] = sig_b[CAST(i+1 AS INT)])) AS DOUBLE) / 16.0, 6) AS est_jaccard
+        |FROM cand
+        |WHERE CAST(len(list_filter(range(16), i -> sig_a[CAST(i+1 AS INT)] = sig_b[CAST(i+1 AS INT)])) AS DOUBLE) / 16.0 >= 0.5
+        |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // The hub-capped chain: same portable signature/banding mirror, then
+    // bucket sizes, the >cap hot set, the min-id hub with its signature,
+    // anti-joined cold pairwise candidates, and star emission for hot
+    // buckets — replaying Dedup.minHashLshPairsHubCapped decision for
+    // decision on the 30-planted-copy fixture.
+    "dedup_minhash_hubcap" ->
+      """WITH input AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id < 200
+        |  UNION ALL
+        |  SELECT 50000 + i AS doc_id,
+        |    (SELECT text FROM documents WHERE doc_id = 0) AS text
+        |  FROM range(30) t(i)),
+        |t AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^\p{L}\p{N}]+'), x -> x <> '') AS toks
+        |  FROM input),
+        |sh AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(toks) = 0 THEN CAST([] AS VARCHAR[])
+        |         WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+        |         ELSE list_transform(range(len(toks) - 2),
+        |           i -> toks[CAST(i+1 AS INT)] || ' ' || toks[CAST(i+2 AS INT)] || ' ' || toks[CAST(i+3 AS INT)]) END AS shingles
+        |  FROM t),
+        |hs AS (
+        |  SELECT doc_id,
+        |    list_transform(shingles, s ->
+        |      list_reduce(
+        |        list_prepend(CAST(7 AS BIGINT),
+        |          list_transform(range(length(s)), i -> CAST(unicode(s[CAST(i+1 AS INT)]) AS BIGINT))),
+        |        (a, b) -> (31 * a + b) % 2147483647)) AS hashes
+        |  FROM sh),
+        |sg AS (
+        |  SELECT doc_id,
+        |    list_transform(range(16), k -> coalesce(
+        |      list_min(list_transform(hashes,
+        |        h -> ((48271 * (k + 1)) % 2147483647 * h + (16807 * (k + 1) + 11) % 2147483647) % 2147483647)),
+        |      2147483647)) AS sig
+        |  FROM hs),
+        |bd AS (
+        |  SELECT doc_id, sig, unnest(range(4)) AS b FROM sg),
+        |bd2 AS (
+        |  SELECT doc_id, sig, b, sig[CAST(4*b+1 AS INT):CAST(4*b+4 AS INT)] AS band FROM bd),
+        |bsz AS (
+        |  SELECT b, band, count(*) AS n, min(doc_id) AS hub FROM bd2 GROUP BY b, band),
+        |hot AS (SELECT b, band, hub FROM bsz WHERE n > 10),
+        |hubsig AS (
+        |  SELECT h.b, h.band, h.hub, d.sig AS hub_sig
+        |  FROM hot h JOIN bd2 d ON d.b = h.b AND d.band = h.band AND d.doc_id = h.hub),
+        |cold AS (
+        |  SELECT d.doc_id, d.sig, d.b, d.band FROM bd2 d
+        |  ANTI JOIN hot h ON d.b = h.b AND d.band = h.band),
+        |cand AS (
+        |  SELECT DISTINCT doc_a, doc_b, sig_a, sig_b FROM (
+        |    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.sig AS sig_a, b.sig AS sig_b
+        |    FROM cold a JOIN cold b ON a.b = b.b AND a.band = b.band AND a.doc_id < b.doc_id
+        |    UNION ALL
+        |    SELECT h.hub AS doc_a, d.doc_id AS doc_b, h.hub_sig AS sig_a, d.sig AS sig_b
+        |    FROM bd2 d JOIN hubsig h ON d.b = h.b AND d.band = h.band
+        |    WHERE d.doc_id <> h.hub))
         |SELECT doc_a, doc_b,
         |  round(CAST(len(list_filter(range(16), i -> sig_a[CAST(i+1 AS INT)] = sig_b[CAST(i+1 AS INT)])) AS DOUBLE) / 16.0, 6) AS est_jaccard
         |FROM cand
