@@ -288,9 +288,38 @@ object StreamBench {
         fnStateFinal = rows
       }
     }
+    // Crash-regression epilogue (r13 funnel fix, Streams.scala reap):
+    // an IN-FLIGHT funnel whose anchor+span the watermark has passed
+    // receives LATE, non-advancing data in the same batch — the exact
+    // pattern that used to set a timeout timestamp BEHIND the watermark
+    // and kill the query with an IllegalArgumentException. Three
+    // batches: (1) anchor a funnel for a dedicated user; (2) another
+    // user's event far past anchor+span advances the watermark while
+    // the anchored user's timeout cannot fire yet (watermark updates
+    // after the batch); (3) the anchored user returns — data wins over
+    // the pending timeout, the expired progress must be reaped and the
+    // event re-anchors. The leg records the replay and FAILS the run if
+    // the query dies.
+    val crashUid = 9999999999L
+    val tAnchor = funnelEvents.map(_._1.getTime).max + 3600L * 1000
+    val spanMs = 7L * 86400 * 1000
+    val expiredReplayOk = scala.util.Try {
+      fnIn.addData(graft.streaming.Streams.SessionEvent(
+        new Timestamp(tAnchor), crashUid, "view"))
+      fnQ.processAllAvailable()
+      fnIn.addData(graft.streaming.Streams.SessionEvent(
+        new Timestamp(tAnchor + spanMs + 2 * 3600L * 1000), crashUid + 1, "view"))
+      fnQ.processAllAvailable()
+      fnIn.addData(graft.streaming.Streams.SessionEvent(
+        new Timestamp(tAnchor + spanMs + 90 * 60 * 1000L), crashUid, "view"))
+      fnQ.processAllAvailable()
+    }.isSuccess
+    require(expiredReplayOk,
+      "funnel expired-state replay crashed the query (r13 regression)")
     fnQ.stop()
     val fnStateJson =
-      s""","state_max_rows":$fnStateMax,"state_final_rows":$fnStateFinal"""
+      s""","state_max_rows":$fnStateMax,"state_final_rows":$fnStateFinal""" +
+        s""","expired_state_replayed":$expiredReplayOk"""
     spark.stop()
 
     val stateJson =
