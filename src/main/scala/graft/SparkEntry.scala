@@ -1764,6 +1764,7 @@ object SparkEntry {
     "ingest_quarantine" -> ((s, dir) => {
       val statusUdf = udf { (t: String, cls: Int) =>
         val bytes = cls match {
+          case 4 => graft.sources.DocLoader.buildPdfType0EmbeddedCff(Seq(t))
           case 3 => graft.sources.DocLoader.buildPdfType0Embedded(Seq(t))
           case 2 => graft.sources.DocLoader.buildPdfType0Bare(Seq(t))
           case 1 => graft.sources.DocLoader.buildPdfType0(Seq(t))
@@ -1771,11 +1772,14 @@ object SparkEntry {
         }
         graft.sources.DocLoader.extractPdfStatus(bytes)
       }
-      // r13: the doc_id%16 slice of the old bare-Type0 class now ships
-      // its Unicode mapping ONLY in the embedded font program's cmap —
-      // extraction must recover it (FontFile2 fallback), shrinking the
-      // unsupported_font bucket to the genuinely mapping-less class.
+      // r13: the doc_id%16 slice of the old bare-Type0 class ships its
+      // Unicode mapping ONLY in the embedded TrueType program's cmap
+      // (FontFile2 fallback); r14: the %32==8 slice carries it only in
+      // an embedded CFF's charset names (FontFile3 fallback, r13
+      // verdict #6) — both extract, shrinking the unsupported_font
+      // bucket to the genuinely mapping-less class (%32==24).
       val cls = when(col("doc_id") % 16 === 0, 3)
+        .when(col("doc_id") % 32 === 8, 4)
         .when(col("doc_id") % 8 === 0, 2)
         .when(col("doc_id") % 4 === 0, 1).otherwise(0)
       Tables.documents(s, dir)
@@ -1789,11 +1793,12 @@ object SparkEntry {
 
     "ingest_quarantine_stats" -> ((s, dir) => {
       // the quarantine COUNTS an ingest run reports per status — the
-      // unsupported_font bucket holds ONLY the bare-Type0 class WITHOUT
-      // a usable embedded cmap (r13: the %16 slice carries one and
-      // extracts)
+      // unsupported_font bucket holds ONLY the bare-Type0 class without
+      // a usable embedded mapping (r13: the %16 slice carries a TrueType
+      // cmap; r14: the %32==8 slice a CFF charset — both extract)
       val statusUdf = udf { (t: String, cls: Int) =>
         val bytes = cls match {
+          case 4 => graft.sources.DocLoader.buildPdfType0EmbeddedCff(Seq(t))
           case 3 => graft.sources.DocLoader.buildPdfType0Embedded(Seq(t))
           case 2 => graft.sources.DocLoader.buildPdfType0Bare(Seq(t))
           case 1 => graft.sources.DocLoader.buildPdfType0(Seq(t))
@@ -1802,6 +1807,7 @@ object SparkEntry {
         graft.sources.DocLoader.extractPdfStatus(bytes)._2
       }
       val cls = when(col("doc_id") % 16 === 0, 3)
+        .when(col("doc_id") % 32 === 8, 4)
         .when(col("doc_id") % 8 === 0, 2)
         .when(col("doc_id") % 4 === 0, 1).otherwise(0)
       Tables.documents(s, dir)
@@ -3700,19 +3706,20 @@ object SparkEntry {
       """SELECT doc_id, sha256(text) AS text_hash
         |FROM documents ORDER BY doc_id""".stripMargin,
 
-    // extraction-status routing: only the BARE-Type0 slice (doc_id % 8)
-    // quarantines with null text; Type0-with-ToUnicode and plain docs
-    // both round-trip, so their hash is the original's — which is what
-    // hash-checks that the CMap decode is EXACT, not merely non-null
+    // extraction-status routing: only the truly bare Type0 slice
+    // (doc_id % 32 == 24 — no ToUnicode, no embedded TrueType cmap, no
+    // embedded CFF charset) quarantines with null text; every decodable
+    // class round-trips, so its hash is the original's — which is what
+    // hash-checks that each decode path is EXACT, not merely non-null
     "ingest_quarantine" ->
       """SELECT doc_id,
-        |  CASE WHEN doc_id % 8 = 0 AND doc_id % 16 <> 0 THEN 'unsupported_font' ELSE 'ok' END AS extraction_status,
-        |  (doc_id % 8 = 0 AND doc_id % 16 <> 0) AS quarantined,
-        |  CASE WHEN doc_id % 8 = 0 AND doc_id % 16 <> 0 THEN NULL ELSE sha256(text) END AS text_hash
+        |  CASE WHEN doc_id % 32 = 24 THEN 'unsupported_font' ELSE 'ok' END AS extraction_status,
+        |  (doc_id % 32 = 24) AS quarantined,
+        |  CASE WHEN doc_id % 32 = 24 THEN NULL ELSE sha256(text) END AS text_hash
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "ingest_quarantine_stats" ->
-      """SELECT CASE WHEN doc_id % 8 = 0 AND doc_id % 16 <> 0 THEN 'unsupported_font' ELSE 'ok' END AS extraction_status,
+      """SELECT CASE WHEN doc_id % 32 = 24 THEN 'unsupported_font' ELSE 'ok' END AS extraction_status,
         |  count(*) AS n_docs
         |FROM documents GROUP BY 1 ORDER BY extraction_status""".stripMargin,
 

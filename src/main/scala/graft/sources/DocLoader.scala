@@ -626,6 +626,142 @@ object DocLoader {
     } catch { case _: Exception => None }
   }
 
+  /** CFF standard strings 0–95 — the ASCII core every Type1C subset
+    * references without a String INDEX entry (SIDs ≥ 96 in the standard
+    * range are accents/ligatures; unmapped ones degrade to U+FFFD like
+    * the /Differences path, they never crash the decode).
+    */
+  private val cffStandardStrings: IndexedSeq[String] =
+    IndexedSeq(".notdef", "space", "exclam", "quotedbl", "numbersign",
+      "dollar", "percent", "ampersand", "quoteright", "parenleft",
+      "parenright", "asterisk", "plus", "comma", "hyphen", "period",
+      "slash") ++
+      IndexedSeq("zero", "one", "two", "three", "four", "five", "six",
+        "seven", "eight", "nine") ++
+      IndexedSeq("colon", "semicolon", "less", "equal", "greater",
+        "question", "at") ++
+      ('A' to 'Z').map(_.toString) ++
+      IndexedSeq("bracketleft", "backslash", "bracketright",
+        "asciicircum", "underscore", "quoteleft") ++
+      ('a' to 'z').map(_.toString) ++
+      IndexedSeq("braceleft", "bar", "braceright", "asciitilde")
+
+  /** Invert an embedded CFF (FontFile3 /Type1C) font program's charset
+    * into GID → Unicode — the FontFile3 twin of [[invertTrueTypeCmap]],
+    * closing the last bare-Type0 quarantine class (r13 verdict #6).
+    *
+    * Sound exactly for a NON-CID CFF wrapped as the descendant of an
+    * /Identity-H Type0: PDF 32000 §9.7.4.2 — when the embedded CFF is
+    * not CID-keyed, CIDs are used DIRECTLY as glyph indices, so
+    * code = CID = GID, and the charset maps each GID to a glyph-name
+    * SID whose Unicode follows from the name (uniXXXX / uXXXXXX /
+    * AGL). A CID-keyed CFF (Top DICT carries ROS, 12 30) has CIDs in
+    * its charset, not names — no Unicode derivable, quarantine stays.
+    * Predefined charsets (offset 0/1/2) are similarly left on the
+    * quarantine path. Malformed/truncated programs yield None, never
+    * an error; a parsed font with no named glyphs yields Some(empty) —
+    * the same structurally-present convention as the cmap path.
+    */
+  private[graft] def invertCffCharset(font: Array[Byte]): Option[Map[Int, String]] = {
+    def u8(i: Int): Int = font(i) & 0xFF
+    def u16(i: Int): Int = (u8(i) << 8) | u8(i + 1)
+    try {
+      if (font.length < 4 || u8(0) != 1) return None
+      val hdrSize = u8(2)
+      // INDEX: count u16, offSize u8, (count+1) 1-based offsets, data
+      def readIndex(pos: Int): (IndexedSeq[(Int, Int)], Int) = {
+        val count = u16(pos)
+        if (count == 0) (Vector.empty, pos + 2)
+        else {
+          val offSize = u8(pos + 2)
+          require(offSize >= 1 && offSize <= 4, "bad offSize")
+          def off(k: Int): Int = {
+            var v = 0; var j = 0
+            while (j < offSize) { v = (v << 8) | u8(pos + 3 + k * offSize + j); j += 1 }
+            v
+          }
+          val dataStart = pos + 3 + (count + 1) * offSize - 1
+          val entries = (0 until count).map(k => (dataStart + off(k), dataStart + off(k + 1)))
+          (entries, entries.last._2)
+        }
+      }
+      val (_, afterNames) = readIndex(hdrSize)
+      val (topDicts, afterTop) = readIndex(afterNames)
+      val (strings, _) = readIndex(afterTop)
+      val (tdS, tdE) = topDicts.headOption.getOrElse(return None)
+      // Top DICT walk: track the charset (op 15) and CharStrings (op 17)
+      // offsets, flag CID-keyed (op 12 30 = ROS)
+      var i = tdS
+      var charsetOff = 0
+      var charStringsOff = -1
+      var isCid = false
+      var lastOperand = 0L
+      while (i < tdE) {
+        val b0 = u8(i)
+        if (b0 <= 21) {
+          val op = if (b0 == 12) { i += 1; 1200 + u8(i) } else b0
+          op match {
+            case 15 => charsetOff = lastOperand.toInt
+            case 17 => charStringsOff = lastOperand.toInt
+            case 1230 => isCid = true
+            case _ => ()
+          }
+          i += 1
+        } else if (b0 == 28) { lastOperand = ((u8(i + 1) << 8) | u8(i + 2)).toShort.toLong; i += 3 }
+        else if (b0 == 29) {
+          lastOperand = (((u8(i + 1).toLong << 24) | (u8(i + 2) << 16) |
+            (u8(i + 3) << 8) | u8(i + 4)).toInt).toLong
+          i += 5
+        } else if (b0 == 30) { // real: nibbles until an 0xF nibble
+          i += 1
+          var done = false
+          while (!done && i < tdE) {
+            val b = u8(i); i += 1
+            if ((b & 0x0F) == 0x0F || (b >> 4) == 0x0F) done = true
+          }
+          lastOperand = 0L
+        } else if (b0 >= 32 && b0 <= 246) { lastOperand = (b0 - 139).toLong; i += 1 }
+        else if (b0 >= 247 && b0 <= 250) { lastOperand = ((b0 - 247) * 256 + u8(i + 1) + 108).toLong; i += 2 }
+        else if (b0 >= 251 && b0 <= 254) { lastOperand = (-(b0 - 251) * 256 - u8(i + 1) - 108).toLong; i += 2 }
+        else return None
+      }
+      if (isCid || charStringsOff <= 0 || charsetOff <= 2) return None
+      val (charStrings, _) = readIndex(charStringsOff)
+      val nGlyphs = charStrings.size
+      if (nGlyphs <= 1) return Some(Map.empty)
+      // charset: SIDs for glyphs 1..nGlyphs-1 (glyph 0 is .notdef)
+      val sids = mutable.ArrayBuffer.empty[Int]
+      u8(charsetOff) match {
+        case 0 =>
+          var g = 1
+          while (g < nGlyphs) { sids += u16(charsetOff + 1 + 2 * (g - 1)); g += 1 }
+        case 1 =>
+          var pos = charsetOff + 1
+          while (sids.length < nGlyphs - 1) {
+            val first = u16(pos); val nLeft = u8(pos + 2); pos += 3
+            var k = 0
+            while (k <= nLeft && sids.length < nGlyphs - 1) { sids += first + k; k += 1 }
+          }
+        case 2 =>
+          var pos = charsetOff + 1
+          while (sids.length < nGlyphs - 1) {
+            val first = u16(pos); val nLeft = u16(pos + 2); pos += 4
+            var k = 0
+            while (k <= nLeft && sids.length < nGlyphs - 1) { sids += first + k; k += 1 }
+          }
+        case _ => return None
+      }
+      def sidName(sid: Int): Option[String] =
+        if (sid < 391) cffStandardStrings.lift(sid)
+        else strings.lift(sid - 391).map { case (s, e) =>
+          new String(font, s, e - s, StandardCharsets.ISO_8859_1)
+        }
+      Some(sids.zipWithIndex.flatMap { case (sid, idx) =>
+        sidName(sid).map(n => (idx + 1) -> glyphToUnicode(n))
+      }.toMap)
+    } catch { case _: Exception => None }
+  }
+
   /** Decoder for one font object: /ToUnicode CMap first (authoritative
     * when present — it exists precisely to make text extractable), else
     * the embedded font program's cmap for a bare Identity Type0, else
@@ -659,21 +795,33 @@ object DocLoader {
           descM <- "/DescendantFonts\\s*\\[?\\s*(\\d+)\\s+\\d+\\s+R".r
             .findFirstMatchIn(fontDict)
           desc <- objs.get(descM.group(1).toInt)
-          // CID = GID requires /CIDToGIDMap absent or the literal name
-          // /Identity. A stream-valued map ("/CIDToGIDMap 12 0 R") is
-          // valid PDF and means CID != GID, so anything present that is
-          // not exactly the /Identity name must quarantine, not decode.
-          _ <- if (!desc.dict.contains("/CIDToGIDMap") ||
-            "/CIDToGIDMap\\s*/Identity\\b".r
-              .findFirstIn(desc.dict).isDefined) Some(()) else None
           fdM <- "/FontDescriptor\\s+(\\d+)\\s+\\d+\\s+R".r
             .findFirstMatchIn(desc.dict)
           fd <- objs.get(fdM.group(1).toInt)
-          ffM <- "/FontFile2\\s+(\\d+)\\s+\\d+\\s+R".r
-            .findFirstMatchIn(fd.dict)
-          ff <- objs.get(ffM.group(1).toInt)
-          program <- Option(ff.stream)
-          inv <- invertTrueTypeCmap(program)
+          inv <- {
+            def programOf(key: String): Option[Array[Byte]] = for {
+              ffM <- (key + "\\s+(\\d+)\\s+\\d+\\s+R").r.findFirstMatchIn(fd.dict)
+              ff <- objs.get(ffM.group(1).toInt)
+              program <- Option(ff.stream)
+            } yield program
+            // FontFile2 (TrueType, CIDFontType2): CID = GID additionally
+            // requires /CIDToGIDMap absent or the literal name /Identity.
+            // A stream-valued map ("/CIDToGIDMap 12 0 R") is valid PDF
+            // and means CID != GID, so anything present that is not
+            // exactly the /Identity name must quarantine, not decode.
+            val ff2 = for {
+              _ <- if (!desc.dict.contains("/CIDToGIDMap") ||
+                "/CIDToGIDMap\\s*/Identity\\b".r
+                  .findFirstIn(desc.dict).isDefined) Some(()) else None
+              program <- programOf("/FontFile2")
+              inv2 <- invertTrueTypeCmap(program)
+            } yield inv2
+            // FontFile3 (CFF, CIDFontType0): a non-CID Type1C uses CIDs
+            // directly as glyph indices (PDF 32000 9.7.4.2), so the
+            // charset's glyph names carry the Unicode; CID-keyed CFFs
+            // return None inside and stay quarantined.
+            ff2.orElse(programOf("/FontFile3").flatMap(invertCffCharset))
+          }
         } yield CMapFont(2, inv)
         fromFontProgram
       case _ =>
@@ -1079,6 +1227,131 @@ object DocLoader {
       "/FontFile2 9004 0 R >>\nendobj\n").getBytes(StandardCharsets.ISO_8859_1)
     val ffBuf = new ByteArrayOutputStream()
     ffBuf.write(s"9004 0 obj\n<< /Length ${fontProgram.length} >>\nstream\n"
+      .getBytes(StandardCharsets.ISO_8859_1))
+    ffBuf.write(fontProgram)
+    ffBuf.write("\nendstream\nendobj\n".getBytes(StandardCharsets.ISO_8859_1))
+    objs += ffBuf.toByteArray
+    val out = new ByteArrayOutputStream()
+    out.write("%PDF-1.4\n".getBytes(StandardCharsets.ISO_8859_1))
+    objs.foreach(out.write)
+    out.write("%%EOF\n".getBytes(StandardCharsets.ISO_8859_1))
+    out.toByteArray
+  }
+
+  /** Minimal CFF (Type1C) font program with a format-0 charset naming
+    * glyphs 1..n — the FontFile3 twin of [[buildTrueTypeWithCmap]].
+    * Structure: header, Name INDEX, Top DICT INDEX (charset +
+    * CharStrings offsets as fixed-width 5-byte ints so the layout is
+    * computable in one pass), String INDEX carrying the non-standard
+    * names, empty Global Subr INDEX, charset, and a CharStrings INDEX
+    * of n+1 one-byte endchar programs (extraction never rasterizes —
+    * the count is what sizes the charset).
+    */
+  private[graft] def buildCffWithCharset(names: Seq[String]): Array[Byte] = {
+    val customs = names.filterNot(cffStandardStrings.contains).distinct
+    def sidOf(n: String): Int = {
+      val std = cffStandardStrings.indexOf(n)
+      if (std >= 0) std else 391 + customs.indexOf(n)
+    }
+    def u8(v: Int): Array[Byte] = Array((v & 0xFF).toByte)
+    def u16(v: Int): Array[Byte] = Array(((v >> 8) & 0xFF).toByte, (v & 0xFF).toByte)
+    def int5(v: Int): Array[Byte] = Array(29.toByte, ((v >> 24) & 0xFF).toByte,
+      ((v >> 16) & 0xFF).toByte, ((v >> 8) & 0xFF).toByte, (v & 0xFF).toByte)
+    def index1(entries: Seq[Array[Byte]]): Array[Byte] = {
+      val b = new ByteArrayOutputStream()
+      b.write(u16(entries.size))
+      if (entries.nonEmpty) {
+        val total = 1 + entries.map(_.length).sum
+        val offSize = if (total <= 0xFF) 1 else 2
+        def writeOff(v: Int): Unit =
+          if (offSize == 1) b.write(u8(v)) else b.write(u16(v))
+        b.write(u8(offSize))
+        var off = 1
+        writeOff(off)
+        entries.foreach { e => off += e.length; writeOff(off) }
+        entries.foreach(b.write)
+      }
+      b.toByteArray
+    }
+    val header = Array[Byte](1, 0, 4, 4)
+    val nameIdx = index1(Seq("graftcff".getBytes(StandardCharsets.ISO_8859_1)))
+    val topDictLen = 12 // two 5-byte ints + two 1-byte operators
+    val topDictIdxLen = 2 + 1 + 2 + topDictLen // count, offSize, 2 offsets, data
+    val stringIdx = index1(customs.map(_.getBytes(StandardCharsets.ISO_8859_1)))
+    val gsubrs = u16(0)
+    val charsetOff = header.length + nameIdx.length + topDictIdxLen +
+      stringIdx.length + gsubrs.length
+    val charset = {
+      val b = new ByteArrayOutputStream()
+      b.write(u8(0)) // format 0
+      names.foreach(n => b.write(u16(sidOf(n))))
+      b.toByteArray
+    }
+    val charStringsOff = charsetOff + charset.length
+    val charStrings = index1(Seq.fill(names.size + 1)(Array[Byte](0x0E))) // endchar
+    val topDict = {
+      val b = new ByteArrayOutputStream()
+      b.write(int5(charsetOff)); b.write(u8(15))
+      b.write(int5(charStringsOff)); b.write(u8(17))
+      b.toByteArray
+    }
+    require(topDict.length == topDictLen, "fixture layout drifted")
+    val out = new ByteArrayOutputStream()
+    out.write(header); out.write(nameIdx); out.write(index1(Seq(topDict)))
+    out.write(stringIdx); out.write(gsubrs); out.write(charset); out.write(charStrings)
+    out.toByteArray
+  }
+
+  /** [[buildPdfType0Embedded]]'s FontFile3 twin: NO /ToUnicode, the
+    * Unicode mapping lives ONLY in the embedded CFF's charset glyph
+    * names (/DescendantFonts → /CIDFontType0 → /FontDescriptor →
+    * /FontFile3 /Subtype /Type1C). CID allocation matches (1..n over
+    * sorted distinct code points = the CFF glyph order), names are
+    * uniXXXX / uXXXXXX, so decode is exact iff the extractor inverts
+    * the CFF charset — the r13 verdict #6 quarantine class.
+    */
+  def buildPdfType0EmbeddedCff(pages: Seq[String]): Array[Byte] = {
+    val pg = if (pages.isEmpty) Seq("") else pages
+    val nPages = pg.size
+    val cps = pg.flatMap(t => t.codePoints().toArray.toSeq).filter(_ != '\n').distinct.sorted
+    val cidOf = cps.zipWithIndex.map { case (cp, i) => cp -> (i + 1) }.toMap
+    def hex4(v: Int): String = f"$v%04X"
+    def lineToHex(l: String): String =
+      l.codePoints().toArray.map(cp => hex4(cidOf(cp))).mkString
+    val names = cps.map { cp =>
+      if (Character.charCount(cp) == 1) f"uni$cp%04X" else f"u$cp%06X"
+    }
+    val fontProgram = buildCffWithCharset(names)
+    val kids = (0 until nPages).map(i => s"${3 + 2 * i} 0 R").mkString(" ")
+    val objs = mutable.ArrayBuffer[Array[Byte]](
+      s"1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n".getBytes(StandardCharsets.ISO_8859_1),
+      s"2 0 obj\n<< /Type /Pages /Kids [$kids] /Count $nPages >>\nendobj\n".getBytes(StandardCharsets.ISO_8859_1))
+    pg.zipWithIndex.foreach { case (text, i) =>
+      val pageObj = 3 + 2 * i
+      val contObj = 4 + 2 * i
+      val ops = text.split("\n", -1).map(l => s"<${lineToHex(l)}> Tj").mkString("\nT*\n")
+      val stream = s"BT /F1 12 Tf 72 720 Td\n$ops\nET".getBytes(StandardCharsets.ISO_8859_1)
+      val deflated = deflate(stream)
+      objs += (s"$pageObj 0 obj\n<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] " +
+        s"/Resources << /Font << /F1 9000 0 R >> >> " +
+        s"/Contents $contObj 0 R >>\nendobj\n").getBytes(StandardCharsets.ISO_8859_1)
+      val buf = new ByteArrayOutputStream()
+      buf.write((s"$contObj 0 obj\n<< /Length ${deflated.length} /Filter /FlateDecode >>\nstream\n")
+        .getBytes(StandardCharsets.ISO_8859_1))
+      buf.write(deflated)
+      buf.write("\nendstream\nendobj\n".getBytes(StandardCharsets.ISO_8859_1))
+      objs += buf.toByteArray
+    }
+    objs += ("9000 0 obj\n<< /Type /Font /Subtype /Type0 /BaseFont /GraftSerif " +
+      "/Encoding /Identity-H /DescendantFonts [9002 0 R] >>\nendobj\n")
+      .getBytes(StandardCharsets.ISO_8859_1)
+    objs += ("9002 0 obj\n<< /Type /Font /Subtype /CIDFontType0 /BaseFont /GraftSerif " +
+      "/FontDescriptor 9003 0 R >>\nendobj\n")
+      .getBytes(StandardCharsets.ISO_8859_1)
+    objs += ("9003 0 obj\n<< /Type /FontDescriptor /FontName /GraftSerif " +
+      "/FontFile3 9004 0 R >>\nendobj\n").getBytes(StandardCharsets.ISO_8859_1)
+    val ffBuf = new ByteArrayOutputStream()
+    ffBuf.write(s"9004 0 obj\n<< /Subtype /Type1C /Length ${fontProgram.length} >>\nstream\n"
       .getBytes(StandardCharsets.ISO_8859_1))
     ffBuf.write(fontProgram)
     ffBuf.write("\nendstream\nendobj\n".getBytes(StandardCharsets.ISO_8859_1))
