@@ -48,6 +48,38 @@ class DedupScaleSpec extends AnyFunSuite with SparkTestSession {
     assert(n == NgramGolden, s"ngram-jaccard pair count drifted: $n != $NgramGolden")
   }
 
+  test("hub-capped minhash: cold buckets byte-identical, hot bucket is a star") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // Inactive cap == uncapped operator exactly (no bucket on the full
+    // corpus exceeds a corpus-sized cap).
+    val uncapped = Dedup.minHashLshPairsPortable(docs)
+      .as[(Long, Long, Double)].collect().toSet
+    val inactive = Dedup.minHashLshPairsHubCapped(docs, maxBandSize = 100000)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(inactive == uncapped, "inactive cap must not change the pair set")
+    // A planted hot mass (500 copies of doc 0's text, ids 90000+) over
+    // cap 64: every copy links to the min-id hub (doc 0 itself, which
+    // shares the text), NEVER pairwise — linear, not quadratic — and
+    // pairs not involving the hot mass are untouched.
+    val hot = docs.filter(col("doc_id") === 0).select("text")
+      .crossJoin(spark.range(500).toDF("i"))
+      .select((col("i") + lit(90000L)).as("doc_id"), col("text"))
+    val capped = Dedup.minHashLshPairsHubCapped(
+      docs.select("doc_id", "text").unionByName(hot), maxBandSize = 64)
+      .as[(Long, Long, Double)].collect()
+    val hotPairs = capped.filter(p => p._2 >= 90000L)
+    assert(hotPairs.length == 500, s"expected 500 star pairs, got ${hotPairs.length}")
+    assert(hotPairs.forall(p => p._1 == 0L && p._3 == 1.0),
+      "every hot copy must link to hub doc 0 at agreement 1.0")
+    val coldCapped = capped.filter(p => p._1 < 90000L && p._2 < 90000L).toSet
+    val coldExpected = uncapped.filterNot(p => p._1 == 0L || p._2 == 0L)
+    // doc 0's own non-hot pairs moved to hot buckets (its bands are all
+    // hot now), so compare the pair set away from doc 0
+    assert(coldCapped.filterNot(p => p._1 == 0L || p._2 == 0L) == coldExpected,
+      "cold pairs away from the hot text must be unchanged")
+  }
+
   private val MinHashGolden = 1439L
   private val SimHashGolden = 116335L
   private val NgramGolden = 7L
