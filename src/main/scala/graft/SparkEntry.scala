@@ -399,8 +399,11 @@ object SparkEntry {
       // attach, star emission.
       val base = Tables.documents(s, dir)
         .filter(col("doc_id") < 200).select("doc_id", "text")
-      val hotCopies = base.filter(col("doc_id") === 0).select("text")
-        .crossJoin(s.range(30).toDF("i"))
+      // explode(sequence), not crossJoin(range): keeps the fixture
+      // expansion join-free (RegistryPlanAuditSpec forbids the
+      // BroadcastNestedLoopJoin a 1-row cross product plans as)
+      val hotCopies = base.filter(col("doc_id") === 0)
+        .select(explode(sequence(lit(0L), lit(29L))).as("i"), col("text"))
         .select((col("i") + lit(50000L)).as("doc_id"), col("text"))
       Dedup.minHashLshPairsHubCapped(
         base.unionByName(hotCopies), maxBandSize = 10)
