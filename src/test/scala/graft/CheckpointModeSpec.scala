@@ -78,4 +78,31 @@ class CheckpointModeSpec extends AnyFunSuite with SparkTestSession {
     while (it.hasNext) { it.next(); n += 1 }
     assert(n > 1, s"expected checkpoint files under $reliableDir")
   }
+
+  test("IterScope retention: superseded iteration checkpoints are deleted") {
+    // An 8-iteration PageRank checkpoints 4 loop-invariants (nodes,
+    // shares, marked, pr0-as-first-iterate) plus 8 iterates; without
+    // retention all ~12 rdd-* directories would persist. IterScope
+    // deletes each superseded iterate once its successor materializes,
+    // so only the invariants + the FINAL iterate survive the run.
+    def rddDirs(): Set[java.nio.file.Path] = {
+      val out = scala.collection.mutable.Set.empty[java.nio.file.Path]
+      val it = java.nio.file.Files.walk(reliableDir).iterator()
+      while (it.hasNext) {
+        val p = it.next()
+        if (p.getFileName.toString.startsWith("rdd-")) out += p
+      }
+      out.toSet
+    }
+    val before = rddDirs()
+    val result = withReliableDir {
+      Graphs.pageRankPicos(edgesDf, iters = 8).collect()
+    }
+    assert(result.nonEmpty)
+    val created = rddDirs() -- before
+    assert(created.nonEmpty, "reliable run must have written checkpoints")
+    assert(created.size <= 6,
+      s"retention failed: ${created.size} rdd-* dirs survived an 8-iteration run " +
+        s"(expected invariants + final iterate only): ${created.mkString(", ")}")
+  }
 }
