@@ -132,6 +132,59 @@ object ScaleEvidence {
     if (mhPairs != nBase)
       failures ::= s"minhash: found $mhPairs planted pairs, expected $nBase"
 
+    // -------- dedup_skew: the Zipf-head hot key a web corpus guarantees
+    // (r13 verdict #5). 10% of the corpus (every doc_id ≡ 7 mod 10)
+    // becomes ONE boilerplate text, so every band bucket of that text
+    // holds 10⁵ docs — uncapped, the banded self-join would emit
+    // (10⁵)²/2 ≈ 5×10⁹ candidate pairs from a single bucket, which is
+    // unrunnable and exactly why the hub cap exists. Recorded evidence:
+    //  - wall time vs the uniform fixture's minhash leg above;
+    //  - the hot mass comes back as a LINEAR star to its min-id hub
+    //    (hub_pairs == nHot−1), and the untouched planted pairs survive;
+    //  - shuffle balance: the pairwise join's cold input, hash-
+    //    partitioned on the band key by Spark's own partitioner, stays
+    //    near-uniform (max partition share gated), while the UNCAPPED
+    //    banded frame's profile shows the hot bucket's ~10% share —
+    //    the before/after of the guard.
+    val hotWords = ("the table scan joins fast value part row key hash " +
+      "merge batch window spark order data column agg small line customer " +
+      "query big group sort stream filter slow vector dup a").trim
+    val skewed = corpus.select(col("doc_id"),
+      when(pmod(col("doc_id"), lit(10L)) === 7L, lit(hotWords))
+        .otherwise(col("text")).as("text"))
+    val nHot = nDocs / 10
+    val skewCap = 64
+    val ((hubPairs, plantedCold), tSkew) = timed {
+      val pairs = operators.Dedup.minHashLshPairsHubCapped(
+        skewed, maxBandSize = skewCap)
+      val hub = pairs.filter(col("doc_a") === 7L).count()
+      val planted = pairs.filter(col("doc_b") === col("doc_a") + lit(nBase) &&
+        col("doc_a") < nBase && pmod(col("doc_a"), lit(10L)) =!= 7L).count()
+      (hub, planted)
+    }
+    if (hubPairs != nHot - 1)
+      failures ::= s"dedup_skew: hub star linked $hubPairs hot docs, expected ${nHot - 1}"
+    if (plantedCold != nBase - nBase / 10)
+      failures ::= s"dedup_skew: $plantedCold cold planted pairs, expected ${nBase - nBase / 10}"
+    val skewBanded = operators.Dedup.bandedSignaturesPortable(skewed, 3, 16, 4)
+      .select("doc_id", "band").localCheckpoint()
+    val skewHotBands = skewBanded.groupBy("band")
+      .agg(count(lit(1)).as("n")).filter(col("n") > skewCap)
+    val nHotBands = skewHotBands.count()
+    def bandShareProfile(df: DataFrame): Double = {
+      val parts = df.repartition(32, col("band"))
+        .groupBy(spark_partition_id().as("pid"))
+        .agg(count(lit(1)).as("n"))
+        .agg(max("n").cast("double").as("mx"), sum("n").cast("double").as("tot"))
+        .head()
+      parts.getDouble(0) / parts.getDouble(1)
+    }
+    val coldShare = bandShareProfile(
+      skewBanded.join(broadcast(skewHotBands.select("band")), Seq("band"), "left_anti"))
+    val uncappedShare = bandShareProfile(skewBanded)
+    if (coldShare > 0.10)
+      failures ::= f"dedup_skew: cold-side max partition share $coldShare%.3f above 0.10"
+
     // -------- 64-bit murmur SimHash (the scale default: 4 × 16-bit
     // bands → 65,536 buckets per band, occupancy n/2^16) at the FULL
     // corpus — planted exact copies are Hamming-0 twins.
@@ -289,8 +342,8 @@ object ScaleEvidence {
     // Per-dim pattern has rms ≈ 4.9 over 64 dims → L2 ≈ 39.2·δ; δ =
     // 0.0013·s puts the family at L2 ≈ 0.051·s ∈ [0.05, 0.46].
     val nearScale = (pmod(col("v") * 5, lit(9)) + 1).cast("float") * lit(0.0013f)
-    val bigVecs = emb
-      .crossJoin(spark.range(variants.toLong).toDF("v"))
+    def expandedVectors(nVariants: Int): DataFrame = emb
+      .crossJoin(spark.range(nVariants.toLong).toDF("v"))
       .select(
         (col("v") * nVec + col("vec_id")).as("vec_id"),
         when(col("v") === 0, col("embedding"))
@@ -301,6 +354,7 @@ object ScaleEvidence {
             (x + (pmod(col("v") * 31 + i, lit(17)) - lit(8)).cast("float") * lit(0.05f))
               .cast("float")))
           .as("embedding"))
+    val bigVecs = expandedVectors(variants)
     val layoutPath = Files.createTempDirectory("graft_scale_ann").toString
     val (_, tLayout) = timed {
       operators.Ann.writeSignaturePartitioned(bigVecs, layoutPath, nBits = 8)
@@ -558,25 +612,69 @@ object ScaleEvidence {
         failures ::= f"lopq_sweep: recall $rec%.3f more than 0.05 below plain $plain%.3f at nProbe=$np"
     }
 
-    // -------- ≥0.9 recall@10 frontier point (r12 verdict #4): the
+    // -------- ≥0.9 recall@10 frontier point at the FULL 10⁶ vectors
+    // (r12 verdict #4; corpus size to 10⁶ per r13 verdict #2): the
     // approximate tier must be able to BUY its way to near-exact — the
     // k-NN retrieval contract is exact top-k, so the question a user of
     // the approximate path asks is "what probe budget reaches ~exact?".
+    // The frontier corpus uses the SAME graded-near-dup fixture recipe
+    // expanded 2.5× (matching the semantic-dedup legs' 10⁶); IVF cells
+    // and LOPQ books are the ones trained on the 4×10⁵ corpus — at
+    // 100 TB you train codebooks on a sample and encode everything
+    // under them, and the bases/decoy distribution are identical, so
+    // the sample is representative by construction. Encode+layout cost
+    // for the big corpus is recorded as build_sec.
     // LOPQ layout + exact-euclidean rerank, escalating (nProbe,
     // overfetch) until recall@10 vs the exact top-10 crosses 0.9; the
-    // recorded cost multiplier is probe seconds vs the overfetch=1
-    // probe at the same layout (the sweep's economy setting) — the
-    // price of near-exactness on a 10⁶-vector corpus where the full
-    // exact scan costs tExactEuc.
+    // recorded cost multiplier is probe seconds vs the (nProbe=8,
+    // overfetch=1) economy probe on the SAME 10⁶ layout — the price of
+    // near-exactness on a corpus where the full exact scan costs
+    // exact_scan_sec.
     // Escalation ladder with early stop at the crossing. The endpoint
     // is structurally near-exact: nProbe=128 probes EVERY cell (zero
     // coverage loss) and deep overfetch hands the exact reranker
     // k×overfetch candidates, so the only loss left is a true
     // neighbor ranking below that ADC cut — driven to ~zero as the
-    // overfetch widens. Measured first at r13: recall@10 plateaus at
-    // 0.72–0.80 through (8,4)/(16,4)/(32,8) on these near-random
-    // synthetic embeddings (deep ranks are barely-closer-than-random,
-    // exactly PQ's worst case), and crosses only on the wide settings.
+    // overfetch widens. Measured first at r13 (at 4×10⁵): recall@10
+    // plateaus at 0.72–0.80 through (8,4)/(16,4)/(32,8) on these
+    // near-random synthetic embeddings (deep ranks are barely-closer-
+    // than-random, exactly PQ's worst case), and crosses only on the
+    // wide settings.
+    val frontierVariants = (5 * variants + 1) / 2 // 10⁶ vectors at default 200
+    val nFro = nVec * frontierVariants
+    val froDir = Files.createTempDirectory("graft_scale_frontier").toString
+    val (_, tFroBuild) = timed {
+      expandedVectors(frontierVariants).write.parquet(s"$froDir/vecs")
+      val froVecs = spark.read.parquet(s"$froDir/vecs")
+      operators.Ann.writeIvfPqLocalPartitioned(
+        froVecs, ivfCents, lopqBooks, s"$froDir/codes")
+    }
+    val froVecs = spark.read.parquet(s"$froDir/vecs")
+    val (froExactRanked, tFroExact) = timed {
+      val qsE = queries.select(col("query_id"), col("q_embedding").as("q_emb"))
+      val d2 = aggregate(
+        zip_with(col("q_emb"), col("embedding"),
+          (x, y) => { val d = x.cast("double") - y.cast("double"); d * d }),
+        lit(0.0d), (acc, v) => acc + v)
+      froVecs.crossJoin(broadcast(qsE))
+        .filter(col("vec_id") =!= col("query_id"))
+        .withColumn("d2", d2)
+        .withColumn("rank", row_number().over(
+          Window.partitionBy("query_id").orderBy(asc("d2"), asc("vec_id"))))
+        .filter(col("rank") <= 10)
+        .select("query_id", "vec_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+    }
+    val froExact10 = froExactRanked.toSet
+    val (froEconomyPairs, froEconomyT) = timed {
+      operators.Ann.ivfPqLocalTopK(
+        spark, s"$froDir/codes", queries, ivfCents, lopqBooks,
+        k = 10, nProbe = 8)
+        .select("query_id", "vec_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+    }
+    val froEconomyRecall =
+      froEconomyPairs.count(froExact10.contains).toDouble / froExact10.size
     val frontierSettings =
       Seq((8, 4), (32, 8), (64, 16), (128, 32), (128, 64), (128, 256))
     val frontier = scala.collection.mutable.ArrayBuffer
@@ -586,19 +684,18 @@ object ScaleEvidence {
       val (np, of) = settingsIt.next()
       val (pairs, tS) = timed {
         operators.Ann.ivfPqLocalTopKReranked(
-          spark, s"$lopqDir/codes", queries, bigV, ivfCents, lopqBooks,
+          spark, s"$froDir/codes", queries, froVecs, ivfCents, lopqBooks,
           k = 10, nProbe = np, overfetch = of)
           .select("query_id", "vec_id").collect()
           .map(r => (r.getLong(0), r.getLong(1)))
       }
       frontier += ((np, of,
-        pairs.count(exactEucPairs10.contains).toDouble / exactEucPairs10.size, tS))
+        pairs.count(froExact10.contains).toDouble / froExact10.size, tS))
     }
     val crossing = frontier.find(_._3 >= 0.9)
     if (crossing.isEmpty)
       failures ::= s"ann_frontier: no (nProbe, overfetch) setting reached " +
-        f"recall@10 >= 0.9 — best ${frontier.map(_._3).max}%.3f"
-    val lopqEconomyT = lopqSweep.find(_._1 == 8).get._3
+        f"recall@10 >= 0.9 at n=$nFro — best ${frontier.map(_._3).max}%.3f"
 
     // -------- incremental IVF-PQ maintenance at 10⁶: the versioned root.
     // Base = the full 10⁶-vector corpus as one batch write; then a
@@ -897,10 +994,20 @@ object ScaleEvidence {
       if (maxTouch.touchedWords < 5 * minTouch.touchedWords)
         failures ::= s"bpe_incremental: touch range too flat to evidence " +
           s"(${minTouch.touchedWords}..${maxTouch.touchedWords})"
-      else if (minTouch.sec > maxTouch.sec)
-        failures ::= f"bpe_incremental: cost flat vs touch — " +
-          f"${minTouch.touchedWords} words took ${minTouch.sec}%.1f s vs " +
-          f"${maxTouch.touchedWords} words ${maxTouch.sec}%.1f s"
+      else {
+        // MEDIANS per touch class, not the single min/max merges: one
+        // scheduler stall on the smallest-touch merge flipped this gate
+        // (r13 passed by 0.06 s; an r14 recording read the min-touch
+        // merge at the max-touch cost) — the same median-over-stalls
+        // discipline the bench uses.
+        def median(xs: Seq[Double]): Double = { val s = xs.sorted; s(s.size / 2) }
+        val big = bpeIncStats.filter(_.touchedWords * 2 >= maxTouch.touchedWords).map(_.sec)
+        val small = bpeIncStats.filter(_.touchedWords <= minTouch.touchedWords * 2).map(_.sec)
+        if (median(small) > median(big))
+          failures ::= f"bpe_incremental: cost flat vs touch — median " +
+            f"${median(small)}%.1f s over ${small.size} small-touch merges vs " +
+            f"${median(big)}%.1f s over ${big.size} big-touch merges"
+      }
     }
 
     // -------- DEEP-merge regime (r10 verdict #6): ≥1000 merges with
@@ -1039,6 +1146,10 @@ object ScaleEvidence {
       s"""{"metric":"scale_evidence","n_docs":$nDocs,"n_base":$nBase,"cpus":$cpus,""" +
         s""""exact_dedup":{"sec":${r1(tExact)},"docs_per_sec":${r1(nDocs / tExact)}},""" +
         s""""minhash_lsh":{"sec":${r1(tMinhash)},"docs_per_sec":${r1(nDocs / tMinhash)},"planted_pairs_found":$mhPairs},""" +
+        s""""dedup_skew":{"n_docs":$nDocs,"hot_copies":$nHot,"max_band_size":$skewCap,""" +
+        s""""sec":${r1(tSkew)},"uniform_sec":${r1(tMinhash)},"hub_pairs":$hubPairs,""" +
+        s""""planted_cold_pairs":$plantedCold,"hot_bands":$nHotBands,""" +
+        s""""cold_max_partition_share":${f"$coldShare%.4f"},"uncapped_max_partition_share":${f"$uncappedShare%.4f"}},""" +
         s""""simhash64_banded":{"sec":${r1(tSimhash64)},"docs_per_sec":${r1(nDocs / tSimhash64)},"planted_pairs_found":$sh64Pairs},""" +
         s""""simhash_banded_portable":{"n_docs":$nShDocs,"sec":${r1(tSimhash)},"docs_per_sec":${r1(nShDocs / tSimhash)},"planted_pairs_found":$shPairs},""" +
         s""""line_dedup":{"sec":${r1(tLines)},"docs_per_sec":${r1(nDocs / tLines)},"kept_lines":$lineKept,"hot_line_copies":$nDocs},""" +
@@ -1073,13 +1184,14 @@ object ScaleEvidence {
         s""""zorder_layout":{"n_rows":$zN,"n_files":256,"z_write_sec":${r1(tZWrite)},"linear_write_sec":${r1(tLinWrite)},""" +
         s""""box_selected":${zAnswer.getLong(0)},"z_rows_materialized":$zMat,"linear_rows_materialized":$linMat,""" +
         s""""z_scan_sec":${r1(tZScan)},"linear_scan_sec":${r1(tLinScan)},"answers_equal":${zAnswer == linAnswer}},""" +
-        s""""ann_frontier":{"n_vectors":${nVec * variants},"k":10,"exact_scan_sec":${r1(tExactEuc)},""" +
-        s""""economy_probe_sec":${r1(lopqEconomyT)},""" +
+        s""""ann_frontier":{"n_vectors":$nFro,"k":10,"train_vectors":${nVec * variants},""" +
+        s""""build_sec":${r1(tFroBuild)},"exact_scan_sec":${r1(tFroExact)},""" +
+        s""""economy_probe_sec":${r1(froEconomyT)},"economy_recall_at_10":${f"$froEconomyRecall%.3f"},""" +
         s""""sweep":[${frontier.map { case (np, of, rec, tS) =>
-          s"""{"n_probe":$np,"overfetch":$of,"recall_at_10":${f"$rec%.3f"},"probe_sec":${r1(tS)},"cost_multiplier_vs_economy":${f"${tS / lopqEconomyT}%.2f"}}"""
+          s"""{"n_probe":$np,"overfetch":$of,"recall_at_10":${f"$rec%.3f"},"probe_sec":${r1(tS)},"cost_multiplier_vs_economy":${f"${tS / froEconomyT}%.2f"}}"""
         }.mkString(",")}],""" +
         s""""crossing":${crossing.map { case (np, of, rec, tS) =>
-          s"""{"n_probe":$np,"overfetch":$of,"recall_at_10":${f"$rec%.3f"},"probe_sec":${r1(tS)},"cost_multiplier_vs_economy":${f"${tS / lopqEconomyT}%.2f"}}"""
+          s"""{"n_probe":$np,"overfetch":$of,"recall_at_10":${f"$rec%.3f"},"probe_sec":${r1(tS)},"cost_multiplier_vs_economy":${f"${tS / froEconomyT}%.2f"}}"""
         }.getOrElse("null")}},""" +
         s""""bloom_gate":{"history_keys":$bgHistN,"batch_rows":$bgBatchN,"fpp":0.01,""" +
         s""""bloom_negatives":${bgStats.bloomNegatives},"candidates":${bgStats.candidates},""" +
