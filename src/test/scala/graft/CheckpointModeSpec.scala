@@ -69,6 +69,25 @@ class CheckpointModeSpec extends AnyFunSuite with SparkTestSession {
     assert(local.size == 6)
   }
 
+  test("BPE incremental path: reliable mode with compactions equals the recount result") {
+    // The incremental trainer juggles THREE IterScopes (pairs, base,
+    // overlay) with deletion points tied to materialization order —
+    // the retention logic most likely to delete a file something still
+    // reads. Force it through reliable mode with a tiny overlay cap so
+    // compactions fire (overlayIter.released + baseIter), and pin the
+    // merge sequence against the default-mode recount result.
+    val docs = Seq(
+      (1L, "lower lower lowest low low low newer"),
+      (2L, "newer newest new new lower wider"),
+      (3L, "wider wide widest lowest low newest")).toDF("doc_id", "text")
+    val expected = Bpe.learnMerges(docs, nMerges = 8)
+    val reliable = withReliableDir {
+      Bpe.learnMergesIncremental(docs, nMerges = 8, maxOverlayRows = 2)
+    }
+    assert(reliable == expected)
+    assert(reliable.size == 8)
+  }
+
   test("the reliable mode actually writes checkpoint files") {
     withReliableDir {
       Graphs.pageRankPicos(edgesDf, iters = 2).collect()
