@@ -389,6 +389,21 @@ object SparkEntry {
         .orderBy("doc_a", "doc_b")
     }),
 
+    "dedup_simhash_hubcap" -> ((s, dir) => {
+      // The SimHash twin of dedup_minhash_hubcap: same Zipf-head
+      // fixture (30 planted copies of doc 0 over cap 10 — all three
+      // portable-fingerprint bands go hot), same star semantics, same
+      // full DuckDB replay of the decision chain.
+      val base = Tables.documents(s, dir)
+        .filter(col("doc_id") < 200).select("doc_id", "text")
+      val hotCopies = base.filter(col("doc_id") === 0)
+        .select(explode(sequence(lit(0L), lit(29L))).as("i"), col("text"))
+        .select((col("i") + lit(50000L)).as("doc_id"), col("text"))
+      Dedup.simHashPairsHubCapped(
+        base.unionByName(hotCopies), maxHamming = 2, maxBandSize = 10)
+        .orderBy("doc_a", "doc_b")
+    }),
+
     "dedup_minhash_hubcap" -> ((s, dir) => {
       // Zipf-head guard under the hard signal: the base slice plus 30
       // planted copies of doc 0's text — every band bucket of that text
@@ -5393,6 +5408,68 @@ object SparkEntry {
         |  round(CAST(len(list_filter(range(16), i -> sig_a[CAST(i+1 AS INT)] = sig_b[CAST(i+1 AS INT)])) AS DOUBLE) / 16.0, 6) AS est_jaccard
         |FROM cand
         |WHERE CAST(len(list_filter(range(16), i -> sig_a[CAST(i+1 AS INT)] = sig_b[CAST(i+1 AS INT)])) AS DOUBLE) / 16.0 >= 0.5
+        |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // The SimHash hub-cap mirror: the dedup_simhash portable-fingerprint
+    // chain over the salted input, bands cut at bit offsets 0/10/20
+    // (widths 10/10/11 — b*31/3 like the operator), then the shared
+    // bucket-size -> hot-set -> hub-attach -> star-emission replay.
+    "dedup_simhash_hubcap" ->
+      """WITH input AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id < 200
+        |  UNION ALL
+        |  SELECT 50000 + i AS doc_id,
+        |    (SELECT text FROM documents WHERE doc_id = 0) AS text
+        |  FROM range(30) t0(i)),
+        |t AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^\p{L}\p{N}]+'), x -> x <> '') AS toks
+        |  FROM input),
+        |f AS (
+        |  SELECT doc_id, list_concat(toks,
+        |    CASE WHEN len(toks) > 1 THEN list_transform(range(len(toks) - 1),
+        |      i -> toks[CAST(i+1 AS INT)] || '_' || toks[CAST(i+2 AS INT)]) ELSE CAST([] AS VARCHAR[]) END) AS feats
+        |  FROM t),
+        |hs AS (
+        |  SELECT doc_id,
+        |    list_transform(feats, s ->
+        |      list_reduce(
+        |        list_prepend(CAST(7 AS BIGINT),
+        |          list_transform(range(length(s)), i -> CAST(unicode(s[CAST(i+1 AS INT)]) AS BIGINT))),
+        |        (a, b) -> (31 * a + b) % 2147483647)) AS hashes
+        |  FROM f),
+        |sm AS (
+        |  SELECT doc_id,
+        |    coalesce(list_sum(list_transform(range(31), b ->
+        |      CASE WHEN coalesce(list_sum(list_transform(hashes,
+        |             h -> ((h >> CAST(b AS INT)) & 1) * 2 - 1)), 0) > 0
+        |           THEN (CAST(1 AS BIGINT) << CAST(b AS INT)) ELSE 0 END)), 0) AS simhash
+        |  FROM hs),
+        |bd AS (
+        |  SELECT doc_id, simhash, b,
+        |    CASE b WHEN 0 THEN (simhash >> 0) & 1023
+        |           WHEN 1 THEN (simhash >> 10) & 1023
+        |           ELSE (simhash >> 20) & 2047 END AS band
+        |  FROM sm, unnest(range(3)) AS t2(b)),
+        |bsz AS (
+        |  SELECT b, band, count(*) AS n, min(doc_id) AS hub FROM bd GROUP BY 1, 2),
+        |hot AS (SELECT b, band, hub FROM bsz WHERE n > 10),
+        |hubsig AS (
+        |  SELECT h.b, h.band, h.hub, d.simhash AS hub_sim
+        |  FROM hot h JOIN bd d ON d.b = h.b AND d.band = h.band AND d.doc_id = h.hub),
+        |cold AS (
+        |  SELECT d.doc_id, d.simhash, d.b, d.band FROM bd d
+        |  ANTI JOIN hot h ON d.b = h.b AND d.band = h.band),
+        |cand AS (
+        |  SELECT DISTINCT doc_a, doc_b, sim_a, sim_b FROM (
+        |    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.simhash AS sim_a, b.simhash AS sim_b
+        |    FROM cold a JOIN cold b ON a.b = b.b AND a.band = b.band AND a.doc_id < b.doc_id
+        |    UNION ALL
+        |    SELECT h.hub AS doc_a, d.doc_id AS doc_b, h.hub_sim AS sim_a, d.simhash AS sim_b
+        |    FROM bd d JOIN hubsig h ON d.b = h.b AND d.band = h.band
+        |    WHERE d.doc_id <> h.hub))
+        |SELECT doc_a, doc_b, CAST(bit_count(xor(sim_a, sim_b)) AS INT) AS hamming
+        |FROM cand
+        |WHERE bit_count(xor(sim_a, sim_b)) <= 2
         |ORDER BY doc_a, doc_b""".stripMargin,
 
     // The hub-capped chain: same portable signature/banding mirror, then
