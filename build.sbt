@@ -34,4 +34,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // WARN-from-first-line logging for the forked mains/tests (the bench
+  // driver parses one raw JSON stdout line from a bounded tail). Wired
+  // here, not as a src/main/resources classpath file, so the published
+  // jar never hijacks a downstream application's log4j2 config.
+  s"-Dlog4j2.configurationFile=${baseDirectory.value}/conf/log4j2-quiet.properties",
 )

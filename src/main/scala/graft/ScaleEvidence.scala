@@ -155,8 +155,11 @@ object ScaleEvidence {
     val nHot = nDocs / 10
     val skewCap = 64
     val ((hubPairs, plantedCold), tSkew) = timed {
+      // Materialize before the two independent counts — without it the
+      // whole hub-capped pipeline executes once per action and `sec`
+      // would record ~2x the real cost next to uniform_sec.
       val pairs = operators.Dedup.minHashLshPairsHubCapped(
-        skewed, maxBandSize = skewCap)
+        skewed, maxBandSize = skewCap).localCheckpoint()
       val hub = pairs.filter(col("doc_a") === 7L).count()
       val planted = pairs.filter(col("doc_b") === col("doc_a") + lit(nBase) &&
         col("doc_a") < nBase && pmod(col("doc_a"), lit(10L)) =!= 7L).count()

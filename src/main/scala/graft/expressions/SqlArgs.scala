@@ -48,7 +48,12 @@ private[graft] object SqlArgs {
             "inputValue" -> String.valueOf(got)))
       e.eval(null) match {
         case n: java.lang.Integer => n.intValue
-        case n: java.lang.Long => n.intValue
+        case n: java.lang.Long =>
+          // range-check before narrowing: silently truncating a BIGINT
+          // (char_shingles(text, 4294967297) -> width 1) would be
+          // exactly the wrong-results misuse this helper exists to stop
+          if (n.longValue < Int.MinValue || n.longValue > Int.MaxValue) bad(n)
+          else n.intValue
         case n: java.lang.Short => n.intValue
         case n: java.lang.Byte => n.intValue
         case other => bad(other)

@@ -25,6 +25,11 @@ import org.scalatest.funsuite.AnyFunSuite
 class FaultToleranceSpec extends AnyFunSuite {
 
   private def runChild(mode: String): String = {
+    // local-cluster worker launch resolves executor commands against a
+    // real Spark distribution; without one the child would hang to its
+    // full timeout on an unrelated environment problem
+    assume(new java.io.File("/opt/spark/jars").isDirectory,
+      "no Spark distribution at /opt/spark — skipping executor-loss simulation")
     val workDir = Files.createTempDirectory(s"graft_faultsim_$mode").toString
     val javaBin = s"${sys.props("java.home")}/bin/java"
     val moduleOpts = org.apache.spark.launcher.JavaModuleOptions

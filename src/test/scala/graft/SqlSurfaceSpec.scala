@@ -90,4 +90,30 @@ class SqlSurfaceSpec extends AnyFunSuite with SparkTestSession {
     }
     assert(sql == viaCol)
   }
+
+  test("SQL builder misuse raises clean AnalysisExceptions, never opaque errors") {
+    GraftExtensions.register(spark)
+    import org.apache.spark.sql.AnalysisException
+    // non-foldable width
+    val e1 = intercept[AnalysisException] {
+      spark.sql("SELECT char_shingles(text, doc_id) FROM VALUES (1, 'ab') t(doc_id, text)").collect()
+    }
+    assert(e1.getMessage.contains("char_shingles"))
+    // BIGINT width outside Int range must NOT silently truncate
+    // (4294967297.intValue == 1 would run with shingle width 1)
+    val e2 = intercept[AnalysisException] {
+      spark.sql("SELECT char_shingles('abc', 4294967297)").collect()
+    }
+    assert(e2.getMessage.contains("char_shingles"))
+    // wrong arity
+    val e3 = intercept[AnalysisException] {
+      spark.sql("SELECT char_shingles('abc')").collect()
+    }
+    assert(e3.getMessage.contains("char_shingles"))
+    // split_chunks: a string size argument
+    val e4 = intercept[AnalysisException] {
+      spark.sql("SELECT split_chunks('abc', 'big')").collect()
+    }
+    assert(e4.getMessage.contains("split_chunks"))
+  }
 }
