@@ -105,6 +105,14 @@ object FaultSim {
     val t0 = System.nanoTime()
     while (jobsDone.get() < 10 && !ranked.isCompleted &&
         (System.nanoTime() - t0) < 120e9) Thread.sleep(50)
+    // A kill fired AFTER the loop already finished proves nothing (and
+    // in `local` mode would print a spurious ok with killed=true): when
+    // the wait loop exited because the run completed, report a distinct
+    // inconclusive result instead of killing a finished pipeline.
+    if (ranked.isCompleted) {
+      println(s"FAULTSIM_RESULT=inconclusive_run_finished_before_kill mode=$mode")
+      return
+    }
     val killDir = workDir
     Try {
       spark.sparkContext.parallelize(0 until 8, 8).foreach { _ =>

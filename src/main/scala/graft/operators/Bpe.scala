@@ -436,7 +436,12 @@ object Bpe {
               .unionByName(touchedRows), eager = false)
         })
         if (stats != null)
-          stats += MergeStat(a, b, c, touched.count(),
+          // Count the PRE-checkpoint filter, not `touched`: an action on
+          // the lazy checkpoint itself would materialize it — in
+          // reliable mode writing per-merge files no IterScope tracks.
+          // This recount has no merge UDF (no accumulator bump) and its
+          // lineage stops at base/overlay, which their scopes retain.
+          stats += MergeStat(a, b, c, current.filter(hasPair).count(),
             (System.nanoTime() - t0) / 1e9, didCompact)
       }
     }

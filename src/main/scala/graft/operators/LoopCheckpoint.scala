@@ -90,12 +90,31 @@ object LoopCheckpoint {
       * materializing action) — everything older is deleted. Use
       * keep = 2 for chains where iterate k's checkpoint only writes when
       * iterate k+1 first computes (e.g. the BPE overlay chain), so the
-      * newest entry may still recompute through its predecessor. */
+      * newest entry may still recompute through its predecessor.
+      *
+      * Mixed lazy/eager safety: the kept prefix EXTENDS past `keep`
+      * while its oldest member is still an unmaterialized lazy
+      * checkpoint — such an iterate recomputes through its predecessor's
+      * files, so deleting them (as a bare splitAt would) could strand
+      * it. Deletion is deferred, not refused: the next materialized()
+      * after the lazy entries write their files reclaims the backlog. */
     def materialized(keep: Int = 1): Unit = {
-      val (kept, olds) = pending.splitAt(keep)
+      var cut = math.min(keep, pending.length)
+      // Each unmaterialized lazy iterate still recomputes through the
+      // first MATERIALIZED entry older than it (unmaterialized ones in
+      // between have no files and contribute nothing) — retain up to and
+      // including that entry, wherever it sits relative to `keep`.
+      for (j <- pending.indices if !isMaterialized(pending(j)))
+        (j + 1 until pending.length).find(i => isMaterialized(pending(i)))
+          .foreach(i => cut = math.max(cut, i + 1))
+      val (kept, olds) = pending.splitAt(cut)
       olds.foreach(deleteCheckpointFiles)
       pending = kept
     }
+
+    /** True once the RDD's checkpoint files exist on the FS — a lazy
+      * `checkpoint(eager = false)` flips this at its first action. */
+    private def isMaterialized(rdd: RDD[_]): Boolean = rdd.isCheckpointed
 
     /** Delete EVERY tracked checkpoint, including the latest — for a
       * loop-carried frame that has been folded into another frame (e.g.
@@ -107,7 +126,12 @@ object LoopCheckpoint {
         try {
           val p = new org.apache.hadoop.fs.Path(file)
           p.getFileSystem(session.sessionState.newHadoopConf()).delete(p, true)
-        } catch { case _: java.io.IOException => () } // best-effort cleanup
+        } catch {
+          // Best-effort cleanup: a closed filesystem / bad URI surfaces
+          // as a RuntimeException, not only IOException — neither may
+          // abort a long training loop over a deletion.
+          case scala.util.control.NonFatal(_) => ()
+        }
       }
   }
 }

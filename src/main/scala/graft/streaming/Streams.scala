@@ -391,7 +391,7 @@ object Streams {
       .select("doc_id", "line_idx", "line", "keep")
   }
 
-  /** Custom per-session state via mapGroupsWithState: running message count
+  /** Custom per-session state via flatMapGroupsWithState: running message count
     * and last-seen timestamp per user, with a real event-time timeout —
     * once the watermark passes lastSeen + gap, the session emits a final
     * `expired = true` update and its state is REMOVED (bounded state; the

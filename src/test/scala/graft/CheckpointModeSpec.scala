@@ -124,4 +124,40 @@ class CheckpointModeSpec extends AnyFunSuite with SparkTestSession {
       s"retention failed: ${created.size} rdd-* dirs survived an 8-iteration run " +
         s"(expected invariants + final iterate only): ${created.mkString(", ")}")
   }
+
+  test("IterScope mixed lazy/eager: deletion defers past an unmaterialized lazy iterate") {
+    // A lazy (eager = false) iterate recomputes through its
+    // PREDECESSOR's checkpoint files until its own first action. An
+    // eager apply arriving while the lazy one is still unmaterialized
+    // auto-runs materialized(keep = 1) — which must NOT delete the
+    // lazy iterate's predecessor (it would strand the recompute path).
+    // Deletion is deferred until the lazy entry has written its files.
+    withReliableDir {
+      val scope = new LoopCheckpoint.IterScope
+      val f0 = scope(spark.range(10).toDF("v"))                 // eager: materialized
+      val f1 = scope(f0.withColumn("v", col("v") + 1), eager = false) // lazy: NOT yet
+      val d0 = checkpointFile(f0)
+      // Eager apply while f1 is unmaterialized: keep=1 would name f0 for
+      // deletion, but f1 still recomputes through it — must survive.
+      val f2 = scope(spark.range(5).toDF("w"))
+      assert(exists(d0), "predecessor of an unmaterialized lazy iterate was deleted")
+      assert(f1.count() == 10) // materializes f1 through d0's files
+      // Next eager apply reclaims the backlog: f0 and f1 are now both
+      // superseded AND f1's files exist, so d0 (and f1's) can go.
+      val f3 = scope(spark.range(3).toDF("x"))
+      assert(!exists(d0), "superseded checkpoint not reclaimed after the lazy iterate materialized")
+      assert(f3.count() == 3)
+    }
+  }
+
+  private def checkpointFile(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.analyzed
+      .collectFirst { case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd }
+      .flatMap(_.getCheckpointFile)
+      .getOrElse(fail("no checkpointed RDD in the plan"))
+
+  private def exists(file: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(file)
+    p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p)
+  }
 }

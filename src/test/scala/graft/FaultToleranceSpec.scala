@@ -51,14 +51,25 @@ class FaultToleranceSpec extends AnyFunSuite {
       .getOrElse(fail(s"no FAULTSIM_RESULT line from $mode run:\n${out.takeRight(4000)}"))
   }
 
+  /** A run that finished before the kill could fire proves nothing
+    * either way (FaultSim reports it distinctly instead of killing a
+    * finished pipeline) — retry the scenario; cancel, not fail, if the
+    * race repeats (environment too fast/slow, not a correctness signal). */
+  private def runConclusive(mode: String): String = {
+    val attempts = Iterator.continually(runChild(mode)).take(3)
+      .find(!_.contains("inconclusive_run_finished_before_kill"))
+    attempts.getOrElse(cancel(
+      s"FaultSim $mode finished before the kill on 3 attempts — cannot exercise the loss"))
+  }
+
   test("reliable checkpoint mode survives an executor halt mid-PageRank, result exact") {
-    val line = runChild("reliable")
+    val line = runConclusive("reliable")
     assert(line.contains("FAULTSIM_RESULT=ok"), line)
     assert(line.contains("killed=true"), s"kill never fired: $line")
   }
 
   test("default localCheckpoint mode dies under the same executor halt (negative leg)") {
-    val line = runChild("local")
+    val line = runConclusive("local")
     assert(line.startsWith("FAULTSIM_RESULT=failed"), line)
     assert(line.contains("killed=true"), s"kill never fired: $line")
   }
