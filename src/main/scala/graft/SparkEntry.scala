@@ -2074,14 +2074,18 @@ object SparkEntry {
     }),
 
     // ---- Unigram-LM tokenizer training (SentencePiece-style, Kudo
-    // 2018) — the second tokenizer family next to BPE. No SQL oracle
-    // possible (iterative EM + lattice prune with data-dependent
-    // choices); Verify hard-gates the distributed trainer piece-for-
+    // 2018) — the second tokenizer family next to BPE. The EM + lattice
+    // prune TRAINING has no SQL form (data-dependent floating-point
+    // iteration); Verify hard-gates the distributed trainer piece-for-
     // piece / micro-for-micro against the sequential in-driver
-    // reference, and the encode token-for-token against a sequential
-    // Viterbi replay. Every data-dependent float crossing a shuffle is
-    // micro-quantized per word so the aggregation is an exact integer
-    // sum — that is what makes the equality gate possible.
+    // reference, including the log-likelihood trace. Every
+    // data-dependent float crossing a shuffle is micro-quantized per
+    // word so the aggregation is an exact integer sum — that is what
+    // makes the equality gate possible. The trained PIECE TABLE and the
+    // micro-score Viterbi ENCODE are then DuckDB-oracled via generated
+    // SQL ([[graft.UnigramOracle]] — the BpeOracle/quality-model
+    // discipline): the piece table rides as literals, the encode DP is
+    // a recursive BIGINT CTE, so both rows hash-match cross-engine.
     "unigram_train" -> ((s, dir) => {
       import s.implicits._
       val docs = Tables.documents(s, dir).select("doc_id", "text")
@@ -3297,7 +3301,24 @@ object SparkEntry {
         "bpe_encode_stats" -> BpeOracle.encodeStatsSql(),
         "bpe_encode_corpus" -> BpeOracle.encodeCorpusSql(),
         "bpe_pack_manifest" -> BpeOracle.packManifestSql(),
-        "bpe_pack_pipeline" -> BpeOracle.packPipelineSql())
+        "bpe_pack_pipeline" -> BpeOracle.packPipelineSql()) ++
+      unigramOracleSql
+
+  /** DuckDB mirrors of the unigram-tokenizer family under the trained
+    * model ([[graft.UnigramOracle]]): the piece table as literals
+    * captured from the registry query's own (memoized) training run in
+    * this JVM, the encode as a recursive integer-DP Viterbi replay.
+    * Training is verified by the Verify gate's piece-for-piece equality
+    * against the sequential reference, so oracle + gate together cover
+    * the whole operator. Before the queries have run (cold cache) the
+    * entries are omitted and the rows degrade to rows-only checks.
+    */
+  private def unigramOracleSql: Map[String, String] =
+    operators.Unigram.lastModel.map { m =>
+      Map(
+        "unigram_train" -> UnigramOracle.trainSql(m),
+        "unigram_encode_corpus" -> UnigramOracle.encodeCorpusSql(m))
+    }.getOrElse(Map.empty)
 
   /** DuckDB replay of [[graft.operators.Graphs.pageRankPicos]]: the
     * 15-iteration integer power iteration UNROLLED (it0..it15 CTEs) —

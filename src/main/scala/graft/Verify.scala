@@ -528,10 +528,14 @@ object Verify {
         .collect().map(r => (r.getLong(0), r.getSeq[String](1))).toMap
       require(encoded.keySet == docToks.keySet,
         "unigram_encode_corpus: doc set mismatch vs the corpus")
+      // The shipped model's encode semantics run on the INTEGER micro
+      // scores (viterbiMicros) — the same DP the generated DuckDB
+      // oracle replays — so this sequential replay uses them too.
+      val microMap = dist.scoreMicros.toMap
       var encMismatch = 0
       docToks.foreach { case (docId, toks) =>
         val replay = toks.flatMap { w =>
-          operators.Unigram.viterbi(w, dist.logp, dist.maxLen) match {
+          operators.Unigram.viterbiMicros(w, microMap, dist.maxLen) match {
             case Nil => Seq(-1)
             case ps  => ps.map(p => ids.getOrElse(p, -1))
           }

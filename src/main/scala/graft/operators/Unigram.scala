@@ -443,19 +443,67 @@ object Unigram {
 
   // --------------------------------------------------------- encode
 
-  /** Deterministic token-id vocabulary: pieces sorted by (score desc,
-    * piece asc) take ids 0..V-1 — the highest-probability piece is id 0,
-    * the shipped-vocab convention of sorting by score.
+  /** Deterministic token-id vocabulary: pieces sorted by (MICRO score
+    * desc, piece asc) take ids 0..V-1 — the highest-probability piece is
+    * id 0, the shipped-vocab convention of sorting by score. The sort
+    * key is the INTEGER micro rendering (the same projection the
+    * equality gate pins), so the id assignment — like the encode DP
+    * below — is reproducible by any engine from the shipped piece table
+    * alone, with no dependence on libm rounding.
     */
   def vocabIds(model: Model): Map[String, Int] =
-    model.pieces.sortBy { case (p, lp) => (-lp, p) }
+    model.scoreMicros.sortBy { case (p, m) => (-m, p) }
       .iterator.zipWithIndex.map { case ((p, _), i) => (p, i) }.toMap
+
+  /** Viterbi segmentation under the INTEGER micro scores — the SHIPPED
+    * model's encode semantics ([[Model.scoreMicros]] is the piece table
+    * that crosses process boundaries, so the DP that consumers replay
+    * runs on it directly). Pure Long arithmetic: the distributed encode,
+    * the Verify sequential replay, and the generated DuckDB oracle
+    * ([[graft.UnigramOracle]]) agree bit for bit by construction —
+    * double-logp Viterbi would hang cross-engine equality on libm ULPs.
+    * Tie-break matches [[viterbi]]: strict `>` scanning start positions
+    * ascending keeps the FIRST maximizer (the longest-piece edge).
+    * Returns Nil if unsegmentable.
+    */
+  def viterbiMicros(word: String, micros: Map[String, Long], maxLen: Int): Seq[String] = {
+    val syms = symbols(word)
+    val l = syms.length
+    val NEG = Long.MinValue
+    val best = Array.fill(l + 1)(NEG)
+    val back = Array.fill(l + 1)(-1)
+    val piece = Array.fill(l + 1)(null: String)
+    best(0) = 0L
+    var i = 0
+    while (i < l) {
+      if (best(i) != NEG) {
+        var j = i + 1
+        val jMax = math.min(l, i + maxLen)
+        while (j <= jMax) {
+          val p = syms.slice(i, j).mkString
+          micros.get(p).foreach { m =>
+            val s = best(i) + m
+            if (best(j) == NEG || s > best(j)) { best(j) = s; back(j) = i; piece(j) = p }
+          }
+          j += 1
+        }
+      }
+      i += 1
+    }
+    if (best(l) == NEG) Nil
+    else {
+      var at = l
+      val out = scala.collection.mutable.ListBuffer.empty[String]
+      while (at > 0) { out.prepend(piece(at)); at = back(at) }
+      out.toList
+    }
+  }
 
   /** Per-executor memo of word → Viterbi token ids ([[Bpe]]'s
     * EncodeMemo discipline: Zipf fills the cache with the head of the
     * distribution; past the cap, tail words encode uncached). */
   private class ViterbiMemo(
-      val logp: Map[String, Double],
+      val micros: Map[String, Long],
       val maxLen: Int,
       val ids: Map[String, Int]) extends Serializable {
     @transient private lazy val cache =
@@ -465,7 +513,7 @@ object Unigram {
       val hit = cache.get(w)
       if (hit != null) hit
       else {
-        val enc = viterbi(w, logp, maxLen) match {
+        val enc = viterbiMicros(w, micros, maxLen) match {
           case Nil => Array(-1) // unsegmentable → one UNK
           case ps  => ps.iterator.map(p => ids.getOrElse(p, -1)).toArray
         }
@@ -482,7 +530,7 @@ object Unigram {
   def encodeTokensCol(
       text: org.apache.spark.sql.Column,
       model: Model): org.apache.spark.sql.Column = {
-    val memo = new ViterbiMemo(model.logp, model.maxLen, vocabIds(model))
+    val memo = new ViterbiMemo(model.scoreMicros.toMap, model.maxLen, vocabIds(model))
     val u = udf((toks: Seq[String]) => toks.flatMap(w => memo.encode(w)))
     u(TextRetrieval.tokensCol(text))
   }
@@ -516,7 +564,19 @@ object Unigram {
       .head()
     val key = s"$cacheKey|${fpRow.getLong(0)}|${fpRow.getLong(1)}|" +
       s"$targetVocab|$seedSize|$maxPieceLen|$emIters|$shrink"
-    modelCache.computeIfAbsent(key,
+    val out = modelCache.computeIfAbsent(key,
       _ => train(docs, targetVocab, seedSize, maxPieceLen, emIters, shrink))
+    lastModel = Some(out._1)
+    out
   }
+
+  /** Most recent model trained via [[trainCached]] in this JVM — the
+    * piece-table literals [[graft.SparkEntry.oracleSql]] embeds so the
+    * DuckDB oracle can replay the micro-score Viterbi encode
+    * ([[graft.UnigramOracle]]). Training itself is piece-for-piece
+    * equality-gated against [[trainReference]] by the Verify main, so
+    * oracle + gate together cover the whole operator (the
+    * [[QualityModel.lastPortableWeights]] discipline).
+    */
+  @volatile var lastModel: Option[Model] = None
 }

@@ -120,4 +120,54 @@ class UnigramSpec extends AnyFunSuite with SparkTestSession {
     assert(ids("ab") == 0) // highest score
     assert(ids("a") == 1 && ids("b") == 2) // tie broken by piece asc
   }
+
+  test("viterbiMicros: integer DP matches brute force; ties pick the longest edge") {
+    // The SHIPPED encode semantics (and the generated DuckDB oracle's
+    // recursive CTE) run on integer micro scores — brute-force
+    // enumerate segmentations and check the DP picks the argmax, with
+    // the documented tie-break: among equal-scoring segmentations the
+    // first maximizer scanning start positions ascending wins, i.e. the
+    // LONGEST piece into each position.
+    val micros = Map("a" -> -2000000L, "b" -> -2500000L,
+      "ab" -> -4500000L, // exact tie with a+b on "ab"
+      "ba" -> -3000000L, "aba" -> -2900000L)
+    def allSegs(s: String): Seq[Seq[String]] =
+      if (s.isEmpty) Seq(Nil)
+      else (1 to s.length).flatMap { k =>
+        val (h, t) = s.splitAt(k)
+        if (micros.contains(h)) allSegs(t).map(h +: _) else Nil
+      }
+    Seq("ab", "aba", "abab", "babab", "aabba", "c").foreach { w =>
+      val got = Unigram.viterbiMicros(w, micros, maxLen = 3)
+      val segs = allSegs(w)
+      if (segs.isEmpty) assert(got.isEmpty, w)
+      else {
+        val bestScore = segs.map(_.map(micros).sum).max
+        assert(got.nonEmpty && got.map(micros).sum == bestScore,
+          s"$w: viterbiMicros ${got.mkString("+")} not optimal")
+      }
+    }
+    // the engineered tie: ["ab"] and ["a","b"] both score -4_500_000
+    assert(Unigram.viterbiMicros("ab", micros, maxLen = 3) == Seq("ab"),
+      "tie must resolve to the longest piece (first maximizer, start asc)")
+  }
+
+  test("encodeCorpus ids replay through viterbiMicros under the shipped micro table") {
+    val docs = fixtureDocs
+    val (model, _) = Unigram.train(docs, targetVocab = 30, seedSize = 60,
+      maxPieceLen = 3, emIters = 2)
+    val microMap = model.scoreMicros.toMap
+    val ids = Unigram.vocabIds(model)
+    val got = Unigram.encodeCorpus(docs, model)
+      .select("doc_id", "token_ids").collect()
+      .map(r => (r.getLong(0), r.getSeq[Int](1))).toMap
+    val docWords = docs.select(col("doc_id"),
+        operators.TextRetrieval.tokensCol(col("text")).as("toks"))
+      .collect().map(r => (r.getLong(0), r.getSeq[String](1))).toMap
+    docWords.foreach { case (d, toks) =>
+      val replay = toks.flatMap(w =>
+        Unigram.viterbiMicros(w, microMap, model.maxLen).map(ids))
+      assert(got(d) == replay, s"doc $d diverged from the micro-Viterbi replay")
+    }
+  }
 }
