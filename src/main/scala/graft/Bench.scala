@@ -32,6 +32,14 @@ import java.nio.file.{Files, Paths}
   *    jitter doesn't count). A nonzero count tells the reader the medians
   *    were taken under machine contention before they compare rounds.
   *
+  *  - Stall RE-RUNS (r14): each stall-flagged query gets one extra round
+  *    of 3 timed iterations that replaces its samples — a machine stall
+  *    washes out, a real regression times slow again. "reruns" records
+  *    how many queries took the extra round; "stalls" is computed on the
+  *    FINAL samples, so a nonzero stalls now means contention that
+  *    persisted through the re-run, not a transient the artifact
+  *    needed a quiet re-recording to clean up.
+  *
   * `headline34` preserves the round-2 subset total so round-over-round
   * comparison stays apples to apples.
   */
@@ -89,6 +97,33 @@ object Bench {
           System.err.println(s"BENCH FAIL $name: ${e.getMessage}")
       }
     }
+    // Stall-proof pass (r14 verdict: 7 stalls put ~10 phantom 1.3-2.1x
+    // "regressions" into the official artifact that a quiet re-recording
+    // had to clean up — median-of-3 cannot absorb a window where stalls
+    // land across 177 queries). Any query whose timed spread trips the
+    // stall heuristic gets ONE extra round of 3 timed iterations, and
+    // the re-run REPLACES its samples: if the slowness was a machine
+    // stall the fresh median restores it; a real plan regression times
+    // slow again and stays visible (and a still-wide re-run spread still
+    // counts in "stalls"). Bounded work: 3 extra runs per flagged query.
+    def stalled(t: Vector[Double]): Boolean = {
+      val s = t.sorted
+      s.last > 3 * s.head && s.last - s.head > 0.5
+    }
+    val rerun = names.filterNot(errors.contains).filter(n => stalled(timings(n)))
+    rerun.foreach { name =>
+      try {
+        timings(name) = (1 to 3).map { _ =>
+          val t0 = System.nanoTime()
+          registry(name)(spark, sfDir).count()
+          (System.nanoTime() - t0) / 1e9
+        }.toVector
+      } catch {
+        case e: Throwable =>
+          errors(name) = e.getClass.getSimpleName
+          System.err.println(s"BENCH FAIL $name (rerun): ${e.getMessage}")
+      }
+    }
     val resultsFull = names.filterNot(errors.contains).map { name =>
       val timed = timings(name).sorted
       (name, timed(timed.length / 2), timed.head, timed.last)
@@ -128,13 +163,13 @@ object Bench {
     Files.writeString(Paths.get(fullOut),
       s"""{"metric":"total","value":${r3(total)},"unit":"sec","iters":3,""" +
         s""""n_queries":${results.size},"n_err":${errors.size},"errs":$errJson,""" +
-        s""""headline34":${r3(h34)},"stalls":$stalls,""" +
+        s""""headline34":${r3(h34)},"stalls":$stalls,"reruns":${rerun.size},""" +
         s""""budget_violations":${jmap(budgetViolators)},""" +
         s""""queries":${jmap(results)},"spread":$spread,"sf":"$sfDir"}""" + "\n")
     val line =
       s"""{"metric":"total","value":${r3(total)},"unit":"sec","iters":3,""" +
         s""""n_queries":${results.size},"n_err":${errors.size},""" +
-        s""""headline34":${r3(h34)},"stalls":$stalls,"n_budget_viol":${budgetViolators.size},""" +
+        s""""headline34":${r3(h34)},"stalls":$stalls,"reruns":${rerun.size},"n_budget_viol":${budgetViolators.size},""" +
         s""""queries":${jmap(top10)},"full":"$fullOut","sf":"$sfDir"}"""
     // Hard guard: the driver's stdout tail capture is 2000 chars.
     require(line.length < 1800, s"bench JSON too long (${line.length})")
