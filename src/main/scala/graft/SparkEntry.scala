@@ -453,6 +453,38 @@ object SparkEntry {
         .orderBy("doc_a", "doc_b")
     }),
 
+    "dedup_minhash_verified_hubcap" -> ((s, dir) => {
+      // Two-stage near-dup under the Zipf-head guard: the verified
+      // fixture's BOTH candidate classes (+30000 suffix near-copies →
+      // verified; +40000 rotations → edit-REJECTED) plus the hubcap
+      // fixture's 30 planted copies of doc 0 (+50000) over cap 10 — the
+      // hot buckets emit a STAR to hub doc 0 and only star pairs pay
+      // the levenshtein (linear, not 465 quadratic verifications),
+      // while cold candidates verify byte-identically to
+      // dedup_minhash_verified. Leaf↔leaf verdicts inside the hot
+      // bucket come from cluster closure over verified hub edges, never
+      // a direct edit check (the operator's documented semantics). The
+      // oracle replays the full decision chain: bucket sizes, hot set,
+      // hub attach, star emission, then the edit verify.
+      val base = Tables.documents(s, dir).filter(col("doc_id") < 200)
+        .select(col("doc_id"), col("text"))
+      val nearCopies = base.filter(col("doc_id") < 40)
+        .select((col("doc_id") + 30000).as("doc_id"),
+          concat(col("text"), lit(" graft salt")).as("text"))
+      val rotations = base.filter(col("doc_id") < 40)
+        .select((col("doc_id") + 40000).as("doc_id"),
+          concat(substring(col("text"), 101, 1000000), lit(" "),
+            substring(col("text"), 1, 100)).as("text"))
+      val hotCopies = base.filter(col("doc_id") === 0)
+        .select(explode(sequence(lit(0L), lit(29L))).as("i"), col("text"))
+        .select((col("i") + lit(50000L)).as("doc_id"), col("text"))
+      Dedup.minHashVerifiedPairsHubCapped(
+        base.unionByName(nearCopies).unionByName(rotations).unionByName(hotCopies),
+        minAgreement = 0.25, minEditSim = 0.9, maxBandSize = 10)
+        .withColumn("est_jaccard", round(col("est_jaccard"), 6))
+        .orderBy("doc_a", "doc_b")
+    }),
+
     "dedup_minhash_full" -> ((s, dir) => {
       // UNCAPPED: the whole documents table (5,000 docs at sf0.1 — 25×
       // the doc_id<200 slice the other dedup queries use to keep their
@@ -5602,6 +5634,86 @@ object SparkEntry {
         |cand AS (
         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.sig AS sig_a, b.sig AS sig_b
         |  FROM bd2 a JOIN bd2 b ON a.b = b.b AND a.band = b.band AND a.doc_id < b.doc_id),
+        |agreed AS (
+        |  SELECT doc_a, doc_b,
+        |    CAST(len(list_filter(range(16), i -> sig_a[CAST(i+1 AS INT)] = sig_b[CAST(i+1 AS INT)])) AS DOUBLE) / 16.0 AS est_jaccard
+        |  FROM cand
+        |  WHERE CAST(len(list_filter(range(16), i -> sig_a[CAST(i+1 AS INT)] = sig_b[CAST(i+1 AS INT)])) AS DOUBLE) / 16.0 >= 0.25),
+        |scored AS (
+        |  SELECT g.doc_a, g.doc_b, g.est_jaccard,
+        |    floor((CASE WHEN greatest(length(ta.text), length(tb.text)) = 0 THEN 1.0
+        |           ELSE 1.0 - CAST(levenshtein(ta.text, tb.text) AS DOUBLE) /
+        |                CAST(greatest(length(ta.text), length(tb.text)) AS DOUBLE) END) * 1000000.0) / 1000000.0 AS edit_sim
+        |  FROM agreed g
+        |  JOIN input ta ON ta.doc_id = g.doc_a
+        |  JOIN input tb ON tb.doc_id = g.doc_b)
+        |SELECT doc_a, doc_b, round(est_jaccard, 6) AS est_jaccard, edit_sim,
+        |  (edit_sim >= 0.9) AS verified
+        |FROM scored ORDER BY doc_a, doc_b""".stripMargin,
+
+    // Hub-capped two-stage near-dup: the dedup_minhash_hubcap decision
+    // chain (bucket sizes -> hot set -> hub attach -> star emission ->
+    // cold all-pairs) at the LOOSE 0.25 floor over the verified
+    // fixture + 30 hot copies, then the dedup_minhash_verified edit
+    // tail (levenshtein + floorScale) over the capped candidate set.
+    "dedup_minhash_verified_hubcap" ->
+      """WITH input AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id < 200
+        |  UNION ALL
+        |  SELECT doc_id + 30000, text || ' graft salt' FROM documents WHERE doc_id < 40
+        |  UNION ALL
+        |  SELECT doc_id + 40000, substr(text, 101) || ' ' || substr(text, 1, 100)
+        |  FROM documents WHERE doc_id < 40
+        |  UNION ALL
+        |  SELECT 50000 + i AS doc_id,
+        |    (SELECT text FROM documents WHERE doc_id = 0) AS text
+        |  FROM range(30) t(i)),
+        |t AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^\p{L}\p{N}]+'), x -> x <> '') AS toks
+        |  FROM input),
+        |sh AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(toks) = 0 THEN CAST([] AS VARCHAR[])
+        |         WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+        |         ELSE list_transform(range(len(toks) - 2),
+        |           i -> toks[CAST(i+1 AS INT)] || ' ' || toks[CAST(i+2 AS INT)] || ' ' || toks[CAST(i+3 AS INT)]) END AS shingles
+        |  FROM t),
+        |hs AS (
+        |  SELECT doc_id,
+        |    list_transform(shingles, s ->
+        |      list_reduce(
+        |        list_prepend(CAST(7 AS BIGINT),
+        |          list_transform(range(length(s)), i -> CAST(unicode(s[CAST(i+1 AS INT)]) AS BIGINT))),
+        |        (a, b) -> (31 * a + b) % 2147483647)) AS hashes
+        |  FROM sh),
+        |sg AS (
+        |  SELECT doc_id,
+        |    list_transform(range(16), k -> coalesce(
+        |      list_min(list_transform(hashes,
+        |        h -> ((48271 * (k + 1)) % 2147483647 * h + (16807 * (k + 1) + 11) % 2147483647) % 2147483647)),
+        |      2147483647)) AS sig
+        |  FROM hs),
+        |bd AS (
+        |  SELECT doc_id, sig, unnest(range(4)) AS b FROM sg),
+        |bd2 AS (
+        |  SELECT doc_id, sig, b, sig[CAST(4*b+1 AS INT):CAST(4*b+4 AS INT)] AS band FROM bd),
+        |bsz AS (
+        |  SELECT b, band, count(*) AS n, min(doc_id) AS hub FROM bd2 GROUP BY b, band),
+        |hot AS (SELECT b, band, hub FROM bsz WHERE n > 10),
+        |hubsig AS (
+        |  SELECT h.b, h.band, h.hub, d.sig AS hub_sig
+        |  FROM hot h JOIN bd2 d ON d.b = h.b AND d.band = h.band AND d.doc_id = h.hub),
+        |cold AS (
+        |  SELECT d.doc_id, d.sig, d.b, d.band FROM bd2 d
+        |  ANTI JOIN hot h ON d.b = h.b AND d.band = h.band),
+        |cand AS (
+        |  SELECT DISTINCT doc_a, doc_b, sig_a, sig_b FROM (
+        |    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.sig AS sig_a, b.sig AS sig_b
+        |    FROM cold a JOIN cold b ON a.b = b.b AND a.band = b.band AND a.doc_id < b.doc_id
+        |    UNION ALL
+        |    SELECT h.hub AS doc_a, d.doc_id AS doc_b, h.hub_sig AS sig_a, d.sig AS sig_b
+        |    FROM bd2 d JOIN hubsig h ON d.b = h.b AND d.band = h.band
+        |    WHERE d.doc_id <> h.hub)),
         |agreed AS (
         |  SELECT doc_a, doc_b,
         |    CAST(len(list_filter(range(16), i -> sig_a[CAST(i+1 AS INT)] = sig_b[CAST(i+1 AS INT)])) AS DOUBLE) / 16.0 AS est_jaccard

@@ -166,22 +166,46 @@ object Layout {
     // balance, and production tables size-manage with compaction.
     val spark = df.sparkSession
     val withZ = df.withColumn("_z", z)
-    val chunkBig =
-      ((BigInt(1) << (bits * zCols.size)) + nFiles - 1) / nFiles
     val parted =
-      if (nFiles <= 1 || chunkBig > Long.MaxValue) withZ.coalesce(1)
+      if (nFiles <= 1) withZ.coalesce(1)
       else {
-        val chunk = chunkBig.toLong
-        val zIdx = withZ.schema.fieldIndex("_z")
-        val slabPartitioner = new org.apache.spark.Partitioner {
-          override def numPartitions: Int = nFiles
-          override def getPartition(key: Any): Int = key.asInstanceOf[Int]
+        // ceil(2^(bits·n) / nFiles) — BigInt only to dodge the 1L << 63
+        // overflow at 3 dims; the quotient fits a Long for nFiles ≥ 2.
+        val chunk = (((BigInt(1) << (bits * zCols.size)) + nFiles - 1) / nFiles).toLong
+        // Identity slab → partition placement WITHOUT leaving the
+        // columnar path (the previous rdd.partitionBy round-trip
+        // deserialized every row to external Rows and shuffled object
+        // rows — Tungsten and codegen lost on the write's single
+        // exchange). `repartition(n, key)` places by
+        // pmod(murmur3(key), n), so feed it a per-slab PREIMAGE key:
+        // for each slab s, the smallest Long x with
+        // pmod(murmur3(x), n) == s — computed once on the driver with
+        // Spark's own hash expression (n·ln n tiny evals), then applied
+        // as one codegen'd array lookup. Distinct slabs land in
+        // distinct partitions by construction: exactly one contiguous
+        // z-slab per output file, deterministically, with the shuffle
+        // staying in the Tungsten columnar format.
+        import org.apache.spark.sql.catalyst.expressions.{Literal, Murmur3Hash}
+        val slabKeys: Array[Long] = {
+          val out = new Array[Long](nFiles)
+          val found = new Array[Boolean](nFiles)
+          var remaining = nFiles
+          var x = 0L
+          while (remaining > 0) {
+            val h = Murmur3Hash(Seq(Literal(x)), 42).eval(null).asInstanceOf[Int]
+            val p = ((h % nFiles) + nFiles) % nFiles
+            if (!found(p)) { found(p) = true; out(p) = x; remaining -= 1 }
+            x += 1
+          }
+          out
         }
-        spark.createDataFrame(
-          withZ.rdd
-            .map(r => ((r.getLong(zIdx) / chunk).toInt, r))
-            .partitionBy(slabPartitioner).values,
-          withZ.schema)
+        withZ
+          // integer `div`, not `/`: doubles lose exactness above 2^53
+          // and the z key ranges to 2^62
+          .withColumn("_slab", expr(s"_z div ${chunk}L"))
+          .withColumn("_skey",
+            element_at(typedLit(slabKeys.toSeq), (col("_slab") + 1).cast("int")))
+          .repartition(nFiles, col("_skey"))
       }
     withStatsFriendlyTimestamps(spark) {
       parted

@@ -80,6 +80,38 @@ class DedupScaleSpec extends AnyFunSuite with SparkTestSession {
       "cold pairs away from the hot text must be unchanged")
   }
 
+  test("hub-capped verified pairs: star verifies linearly, closure recovers leaf pairs") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // The 500-copy star fixture through the TWO-STAGE pipeline: only the
+    // 500 star pairs (hub doc 0 ↔ each copy) pay a levenshtein — never
+    // the 124,750 leaf↔leaf pairs the uncapped candidate set would feed
+    // into verification.
+    val hot = docs.filter(col("doc_id") === 0).select("text")
+      .crossJoin(spark.range(500).toDF("i"))
+      .select((col("i") + lit(90000L)).as("doc_id"), col("text"))
+    val input = docs.select("doc_id", "text").unionByName(hot)
+    val verified = Dedup.minHashVerifiedPairsHubCapped(
+      input, minAgreement = 0.25, minEditSim = 0.9, maxBandSize = 64)
+      .as[(Long, Long, Double, Double, Boolean)].collect()
+    val hotPairs = verified.filter(p => p._2 >= 90000L)
+    assert(hotPairs.length == 500, s"expected 500 star pairs, got ${hotPairs.length}")
+    assert(hotPairs.forall(p => p._1 == 0L && p._5 && p._4 == 1.0),
+      "every exact copy must verify against hub doc 0 at edit_sim 1.0")
+    assert(!verified.exists(p => p._1 >= 90000L && p._2 >= 90000L),
+      "no leaf pair may be directly edit-checked inside the hot bucket")
+    // Leaf↔leaf duplicate claims come from CLUSTER CLOSURE over the
+    // verified edges (the operator's documented semantics): all 500
+    // copies + the hub land in ONE cluster labeled by min id 0.
+    val edges = verified.filter(_._5).map(p => (p._1, p._2))
+      .toSeq.toDF("doc_a", "doc_b")
+    val clusters = Dedup.duplicateClusters(edges)
+      .as[(Long, Long)].collect().toMap // (doc_id -> cluster)
+    val hotCluster = (Seq(0L) ++ (90000L until 90500L)).map(clusters)
+    assert(hotCluster.forall(_ == 0L),
+      s"closure must join hub + all 500 leaves under label 0: ${hotCluster.distinct}")
+  }
+
   private val MinHashGolden = 1439L
   private val SimHashGolden = 116335L
   private val NgramGolden = 7L
