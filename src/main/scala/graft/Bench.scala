@@ -44,6 +44,17 @@ import java.nio.file.{Files, Paths}
   * comparison stays apples to apples.
   */
 object Bench {
+  /** The stall heuristic shared by the "stalls" diagnostic and the
+    * re-run pass: a timed spread whose max exceeds 3× its min AND by
+    * more than 0.5 s absolute (so micro-query jitter never counts).
+    * One definition so the re-run trigger and the reported count can
+    * never drift apart.
+    */
+  def stalled(t: Seq[Double]): Boolean = {
+    val s = t.sorted
+    s.nonEmpty && s.last > 3 * s.head && s.last - s.head > 0.5
+  }
+
   /** The round-2 stdout subset, kept as a stable cross-round comparand. */
   val headline: Seq[String] = Seq(
     "q1_pricing_summary", "q3_top_revenue_orders", "q5_revenue_by_nation",
@@ -106,10 +117,6 @@ object Bench {
     // stall the fresh median restores it; a real plan regression times
     // slow again and stays visible (and a still-wide re-run spread still
     // counts in "stalls"). Bounded work: 3 extra runs per flagged query.
-    def stalled(t: Vector[Double]): Boolean = {
-      val s = t.sorted
-      s.last > 3 * s.head && s.last - s.head > 0.5
-    }
     val rerun = names.filterNot(errors.contains).filter(n => stalled(timings(n)))
     rerun.foreach { name =>
       try {
@@ -141,7 +148,7 @@ object Bench {
     val spread = resultsFull
       .map { case (n, _, mn, mx) => "\"" + n + "\":[" + r3(mn) + "," + r3(mx) + "]" }
       .mkString("{", ",", "}")
-    val stalls = resultsFull.count { case (_, _, mn, mx) => mx > 3 * mn && mx - mn > 0.5 }
+    val stalls = resultsFull.count { case (n, _, _, _) => stalled(timings(n)) }
     // Per-query time budget (r7 verdict #4): a single query quietly eating
     // 2/3 of bench wall-time hid for two rounds. Flag any query whose
     // median exceeds 20x the registry-wide median (and 5 s absolute, so a

@@ -726,11 +726,17 @@ object ScaleEvidence {
       .write.parquet(s"$abDir/vecs")
     val abSmall = spark.read.parquet(s"$abDir/vecs")
     val nAbSmall = abSmall.count()
+    // Aggregate over the assignment column, NOT count(): the assign UDF
+    // is deterministic, so count() would prune the column and the pass
+    // would never execute (the first recording read 0.1 s at BOTH
+    // scales — a row count, not an assignment).
     val (_, tAssignSmall) = timed {
-      operators.Ann.assignCells(abSmall, ivfCents).count()
+      operators.Ann.assignCells(abSmall, ivfCents)
+        .agg(sum(col("cell"))).head()
     }
     val (_, tAssignBig) = timed {
-      operators.Ann.assignCells(froVecs, ivfCents).count()
+      operators.Ann.assignCells(froVecs, ivfCents)
+        .agg(sum(col("cell"))).head()
     }
     val (_, tBuildSmall) = timed {
       operators.Ann.writeIvfPqLocalPartitioned(

@@ -92,12 +92,13 @@ object LoopCheckpoint {
       * iterate k+1 first computes (e.g. the BPE overlay chain), so the
       * newest entry may still recompute through its predecessor.
       *
-      * Mixed lazy/eager safety: the kept prefix EXTENDS past `keep`
-      * while its oldest member is still an unmaterialized lazy
-      * checkpoint — such an iterate recomputes through its predecessor's
-      * files, so deleting them (as a bare splitAt would) could strand
-      * it. Deletion is deferred, not refused: the next materialized()
-      * after the lazy entries write their files reclaims the backlog. */
+      * Mixed lazy/eager safety: an unmaterialized lazy iterate still
+      * recomputes through the first MATERIALIZED entry older than it,
+      * so the kept prefix EXTENDS past `keep` to cover that entry for
+      * every still-unmaterialized member (a bare splitAt would delete
+      * the recompute path and strand the lazy iterate). Deletion is
+      * deferred, not refused: the next materialized() after the lazy
+      * entries write their files reclaims the backlog. */
     def materialized(keep: Int = 1): Unit = {
       var cut = math.min(keep, pending.length)
       // Each unmaterialized lazy iterate still recomputes through the

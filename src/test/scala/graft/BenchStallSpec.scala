@@ -1,0 +1,34 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The bench stall heuristic ([[Bench.stalled]]) gates BOTH the re-run
+  * pass and the reported "stalls" count — pin its boundary semantics so
+  * a tweak can't silently stop re-running what it reports (or vice
+  * versa).
+  */
+class BenchStallSpec extends AnyFunSuite {
+
+  test("wide relative AND absolute spread trips the heuristic") {
+    assert(Bench.stalled(Seq(0.5, 0.6, 2.0)))   // 4x and +1.5 s
+    assert(Bench.stalled(Seq(2.0, 0.5, 0.6)))   // order-free (sorts)
+  }
+
+  test("micro-query jitter never counts: relative-only spread stays quiet") {
+    assert(!Bench.stalled(Seq(0.05, 0.06, 0.3))) // 6x but only +0.25 s
+  }
+
+  test("absolute-only spread stays quiet: a slow query wobbling under 3x") {
+    assert(!Bench.stalled(Seq(3.0, 4.0, 6.0)))   // +3 s but exactly 2x
+  }
+
+  test("boundary: exactly 3x is NOT a stall (strictly greater required)") {
+    assert(!Bench.stalled(Seq(1.0, 1.5, 3.0)))
+    assert(Bench.stalled(Seq(1.0, 1.5, 3.01)))
+  }
+
+  test("degenerate inputs: empty and single-sample spreads never trip") {
+    assert(!Bench.stalled(Nil))
+    assert(!Bench.stalled(Seq(5.0)))
+  }
+}
