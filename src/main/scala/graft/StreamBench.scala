@@ -327,61 +327,28 @@ object StreamBench {
     // (c) complete a funnel anchored BEFORE the crash from restored
     // state. Fails the run loudly if any leg breaks.
     val restartRecovered = {
-      import graft.streaming.Streams.{FunnelAdvance, SessionEvent}
+      import graft.streaming.RestartHarness
       val inDir = Files.createTempDirectory("graft_sb_restart_in")
       val ckpt = Files.createTempDirectory("graft_sb_restart_ckpt")
-      val batches = Seq(
-        Seq(("2024-01-01 00:00:00", 1L, "view"), ("2024-01-01 01:00:00", 2L, "view")),
-        Seq(("2024-01-02 00:00:00", 1L, "click")),
-        Seq(("2024-01-02 12:00:00", 2L, "click")), // crash batch
-        Seq(("2024-01-03 00:00:00", 1L, "purchase")))
-      batches.zipWithIndex.foreach { case (b, i) =>
-        val f = inDir.resolve(f"b-$i%02d.json")
-        Files.writeString(f, b.map { case (t, u, e) =>
-          s"""{"ts":"${Timestamp.valueOf(t).toInstant}","user_id":$u,"event_type":"$e"}"""
-        }.mkString("", "\n", "\n"))
-        Files.setLastModifiedTime(f,
-          java.nio.file.attribute.FileTime.fromMillis(1700000000000L + i * 1000L))
-      }
-      val collected =
-        new java.util.concurrent.ConcurrentHashMap[Long, Seq[FunnelAdvance]]()
-      val crashSeen =
-        new java.util.concurrent.ConcurrentHashMap[Long, Seq[FunnelAdvance]]()
-      val commits = new java.util.concurrent.ConcurrentHashMap[Long, Int]()
-      val crashOnce = new java.util.concurrent.atomic.AtomicBoolean(true)
-      def runOnce(): Boolean = scala.util.Try {
-        val schema = org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField("ts",
-            org.apache.spark.sql.types.TimestampType),
-          org.apache.spark.sql.types.StructField("user_id",
-            org.apache.spark.sql.types.LongType),
-          org.apache.spark.sql.types.StructField("event_type",
-            org.apache.spark.sql.types.StringType)))
-        val q = graft.streaming.Streams.funnelStream(
-            spark.readStream.schema(schema).option("maxFilesPerTrigger", "1")
-              .json(inDir.toString).as[SessionEvent],
-            Seq("view", "click", "purchase"),
-            maxSpanSeconds = 7L * 86400, watermark = "0 seconds")
-          .writeStream.option("checkpointLocation", ckpt.toString)
-          .foreachBatch { (ds: org.apache.spark.sql.Dataset[FunnelAdvance], id: Long) =>
-            val rows = ds.collect().toSeq
-            if (id == 2 && crashOnce.compareAndSet(true, false)) {
-              crashSeen.put(id, rows)
-              throw new RuntimeException("injected sink crash")
-            }
-            commits.merge(id, 1, (a: Int, b: Int) => a + b)
-            collected.put(id, rows): Unit
-          }
-          .start()
-        try q.processAllAvailable() finally q.stop()
-      }.isSuccess
-      val crashed = !runOnce() // leg 1 must die on the injected crash
-      val resumed = runOnce()  // leg 2 on the same checkpoint must finish
-      val all = scala.jdk.CollectionConverters
-        .CollectionHasAsScala(collected.values()).asScala.flatten.toSeq
+      def t(s: String) = Timestamp.valueOf(s)
+      Seq(
+        Seq((1L, "view", t("2024-01-01 00:00:00")), (2L, "view", t("2024-01-01 01:00:00"))),
+        Seq((1L, "click", t("2024-01-02 00:00:00"))),
+        Seq((2L, "click", t("2024-01-02 12:00:00"))), // crash batch
+        Seq((1L, "purchase", t("2024-01-03 00:00:00"))))
+        .zipWithIndex.foreach { case (b, i) => RestartHarness.writeBatchFile(inDir, i, b) }
+      val c = new RestartHarness.Collector(crashArmed = true)
+      def run() = RestartHarness.runFunnel(spark, inDir, ckpt, c,
+        Seq("view", "click", "purchase"), maxSpanSeconds = 7L * 86400,
+        crashAtBatch = 2L)
+      // leg 1 must die on the INJECTED crash (any other failure is a
+      // real break, not evidence); leg 2 on the same checkpoint finishes
+      val crashed = run().exists(RestartHarness.isInjectedCrash)
+      val resumed = run().isEmpty
+      val all = c.allRows
       crashed && resumed &&
-        Seq(0L, 1L).forall(b => commits.getOrDefault(b, 0) == 1) &&
-        collected.getOrDefault(2L, Nil).toSet == crashSeen.getOrDefault(2L, Nil).toSet &&
+        Seq(0L, 1L).forall(b => c.commits.getOrDefault(b, 0) == 1) &&
+        c.collected.getOrDefault(2L, Nil).toSet == c.crashSeen.getOrDefault(2L, Nil).toSet &&
         all.exists(a => a.user_id == 1L && a.step_idx == 3)
     }
     require(restartRecovered,

@@ -101,13 +101,19 @@ object LoopCheckpoint {
       * entries write their files reclaims the backlog. */
     def materialized(keep: Int = 1): Unit = {
       var cut = math.min(keep, pending.length)
-      // Each unmaterialized lazy iterate still recomputes through the
-      // first MATERIALIZED entry older than it (unmaterialized ones in
-      // between have no files and contribute nothing) — retain up to and
-      // including that entry, wherever it sits relative to `keep`.
-      for (j <- pending.indices if !isMaterialized(pending(j)))
+      for (j <- pending.indices if !isMaterialized(pending(j))) {
+        // An entry that hasn't written its files yet must stay TRACKED:
+        // dropping it now would be a silent no-op delete
+        // (getCheckpointFile is still None), and when a later action
+        // materializes it the files would leak untracked forever.
+        cut = math.max(cut, j + 1)
+        // It also still recomputes through the first MATERIALIZED entry
+        // older than it (unmaterialized ones in between have no files
+        // and contribute nothing) — retain up to and including that
+        // entry, wherever it sits relative to `keep`.
         (j + 1 until pending.length).find(i => isMaterialized(pending(i)))
           .foreach(i => cut = math.max(cut, i + 1))
+      }
       val (kept, olds) = pending.splitAt(cut)
       olds.foreach(deleteCheckpointFiles)
       pending = kept

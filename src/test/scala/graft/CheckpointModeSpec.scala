@@ -150,6 +150,26 @@ class CheckpointModeSpec extends AnyFunSuite with SparkTestSession {
     }
   }
 
+  test("IterScope: an unmaterialized lazy head entry stays tracked, files reclaimed later") {
+    // A lazy iterate with NO materialized ancestor must not be DROPPED
+    // from tracking by an eager successor's auto-materialized(1): the
+    // delete would be a silent no-op (no files yet), and once a later
+    // action materializes the frame its reliable-FS files would leak
+    // untracked forever.
+    withReliableDir {
+      val scope = new LoopCheckpoint.IterScope
+      val f0 = scope(spark.range(7).toDF("v"), eager = false) // lazy head, no ancestor
+      val f1 = scope(spark.range(4).toDF("w")) // eager: auto-materialized(1)
+      assert(f0.count() == 7) // NOW f0 writes its checkpoint files
+      val d0 = checkpointFile(f0)
+      assert(exists(d0))
+      val f2 = scope(spark.range(3).toDF("x")) // next eager reclaims the backlog
+      assert(!exists(d0),
+        "lazy head entry's files leaked — it was dropped from tracking while unmaterialized")
+      assert(f2.count() == 3)
+    }
+  }
+
   private def checkpointFile(df: org.apache.spark.sql.DataFrame): String =
     df.queryExecution.analyzed
       .collectFirst { case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd }

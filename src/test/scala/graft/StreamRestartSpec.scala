@@ -1,20 +1,17 @@
 package graft
 
 import java.nio.file.{Files, Path}
-import java.nio.file.attribute.FileTime
 import java.sql.Timestamp
 import java.util.concurrent.ConcurrentHashMap
-import java.util.concurrent.atomic.AtomicBoolean
 
 import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.Dataset
 import org.apache.spark.sql.streaming.OutputMode
-import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType, TimestampType}
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.streaming.Streams
-import graft.streaming.Streams.{FunnelAdvance, SessionEvent, SessionUpdate}
+import graft.streaming.{RestartHarness, Streams}
+import graft.streaming.Streams.{SessionEvent, SessionUpdate}
 
 /** Streaming restart-from-checkpoint recovery — the streaming twin of
   * FaultToleranceSpec (r14 verdict #2: FaultToleranceSpec proves the
@@ -50,27 +47,15 @@ class StreamRestartSpec extends AnyFunSuite with SparkTestSession {
 
   private def ts(s: String): Timestamp = Timestamp.valueOf(s)
 
-  private val eventSchema = StructType(Seq(
-    StructField("ts", TimestampType), StructField("user_id", LongType),
-    StructField("event_type", StringType)))
-
-  /** One JSON-lines file per micro-batch, mtimes ascending so the file
-    * source's batch order is deterministic across runs. */
-  private def writeBatchFile(dir: Path, idx: Int, events: Seq[(Long, String, Timestamp)]): Unit = {
-    val lines = events.map { case (u, t, time) =>
-      val iso = time.toInstant.toString
-      s"""{"ts":"$iso","user_id":$u,"event_type":"$t"}"""
-    }.mkString("", "\n", "\n")
-    val f = dir.resolve(f"batch-$idx%03d.json")
-    Files.writeString(f, lines)
-    Files.setLastModifiedTime(f, FileTime.fromMillis(1700000000000L + idx * 1000L))
-  }
+  // File fixture + funnel runner live in graft.streaming.RestartHarness
+  // (main sources, the FaultSim precedent) — ONE implementation shared
+  // with StreamBench's per-round restart epilogue so the recovery
+  // evidence logic cannot drift between spec and bench.
+  private def writeBatchFile(dir: Path, idx: Int, events: Seq[(Long, String, Timestamp)]): Unit =
+    RestartHarness.writeBatchFile(dir, idx, events)
 
   private def eventStream(dir: Path): Dataset[SessionEvent] =
-    spark.readStream.schema(eventSchema)
-      .option("maxFilesPerTrigger", "1")
-      .json(dir.toString)
-      .as[SessionEvent]
+    RestartHarness.eventStream(spark, dir)
 
   // Six in-event-time-order batches; user shapes chosen so recovery has
   // to carry REAL state across the batch-3 boundary:
@@ -94,88 +79,53 @@ class StreamRestartSpec extends AnyFunSuite with SparkTestSession {
 
   private val funnelSteps = Seq("view", "click", "purchase")
 
-  /** Run funnelStream over `dir` with an idempotent by-batchId collector;
-    * `crashOnce` injects one sink failure at its first sight of batch 3.
-    * `commits` counts sink executions per batchId — after a recovery,
-    * count 1 on a batch proves it was NOT reprocessed from scratch.
-    * NOTE batch ids: each input file is one micro-batch, and the engine
-    * appends NO-DATA batches after the data ones to advance the
-    * watermark and fire event-time timeouts — assertions below bound
-    * the data batches, not the exact id set. */
-  private def runFunnel(
-      dir: Path,
-      ckpt: Path,
-      collected: ConcurrentHashMap[Long, Seq[FunnelAdvance]],
-      crashAttempt: ConcurrentHashMap[Long, Seq[FunnelAdvance]],
-      crashOnce: AtomicBoolean,
-      commits: ConcurrentHashMap[Long, Int] = new ConcurrentHashMap()): Unit = {
-    val query = Streams.funnelStream(eventStream(dir), funnelSteps,
-        maxSpanSeconds = 7L * 86400, watermark = "0 seconds")
-      .writeStream
-      .option("checkpointLocation", ckpt.toString)
-      .outputMode(OutputMode.Append())
-      .foreachBatch { (ds: Dataset[FunnelAdvance], batchId: Long) =>
-        val rows = ds.collect().toSeq
-        if (batchId == 3 && crashOnce.compareAndSet(true, false)) {
-          crashAttempt.put(batchId, rows)
-          throw new RuntimeException("injected sink crash at batch 3")
-        }
-        commits.merge(batchId, 1, (a: Int, b: Int) => a + b)
-        collected.put(batchId, rows): Unit
-      }
-      .start()
-    try query.processAllAvailable()
-    finally query.stop()
-  }
-
   test("funnelStream: crash mid-batch, restart from checkpoint — replay exact, state carried") {
     val dir = Files.createTempDirectory("graft_restart_in")
     val ckpt = Files.createTempDirectory("graft_restart_ckpt")
     funnelBatches.zipWithIndex.foreach { case (b, i) => writeBatchFile(dir, i, b) }
 
-    // Leg 1: crashes at batch 3 (sink failure, batch uncommitted).
-    val collected = new ConcurrentHashMap[Long, Seq[FunnelAdvance]]()
-    val crashAttempt = new ConcurrentHashMap[Long, Seq[FunnelAdvance]]()
-    val commits = new ConcurrentHashMap[Long, Int]()
-    val crashOnce = new AtomicBoolean(true)
-    val thrown = intercept[Exception] {
-      runFunnel(dir, ckpt, collected, crashAttempt, crashOnce, commits)
-    }
-    def rootChain(t: Throwable): Seq[String] =
-      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).map(_.getMessage).toSeq
-    assert(rootChain(thrown).exists(m => m != null && m.contains("injected sink crash")),
+    // Leg 1: crashes at batch 3 (sink failure, batch uncommitted). The
+    // death must be the INJECTED crash — any other failure is a real
+    // break, not recovery evidence.
+    val c = new RestartHarness.Collector(crashArmed = true)
+    def run() = RestartHarness.runFunnel(spark, dir, ckpt, c, funnelSteps,
+      maxSpanSeconds = 7L * 86400, crashAtBatch = 3L)
+    val thrown = run()
+    assert(thrown.exists(RestartHarness.isInjectedCrash),
       s"query must die on the injected sink failure, got: $thrown")
-    val beforeRestart = collected.keySet().asScala.toSet
+    val beforeRestart = c.collected.keySet().asScala.toSet
     assert(beforeRestart == Set(0L, 1L, 2L),
       s"batches committed before the crash must be exactly 0-2: $beforeRestart")
 
     // Leg 2: same checkpoint, sink healthy — must RESUME at 3, not 0.
-    runFunnel(dir, ckpt, collected, crashAttempt, crashOnce, commits)
-    val keys = collected.keySet().asScala.toSet
+    assert(run().isEmpty, "recovery run must finish cleanly")
+    val keys = c.collected.keySet().asScala.toSet
     assert(Set(0L, 1L, 2L, 3L, 4L, 5L).subsetOf(keys),
       s"all six data batches must commit: $keys")
     // Resume-at-3 proof: the pre-crash batches ran through the sink
     // exactly once — the restart replayed NOTHING before the crash point.
-    assert((0L to 2L).forall(b => commits.get(b) == 1),
-      s"batches 0-2 must not reprocess on restart: $commits")
+    assert((0L to 2L).forall(b => c.commits.get(b) == 1),
+      s"batches 0-2 must not reprocess on restart: ${c.commits}")
     // Replay determinism: the recovered batch 3 emits exactly what the
     // crashed attempt saw (same offsets, same restored state).
-    assert(collected.get(3L).toSet == crashAttempt.get(3L).toSet,
-      s"batch-3 replay diverged: ${collected.get(3L)} vs ${crashAttempt.get(3L)}")
+    assert(c.collected.get(3L).toSet == c.crashSeen.get(3L).toSet,
+      s"batch-3 replay diverged: ${c.collected.get(3L)} vs ${c.crashSeen.get(3L)}")
     // State carried across the crash: u1 anchored (batch 0) and clicked
     // (batch 2) pre-crash, purchased in batch 4 — the step-3 advance
     // can only emit from the RESTORED state store.
-    val all = collected.values().asScala.flatten.toSeq
+    val all = c.allRows
     assert(all.exists(a => a.user_id == 1L && a.step_idx == 3),
       s"u1's post-restart completion missing — state not restored: $all")
     assert(!all.exists(a => a.user_id == 3L && a.step_idx == 3),
       "u3's past-span purchase must not advance")
 
     // Uninterrupted reference run (fresh checkpoint): identical emissions.
-    val refCollected = new ConcurrentHashMap[Long, Seq[FunnelAdvance]]()
-    runFunnel(dir, Files.createTempDirectory("graft_restart_ckpt_ref"),
-      refCollected, new ConcurrentHashMap(), new AtomicBoolean(false))
-    val refAll = refCollected.values().asScala.flatten.toSeq
+    val ref = new RestartHarness.Collector(crashArmed = false)
+    assert(RestartHarness.runFunnel(spark, dir,
+        Files.createTempDirectory("graft_restart_ckpt_ref"), ref, funnelSteps,
+        maxSpanSeconds = 7L * 86400).isEmpty,
+      "reference run must finish cleanly")
+    val refAll = ref.allRows
     assert(all.toSet == refAll.toSet && all.size == refAll.size,
       s"crash+restart emissions diverged from the uninterrupted run:\n$all\nvs\n$refAll")
 
