@@ -117,7 +117,15 @@ object Bench {
     // stall the fresh median restores it; a real plan regression times
     // slow again and stays visible (and a still-wide re-run spread still
     // counts in "stalls"). Bounded work: 3 extra runs per flagged query.
-    val rerun = names.filterNot(errors.contains).filter(n => stalled(timings(n)))
+    // SPARK_GRAFT_BENCH_FORCE_RERUN=q1,q2 forces named queries through
+    // the re-run pass regardless of their spread — the path otherwise
+    // only executes during a REAL stall, so this knob is how a dev run
+    // exercises it end-to-end before the driver's official recording
+    // depends on it.
+    val forced = sys.env.get("SPARK_GRAFT_BENCH_FORCE_RERUN")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet).getOrElse(Set.empty[String])
+    val rerun = names.filterNot(errors.contains)
+      .filter(n => forced.contains(n) || stalled(timings(n)))
     rerun.foreach { name =>
       try {
         val fresh = (1 to 3).map { _ =>
