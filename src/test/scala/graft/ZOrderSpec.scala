@@ -113,6 +113,49 @@ class ZOrderSpec extends AnyFunSuite with SparkTestSession {
     assert(zRows * 100 <= n * 8, s"z=$zRows over 8% of $n")
   }
 
+  test("slab placement: exactly one contiguous z-slab per output file, deterministically") {
+    // The deterministic file cut's core property (and what the r15
+    // murmur3-preimage repartition must preserve from the old identity
+    // partitioner): equal-width z slabs map one-to-one onto output
+    // files — no slab split across files, no file holding two slabs —
+    // so every file's z min/max span is as tight as the grid allows and
+    // pruning quality is reproducible run over run.
+    val nFiles = 16
+    val src = (0 until 4096).map(i => ((i * 1103515245L + 12345) % 1000, (i * 69069L + 7) % 1000))
+      .toDF("a", "b")
+    def slabOfFile(dir: String): Map[String, Set[Long]] = {
+      val bits = Layout.bitsFor(2)
+      val ranges = Layout.colRanges(src, Seq("a", "b"))
+      val chunk = (((BigInt(1) << (bits * 2)) + nFiles - 1) / nFiles).toLong
+      val laid = spark.read.parquet(dir)
+      val z = Layout.zValue(Seq("a", "b").zip(ranges).map { case (c, r) =>
+        Layout.normalizeToBits(col(c), r, bits) })
+      laid
+        .withColumn("_file", input_file_name())
+        .withColumn("_zv", z)
+        .withColumn("_slab", expr(s"_zv div ${chunk}L"))
+        .groupBy("_file").agg(collect_set(col("_slab")).as("slabs"))
+        .collect()
+        .map(r => r.getString(0) -> r.getSeq[Long](1).toSet).toMap
+    }
+    val dir1 = java.nio.file.Files.createTempDirectory("graft_zslab1").toString
+    Layout.writeZOrdered(src, Seq("a", "b"), dir1, nFiles)
+    val m1 = slabOfFile(dir1)
+    assert(m1.values.forall(_.size == 1),
+      s"a file holds more than one slab: ${m1.filter(_._2.size > 1)}")
+    val slabCounts = m1.values.toSeq.map(_.head).groupBy(identity).view.mapValues(_.size)
+    assert(slabCounts.values.forall(_ == 1),
+      s"a slab split across files: ${slabCounts.filter(_._2 > 1)}")
+    // Determinism: a second write produces the same slab -> file-count
+    // structure (file names are fresh part-UUIDs; the CUT is what must
+    // reproduce).
+    val dir2 = java.nio.file.Files.createTempDirectory("graft_zslab2").toString
+    Layout.writeZOrdered(src, Seq("a", "b"), dir2, nFiles)
+    val m2 = slabOfFile(dir2)
+    assert(m1.values.map(_.head).toSeq.sorted == m2.values.map(_.head).toSeq.sorted,
+      "the slab set changed between identical writes")
+  }
+
   test("empty or all-null z-input fails with a descriptive error, not an NPE") {
     val empty = spark.range(0).select(col("id").cast("double").as("a"))
     val e1 = intercept[IllegalArgumentException] {
