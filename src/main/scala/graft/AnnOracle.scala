@@ -1,0 +1,599 @@
+package graft
+
+import graft.operators.Ann
+
+/** Generated DuckDB mirrors of the ANN family — the [[BpeOracle]] /
+  * [[UnigramOracle]] discipline applied to approximate vector search,
+  * turning the last rows-only block hash-green.
+  *
+  * Split of responsibilities (the quality-model pattern):
+  *
+  *  - TRAINING (Lloyd k-means for IVF cells and PQ codebooks, the OPQ
+  *    Procrustes alternation) is data-dependent floating-point iteration
+  *    whose centroid means fold in shuffle arrival order — no SQL engine
+  *    replays that. It stays covered by the Verify main's hard gates
+  *    (recall floors vs exact brute force, exact equality vs rebuilds)
+  *    and AnnSpec's determinism/monotonicity pins.
+  *  - The TRAINED STRUCTURES (centroids, codebooks, rotation) are
+  *    embedded as literals, captured from the registry queries' own
+  *    memoized training runs in this JVM (the fingerprint-keyed caches
+  *    in [[graft.operators.Ann]] — [[capture]] hooks in the registry
+  *    lambdas stash exactly what the queries probed with).
+  *  - The PROBE SIDE is replayed move for move: signature bits, probe
+  *    selection, cell assignment, PQ encode, ADC scoring, rerank and
+  *    rank cut. Every accumulation is a double left fold in ascending
+  *    index order on both engines (the [[graft.expressions]] kernels'
+  *    documented IEEE op order), so raw doubles agree BIT FOR BIT and
+  *    the 6-decimal round/floor on top can never straddle a boundary.
+  *
+  * The murmur LSH hyperplanes need no capture at all: `planeComp` is a
+  * pure hash of (bit, dim), so the plane matrix is embedded directly and
+  * the whole non-portable LSH tier (home-ball, query-adaptive multiprobe,
+  * and its partitioned twin — spec-pinned identical) replays statically.
+  *
+  * Reference anchor: the ANN tier is the scale path for the reference's
+  * vector-store probe (chroma_utils.py:237-263 — a Chroma collection
+  * queried per request); these mirrors make the approximate probes as
+  * hash-checked as the exact retrieval queries they accelerate.
+  */
+private[graft] object AnnOracle {
+
+  // ------------------------------------------------------------ captures
+  /** Structures the registry queries trained/probed with this JVM run —
+    * stashed by the memoized trainers themselves (cold cache ⇒ entry
+    * omitted ⇒ the row degrades to the rows-only check, like
+    * [[UnigramOracle]]). The `|opq` cacheKey suffix is the registry's
+    * marker for the rotated-corpus IVF build (`ann_ivfpq_opq_topk`).
+    */
+  @volatile var mainCentroids: Option[Array[Array[Float]]] = None
+  @volatile var globalBooks: Option[Seq[Seq[Seq[Double]]]] = None
+  @volatile var residualBooks: Option[Seq[Seq[Seq[Double]]]] = None
+  @volatile var localBooks: Option[Map[Int, Seq[Seq[Seq[Double]]]]] = None
+  @volatile var opqRotation: Option[Array[Array[Float]]] = None
+  @volatile var opqBooks: Option[Seq[Seq[Seq[Double]]]] = None
+  @volatile var opqCentroids: Option[Array[Array[Float]]] = None
+
+  private[graft] def captureCentroids(
+      cacheKey: String, c: Array[Array[Float]]): Unit =
+    if (cacheKey.endsWith("|opq")) opqCentroids = Some(c)
+    else mainCentroids = Some(c)
+
+  private val DIM = 64
+  private val N_BITS = 8
+
+  // ------------------------------------------------------- SQL fragments
+  /** Shortest-roundtrip double literal (Double.toString round-trips; the
+    * embedded value parses back to the identical IEEE double).
+    */
+  private def d(x: Double): String = {
+    val s = x.toString
+    if (s == "-0.0") "0.0" else s
+  }
+
+  private def dlist(xs: Seq[Double]): String =
+    xs.map(d).mkString("[", ", ", "]")
+
+  /** Double left fold Σ f(v) for v in 0 until n, seeded at 0.0 — the SQL
+    * twin of every `while (i < n) { acc += …; i += 1 }` accumulator.
+    * `f` references the 0-based index by the lambda var name `v`
+    * (parameterized so nested folds don't capture each other's index).
+    */
+  private def fold(n: Int, f: String, v: String = "i"): String =
+    s"list_reduce(list_prepend(0.0, list_transform(range($n), $v -> $f)), (acc, x) -> acc + x)"
+
+  /** Cosine of two array<float> columns, the t4_knn_cosine mirror of
+    * [[graft.expressions.CosineSimilarity]]: three independent double
+    * left folds (dot, ‖a‖², ‖b‖²) in ascending dim order.
+    */
+  private def cosine(a: String, b: String): String =
+    s"""(${fold(DIM, s"CAST($a[i+1] AS DOUBLE) * CAST($b[i+1] AS DOUBLE)")}
+       |      / (sqrt(${fold(DIM, s"CAST($a[i+1] AS DOUBLE) * CAST($a[i+1] AS DOUBLE)")})
+       |       * sqrt(${fold(DIM, s"CAST($b[i+1] AS DOUBLE) * CAST($b[i+1] AS DOUBLE)")})))""".stripMargin
+
+  /** The murmur hyperplane matrix as literal rows (b, pv DOUBLE[DIM]) —
+    * [[Ann.planeComp]] widened to double (exact).
+    */
+  private def planesValues: String =
+    (0 until N_BITS).map { b =>
+      s"($b, ${dlist((0 until DIM).map(i => Ann.planeComp(b, i).toDouble))})"
+    }.mkString(",\n    ")
+
+  /** Per-vector murmur signature CTEs over a source relation `rel`
+    * (vec_id, embedding): `dots` (vec_id, b, dot) then `sigs`
+    * (vec_id, embedding, sig). The dot is the [[Ann.signature]] loop —
+    * one double left fold per plane.
+    */
+  private def sigCtes: String =
+    s"""planes(b, pv) AS (VALUES
+       |    $planesValues),
+       |dots AS MATERIALIZED (
+       |  SELECT e.vec_id, p.b,
+       |    ${fold(DIM, "CAST(e.embedding[i+1] AS DOUBLE) * p.pv[i+1]")} AS dot
+       |  FROM embeddings e, planes p),
+       |sigs AS MATERIALIZED (
+       |  SELECT vec_id,
+       |    CAST(sum(CASE WHEN dot >= 0 THEN CAST(1 AS BIGINT) << CAST(b AS INT)
+       |             ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS sig
+       |  FROM dots GROUP BY vec_id)""".stripMargin
+
+  /** Shared tail: candidates (query_id, vec_id pairs with both
+    * embeddings joined in) → raw cosine → rank on the RAW double
+    * (desc, vec_id asc) → cut at k → round(sim, 6), ordered like the
+    * registry's `.orderBy("query_id", "rank")`.
+    */
+  private def cosineRankTail(candCte: String, k: Int): String =
+    s"""cand AS (
+       |  $candCte),
+       |scored AS (
+       |  SELECT c.query_id, c.vec_id,
+       |    ${cosine("c.qe", "c.embedding")} AS sim
+       |  FROM cand c),
+       |ranked AS (
+       |  SELECT query_id, vec_id, sim,
+       |    CAST(row_number() OVER (
+       |      PARTITION BY query_id ORDER BY sim DESC, vec_id) AS INT) AS rank
+       |  FROM scored)
+       |SELECT query_id, rank, vec_id, round(sim, 6) AS sim
+       |FROM ranked WHERE rank <= $k
+       |ORDER BY query_id, rank""".stripMargin
+
+  /** `ann_lsh_topk` mirror: murmur signatures, the Hamming-≤2 probe ball
+    * as a `bit_count(xor(...)) <= 2` bucket join (the probe SET of
+    * [[Ann.probeSignatures]] at probeBits=2 is exactly that ball), exact
+    * cosine rerank, k=2.
+    */
+  def lshTopKSql: String =
+    s"""WITH
+       |$sigCtes,
+       |q AS (
+       |  SELECT s.vec_id AS query_id, e.embedding AS qe, s.sig
+       |  FROM sigs s JOIN embeddings e USING (vec_id) WHERE s.vec_id < 5),
+       |${cosineRankTail(
+        """SELECT q.query_id, q.qe, s.vec_id, e.embedding
+          |  FROM q JOIN sigs s ON bit_count(xor(q.sig, s.sig)) <= 2
+          |  JOIN embeddings e ON e.vec_id = s.vec_id""".stripMargin, 2)}""".stripMargin
+
+  /** `ann_lsh_multiprobe` (and its spec-pinned-identical partitioned
+    * twin): the query-adaptive probe order of [[Ann.adaptiveProbes]]
+    * replayed — bits sorted by |dot| ascending (stable ⇒ bit-index
+    * tiebreak), all 2^8 flip masks scored by the ordered left-fold sum
+    * of flipped |dots| (+0.0 for unset slots — exact identity), 16
+    * cheapest kept by (score, mask) exactly like the stable `sortBy`,
+    * then the same bucket join + cosine rerank at k=2.
+    */
+  def lshMultiprobeSql: String =
+    s"""WITH
+       |$sigCtes,
+       |qsig AS (
+       |  SELECT s.vec_id AS query_id, e.embedding AS qe, s.sig
+       |  FROM sigs s JOIN embeddings e USING (vec_id) WHERE s.vec_id < 5),
+       |ord AS (
+       |  SELECT vec_id AS query_id, b, abs(dot) AS ad,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY abs(dot), b) - 1 AS j
+       |  FROM dots WHERE vec_id < 5),
+       |ords AS MATERIALIZED (
+       |  SELECT query_id, list(ad ORDER BY j) AS ads, list(b ORDER BY j) AS bs
+       |  FROM ord GROUP BY query_id),
+       |probes AS MATERIALIZED (
+       |  SELECT query_id, psig FROM (
+       |    SELECT o.query_id, m.mask,
+       |      list_reduce(list_prepend(0.0, list_transform(range($N_BITS),
+       |        j -> CASE WHEN (m.mask >> j) & 1 = 1 THEN o.ads[j+1] ELSE 0.0 END)),
+       |        (acc, v) -> acc + v) AS score,
+       |      xor(q.sig, CAST(list_sum(list_transform(range($N_BITS),
+       |        j -> CASE WHEN (m.mask >> j) & 1 = 1
+       |             THEN CAST(1 AS BIGINT) << CAST(o.bs[j+1] AS INT)
+       |             ELSE CAST(0 AS BIGINT) END)) AS BIGINT)) AS psig,
+       |      row_number() OVER (PARTITION BY o.query_id
+       |        ORDER BY list_reduce(list_prepend(0.0, list_transform(range($N_BITS),
+       |          j -> CASE WHEN (m.mask >> j) & 1 = 1 THEN o.ads[j+1] ELSE 0.0 END)),
+       |          (acc, v) -> acc + v), m.mask) AS pr
+       |    FROM ords o
+       |    JOIN qsig q USING (query_id)
+       |    CROSS JOIN (SELECT unnest(range(${1 << N_BITS})) AS mask) m)
+       |  WHERE pr <= 16),
+       |${cosineRankTail(
+        """SELECT p.query_id, q.qe, s.vec_id, e.embedding
+          |  FROM probes p
+          |  JOIN qsig q USING (query_id)
+          |  JOIN sigs s ON s.sig = p.psig
+          |  JOIN embeddings e ON e.vec_id = s.vec_id""".stripMargin, 2)}""".stripMargin
+
+  // --------------------------------------------------- trained-tier CTEs
+  private val DSUB = 8
+  private val M = 8
+
+  /** Literal rows (c, cv DOUBLE[DIM]) of an IVF centroid set (floats
+    * widened exactly).
+    */
+  private def centsValues(cents: Array[Array[Float]]): String =
+    cents.zipWithIndex.map { case (cv, c) =>
+      s"($c, ${dlist(cv.toSeq.map(_.toDouble))})"
+    }.mkString(",\n    ")
+
+  /** Literal rows (s, code, bv DOUBLE[DSUB]) of a global PQ codebook set. */
+  private def booksValues(books: Seq[Seq[Seq[Double]]]): String =
+    books.zipWithIndex.flatMap { case (cents, s) =>
+      cents.zipWithIndex.map { case (bv, code) => s"($s, $code, ${dlist(bv)})" }
+    }.mkString(",\n    ")
+
+  /** Cosine-to-centroid sims + cell argmax over a (vec_id, embedding)
+    * relation `src` — the [[Ann.assignCells]] replay: dot/na/nb are three
+    * double left folds, zero denominator → 0.0, strict `>` keeps the
+    * FIRST (lowest-c) maximizer ⇒ ORDER BY sim DESC, c.
+    */
+  private def cellCtes(src: String): String =
+    s"""csim AS MATERIALIZED (
+       |  SELECT vec_id, c,
+       |    CASE WHEN sqrt(na) * sqrt(nb) = 0 THEN 0.0
+       |         ELSE dot / (sqrt(na) * sqrt(nb)) END AS sim
+       |  FROM (
+       |    SELECT e.vec_id, t.c,
+       |      ${fold(DIM, "CAST(e.embedding[i+1] AS DOUBLE) * t.cv[i+1]")} AS dot,
+       |      ${fold(DIM, "CAST(e.embedding[i+1] AS DOUBLE) * CAST(e.embedding[i+1] AS DOUBLE)")} AS na,
+       |      ${fold(DIM, "t.cv[i+1] * t.cv[i+1]")} AS nb
+       |    FROM $src e, cents t)),
+       |asg AS MATERIALIZED (
+       |  SELECT vec_id, c AS cell FROM (
+       |    SELECT vec_id, c,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, c) AS rn
+       |    FROM csim) WHERE rn = 1)""".stripMargin
+
+  /** The `nProbe` nearest cells of each query vector (vec_id < nq) —
+    * the [[Ann.nearestCells]] replay over the same `csim` rows.
+    */
+  private def probeCte(nq: Int, nProbe: Int): String =
+    s"""probes AS MATERIALIZED (
+       |  SELECT vec_id AS query_id, c AS cell FROM (
+       |    SELECT vec_id, c,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, c) AS rn
+       |    FROM csim WHERE vec_id < $nq) WHERE rn <= $nProbe)""".stripMargin
+
+  /** Per-(vector, subspace, code) squared distance + argmin codes over a
+    * (vec_id, embedding) relation — the [[Ann.pqEncode]] /
+    * [[Ann.adcLut]] shared arithmetic (one CTE serves encode AND query
+    * LUTs): per-dim float→double cast, subtract, square, left fold; ties
+    * to the lowest code.
+    */
+  private def codeCtes(src: String): String = {
+    val sq = s"(CAST(e.embedding[b.s * $DSUB + i + 1] AS DOUBLE) - b.bv[i+1])"
+    s"""cdist AS MATERIALIZED (
+       |  SELECT e.vec_id, b.s, b.code,
+       |    ${fold(DSUB, s"$sq * $sq")} AS dist
+       |  FROM $src e, books b),
+       |codes AS MATERIALIZED (
+       |  SELECT vec_id, s, code FROM (
+       |    SELECT vec_id, s, code,
+       |      row_number() OVER (PARTITION BY vec_id, s ORDER BY dist, code) AS rn
+       |    FROM cdist) WHERE rn = 1)""".stripMargin
+  }
+
+  /** ADC distances (query_id, vec_id, adc_dist): corpus codes joined to
+    * the query-side distance rows on (s, code), folded in ascending
+    * subspace order (exactly [[Ann.adcFromLut]]'s left-to-right sum),
+    * floored at 6 dp. `extraJoins`/`extraPred` restrict candidates (cell
+    * probes, tombstones); self-matches are excluded like every ADC path.
+    */
+  private def adcCte(
+      nq: Int, extraJoins: String = "", extraPred: String = ""): String =
+    s"""adc AS (
+       |  SELECT qd.vec_id AS query_id, c.vec_id AS vec_id,
+       |    floor(list_reduce(list_prepend(0.0, list(qd.dist ORDER BY qd.s)),
+       |      (a, b) -> a + b) * 1000000) / 1000000 AS adc_dist
+       |  FROM codes c
+       |  $extraJoins
+       |  JOIN cdist qd ON qd.s = c.s AND qd.code = c.code
+       |    AND qd.vec_id < $nq AND qd.vec_id <> c.vec_id$extraPred
+       |  GROUP BY qd.vec_id, c.vec_id)""".stripMargin
+
+  /** Probed-ADC candidate restriction: candidate's cell ∈ the query's
+    * probe set.
+    */
+  private val probedJoins =
+    """JOIN asg a ON a.vec_id = c.vec_id
+      |  JOIN probes p ON p.cell = a.cell""".stripMargin
+  private val probedPred = " AND p.query_id = qd.vec_id"
+
+  /** Rank + cut + output for ADC queries (ORDER BY floored dist, vec_id —
+    * the engine-stable cut every ADC path uses).
+    */
+  private def adcTail(k: Int): String =
+    s"""SELECT query_id, rank, vec_id, adc_dist FROM (
+       |  SELECT query_id, vec_id, adc_dist,
+       |    CAST(row_number() OVER (
+       |      PARTITION BY query_id ORDER BY adc_dist, vec_id) AS INT) AS rank
+       |  FROM adc) WHERE rank <= $k
+       |ORDER BY query_id, rank""".stripMargin
+
+  /** Exact euclidean rerank tail ([[Ann.exactEuclideanRerank]] replay):
+    * coarse = ADC top-(k·overfetch), then floored float-euclidean d2 over
+    * the ORIGINAL embeddings with (d2, vec_id) ranking.
+    */
+  private def rerankTail(k: Int, overfetch: Int): String = {
+    val diff = "(CAST(q.embedding[i+1] AS DOUBLE) - CAST(e.embedding[i+1] AS DOUBLE))"
+    s"""coarse AS (
+       |  SELECT query_id, vec_id FROM (
+       |    SELECT query_id, vec_id,
+       |      row_number() OVER (
+       |        PARTITION BY query_id ORDER BY adc_dist, vec_id) AS rn
+       |    FROM adc) WHERE rn <= ${k * overfetch}),
+       |rr AS (
+       |  SELECT co.query_id, co.vec_id,
+       |    floor(${fold(DIM, s"$diff * $diff")} * 1000000) / 1000000 AS d2
+       |  FROM coarse co
+       |  JOIN embeddings q ON q.vec_id = co.query_id
+       |  JOIN embeddings e ON e.vec_id = co.vec_id)
+       |SELECT query_id, rank, vec_id, d2 FROM (
+       |  SELECT query_id, vec_id, d2,
+       |    CAST(row_number() OVER (
+       |      PARTITION BY query_id ORDER BY d2, vec_id) AS INT) AS rank
+       |  FROM rr) WHERE rank <= $k
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
+  /** `ann_ivf_topk` mirror: trained centroids as literals, cell argmax,
+    * 3-cell probes, exact cosine rerank at k=2 (self included — the IVF
+    * probe does not exclude the query row).
+    */
+  private def ivfTopKSql(cents: Array[Array[Float]]): String =
+    s"""WITH cents(c, cv) AS (VALUES
+       |    ${centsValues(cents)}),
+       |${cellCtes("embeddings")},
+       |${probeCte(5, 3)},
+       |${cosineRankTail(
+        """SELECT p.query_id, qe.embedding AS qe, a.vec_id, e.embedding
+          |  FROM probes p
+          |  JOIN embeddings qe ON qe.vec_id = p.query_id
+          |  JOIN asg a ON a.cell = p.cell
+          |  JOIN embeddings e ON e.vec_id = a.vec_id""".stripMargin, 2)}""".stripMargin
+
+  /** `ann_rule_topk` mirror: the optimizer-rule rewrite probes vec 0's 5
+    * nearest cells of the SAME registered layout (exact cosine, no PQ),
+    * top-11 ordered on the RAW double then floored for output.
+    */
+  private def ruleTopKSql(cents: Array[Array[Float]]): String =
+    s"""WITH cents(c, cv) AS (VALUES
+       |    ${centsValues(cents)}),
+       |${cellCtes("embeddings")},
+       |${probeCte(1, 5)},
+       |scored AS (
+       |  SELECT a.vec_id,
+       |    ${cosine("qe.embedding", "e.embedding")} AS sim
+       |  FROM probes p
+       |  JOIN embeddings qe ON qe.vec_id = p.query_id
+       |  JOIN asg a ON a.cell = p.cell
+       |  JOIN embeddings e ON e.vec_id = a.vec_id)
+       |SELECT vec_id, floor(sim * 1000000) / 1000000 AS sim
+       |FROM scored ORDER BY sim DESC, vec_id LIMIT 11""".stripMargin
+
+  /** `ann_pq_trained_topk` mirror: nProbe = nCells means the layout scan
+    * reads every cell — spec-pinned identical to the FLAT trained-book
+    * ADC scan, which is what replays here (trained books as literals).
+    */
+  private def pqTrainedSql(books: Seq[Seq[Seq[Double]]]): String =
+    s"""WITH books(s, code, bv) AS (VALUES
+       |    ${booksValues(books)}),
+       |${codeCtes("embeddings")},
+       |${adcCte(3)}
+       |${adcTail(10)}""".stripMargin
+
+  /** `ann_ivfpq_topk` / `ann_ivfpq_join` / `ann_ivfpq_incremental`
+    * mirrors: trained centroids + books, probed-cell ADC. The
+    * incremental variant's versioned root equals (corpus − tombstones)
+    * under the same index — `exclude` carries the tombstoned ids.
+    */
+  private def ivfPqSql(
+      cents: Array[Array[Float]],
+      books: Seq[Seq[Seq[Double]]],
+      nq: Int,
+      k: Int,
+      nProbe: Int,
+      exclude: Seq[Long] = Nil): String = {
+    val excl =
+      if (exclude.isEmpty) ""
+      else s" AND c.vec_id NOT IN (${exclude.mkString(", ")})"
+    s"""WITH cents(c, cv) AS (VALUES
+       |    ${centsValues(cents)}),
+       |books(s, code, bv) AS (VALUES
+       |    ${booksValues(books)}),
+       |${cellCtes("embeddings")},
+       |${probeCte(nq, nProbe)},
+       |${codeCtes("embeddings")},
+       |${adcCte(nq, probedJoins, probedPred + excl)}
+       |${adcTail(k)}""".stripMargin
+  }
+
+  /** `ann_ivfpq_rerank` mirror: probed ADC over-fetch → exact euclidean
+    * rerank of the candidates.
+    */
+  private def ivfPqRerankSql(
+      cents: Array[Array[Float]], books: Seq[Seq[Seq[Double]]]): String =
+    s"""WITH cents(c, cv) AS (VALUES
+       |    ${centsValues(cents)}),
+       |books(s, code, bv) AS (VALUES
+       |    ${booksValues(books)}),
+       |${cellCtes("embeddings")},
+       |${probeCte(3, 3)},
+       |${codeCtes("embeddings")},
+       |${adcCte(3, probedJoins, probedPred)},
+       |${rerankTail(10, 4)}""".stripMargin
+
+  /** Residual frames: each vector's FLOAT residual to its cell centroid
+    * ([[Ann.residualCol]] subtracts floats; the exact difference of two
+    * floats fits a double, so double-subtract-then-cast-REAL equals JVM
+    * float subtraction bit for bit). Query residuals are per (query,
+    * probed cell).
+    */
+  private def residualCtes: String =
+    s"""rres AS MATERIALIZED (
+       |  SELECT a.vec_id, a.cell,
+       |    list_transform(range($DIM),
+       |      j -> CAST(CAST(e.embedding[j+1] AS DOUBLE) - t.cv[j+1] AS REAL)) AS embedding
+       |  FROM asg a
+       |  JOIN embeddings e USING (vec_id)
+       |  JOIN cents t ON t.c = a.cell),
+       |qres AS MATERIALIZED (
+       |  SELECT p.query_id, p.cell,
+       |    list_transform(range($DIM),
+       |      j -> CAST(CAST(e.embedding[j+1] AS DOUBLE) - t.cv[j+1] AS REAL)) AS embedding
+       |  FROM probes p
+       |  JOIN embeddings e ON e.vec_id = p.query_id
+       |  JOIN cents t ON t.c = p.cell)""".stripMargin
+
+  /** Residual/local ADC: corpus codes from residuals, query LUT rows per
+    * (query, probed cell) from the query residual, joined on the
+    * candidate's cell — [[Ann.ivfPqResidualTopK]] / [[Ann.ivfPqLocalTopK]].
+    * `booksRel(alias, cellRef)` renders the codebook relation: the global
+    * residual books ignore `cellRef`; LOPQ books join on it.
+    */
+  private def residualAdcCtes(booksJoin: String => String, nq: Int): String = {
+    val sq = s"(CAST(e.embedding[b.s * $DSUB + i + 1] AS DOUBLE) - b.bv[i+1])"
+    s"""cdist AS MATERIALIZED (
+       |  SELECT e.vec_id, b.s, b.code,
+       |    ${fold(DSUB, s"$sq * $sq")} AS dist
+       |  FROM rres e ${booksJoin("e.cell")}),
+       |codes AS MATERIALIZED (
+       |  SELECT vec_id, s, code FROM (
+       |    SELECT vec_id, s, code,
+       |      row_number() OVER (PARTITION BY vec_id, s ORDER BY dist, code) AS rn
+       |    FROM cdist) WHERE rn = 1),
+       |qlut AS MATERIALIZED (
+       |  SELECT e.query_id, e.cell, b.s, b.code,
+       |    ${fold(DSUB, s"$sq * $sq")} AS dist
+       |  FROM qres e ${booksJoin("e.cell")}),
+       |adc AS (
+       |  SELECT l.query_id, c.vec_id,
+       |    floor(list_reduce(list_prepend(0.0, list(l.dist ORDER BY l.s)),
+       |      (a2, b2) -> a2 + b2) * 1000000) / 1000000 AS adc_dist
+       |  FROM codes c
+       |  JOIN asg a ON a.vec_id = c.vec_id
+       |  JOIN qlut l ON l.cell = a.cell AND l.s = c.s AND l.code = c.code
+       |    AND l.query_id <> c.vec_id
+       |  GROUP BY l.query_id, c.vec_id)""".stripMargin
+  }
+
+  private def residualSql(
+      cents: Array[Array[Float]],
+      books: Seq[Seq[Seq[Double]]],
+      rerank: Boolean): String = {
+    val core =
+      s"""WITH cents(c, cv) AS (VALUES
+         |    ${centsValues(cents)}),
+         |books(s, code, bv) AS (VALUES
+         |    ${booksValues(books)}),
+         |${cellCtes("embeddings")},
+         |${probeCte(3, 3)},
+         |$residualCtes,
+         |${residualAdcCtes(_ => ", books b", 3)}""".stripMargin
+    if (rerank) s"$core,\n${rerankTail(10, 4)}" else s"$core\n${adcTail(10)}"
+  }
+
+  /** LOPQ literal rows (cell, s, code, bv) in cell order. */
+  private def localBooksValues(lb: Map[Int, Seq[Seq[Seq[Double]]]]): String =
+    lb.toSeq.sortBy(_._1).flatMap { case (cell, books) =>
+      books.zipWithIndex.flatMap { case (cents, s) =>
+        cents.zipWithIndex.map { case (bv, code) =>
+          s"($cell, $s, $code, ${dlist(bv)})"
+        }
+      }
+    }.mkString(",\n    ")
+
+  private def localSql(
+      cents: Array[Array[Float]],
+      lb: Map[Int, Seq[Seq[Seq[Double]]]],
+      rerank: Boolean): String = {
+    val core =
+      s"""WITH cents(c, cv) AS (VALUES
+         |    ${centsValues(cents)}),
+         |lbooks(cell, s, code, bv) AS (VALUES
+         |    ${localBooksValues(lb)}),
+         |${cellCtes("embeddings")},
+         |${probeCte(3, 3)},
+         |$residualCtes,
+         |${residualAdcCtes(cellRef => s"JOIN lbooks b ON b.cell = $cellRef", 3)}""".stripMargin
+    if (rerank) s"$core,\n${rerankTail(10, 4)}" else s"$core\n${adcTail(10)}"
+  }
+
+  /** The OPQ-rotated corpus as a relation (vec_id, embedding REAL[DIM]):
+    * y_i = Σ_j R(i)(j)·x(j), double left fold per output dim, cast back
+    * to float exactly like [[Ann.rotated]]'s `acc.toFloat`.
+    */
+  private def roteCtes(rot: Array[Array[Float]]): String = {
+    val rotValues = rot.zipWithIndex.map { case (rv, i) =>
+      s"($i, ${dlist(rv.toSeq.map(_.toDouble))})"
+    }.mkString(",\n    ")
+    s"""rot(i, rv) AS (VALUES
+       |    $rotValues),
+       |rotd AS (
+       |  SELECT e.vec_id, r.i AS oi,
+       |    CAST(${fold(DIM, "r.rv[j+1] * CAST(e.embedding[j+1] AS DOUBLE)", "j")} AS REAL) AS x
+       |  FROM embeddings e, rot r),
+       |rote AS MATERIALIZED (
+       |  SELECT vec_id, list(x ORDER BY oi) AS embedding FROM rotd GROUP BY vec_id)""".stripMargin
+  }
+
+  /** `ann_opq_adc_topk` mirror: rotate, then the flat trained-book ADC. */
+  private def opqFlatSql(
+      rot: Array[Array[Float]], books: Seq[Seq[Seq[Double]]]): String =
+    s"""WITH ${roteCtes(rot)},
+       |books(s, code, bv) AS (VALUES
+       |    ${booksValues(books)}),
+       |${codeCtes("rote")},
+       |${adcCte(3)}
+       |${adcTail(10)}""".stripMargin
+
+  /** `ann_ivfpq_opq_topk` mirror: rotate, IVF cells trained on the
+    * rotated corpus, probed-cell ADC with the OPQ books.
+    */
+  private def opqIvfSql(
+      rot: Array[Array[Float]],
+      books: Seq[Seq[Seq[Double]]],
+      cents: Array[Array[Float]]): String =
+    s"""WITH ${roteCtes(rot)},
+       |cents(c, cv) AS (VALUES
+       |    ${centsValues(cents)}),
+       |books(s, code, bv) AS (VALUES
+       |    ${booksValues(books)}),
+       |${cellCtes("rote")},
+       |${probeCte(3, 3)},
+       |${codeCtes("rote")},
+       |${adcCte(3, probedJoins, probedPred)}
+       |${adcTail(10)}""".stripMargin
+
+  // ------------------------------------------------------------ assembly
+  /** The entries available under the current captures. The LSH trio is
+    * static; trained tiers appear once their registry queries have run
+    * (cold cache ⇒ omitted ⇒ rows-only fallback).
+    */
+  def sqlEntries: Map[String, String] = {
+    val ivf = mainCentroids.toSeq.flatMap { c =>
+      Seq("ann_ivf_topk" -> ivfTopKSql(c), "ann_rule_topk" -> ruleTopKSql(c))
+    }
+    val pq = (for { c <- mainCentroids; b <- globalBooks } yield Seq(
+      "ann_pq_trained_topk" -> pqTrainedSql(b),
+      "ann_ivfpq_topk" -> ivfPqSql(c, b, nq = 3, k = 10, nProbe = 3),
+      "ann_ivfpq_join" -> ivfPqSql(c, b, nq = 50, k = 5, nProbe = 3),
+      "ann_ivfpq_incremental" ->
+        ivfPqSql(c, b, nq = 3, k = 10, nProbe = 3, exclude = Seq(7L, 11L)),
+      "ann_ivfpq_rerank" -> ivfPqRerankSql(c, b))).getOrElse(Nil)
+    val res = (for { c <- mainCentroids; b <- residualBooks } yield Seq(
+      "ann_ivfpq_residual_topk" -> residualSql(c, b, rerank = false),
+      "ann_ivfpq_residual_rerank" -> residualSql(c, b, rerank = true)))
+      .getOrElse(Nil)
+    val loc = (for { c <- mainCentroids; lb <- localBooks } yield Seq(
+      "ann_ivfpq_local_topk" -> localSql(c, lb, rerank = false),
+      "ann_ivfpq_local_rerank" -> localSql(c, lb, rerank = true)))
+      .getOrElse(Nil)
+    val opqFlat = (for { r <- opqRotation; b <- opqBooks } yield Seq(
+      "ann_opq_adc_topk" -> opqFlatSql(r, b))).getOrElse(Nil)
+    val opqIvf = (for { r <- opqRotation; b <- opqBooks; c <- opqCentroids }
+      yield Seq("ann_ivfpq_opq_topk" -> opqIvfSql(r, b, c))).getOrElse(Nil)
+    Map(
+      "ann_lsh_topk" -> lshTopKSql,
+      "ann_lsh_multiprobe" -> lshMultiprobeSql,
+      // Spec-pinned identical to the in-memory adaptive form
+      // (AnnPartitionedSpec) — the layout is a physical optimization.
+      "ann_lsh_partitioned_adaptive" -> lshMultiprobeSql) ++
+      ivf ++ pq ++ res ++ loc ++ opqFlat ++ opqIvf
+  }
+}

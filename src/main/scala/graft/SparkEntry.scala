@@ -2324,8 +2324,9 @@ object SparkEntry {
       // IVF cell-partitioned layout probe; the require below asserts the
       // scan actually became PartitionFilters-pruned, so a silently
       // non-firing rule fails the round rather than passing as a slow
-      // full scan. Rows-only by design (partial probe is approximate);
-      // Verify floors the recall vs the exact brute force.
+      // full scan. Since r15 the probe RESULT is also hash-checked (the
+      // AnnOracle replay of the same 5-cell probe); Verify additionally
+      // floors recall vs the exact brute force.
       GraftExtensions.register(s)
       val embPath = s"$dir/embeddings.parquet"
       val emb = Tables.embeddings(s, dir)
@@ -2334,12 +2335,12 @@ object SparkEntry {
       val layout = operators.Ann.cellLayout(s, emb,
         new java.io.File(sys.props("java.io.tmpdir"), "graft_ann_layouts").getAbsolutePath,
         centroids)
-      // Probe budget from the recorded recall/cost frontier
-      // (SCALE_EVIDENCE.json `ann_ivfpq_sweep`): probe coverage — not PQ
-      // quantization, absent here — is the only recall loss of this
-      // exact-cosine probe, and 5/8 cells holds recall ≥0.9 on both sf
-      // corpora (measured 1.0 @sf0.01, 0.91 @sf0.1 at k=11), so the
-      // Verify floor sits at the operator-tier 0.8, not the r10 0.5.
+      // Probe budget: probe coverage — not PQ quantization, absent
+      // here — is the only recall loss of this exact-cosine probe. On
+      // the isotropic synthetic corpus expected recall ≈ coverage
+      // (5/8 = 0.625; no cluster structure for cells to exploit):
+      // honest-probe measurements 1.000 @sf0.01 / 0.727 @sf0.1 at k=11,
+      // Verify floor 0.55 (between measured and half of measured).
       plans.AnnTopKRewrite.register(embPath,
         plans.AnnTopKRewrite.RegisteredLayout(layout, centroids, nProbe = 5))
       // Registration is scoped to THIS query: the probe result is
@@ -2359,9 +2360,17 @@ object SparkEntry {
         require(leaves.contains("PartitionFilters") && leaves.contains("cell"),
           "ann_rule_topk: AnnTopKRewrite did not rewrite the scan into the layout probe")
         import s.implicits._
-        df.select(col("vec_id"), TextAnalysis.floorScale(col("sim"), 6).as("sim"))
-          .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
-          .toDF("vec_id", "sim")
+        // Collect from THIS df — the plan the require just audited — and
+        // floor driver-side (same IEEE ops as TextAnalysis.floorScale).
+        // Wrapping df in another .select re-plans, and the collapsed
+        // Project lands between LocalLimit and Sort, so the rule's
+        // Limit(Sort(...)) pattern no longer matches and the collected
+        // rows silently came from the UNREWRITTEN full scan — invisible
+        // at sf0.01 where probe recall is 1.0; the r15 ANN oracle's
+        // sf0.1 hash mismatch (probe recall 0.91) caught it.
+        df.collect()
+          .map(r => (r.getLong(0), math.floor(r.getDouble(1) * 1000000) / 1000000))
+          .toSeq.toDF("vec_id", "sim")
       } finally plans.AnnTopKRewrite.unregister(embPath)
     }),
 
@@ -3334,7 +3343,12 @@ object SparkEntry {
         "bpe_encode_corpus" -> BpeOracle.encodeCorpusSql(),
         "bpe_pack_manifest" -> BpeOracle.packManifestSql(),
         "bpe_pack_pipeline" -> BpeOracle.packPipelineSql()) ++
-      unigramOracleSql
+      unigramOracleSql ++
+      // Generated ANN-probe mirrors (see [[graft.AnnOracle]]): the murmur
+      // LSH tier statically, the trained tiers under structures captured
+      // from the registry queries' own memoized training runs. The Verify
+      // recall/equality gates stay as the second, independent signal.
+      AnnOracle.sqlEntries
 
   /** DuckDB mirrors of the unigram-tokenizer family under the trained
     * model ([[graft.UnigramOracle]]): the piece table as literals

@@ -84,12 +84,18 @@ object Verify {
       // brute force over the same query — the registry query scopes its
       // registration via try/finally, and the defensive unregister below
       // keeps the baseline honest even if that discipline regresses).
-      // Floor = 0.8, the operator-tier IVF gate: this probe pays exact
-      // cosine over the probed cells, so probe COVERAGE is its only
-      // recall loss (no PQ quantization — cf. the `ann_ivfpq_sweep`
-      // frontier where overfetch=1 ADC bottoms at 0.68), and the
-      // registered 5/8-cell budget measures 1.0 @sf0.01 / 0.91 @sf0.1
-      // at k=11.
+      // Floor = 0.55. History: the old 0.8 floor was calibrated against
+      // an output that (r15 ANN-oracle discovery) was silently the
+      // UNREWRITTEN full scan — the registry query's post-processing
+      // .select re-planned without the rule firing, so the gate graded
+      // exact-vs-exact. The honest 5/8-cell probe on this ISOTROPIC
+      // synthetic corpus has expected recall ≈ probe coverage (5/8 =
+      // 0.625; there is no cluster structure for the cells to exploit —
+      // unlike the clustered-recall AnnSpec fixtures): measured 1.000
+      // @sf0.01, 0.727 @sf0.1 at k=11. The floor sits between measured
+      // and half of measured (the repo's gate discipline), above the
+      // broken-probe reading (~k/corpus ≈ 0) and the halved-recall
+      // regression class.
       {
         val ruleGot = SparkEntry.queries("ann_rule_topk")(spark, sfDir)
           .select("vec_id").collect().map(_.getLong(0)).toSet
@@ -103,8 +109,8 @@ object Verify {
           .orderBy(desc("sim"), asc("vec_id")).limit(11)
           .select("vec_id").collect().map(_.getLong(0)).toSet
         val recall = exactRule.count(ruleGot.contains).toDouble / exactRule.size
-        println(f"[recall] ann_rule_topk = $recall%.3f (gate >= 0.8)")
-        require(recall >= 0.8, s"ann_rule_topk recall $recall below gate 0.8")
+        println(f"[recall] ann_rule_topk = $recall%.3f (gate >= 0.55)")
+        require(recall >= 0.55, s"ann_rule_topk recall $recall below gate 0.55")
       }
 
       // PQ-family gates: ADC approximates SQUARED EUCLIDEAN distance, so

@@ -28,8 +28,12 @@ import scala.util.hashing.MurmurHash3
 object Ann {
 
   // ------------------------------------------------------- LSH signatures
-  /** Deterministic pseudo-random hyperplane component in [-1, 1). */
-  private def planeComp(bit: Int, i: Int): Float = {
+  /** Deterministic pseudo-random hyperplane component in [-1, 1).
+    * `private[graft]` so [[graft.AnnOracle]] can embed the same plane
+    * matrix as SQL literals (the hyperplanes are pure murmur-derived
+    * constants — the oracle replays the signature bit for bit).
+    */
+  private[graft] def planeComp(bit: Int, i: Int): Float = {
     val h = MurmurHash3.productHash((bit, i), 0xA11CE)
     (h.toDouble / Int.MaxValue).toFloat
   }
@@ -478,6 +482,7 @@ object Ann {
     val key = s"$cacheKey|${fpRow.getLong(0)}|${fpRow.getLong(1)}|$nCells|$maxIter"
     val centroids = centroidCache.computeIfAbsent(key,
       _ => buildIvf(spark, corpus, nCells, maxIter)._1)
+    graft.AnnOracle.captureCentroids(cacheKey, centroids)
     (centroids, assignCells(corpus, centroids))
   }
 
@@ -838,8 +843,10 @@ object Ann {
       coalesce(expr("bit_xor(xxhash64(vec_id, embedding))"), lit(0L)).as("fp"))
       .head()
     val key = s"$cacheKey|${fpRow.getLong(0)}|${fpRow.getLong(1)}|$m|$dsub|$kStar|$maxIter"
-    pqBookCache.computeIfAbsent(key,
+    val books = pqBookCache.computeIfAbsent(key,
       _ => trainPqCodebooks(corpus, m, dsub, kStar, maxIter))
+    graft.AnnOracle.globalBooks = Some(books)
+    books
   }
 
   // ------------------------------------------ OPQ: learned rotation tier
@@ -1188,8 +1195,11 @@ object Ann {
       coalesce(expr("bit_xor(xxhash64(vec_id, embedding))"), lit(0L)).as("fp"))
       .head()
     val key = s"opq|$cacheKey|${fpRow.getLong(0)}|${fpRow.getLong(1)}|$m|$dsub|$kStar|$opqIters|$lloydIters"
-    opqCache.computeIfAbsent(key,
+    val pair = opqCache.computeIfAbsent(key,
       _ => trainOpq(corpus, m, dsub, kStar, opqIters, lloydIters))
+    graft.AnnOracle.opqRotation = Some(pair._1)
+    graft.AnnOracle.opqBooks = Some(pair._2)
+    pair
   }
 
   /** The corpus with its embedding column rotated (y = R·x): one
@@ -1566,8 +1576,10 @@ object Ann {
       .head()
     val cFp = MurmurHash3.orderedHash(centroids.iterator.flatten.map(_.toDouble))
     val key = s"$cacheKey|res$cFp|${fpRow.getLong(0)}|${fpRow.getLong(1)}|$m|$dsub|$kStar|$maxIter"
-    pqBookCache.computeIfAbsent(key,
+    val books = pqBookCache.computeIfAbsent(key,
       _ => trainPqCodebooksResidual(corpus, centroids, m, dsub, kStar, maxIter))
+    graft.AnnOracle.residualBooks = Some(books)
+    books
   }
 
   /** [[writeIvfPqPartitioned]] with RESIDUAL encoding: codes quantize
@@ -1720,8 +1732,10 @@ object Ann {
     val cFp = MurmurHash3.orderedHash(centroids.iterator.flatten.map(_.toDouble))
     val key = s"$cacheKey|lopq$cFp|${fpRow.getLong(0)}|${fpRow.getLong(1)}" +
       s"|$m|$dsub|$kStar|$maxIter|$maxPerCell"
-    localBookCache.computeIfAbsent(key,
+    val books = localBookCache.computeIfAbsent(key,
       _ => trainLocalPqCodebooks(corpus, centroids, m, dsub, kStar, maxIter, maxPerCell))
+    graft.AnnOracle.localBooks = Some(books)
+    books
   }
 
   /** [[writeIvfPqResidualPartitioned]] with PER-CELL books: each row's

@@ -38,8 +38,10 @@ import org.apache.spark.sql.types.{ArrayType, FloatType}
   * per corpus, carrying the probe budget the caller chose.
   *
   * Applicability guards (all conservative):
-  *  - plan shape `Limit(k, Sort(keys, global, Project(proj, scan)))` or
-  *    `Limit(k, Sort(keys, global, scan))`;
+  *  - plan shape `Limit(k, Sort(keys, global, Project(proj, scan)))`,
+  *    `Limit(k, Sort(keys, global, scan))`, or either with one
+  *    deterministic post-processing Project collapsed between the limit
+  *    and the sort (the shape user `.select(...)` wrappers optimize to);
   *  - the PRIMARY sort key is `cosine_sim(q, emb)` DESC where `q` is
   *    foldable (`array<float>` literal) and `emb` is a column of the
   *    scanned relation; remaining keys only reference pass-through
@@ -91,12 +93,35 @@ object AnnTopKRewrite extends Rule[LogicalPlan] {
     plan.transformUp {
       case l @ GlobalLimit(Literal(k: Int, _),
           LocalLimit(_, Sort(order, true, child, _))) =>
-        rewrite(k, order, child).getOrElse(l)
+        rewrite(order, child)
+          .map(core => GlobalLimit(Literal(k), LocalLimit(Literal(k), core)))
+          .getOrElse(l)
+      // The CollapseProject shape: deterministic POST-PROCESSING of the
+      // top-k (rounding, renames) collapses between LocalLimit and Sort
+      // after optimization — `scan.orderBy(cos desc).limit(k)
+      // .select(round(sim))` lands here, not in the bare shape above.
+      // The rewritten core re-exports every original exprId, so the
+      // outer projection applies verbatim on top. (r15: the registry
+      // query's own post-processing select silently un-fired the rule
+      // through exactly this shape — caught by the ANN oracle's sf0.1
+      // hash mismatch.)
+      case l @ GlobalLimit(Literal(k: Int, _),
+          LocalLimit(_, Project(outer, Sort(order, true, child, _))))
+          if outer.forall(_.deterministic) =>
+        rewrite(order, child)
+          .map(core => GlobalLimit(Literal(k),
+            LocalLimit(Literal(k), Project(outer, core))))
+          .getOrElse(l)
     }
   }
 
+  /** The rewritten SORTED core (no limit wrapper): `Sort` over the probed
+    * layout projection, every original output exprId preserved. Callers
+    * wrap it back in the limit (and, for the collapsed shape, the outer
+    * projection).
+    */
   private def rewrite(
-      k: Int, order: Seq[SortOrder], child: LogicalPlan): Option[LogicalPlan] = {
+      order: Seq[SortOrder], child: LogicalPlan): Option[LogicalPlan] = {
     // normalize both accepted shapes to (projList, relation)
     val (projList, rel) = child match {
       case Project(p, r: LogicalRelation) => (p, r)
@@ -136,7 +161,7 @@ object AnnTopKRewrite extends Rule[LogicalPlan] {
             }
             val qVec = floatArray(qExpr)
             if (!embOk || qVec.isEmpty) None
-            else buildProbePlan(k, order, projList, rel, reg, qVec.get)
+            else buildProbePlan(order, projList, rel, reg, qVec.get)
           }
         case _ => None
       }
@@ -150,7 +175,6 @@ object AnnTopKRewrite extends Rule[LogicalPlan] {
   }
 
   private def buildProbePlan(
-      k: Int,
       order: Seq[SortOrder],
       projList: Seq[NamedExpression],
       rel: LogicalRelation,
@@ -184,8 +208,6 @@ object AnnTopKRewrite extends Rule[LogicalPlan] {
     // original output exprId (passthrough columns as aliases of the
     // layout's columns), so keys referencing projected attributes — and,
     // in the inline shape, relation attributes — still resolve
-    Some(GlobalLimit(Literal(k),
-      LocalLimit(Literal(k),
-        Sort(order, global = true, Project(newProj, layoutPlan)))))
+    Some(Sort(order, global = true, Project(newProj, layoutPlan)))
   }
 }

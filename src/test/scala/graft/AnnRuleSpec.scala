@@ -150,4 +150,25 @@ class AnnRuleSpec extends AnyFunSuite with SparkTestSession {
       assert(rows.forall(_ % 8 == 5L), s"wrong cluster: ${rows.toSeq}")
     }
   }
+
+  test("post-processed (collapsed Project) shape fires and matches the bare shape") {
+    withRule {
+      val (corpusDir, _) = setup()
+      val q = clusterVec(3L).map(_ + 0.004f)
+      // .select AFTER .limit re-plans; CollapseProject lands the
+      // projection between LocalLimit and Sort — the r15 silent-un-fire
+      // shape. It must now rewrite too, and its rows must equal the
+      // bare shape's (same probe) with the rounding applied on top.
+      val wrapped = naiveTopK(corpusDir, q, 5)
+        .select(col("vec_id"), round(col("sim"), 6).as("sim"))
+      val scan = wrapped.queryExecution.executedPlan.collectLeaves()
+        .map(_.toString).mkString
+      assert(scan.contains("PartitionFilters") && scan.contains("cell"),
+        s"collapsed-Project shape did not fire:\n${scan.take(600)}")
+      val bare = naiveTopK(corpusDir, q, 5).collect()
+        .map(r => (r.getLong(0), math.round(r.getDouble(1) * 1e6) / 1e6)).toSeq
+      val got = wrapped.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(got == bare, s"wrapped=$got\nbare   =$bare")
+    }
+  }
 }
