@@ -40,23 +40,41 @@ private[graft] object AnnOracle {
 
   // ------------------------------------------------------------ captures
   /** Structures the registry queries trained/probed with this JVM run —
-    * stashed by the memoized trainers themselves (cold cache ⇒ entry
-    * omitted ⇒ the row degrades to the rows-only check, like
-    * [[UnigramOracle]]). The `|opq` cacheKey suffix is the registry's
-    * marker for the rotated-corpus IVF build (`ann_ivfpq_opq_topk`).
+    * stashed by the memoized trainers themselves together with the full
+    * memo key they trained under (cold cache ⇒ entry omitted ⇒ the row
+    * degrades to the rows-only check, like [[UnigramOracle]]). The
+    * captures are last-write-wins, so [[sqlEntries]] FILTERS each one on
+    * the registry queries' parameter suffix before embedding — a future
+    * sibling query training with different params (or a spec exercising
+    * a trainer on another corpus in the same JVM) can only suppress a
+    * mirror (rows-only fallback), never poison it. The `|opq` cacheKey
+    * suffix is the registry's marker for the rotated-corpus IVF build
+    * (`ann_ivfpq_opq_topk`).
     */
-  @volatile var mainCentroids: Option[Array[Array[Float]]] = None
-  @volatile var globalBooks: Option[Seq[Seq[Seq[Double]]]] = None
-  @volatile var residualBooks: Option[Seq[Seq[Seq[Double]]]] = None
-  @volatile var localBooks: Option[Map[Int, Seq[Seq[Seq[Double]]]]] = None
-  @volatile var opqRotation: Option[Array[Array[Float]]] = None
-  @volatile var opqBooks: Option[Seq[Seq[Seq[Double]]]] = None
-  @volatile var opqCentroids: Option[Array[Array[Float]]] = None
+  @volatile var mainCentroids: Option[(String, Array[Array[Float]])] = None
+  @volatile var globalBooks: Option[(String, Seq[Seq[Seq[Double]]])] = None
+  @volatile var residualBooks: Option[(String, Seq[Seq[Seq[Double]]])] = None
+  @volatile var localBooks: Option[(String, Map[Int, Seq[Seq[Seq[Double]]]])] = None
+  @volatile var opqRotation: Option[(String, Array[Array[Float]])] = None
+  @volatile var opqBooks: Option[(String, Seq[Seq[Seq[Double]]])] = None
+  @volatile var opqCentroids: Option[(String, Array[Array[Float]])] = None
 
   private[graft] def captureCentroids(
-      cacheKey: String, c: Array[Array[Float]]): Unit =
-    if (cacheKey.endsWith("|opq")) opqCentroids = Some(c)
-    else mainCentroids = Some(c)
+      memoKey: String, c: Array[Array[Float]]): Unit =
+    if (memoKey.contains("|opq|")) opqCentroids = Some((memoKey, c))
+    else mainCentroids = Some((memoKey, c))
+
+  /** The registry ANN queries' parameter tails of the memo keys (see the
+    * key formats in [[graft.operators.Ann]]): a capture only feeds a
+    * mirror when it trained under exactly these.
+    */
+  private val IVF_SUFFIX = "|8|3"              // nCells=8, maxIter=3
+  private val BOOKS_SUFFIX = "|8|8|16|5"       // m, dsub, kStar, maxIter
+  private val LOPQ_SUFFIX = "|8|8|16|5|2000"   // + maxPerCell
+  private val OPQ_SUFFIX = "|8|8|16|8|8"       // m, dsub, kStar, opqIters, lloydIters
+
+  private def keyed[T](capt: Option[(String, T)], suffix: String): Option[T] =
+    capt.filter(_._1.endsWith(suffix)).map(_._2)
 
   private val DIM = 64
   private val N_BITS = 8
@@ -101,14 +119,18 @@ private[graft] object AnnOracle {
   /** Per-vector murmur signature CTEs over a source relation `rel`
     * (vec_id, embedding): `dots` (vec_id, b, dot) then `sigs`
     * (vec_id, embedding, sig). The dot is the [[Ann.signature]] loop —
-    * one double left fold per plane.
+    * one double left fold per plane. The per-dim product there is
+    * `Float * Float` (single precision, widened AFTER rounding), so the
+    * mirror casts the exact double product back to REAL first: both
+    * operands are floats, their exact product fits a double, and
+    * round-to-REAL of that is the IEEE float product bit for bit.
     */
   private def sigCtes: String =
     s"""planes(b, pv) AS (VALUES
        |    $planesValues),
        |dots AS MATERIALIZED (
        |  SELECT e.vec_id, p.b,
-       |    ${fold(DIM, "CAST(e.embedding[i+1] AS DOUBLE) * p.pv[i+1]")} AS dot
+       |    ${fold(DIM, "CAST(CAST(e.embedding[i+1] AS DOUBLE) * p.pv[i+1] AS REAL)")} AS dot
        |  FROM embeddings e, planes p),
        |sigs AS MATERIALIZED (
        |  SELECT vec_id,
@@ -118,8 +140,12 @@ private[graft] object AnnOracle {
 
   /** Shared tail: candidates (query_id, vec_id pairs with both
     * embeddings joined in) → raw cosine → rank on the RAW double
-    * (desc, vec_id asc) → cut at k → round(sim, 6), ordered like the
-    * registry's `.orderBy("query_id", "rank")`.
+    * (desc, vec_id asc) → cut at k → floor at 6 dp, ordered like the
+    * registry's `.orderBy("query_id", "rank")`. Floor, not round:
+    * Spark's round() goes through the shortest-decimal string while
+    * DuckDB rounds the binary double — the divergence class
+    * `TextAnalysis.floorScale` exists to avoid (and the registry
+    * queries floorScale to match).
     */
   private def cosineRankTail(candCte: String, k: Int): String =
     s"""cand AS (
@@ -133,7 +159,7 @@ private[graft] object AnnOracle {
        |    CAST(row_number() OVER (
        |      PARTITION BY query_id ORDER BY sim DESC, vec_id) AS INT) AS rank
        |  FROM scored)
-       |SELECT query_id, rank, vec_id, round(sim, 6) AS sim
+       |SELECT query_id, rank, vec_id, floor(sim * 1000000) / 1000000 AS sim
        |FROM ranked WHERE rank <= $k
        |ORDER BY query_id, rank""".stripMargin
 
@@ -362,9 +388,13 @@ private[graft] object AnnOracle {
        |  FROM probes p
        |  JOIN embeddings qe ON qe.vec_id = p.query_id
        |  JOIN asg a ON a.cell = p.cell
-       |  JOIN embeddings e ON e.vec_id = a.vec_id)
+       |  JOIN embeddings e ON e.vec_id = a.vec_id),
+       |sel AS (
+       |  SELECT vec_id, sim,
+       |    row_number() OVER (ORDER BY sim DESC, vec_id) AS rn
+       |  FROM scored)
        |SELECT vec_id, floor(sim * 1000000) / 1000000 AS sim
-       |FROM scored ORDER BY sim DESC, vec_id LIMIT 11""".stripMargin
+       |FROM sel WHERE rn <= 11 ORDER BY rn""".stripMargin
 
   /** `ann_pq_trained_topk` mirror: nProbe = nCells means the layout scan
     * reads every cell — spec-pinned identical to the FLAT trained-book
@@ -566,27 +596,34 @@ private[graft] object AnnOracle {
     * (cold cache ⇒ omitted ⇒ rows-only fallback).
     */
   def sqlEntries: Map[String, String] = {
-    val ivf = mainCentroids.toSeq.flatMap { c =>
+    val cMain = keyed(mainCentroids, IVF_SUFFIX)
+    val bGlobal = keyed(globalBooks, BOOKS_SUFFIX)
+    val ivf = cMain.toSeq.flatMap { c =>
       Seq("ann_ivf_topk" -> ivfTopKSql(c), "ann_rule_topk" -> ruleTopKSql(c))
     }
-    val pq = (for { c <- mainCentroids; b <- globalBooks } yield Seq(
+    val pq = (for { c <- cMain; b <- bGlobal } yield Seq(
       "ann_pq_trained_topk" -> pqTrainedSql(b),
       "ann_ivfpq_topk" -> ivfPqSql(c, b, nq = 3, k = 10, nProbe = 3),
       "ann_ivfpq_join" -> ivfPqSql(c, b, nq = 50, k = 5, nProbe = 3),
       "ann_ivfpq_incremental" ->
         ivfPqSql(c, b, nq = 3, k = 10, nProbe = 3, exclude = Seq(7L, 11L)),
       "ann_ivfpq_rerank" -> ivfPqRerankSql(c, b))).getOrElse(Nil)
-    val res = (for { c <- mainCentroids; b <- residualBooks } yield Seq(
-      "ann_ivfpq_residual_topk" -> residualSql(c, b, rerank = false),
-      "ann_ivfpq_residual_rerank" -> residualSql(c, b, rerank = true)))
+    val res = (for { c <- cMain; b <- keyed(residualBooks, BOOKS_SUFFIX) }
+      yield Seq(
+        "ann_ivfpq_residual_topk" -> residualSql(c, b, rerank = false),
+        "ann_ivfpq_residual_rerank" -> residualSql(c, b, rerank = true)))
       .getOrElse(Nil)
-    val loc = (for { c <- mainCentroids; lb <- localBooks } yield Seq(
-      "ann_ivfpq_local_topk" -> localSql(c, lb, rerank = false),
-      "ann_ivfpq_local_rerank" -> localSql(c, lb, rerank = true)))
+    val loc = (for { c <- cMain; lb <- keyed(localBooks, LOPQ_SUFFIX) }
+      yield Seq(
+        "ann_ivfpq_local_topk" -> localSql(c, lb, rerank = false),
+        "ann_ivfpq_local_rerank" -> localSql(c, lb, rerank = true)))
       .getOrElse(Nil)
-    val opqFlat = (for { r <- opqRotation; b <- opqBooks } yield Seq(
+    val rOpq = keyed(opqRotation, OPQ_SUFFIX)
+    val bOpq = keyed(opqBooks, OPQ_SUFFIX)
+    val opqFlat = (for { r <- rOpq; b <- bOpq } yield Seq(
       "ann_opq_adc_topk" -> opqFlatSql(r, b))).getOrElse(Nil)
-    val opqIvf = (for { r <- opqRotation; b <- opqBooks; c <- opqCentroids }
+    val opqIvf = (for { r <- rOpq; b <- bOpq;
+        c <- keyed(opqCentroids, IVF_SUFFIX) }
       yield Seq("ann_ivfpq_opq_topk" -> opqIvfSql(r, b, c))).getOrElse(Nil)
     Map(
       "ann_lsh_topk" -> lshTopKSql,

@@ -2189,7 +2189,7 @@ object SparkEntry {
       val qs = emb.filter(col("vec_id") < 5)
         .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"))
       operators.Ann.lshTopK(qs, emb, k = 2, nBits = 8, probeBits = 2)
-        .withColumn("sim", round(col("sim"), 6))
+        .withColumn("sim", TextAnalysis.floorScale(col("sim"), 6))
         .orderBy("query_id", "rank")
     }),
 
@@ -2202,7 +2202,7 @@ object SparkEntry {
       val qs = emb.filter(col("vec_id") < 5)
         .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"))
       operators.Ann.lshTopKAdaptive(qs, emb, k = 2, nBits = 8, nProbes = 16)
-        .withColumn("sim", round(col("sim"), 6))
+        .withColumn("sim", TextAnalysis.floorScale(col("sim"), 6))
         .orderBy("query_id", "rank")
     }),
 
@@ -2234,7 +2234,7 @@ object SparkEntry {
         .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"))
       val out = operators.Ann.lshTopKPartitionedAdaptive(
         s, layout, qs, k = 2, nBits = 8, nProbes = 16)
-        .withColumn("sim", round(col("sim"), 6))
+        .withColumn("sim", TextAnalysis.floorScale(col("sim"), 6))
         .orderBy("query_id", "rank")
       val expectedDirs = qs.select("q_embedding").collect()
         .flatMap(r => operators.Ann.adaptiveProbes(r.getSeq[Float](0), 8, 16))
@@ -2312,7 +2312,7 @@ object SparkEntry {
       val (centroids, assigned) =
         operators.Ann.buildIvfCached(s, emb, cacheKey = dir, nCells = 8, maxIter = 3)
       operators.Ann.ivfTopK(qs, assigned, centroids, k = 2, nProbe = 3)
-        .withColumn("sim", round(col("sim"), 6))
+        .withColumn("sim", TextAnalysis.floorScale(col("sim"), 6))
         .orderBy("query_id", "rank")
     }),
 

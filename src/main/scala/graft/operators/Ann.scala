@@ -482,7 +482,7 @@ object Ann {
     val key = s"$cacheKey|${fpRow.getLong(0)}|${fpRow.getLong(1)}|$nCells|$maxIter"
     val centroids = centroidCache.computeIfAbsent(key,
       _ => buildIvf(spark, corpus, nCells, maxIter)._1)
-    graft.AnnOracle.captureCentroids(cacheKey, centroids)
+    graft.AnnOracle.captureCentroids(key, centroids)
     (centroids, assignCells(corpus, centroids))
   }
 
@@ -845,7 +845,7 @@ object Ann {
     val key = s"$cacheKey|${fpRow.getLong(0)}|${fpRow.getLong(1)}|$m|$dsub|$kStar|$maxIter"
     val books = pqBookCache.computeIfAbsent(key,
       _ => trainPqCodebooks(corpus, m, dsub, kStar, maxIter))
-    graft.AnnOracle.globalBooks = Some(books)
+    graft.AnnOracle.globalBooks = Some((key, books))
     books
   }
 
@@ -1197,8 +1197,8 @@ object Ann {
     val key = s"opq|$cacheKey|${fpRow.getLong(0)}|${fpRow.getLong(1)}|$m|$dsub|$kStar|$opqIters|$lloydIters"
     val pair = opqCache.computeIfAbsent(key,
       _ => trainOpq(corpus, m, dsub, kStar, opqIters, lloydIters))
-    graft.AnnOracle.opqRotation = Some(pair._1)
-    graft.AnnOracle.opqBooks = Some(pair._2)
+    graft.AnnOracle.opqRotation = Some((key, pair._1))
+    graft.AnnOracle.opqBooks = Some((key, pair._2))
     pair
   }
 
@@ -1578,7 +1578,7 @@ object Ann {
     val key = s"$cacheKey|res$cFp|${fpRow.getLong(0)}|${fpRow.getLong(1)}|$m|$dsub|$kStar|$maxIter"
     val books = pqBookCache.computeIfAbsent(key,
       _ => trainPqCodebooksResidual(corpus, centroids, m, dsub, kStar, maxIter))
-    graft.AnnOracle.residualBooks = Some(books)
+    graft.AnnOracle.residualBooks = Some((key, books))
     books
   }
 
@@ -1734,7 +1734,7 @@ object Ann {
       s"|$m|$dsub|$kStar|$maxIter|$maxPerCell"
     val books = localBookCache.computeIfAbsent(key,
       _ => trainLocalPqCodebooks(corpus, centroids, m, dsub, kStar, maxIter, maxPerCell))
-    graft.AnnOracle.localBooks = Some(books)
+    graft.AnnOracle.localBooks = Some((key, books))
     books
   }
 

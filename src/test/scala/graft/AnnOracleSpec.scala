@@ -42,13 +42,15 @@ class AnnOracleSpec extends AnyFunSuite {
       AnnOracle.residualBooks, AnnOracle.localBooks,
       AnnOracle.opqRotation, AnnOracle.opqBooks, AnnOracle.opqCentroids)
     try {
-      AnnOracle.mainCentroids = Some(cents8)
-      AnnOracle.globalBooks = Some(books8)
-      AnnOracle.residualBooks = Some(books8)
-      AnnOracle.localBooks = Some((0 until 8).map(_ -> books8).toMap)
-      AnnOracle.opqRotation = Some(Array.tabulate(64)(i => floats(i, 64)))
-      AnnOracle.opqBooks = Some(books8)
-      AnnOracle.opqCentroids = Some(cents8)
+      AnnOracle.mainCentroids = Some(("dir|100|1|8|3", cents8))
+      AnnOracle.globalBooks = Some(("dir|100|1|8|8|16|5", books8))
+      AnnOracle.residualBooks = Some(("dir|res1|100|1|8|8|16|5", books8))
+      AnnOracle.localBooks =
+        Some(("dir|lopq1|100|1|8|8|16|5|2000", (0 until 8).map(_ -> books8).toMap))
+      AnnOracle.opqRotation =
+        Some(("opq|dir|100|1|8|8|16|8|8", Array.tabulate(64)(i => floats(i, 64))))
+      AnnOracle.opqBooks = Some(("opq|dir|100|1|8|8|16|8|8", books8))
+      AnnOracle.opqCentroids = Some(("dir|opq|100|1|8|3", cents8))
       val entries = AnnOracle.sqlEntries
       val expected = Set(
         "ann_lsh_topk", "ann_lsh_multiprobe", "ann_lsh_partitioned_adaptive",
@@ -85,10 +87,14 @@ class AnnOracleSpec extends AnyFunSuite {
     try {
       val a = Array(floats(1, 64))
       val b = Array(floats(2, 64))
-      AnnOracle.captureCentroids("/some/dir", a)
-      AnnOracle.captureCentroids("/some/dir|opq", b)
-      assert(AnnOracle.mainCentroids.exists(_ eq a))
-      assert(AnnOracle.opqCentroids.exists(_ eq b))
+      AnnOracle.captureCentroids("/some/dir|100|1|8|3", a)
+      AnnOracle.captureCentroids("/some/dir|opq|100|1|8|3", b)
+      assert(AnnOracle.mainCentroids.exists(_._2 eq a))
+      assert(AnnOracle.opqCentroids.exists(_._2 eq b))
+      // a capture under DIFFERENT params must not feed the mirrors
+      AnnOracle.captureCentroids("/some/dir|100|1|16|5", a)
+      assert(!AnnOracle.sqlEntries.contains("ann_ivf_topk"),
+        "param-mismatched capture leaked into a mirror")
     } finally {
       AnnOracle.mainCentroids = prevMain
       AnnOracle.opqCentroids = prevOpq
@@ -105,7 +111,7 @@ class AnnOracleSpec extends AnyFunSuite {
       // carrying the samples (padded to dim 64), then parse them back
       // out of the VALUES clause.
       val cv = (samples ++ Seq.fill(64 - samples.size)(0.5)).map(_.toFloat)
-      AnnOracle.mainCentroids = Some(Array(cv.toArray))
+      AnnOracle.mainCentroids = Some(("dir|100|1|8|3", Array(cv.toArray)))
       val sql = AnnOracle.sqlEntries("ann_ivf_topk")
       val row = sql.linesIterator.find(_.trim.startsWith("(0, [")).get
       val nums = row.trim.stripPrefix("(0, [").takeWhile(_ != ']')

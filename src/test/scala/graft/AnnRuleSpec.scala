@@ -159,14 +159,17 @@ class AnnRuleSpec extends AnyFunSuite with SparkTestSession {
       // projection between LocalLimit and Sort — the r15 silent-un-fire
       // shape. It must now rewrite too, and its rows must equal the
       // bare shape's (same probe) with the rounding applied on top.
+      // floor, not round: Spark round() (shortest-decimal HALF_UP) and a
+      // driver-side reimplementation can differ at 6-dp boundaries;
+      // floor(x*1e6)/1e6 is the same IEEE ops on both sides.
       val wrapped = naiveTopK(corpusDir, q, 5)
-        .select(col("vec_id"), round(col("sim"), 6).as("sim"))
+        .select(col("vec_id"), (floor(col("sim") * 1e6) / 1e6).as("sim"))
       val scan = wrapped.queryExecution.executedPlan.collectLeaves()
         .map(_.toString).mkString
       assert(scan.contains("PartitionFilters") && scan.contains("cell"),
         s"collapsed-Project shape did not fire:\n${scan.take(600)}")
       val bare = naiveTopK(corpusDir, q, 5).collect()
-        .map(r => (r.getLong(0), math.round(r.getDouble(1) * 1e6) / 1e6)).toSeq
+        .map(r => (r.getLong(0), math.floor(r.getDouble(1) * 1e6) / 1e6)).toSeq
       val got = wrapped.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
       assert(got == bare, s"wrapped=$got\nbare   =$bare")
     }
