@@ -65,7 +65,7 @@ class AnnOracleSpec extends AnyFunSuite {
       entries.foreach { case (name, sql) =>
         val cols =
           if (name == "ann_rule_topk") Seq("vec_id", "sim")
-          else if (name.endsWith("_rerank") && name != "ann_lsh_topk") Seq("query_id", "rank", "vec_id", "d2")
+          else if (name.endsWith("_rerank")) Seq("query_id", "rank", "vec_id", "d2")
           else if (name.startsWith("ann_lsh") || name == "ann_ivf_topk") Seq("query_id", "rank", "vec_id", "sim")
           else Seq("query_id", "rank", "vec_id", "adc_dist")
         cols.foreach(c => assert(sql.contains(c), s"$name missing column $c"))
