@@ -202,21 +202,20 @@ private[graft] object AnnOracle {
        |  FROM ord GROUP BY query_id),
        |probes AS MATERIALIZED (
        |  SELECT query_id, psig FROM (
-       |    SELECT o.query_id, m.mask,
-       |      list_reduce(list_prepend(0.0, list_transform(range($N_BITS),
-       |        j -> CASE WHEN (m.mask >> j) & 1 = 1 THEN o.ads[j+1] ELSE 0.0 END)),
-       |        (acc, v) -> acc + v) AS score,
-       |      xor(q.sig, CAST(list_sum(list_transform(range($N_BITS),
-       |        j -> CASE WHEN (m.mask >> j) & 1 = 1
-       |             THEN CAST(1 AS BIGINT) << CAST(o.bs[j+1] AS INT)
-       |             ELSE CAST(0 AS BIGINT) END)) AS BIGINT)) AS psig,
-       |      row_number() OVER (PARTITION BY o.query_id
-       |        ORDER BY list_reduce(list_prepend(0.0, list_transform(range($N_BITS),
+       |    SELECT query_id, psig,
+       |      row_number() OVER (PARTITION BY query_id ORDER BY score, mask) AS pr
+       |    FROM (
+       |      SELECT o.query_id, m.mask,
+       |        list_reduce(list_prepend(0.0, list_transform(range($N_BITS),
        |          j -> CASE WHEN (m.mask >> j) & 1 = 1 THEN o.ads[j+1] ELSE 0.0 END)),
-       |          (acc, v) -> acc + v), m.mask) AS pr
-       |    FROM ords o
-       |    JOIN qsig q USING (query_id)
-       |    CROSS JOIN (SELECT unnest(range(${1 << N_BITS})) AS mask) m)
+       |          (acc, v) -> acc + v) AS score,
+       |        xor(q.sig, CAST(list_sum(list_transform(range($N_BITS),
+       |          j -> CASE WHEN (m.mask >> j) & 1 = 1
+       |               THEN CAST(1 AS BIGINT) << CAST(o.bs[j+1] AS INT)
+       |               ELSE CAST(0 AS BIGINT) END)) AS BIGINT)) AS psig
+       |      FROM ords o
+       |      JOIN qsig q USING (query_id)
+       |      CROSS JOIN (SELECT unnest(range(${1 << N_BITS})) AS mask) m))
        |  WHERE pr <= 16),
        |${cosineRankTail(
         """SELECT p.query_id, q.qe, s.vec_id, e.embedding
@@ -227,7 +226,6 @@ private[graft] object AnnOracle {
 
   // --------------------------------------------------- trained-tier CTEs
   private val DSUB = 8
-  private val M = 8
 
   /** Literal rows (c, cv DOUBLE[DIM]) of an IVF centroid set (floats
     * widened exactly).
@@ -275,24 +273,29 @@ private[graft] object AnnOracle {
        |      row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, c) AS rn
        |    FROM csim WHERE vec_id < $nq) WHERE rn <= $nProbe)""".stripMargin
 
+  /** The per-dim PQ squared-distance term of [[Ann.pqEncode]] /
+    * [[Ann.adcLut]]: per-dim float→double cast, subtract, square (the
+    * surrounding [[fold]] is the left-fold sum).
+    */
+  private val pqSq =
+    s"(CAST(e.embedding[b.s * $DSUB + i + 1] AS DOUBLE) - b.bv[i+1])"
+
   /** Per-(vector, subspace, code) squared distance + argmin codes over a
     * (vec_id, embedding) relation — the [[Ann.pqEncode]] /
     * [[Ann.adcLut]] shared arithmetic (one CTE serves encode AND query
-    * LUTs): per-dim float→double cast, subtract, square, left fold; ties
-    * to the lowest code.
+    * LUTs); ties to the lowest code. `booksJoin` renders the codebook
+    * relation (global literal books by default; LOPQ joins on the cell).
     */
-  private def codeCtes(src: String): String = {
-    val sq = s"(CAST(e.embedding[b.s * $DSUB + i + 1] AS DOUBLE) - b.bv[i+1])"
+  private def codeCtes(src: String, booksJoin: String = ", books b"): String =
     s"""cdist AS MATERIALIZED (
        |  SELECT e.vec_id, b.s, b.code,
-       |    ${fold(DSUB, s"$sq * $sq")} AS dist
-       |  FROM $src e, books b),
+       |    ${fold(DSUB, s"$pqSq * $pqSq")} AS dist
+       |  FROM $src e $booksJoin),
        |codes AS MATERIALIZED (
        |  SELECT vec_id, s, code FROM (
        |    SELECT vec_id, s, code,
        |      row_number() OVER (PARTITION BY vec_id, s ORDER BY dist, code) AS rn
        |    FROM cdist) WHERE rn = 1)""".stripMargin
-  }
 
   /** ADC distances (query_id, vec_id, adc_dist): corpus codes joined to
     * the query-side distance rows on (s, code), folded in ascending
@@ -470,27 +473,19 @@ private[graft] object AnnOracle {
        |  JOIN embeddings e ON e.vec_id = p.query_id
        |  JOIN cents t ON t.c = p.cell)""".stripMargin
 
-  /** Residual/local ADC: corpus codes from residuals, query LUT rows per
-    * (query, probed cell) from the query residual, joined on the
-    * candidate's cell — [[Ann.ivfPqResidualTopK]] / [[Ann.ivfPqLocalTopK]].
-    * `booksRel(alias, cellRef)` renders the codebook relation: the global
-    * residual books ignore `cellRef`; LOPQ books join on it.
+  /** Residual/local ADC: corpus codes from residuals (the shared
+    * [[codeCtes]] over `rres`), query LUT rows per (query, probed cell)
+    * from the query residual, joined on the candidate's cell —
+    * [[Ann.ivfPqResidualTopK]] / [[Ann.ivfPqLocalTopK]]. `booksJoin`
+    * renders the codebook relation: the global residual books ignore the
+    * cell; LOPQ books join on it.
     */
-  private def residualAdcCtes(booksJoin: String => String, nq: Int): String = {
-    val sq = s"(CAST(e.embedding[b.s * $DSUB + i + 1] AS DOUBLE) - b.bv[i+1])"
-    s"""cdist AS MATERIALIZED (
-       |  SELECT e.vec_id, b.s, b.code,
-       |    ${fold(DSUB, s"$sq * $sq")} AS dist
-       |  FROM rres e ${booksJoin("e.cell")}),
-       |codes AS MATERIALIZED (
-       |  SELECT vec_id, s, code FROM (
-       |    SELECT vec_id, s, code,
-       |      row_number() OVER (PARTITION BY vec_id, s ORDER BY dist, code) AS rn
-       |    FROM cdist) WHERE rn = 1),
+  private def residualAdcCtes(booksJoin: String): String =
+    s"""${codeCtes("rres", booksJoin)},
        |qlut AS MATERIALIZED (
        |  SELECT e.query_id, e.cell, b.s, b.code,
-       |    ${fold(DSUB, s"$sq * $sq")} AS dist
-       |  FROM qres e ${booksJoin("e.cell")}),
+       |    ${fold(DSUB, s"$pqSq * $pqSq")} AS dist
+       |  FROM qres e $booksJoin),
        |adc AS (
        |  SELECT l.query_id, c.vec_id,
        |    floor(list_reduce(list_prepend(0.0, list(l.dist ORDER BY l.s)),
@@ -500,7 +495,6 @@ private[graft] object AnnOracle {
        |  JOIN qlut l ON l.cell = a.cell AND l.s = c.s AND l.code = c.code
        |    AND l.query_id <> c.vec_id
        |  GROUP BY l.query_id, c.vec_id)""".stripMargin
-  }
 
   private def residualSql(
       cents: Array[Array[Float]],
@@ -514,7 +508,7 @@ private[graft] object AnnOracle {
          |${cellCtes("embeddings")},
          |${probeCte(3, 3)},
          |$residualCtes,
-         |${residualAdcCtes(_ => ", books b", 3)}""".stripMargin
+         |${residualAdcCtes(", books b")}""".stripMargin
     if (rerank) s"$core,\n${rerankTail(10, 4)}" else s"$core\n${adcTail(10)}"
   }
 
@@ -540,7 +534,7 @@ private[graft] object AnnOracle {
          |${cellCtes("embeddings")},
          |${probeCte(3, 3)},
          |$residualCtes,
-         |${residualAdcCtes(cellRef => s"JOIN lbooks b ON b.cell = $cellRef", 3)}""".stripMargin
+         |${residualAdcCtes("JOIN lbooks b ON b.cell = e.cell")}""".stripMargin
     if (rerank) s"$core,\n${rerankTail(10, 4)}" else s"$core\n${adcTail(10)}"
   }
 
