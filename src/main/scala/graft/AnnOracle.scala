@@ -224,6 +224,53 @@ private[graft] object AnnOracle {
           |  JOIN sigs s ON s.sig = p.psig
           |  JOIN embeddings e ON e.vec_id = s.vec_id""".stripMargin, 2)}""".stripMargin
 
+  /** `ann_recall_murmur` mirror: recall@10 of the murmur home-ball tier
+    * ([[Ann.lshTopK]] at probeBits=2, raw-sim rank) against the exact
+    * brute-force top-10, per query plus the macro mean (query_id = -1) —
+    * the quality-contract row `ann_recall` gives the portable tier,
+    * now expressible for the murmur tier too since its signatures
+    * replay. The +1e-9 pre-floor on the macro mean absorbs ulp-order
+    * differences in the 5-row average (the RetrievalEval convention).
+    */
+  def lshRecallSql: String =
+    s"""WITH
+       |$sigCtes,
+       |q AS (
+       |  SELECT s.vec_id AS query_id, e.embedding AS qe, s.sig
+       |  FROM sigs s JOIN embeddings e USING (vec_id) WHERE s.vec_id < 5),
+       |cand AS (
+       |  SELECT q.query_id, s.vec_id,
+       |    ${cosine("q.qe", "e.embedding")} AS sim
+       |  FROM q JOIN sigs s ON bit_count(xor(q.sig, s.sig)) <= 2
+       |  JOIN embeddings e ON e.vec_id = s.vec_id),
+       |ar AS (
+       |  SELECT query_id, vec_id FROM (
+       |    SELECT query_id, vec_id,
+       |      row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rank
+       |    FROM cand) t WHERE rank <= 10),
+       |scored AS (
+       |  SELECT q.query_id, e.vec_id,
+       |    ${cosine("q.qe", "e.embedding")} AS sim
+       |  FROM q CROSS JOIN embeddings e),
+       |bq AS (
+       |  SELECT query_id, vec_id FROM (
+       |    SELECT query_id, vec_id,
+       |      row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rank
+       |    FROM scored) t WHERE rank <= 10),
+       |inter AS (
+       |  SELECT query_id, CAST(count(*) AS BIGINT) AS n_hit
+       |  FROM ar JOIN bq USING (query_id, vec_id) GROUP BY 1),
+       |per AS (
+       |  SELECT q.query_id, coalesce(i.n_hit, 0) AS n_hit,
+       |    floor(coalesce(i.n_hit, 0) / 10.0 * 1000000) / 1000000 AS recall_at_k
+       |  FROM q LEFT JOIN inter i ON q.query_id = i.query_id)
+       |SELECT query_id, n_hit, recall_at_k FROM per
+       |UNION ALL
+       |SELECT CAST(-1 AS BIGINT) AS query_id, CAST(sum(n_hit) AS BIGINT) AS n_hit,
+       |  floor((avg(recall_at_k) + 1e-9) * 1000000) / 1000000 AS recall_at_k
+       |FROM per
+       |ORDER BY query_id""".stripMargin
+
   // --------------------------------------------------- trained-tier CTEs
   private val DSUB = 8
 
@@ -624,7 +671,8 @@ private[graft] object AnnOracle {
       "ann_lsh_multiprobe" -> lshMultiprobeSql,
       // Spec-pinned identical to the in-memory adaptive form
       // (AnnPartitionedSpec) — the layout is a physical optimization.
-      "ann_lsh_partitioned_adaptive" -> lshMultiprobeSql) ++
+      "ann_lsh_partitioned_adaptive" -> lshMultiprobeSql,
+      "ann_recall_murmur" -> lshRecallSql) ++
       ivf ++ pq ++ res ++ loc ++ opqFlat ++ opqIvf
   }
 }

@@ -2303,6 +2303,35 @@ object SparkEntry {
         .orderBy("query_id")
     }),
 
+    "ann_recall_murmur" -> ((s, dir) => {
+      // The quality-contract row for the MURMUR LSH tier — the twin of
+      // `ann_recall` (portable tier), hash-checkable since r15 because
+      // the murmur signatures replay in the oracle: recall@10 of the
+      // Hamming-2 home-ball probe vs the exact brute force, per query
+      // plus the macro mean (query_id = -1).
+      val emb = Tables.embeddings(s, dir)
+      val qs = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"))
+      val k = 10
+      val approx = operators.Ann
+        .lshTopK(qs, emb, k = k, nBits = 8, probeBits = 2)
+        .select("query_id", "vec_id")
+      val exact = Retrieval.knnJoin(qs, emb, k = k).select("query_id", "vec_id")
+      val inter = exact.join(approx, Seq("query_id", "vec_id"))
+        .groupBy("query_id").agg(count(lit(1)).as("n_hit"))
+      val per = qs.select("query_id").join(inter, Seq("query_id"), "left")
+        .select(col("query_id"),
+          coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+          TextAnalysis.floorScale(
+            coalesce(col("n_hit"), lit(0L)) / lit(k.toDouble), 6).as("recall_at_k"))
+      per.unionByName(per.agg(
+          sum(col("n_hit")).as("n_hit"),
+          TextAnalysis.floorScale(avg(col("recall_at_k")) + lit(1e-9), 6)
+            .as("recall_at_k"))
+        .select(lit(-1L).as("query_id"), col("n_hit"), col("recall_at_k")))
+        .orderBy("query_id")
+    }),
+
     "ann_ivf_topk" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       val qs = emb.filter(col("vec_id") < 5)

@@ -54,6 +54,7 @@ class AnnOracleSpec extends AnyFunSuite {
       val entries = AnnOracle.sqlEntries
       val expected = Set(
         "ann_lsh_topk", "ann_lsh_multiprobe", "ann_lsh_partitioned_adaptive",
+        "ann_recall_murmur",
         "ann_ivf_topk", "ann_rule_topk", "ann_pq_trained_topk",
         "ann_ivfpq_topk", "ann_ivfpq_join", "ann_ivfpq_incremental",
         "ann_ivfpq_rerank", "ann_ivfpq_residual_topk",
@@ -65,6 +66,7 @@ class AnnOracleSpec extends AnyFunSuite {
       entries.foreach { case (name, sql) =>
         val cols =
           if (name == "ann_rule_topk") Seq("vec_id", "sim")
+          else if (name == "ann_recall_murmur") Seq("query_id", "n_hit", "recall_at_k")
           else if (name.endsWith("_rerank")) Seq("query_id", "rank", "vec_id", "d2")
           else if (name.startsWith("ann_lsh") || name == "ann_ivf_topk") Seq("query_id", "rank", "vec_id", "sim")
           else Seq("query_id", "rank", "vec_id", "adc_dist")

@@ -46,9 +46,9 @@ class RegistryPlanAuditSpec extends AnyFunSuite with SparkTestSession {
     // retrieval_eval: kNN brute force inside the hybrid leg + the
     // 5-row broadcast static-baseline attach — both bounded frames
     "retrieval_eval",
-    // ann_recall: the exact-brute-force arm IS the recall yardstick —
-    // broadcast bounded probe set, corpus streams map-only
-    "ann_recall",
+    // ann_recall(_murmur): the exact-brute-force arm IS the recall
+    // yardstick — broadcast bounded probe set, corpus streams map-only
+    "ann_recall", "ann_recall_murmur",
     "ann_quantized_topk", "ann_quantized_rerank",
     // PQ ADC scan: broadcast bounded query set against the m-byte code
     // table (self-pair exclusion makes the join non-equi)
