@@ -40,29 +40,55 @@ private[graft] object AnnOracle {
 
   // ------------------------------------------------------------ captures
   /** Structures the registry queries trained/probed with this JVM run —
-    * stashed by the memoized trainers themselves together with the full
-    * memo key they trained under (cold cache ⇒ entry omitted ⇒ the row
-    * degrades to the rows-only check, like [[UnigramOracle]]). The
-    * captures are last-write-wins, so [[sqlEntries]] FILTERS each one on
-    * the registry queries' parameter suffix before embedding — a future
-    * sibling query training with different params (or a spec exercising
-    * a trainer on another corpus in the same JVM) can only suppress a
-    * mirror (rows-only fallback), never poison it. The `|opq` cacheKey
+    * stashed by the memoized trainers themselves UNDER the full memo key
+    * they trained under (cold cache ⇒ entry omitted ⇒ the row degrades
+    * to the rows-only check, like [[UnigramOracle]]). Each kind keeps a
+    * MAP of every capture by full key, and [[sqlEntries]] embeds one
+    * only when exactly ONE captured key carries the registry queries'
+    * parameter suffix: a sibling training with different params leaves
+    * the right capture selectable, while a SAME-param training on a
+    * DIFFERENT corpus in the same JVM (a spec, or a second dataset
+    * pass — the key's corpus fingerprint differs) makes the suffix
+    * ambiguous and SUPPRESSES the mirror (rows-only fallback) instead
+    * of risking the wrong structure — fail-safe in both directions
+    * (r15 ADVICE: the old last-write-wins Option could embed the other
+    * corpus's centroids and red a correct query). The `|opq` cacheKey
     * suffix is the registry's marker for the rotated-corpus IVF build
     * (`ann_ivfpq_opq_topk`).
     */
-  @volatile var mainCentroids: Option[(String, Array[Array[Float]])] = None
-  @volatile var globalBooks: Option[(String, Seq[Seq[Seq[Double]]])] = None
-  @volatile var residualBooks: Option[(String, Seq[Seq[Seq[Double]]])] = None
-  @volatile var localBooks: Option[(String, Map[Int, Seq[Seq[Seq[Double]]]])] = None
-  @volatile var opqRotation: Option[(String, Array[Array[Float]])] = None
-  @volatile var opqBooks: Option[(String, Seq[Seq[Seq[Double]]])] = None
-  @volatile var opqCentroids: Option[(String, Array[Array[Float]])] = None
+  final class Capture[T] {
+    private val byKey = new java.util.concurrent.ConcurrentHashMap[String, T]()
+    def put(key: String, v: T): Unit = { byKey.put(key, v); () }
+    /** The unique capture whose full memo key ends with `suffix`; None
+      * when absent or ambiguous (≥2 distinct full keys share it).
+      */
+    def unique(suffix: String): Option[T] = {
+      import scala.jdk.CollectionConverters._
+      val hits = byKey.asScala.filter(_._1.endsWith(suffix)).values.toSeq
+      if (hits.size == 1) Some(hits.head) else None
+    }
+    // test hooks: snapshot/restore the whole store around a scenario
+    def snapshot(): Map[String, T] = {
+      import scala.jdk.CollectionConverters._
+      byKey.asScala.toMap
+    }
+    def restore(m: Map[String, T]): Unit = {
+      byKey.clear(); m.foreach { case (k, v) => byKey.put(k, v) }
+    }
+  }
+
+  val mainCentroids = new Capture[Array[Array[Float]]]
+  val globalBooks = new Capture[Seq[Seq[Seq[Double]]]]
+  val residualBooks = new Capture[Seq[Seq[Seq[Double]]]]
+  val localBooks = new Capture[Map[Int, Seq[Seq[Seq[Double]]]]]
+  val opqRotation = new Capture[Array[Array[Float]]]
+  val opqBooks = new Capture[Seq[Seq[Seq[Double]]]]
+  val opqCentroids = new Capture[Array[Array[Float]]]
 
   private[graft] def captureCentroids(
       memoKey: String, c: Array[Array[Float]]): Unit =
-    if (memoKey.contains("|opq|")) opqCentroids = Some((memoKey, c))
-    else mainCentroids = Some((memoKey, c))
+    if (memoKey.contains("|opq|")) opqCentroids.put(memoKey, c)
+    else mainCentroids.put(memoKey, c)
 
   /** The registry ANN queries' parameter tails of the memo keys (see the
     * key formats in [[graft.operators.Ann]]): a capture only feeds a
@@ -72,9 +98,6 @@ private[graft] object AnnOracle {
   private val BOOKS_SUFFIX = "|8|8|16|5"       // m, dsub, kStar, maxIter
   private val LOPQ_SUFFIX = "|8|8|16|5|2000"   // + maxPerCell
   private val OPQ_SUFFIX = "|8|8|16|8|8"       // m, dsub, kStar, opqIters, lloydIters
-
-  private def keyed[T](capt: Option[(String, T)], suffix: String): Option[T] =
-    capt.filter(_._1.endsWith(suffix)).map(_._2)
 
   private val DIM = 64
   private val N_BITS = 8
@@ -407,21 +430,25 @@ private[graft] object AnnOracle {
        |ORDER BY query_id, rank""".stripMargin
   }
 
-  /** `ann_ivf_topk` mirror: trained centroids as literals, cell argmax,
-    * 3-cell probes, exact cosine rerank at k=2 (self included — the IVF
-    * probe does not exclude the query row).
+  /** `ann_ivf_topk` / `ann_ivf_join` mirrors: trained centroids as
+    * literals, cell argmax, `nProbe`-cell probes for the first `nq`
+    * vectors, exact cosine rerank at `k` (self included — the IVF probe
+    * does not exclude the query row). The join form replays identically:
+    * distributed-vs-driver-side probing is a physical layout choice, the
+    * probe set and scoring are shared code on the Spark side.
     */
-  private def ivfTopKSql(cents: Array[Array[Float]]): String =
+  private def ivfTopKSql(
+      cents: Array[Array[Float]], nq: Int, k: Int, nProbe: Int): String =
     s"""WITH cents(c, cv) AS (VALUES
        |    ${centsValues(cents)}),
        |${cellCtes("embeddings")},
-       |${probeCte(5, 3)},
+       |${probeCte(nq, nProbe)},
        |${cosineRankTail(
         """SELECT p.query_id, qe.embedding AS qe, a.vec_id, e.embedding
           |  FROM probes p
           |  JOIN embeddings qe ON qe.vec_id = p.query_id
           |  JOIN asg a ON a.cell = p.cell
-          |  JOIN embeddings e ON e.vec_id = a.vec_id""".stripMargin, 2)}""".stripMargin
+          |  JOIN embeddings e ON e.vec_id = a.vec_id""".stripMargin, k)}""".stripMargin
 
   /** `ann_rule_topk` mirror: the optimizer-rule rewrite probes vec 0's 5
     * nearest cells of the SAME registered layout (exact cosine, no PQ),
@@ -439,6 +466,49 @@ private[graft] object AnnOracle {
        |  JOIN embeddings qe ON qe.vec_id = p.query_id
        |  JOIN asg a ON a.cell = p.cell
        |  JOIN embeddings e ON e.vec_id = a.vec_id),
+       |sel AS (
+       |  SELECT vec_id, sim,
+       |    row_number() OVER (ORDER BY sim DESC, vec_id) AS rn
+       |  FROM scored)
+       |SELECT vec_id, floor(sim * 1000000) / 1000000 AS sim
+       |FROM sel WHERE rn <= 11 ORDER BY rn""".stripMargin
+
+  /** `ann_rule_ivfpq` mirror: the optimizer rule's QUANTIZED tier —
+    * ADC coarse over vec 0's 5 probed cells of the IVF-PQ layout (no
+    * self-exclusion: the naive top-k the rule rewrites keeps the query
+    * row), floored-dist + vec_id cut at k·overfetch = 44, then the
+    * preserved projection's exact cosine reranks the candidates
+    * (raw-double ORDER, floored output) — exactly the semi-join plan
+    * the rewrite builds.
+    */
+  private def rulePqTopKSql(
+      cents: Array[Array[Float]], books: Seq[Seq[Seq[Double]]]): String =
+    s"""WITH cents(c, cv) AS (VALUES
+       |    ${centsValues(cents)}),
+       |books(s, code, bv) AS (VALUES
+       |    ${booksValues(books)}),
+       |${cellCtes("embeddings")},
+       |${probeCte(1, 5)},
+       |${codeCtes("embeddings")},
+       |adc AS (
+       |  SELECT c.vec_id,
+       |    floor(list_reduce(list_prepend(0.0, list(qd.dist ORDER BY qd.s)),
+       |      (a2, b2) -> a2 + b2) * 1000000) / 1000000 AS adc_dist
+       |  FROM codes c
+       |  JOIN asg a ON a.vec_id = c.vec_id
+       |  JOIN probes p ON p.cell = a.cell
+       |  JOIN cdist qd ON qd.s = c.s AND qd.code = c.code AND qd.vec_id = 0
+       |  GROUP BY c.vec_id),
+       |coarse AS (
+       |  SELECT vec_id FROM (
+       |    SELECT vec_id, row_number() OVER (ORDER BY adc_dist, vec_id) AS rn
+       |    FROM adc) WHERE rn <= 44),
+       |scored AS (
+       |  SELECT e.vec_id,
+       |    ${cosine("qe.embedding", "e.embedding")} AS sim
+       |  FROM coarse co
+       |  JOIN embeddings e ON e.vec_id = co.vec_id
+       |  CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = 0) qe),
        |sel AS (
        |  SELECT vec_id, sim,
        |    row_number() OVER (ORDER BY sim DESC, vec_id) AS rn
@@ -637,34 +707,38 @@ private[graft] object AnnOracle {
     * (cold cache ⇒ omitted ⇒ rows-only fallback).
     */
   def sqlEntries: Map[String, String] = {
-    val cMain = keyed(mainCentroids, IVF_SUFFIX)
-    val bGlobal = keyed(globalBooks, BOOKS_SUFFIX)
+    val cMain = mainCentroids.unique(IVF_SUFFIX)
+    val bGlobal = globalBooks.unique(BOOKS_SUFFIX)
     val ivf = cMain.toSeq.flatMap { c =>
-      Seq("ann_ivf_topk" -> ivfTopKSql(c), "ann_rule_topk" -> ruleTopKSql(c))
+      Seq(
+        "ann_ivf_topk" -> ivfTopKSql(c, nq = 5, k = 2, nProbe = 3),
+        "ann_ivf_join" -> ivfTopKSql(c, nq = 50, k = 5, nProbe = 3),
+        "ann_rule_topk" -> ruleTopKSql(c))
     }
     val pq = (for { c <- cMain; b <- bGlobal } yield Seq(
+      "ann_rule_ivfpq" -> rulePqTopKSql(c, b),
       "ann_pq_trained_topk" -> pqTrainedSql(b),
       "ann_ivfpq_topk" -> ivfPqSql(c, b, nq = 3, k = 10, nProbe = 3),
       "ann_ivfpq_join" -> ivfPqSql(c, b, nq = 50, k = 5, nProbe = 3),
       "ann_ivfpq_incremental" ->
         ivfPqSql(c, b, nq = 3, k = 10, nProbe = 3, exclude = Seq(7L, 11L)),
       "ann_ivfpq_rerank" -> ivfPqRerankSql(c, b))).getOrElse(Nil)
-    val res = (for { c <- cMain; b <- keyed(residualBooks, BOOKS_SUFFIX) }
+    val res = (for { c <- cMain; b <- residualBooks.unique(BOOKS_SUFFIX) }
       yield Seq(
         "ann_ivfpq_residual_topk" -> residualSql(c, b, rerank = false),
         "ann_ivfpq_residual_rerank" -> residualSql(c, b, rerank = true)))
       .getOrElse(Nil)
-    val loc = (for { c <- cMain; lb <- keyed(localBooks, LOPQ_SUFFIX) }
+    val loc = (for { c <- cMain; lb <- localBooks.unique(LOPQ_SUFFIX) }
       yield Seq(
         "ann_ivfpq_local_topk" -> localSql(c, lb, rerank = false),
         "ann_ivfpq_local_rerank" -> localSql(c, lb, rerank = true)))
       .getOrElse(Nil)
-    val rOpq = keyed(opqRotation, OPQ_SUFFIX)
-    val bOpq = keyed(opqBooks, OPQ_SUFFIX)
+    val rOpq = opqRotation.unique(OPQ_SUFFIX)
+    val bOpq = opqBooks.unique(OPQ_SUFFIX)
     val opqFlat = (for { r <- rOpq; b <- bOpq } yield Seq(
       "ann_opq_adc_topk" -> opqFlatSql(r, b))).getOrElse(Nil)
     val opqIvf = (for { r <- rOpq; b <- bOpq;
-        c <- keyed(opqCentroids, IVF_SUFFIX) }
+        c <- opqCentroids.unique(IVF_SUFFIX) }
       yield Seq("ann_ivfpq_opq_topk" -> opqIvfSql(r, b, c))).getOrElse(Nil)
     Map(
       "ann_lsh_topk" -> lshTopKSql,

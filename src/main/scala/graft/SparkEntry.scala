@@ -2345,6 +2345,29 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    "ann_ivf_join" -> ((s, dir) => {
+      // ANN as a JOIN on the EXACT-scoring IVF tier (r15 verdict #2):
+      // the distributed-queries form of the cell probe — queries never
+      // collect to the driver; probe cells explode per row and
+      // candidates come from the cell equi-join over the build-once
+      // cell-partitioned layout, exact codegen cosine within the probe.
+      // This is the corpus-vs-corpus shape (near-dup sweeps, batch
+      // retrieval) at the tier users reach first; Verify hard-gates
+      // EXACT row equality vs the driver-side ivfTopKPartitioned at the
+      // same parameters, and the AnnOracle mirror replays the probe.
+      val emb = Tables.embeddings(s, dir)
+      val (centroids, _) =
+        operators.Ann.buildIvfCached(s, emb, cacheKey = dir, nCells = 8, maxIter = 3)
+      val layout = operators.Ann.cellLayout(s, emb,
+        new java.io.File(sys.props("java.io.tmpdir"), "graft_ann_layouts").getAbsolutePath,
+        centroids)
+      val qs = emb.filter(col("vec_id") < 50)
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"))
+      operators.Ann.ivfJoin(s, layout, qs, centroids, k = 5, nProbe = 3)
+        .withColumn("sim", TextAnalysis.floorScale(col("sim"), 6))
+        .orderBy("query_id", "rank")
+    }),
+
     "ann_rule_topk" -> ((s, dir) => {
       // §4 ANN-aware top-k OPTIMIZER RULE (r9 next #3): the query below
       // is the NAIVE brute-force spelling — scan the corpus parquet,
@@ -2396,11 +2419,61 @@ object SparkEntry {
         // Limit(Sort(...)) pattern no longer matches and the collected
         // rows silently came from the UNREWRITTEN full scan — invisible
         // at sf0.01 where probe recall is 1.0; the r15 ANN oracle's
-        // sf0.1 hash mismatch (probe recall 0.91) caught it.
+        // sf0.1 hash mismatch caught it (the honest probe there
+        // measures 0.727, the calibration figure above — the full scan
+        // hashed as if recall were 1.0).
         df.collect()
           .map(r => (r.getLong(0), math.floor(r.getDouble(1) * 1000000) / 1000000))
           .toSeq.toDF("vec_id", "sim")
       } finally plans.AnnTopKRewrite.unregister(embPath)
+    }),
+
+    "ann_rule_ivfpq" -> ((s, dir) => {
+      // The optimizer rule's QUANTIZED tier (r15 verdict #6): the same
+      // naive brute-force cosine top-k spelling, rewritten into a
+      // two-stage probe of the registered IVF-PQ layout — ADC over-fetch
+      // of k*overfetch candidate ids from the probed cells' m-byte codes
+      // (PartitionFilters-pruned scan), then the ORIGINAL projection/
+      // sort/limit exact-rerank those candidates through a broadcast
+      // semi join on vec_id. At 100 TB this is the layout users keep
+      // hot: the probe streams a few MB of codes; the float corpus is
+      // touched only for the candidate rows. The require asserts the
+      // pruned PQ-layout scan is genuinely in the executed plan (the
+      // ann_rule_topk discipline — a silently non-firing rule fails the
+      // round); the AnnOracle mirror replays ADC coarse + cosine rerank
+      // move for move, and Verify floors recall vs the exact brute
+      // force.
+      GraftExtensions.register(s)
+      val embPath = s"$dir/embeddings.parquet"
+      val emb = Tables.embeddings(s, dir)
+      val (centroids, _) =
+        operators.Ann.buildIvfCached(s, emb, cacheKey = dir, nCells = 8, maxIter = 3)
+      val books = operators.Ann.trainPqCodebooksCached(
+        emb, cacheKey = dir, m = 8, dsub = 8, kStar = 16, maxIter = 5)
+      val base = new java.io.File(
+        sys.props("java.io.tmpdir"), "graft_ann_layouts").getAbsolutePath
+      val layout = operators.Ann.ivfPqLayout(s, emb, base, centroids, books)
+      plans.AnnTopKRewrite.registerPq(embPath,
+        plans.AnnTopKRewrite.RegisteredPqLayout(
+          layout, centroids, books, nProbe = 5, overfetch = 4))
+      try {
+        val q = emb.filter(col("vec_id") === 0)
+          .select("embedding").head().getSeq[Float](0).toArray
+        val df = s.read.parquet(embPath)
+          .select(col("vec_id"),
+            expressions.VectorExpressions.cosineSim(typedLit(q), col("embedding")).as("sim"))
+          .orderBy(desc("sim"), asc("vec_id"))
+          .limit(11)
+        val leaves = df.queryExecution.executedPlan.collectLeaves().map(_.toString).mkString
+        require(leaves.contains("PartitionFilters") && leaves.contains("ivfpq_"),
+          "ann_rule_ivfpq: AnnTopKRewrite did not rewrite the scan into the PQ-layout probe")
+        import s.implicits._
+        // Collect from THIS df — the plan the require audited (the r15
+        // re-plan lesson) — and floor driver-side.
+        df.collect()
+          .map(r => (r.getLong(0), math.floor(r.getDouble(1) * 1000000) / 1000000))
+          .toSeq.toDF("vec_id", "sim")
+      } finally plans.AnnTopKRewrite.unregisterPq(embPath)
     }),
 
     "ann_quantized_topk" -> ((s, dir) => {

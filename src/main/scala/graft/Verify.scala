@@ -111,6 +111,22 @@ object Verify {
         val recall = exactRule.count(ruleGot.contains).toDouble / exactRule.size
         println(f"[recall] ann_rule_topk = $recall%.3f (gate >= 0.55)")
         require(recall >= 0.55, s"ann_rule_topk recall $recall below gate 0.55")
+
+        // ann_rule_ivfpq gate: the QUANTIZED rewrite tier (ADC coarse at
+        // nProbe=5/8, overfetch=4, then exact rerank). Its recall ceiling
+        // is probe coverage LIKE ann_rule_topk, but ADC coarse ordering
+        // on this isotropic corpus loses true neighbors the over-fetch
+        // doesn't recover (the plain-PQ story, ann_ivfpq_topk 0.155
+        // @sf0.1): measured 0.727 @sf0.01 / 0.273 @sf0.1 at k=11. Floor
+        // 0.15 sits between the sf0.1 measurement and half of it, above
+        // the broken-probe reading (~0) and the structurally-broken-ADC
+        // class.
+        val rulePqGot = SparkEntry.queries("ann_rule_ivfpq")(spark, sfDir)
+          .select("vec_id").collect().map(_.getLong(0)).toSet
+        plans.AnnTopKRewrite.unregisterPq(s"$sfDir/embeddings.parquet")
+        val recallPq = exactRule.count(rulePqGot.contains).toDouble / exactRule.size
+        println(f"[recall] ann_rule_ivfpq = $recallPq%.3f (gate >= 0.15)")
+        require(recallPq >= 0.15, s"ann_rule_ivfpq recall $recallPq below gate 0.15")
       }
 
       // PQ-family gates: ADC approximates SQUARED EUCLIDEAN distance, so
@@ -318,6 +334,29 @@ object Verify {
           s"driver=${driverSide.size} equal=${joined == driverSide}")
         require(joined == driverSide,
           "ann_ivfpq_join: distributed join diverged from the driver-side probe")
+      }
+
+      // Exact-tier distributed-join gate (r15 verdict #2): ivfJoin over
+      // the cell-partitioned layout must reproduce the driver-side
+      // ivfTopKPartitioned EXACTLY — same probe set, same codegen cosine,
+      // same (sim desc, vec_id) cut — row for row including the raw
+      // double sim.
+      {
+        val cellPath = operators.Ann.cellLayout(spark, emb,
+          new java.io.File(sys.props("java.io.tmpdir"), "graft_ann_layouts").getAbsolutePath,
+          centroids)
+        val joined = operators.Ann.ivfJoin(
+          spark, cellPath, qsIvf, centroids, k = 10, nProbe = 3)
+          .select("query_id", "rank", "vec_id", "sim").collect()
+          .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+        val driverSide = operators.Ann.ivfTopKPartitioned(
+          spark, cellPath, qsIvf, centroids, k = 10, nProbe = 3)
+          .select("query_id", "rank", "vec_id", "sim").collect()
+          .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+        println(s"[equality] ann_ivf_join rows=${joined.size} " +
+          s"driver=${driverSide.size} equal=${joined == driverSide}")
+        require(joined == driverSide,
+          "ann_ivf_join: distributed join diverged from the driver-side probe")
       }
 
       // Incremental-index gate: NOT a recall floor but EXACT row

@@ -503,7 +503,13 @@ object Ann {
       }
       val den = math.sqrt(na) * math.sqrt(nb)
       (if (den == 0) 0.0 else dot / den, c)
-    }.sortBy(p => (-p._1, p._2)).take(nProbe).map(_._2).toArray
+      // `sim + 0.0` maps -0.0 to +0.0 BEFORE negating: Scala's total
+      // Double ordering ranks -0.0 < +0.0, so a raw `-sim` would order a
+      // +0.0 sim (negated to -0.0) ahead of a -0.0 sim regardless of the
+      // cell tiebreak, while the oracle's ORDER BY sim DESC, c treats
+      // ±0.0 as equal (r15 ADVICE). With the normalization both zeros
+      // negate to -0.0 and the cell index decides, matching the SQL.
+    }.sortBy(p => (-(p._1 + 0.0), p._2)).take(nProbe).map(_._2).toArray
   }
 
   /** Write the corpus PARTITIONED BY its IVF cell — the physical layout
@@ -599,6 +605,47 @@ object Ann {
     val w = Window.partitionBy("query_id").orderBy(desc("sim"), asc("vec_id"))
     cands
       .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "vec_id", "sim")
+  }
+
+  /** Exact-cosine IVF similarity JOIN over a [[writeCellPartitioned]] /
+    * [[cellLayout]] layout: top-k neighbors for EVERY row of an
+    * arbitrarily large query frame — the [[ivfPqJoin]] treatment applied
+    * to the plain (un-quantized) IVF tier, which is the tier users reach
+    * first for corpus-vs-corpus shapes (near-dup between two large
+    * corpora, nightly batch retrieval; reference analog
+    * chroma_utils.py:237-263 applied corpus-wide). [[ivfTopKPartitioned]]
+    * collects its queries driver-side (fine for bounded probe batches,
+    * and it buys a static `PartitionFilters` isin); this form keeps
+    * queries DISTRIBUTED: probe cells explode per query row from the
+    * broadcast centroid array, candidates come from a plain equi-join on
+    * the cell key (the standard banded-candidate shape — scored pairs
+    * stay O(queries × probed-cell occupancy), never queries × corpus),
+    * and the exact codegen cosine reranks within the probe. The join
+    * shuffles BOTH sides by cell — at 100 TB that is the right plan when
+    * the query side is itself corpus-sized (a broadcast would not fit);
+    * for small probe batches use [[ivfTopKPartitioned]].
+    *
+    * Row-identical to [[ivfTopK]]/[[ivfTopKPartitioned]] at the same
+    * centroids and parameters (spec-pinned and Verify-gated by exact
+    * equality); like them it does not exclude self-matches.
+    */
+  def ivfJoin(
+      spark: SparkSession,
+      path: String,
+      queries: DataFrame,
+      centroids: Array[Array[Float]],
+      k: Int,
+      nProbe: Int = 3): DataFrame = {
+    val probeUdf = udf { (v: Seq[Float]) => nearestCells(v, centroids, nProbe) }
+    val probed = queries
+      .withColumn("cell", explode(probeUdf(col("q_embedding"))))
+      .select("query_id", "cell", "q_embedding")
+    spark.read.parquet(path).join(probed, "cell")
+      .withColumn("sim", VectorExpressions.cosineSim(col("q_embedding"), col("embedding")))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("query_id").orderBy(desc("sim"), asc("vec_id"))))
       .filter(col("rank") <= k)
       .select("query_id", "rank", "vec_id", "sim")
   }
@@ -845,7 +892,7 @@ object Ann {
     val key = s"$cacheKey|${fpRow.getLong(0)}|${fpRow.getLong(1)}|$m|$dsub|$kStar|$maxIter"
     val books = pqBookCache.computeIfAbsent(key,
       _ => trainPqCodebooks(corpus, m, dsub, kStar, maxIter))
-    graft.AnnOracle.globalBooks = Some((key, books))
+    graft.AnnOracle.globalBooks.put(key, books)
     books
   }
 
@@ -1197,8 +1244,8 @@ object Ann {
     val key = s"opq|$cacheKey|${fpRow.getLong(0)}|${fpRow.getLong(1)}|$m|$dsub|$kStar|$opqIters|$lloydIters"
     val pair = opqCache.computeIfAbsent(key,
       _ => trainOpq(corpus, m, dsub, kStar, opqIters, lloydIters))
-    graft.AnnOracle.opqRotation = Some((key, pair._1))
-    graft.AnnOracle.opqBooks = Some((key, pair._2))
+    graft.AnnOracle.opqRotation.put(key, pair._1)
+    graft.AnnOracle.opqBooks.put(key, pair._2)
     pair
   }
 
@@ -1263,6 +1310,21 @@ object Ann {
     (0 until m).map(s =>
       element_at(element_at(col("lut"), s + 1), col(s"code_$s") + 1))
       .reduce(_ + _)
+
+  /** ADC distance of a PQ layout's `code_s` columns to ONE query vector,
+    * as a single codegen'd column: the per-subspace LUT rides the plan
+    * as literal arrays and the score is m `element_at` lookups added
+    * left to right — bit-identical to [[adcFromLut]] over a joined lut
+    * column (same [[adcLut]] doubles, same add order; the join form's
+    * extra outer `element_at` only navigates nesting). Used by the
+    * optimizer rule's IVF-PQ probe ([[graft.plans.AnnTopKRewrite]]),
+    * where the query vector is a plan literal rather than a column.
+    */
+  def adcDistToQuery(codebooks: Seq[Seq[Seq[Double]]], q: Seq[Float]): Column = {
+    val lut = adcLut(codebooks, q)
+    codebooks.indices.map(s =>
+      element_at(typedLit(lut(s)), col(s"code_$s") + 1)).reduce(_ + _)
+  }
 
   /** Asymmetric-distance (ADC) top-k over PQ codes: the query stays
     * full-precision; each corpus vector contributes
@@ -1578,7 +1640,7 @@ object Ann {
     val key = s"$cacheKey|res$cFp|${fpRow.getLong(0)}|${fpRow.getLong(1)}|$m|$dsub|$kStar|$maxIter"
     val books = pqBookCache.computeIfAbsent(key,
       _ => trainPqCodebooksResidual(corpus, centroids, m, dsub, kStar, maxIter))
-    graft.AnnOracle.residualBooks = Some((key, books))
+    graft.AnnOracle.residualBooks.put(key, books)
     books
   }
 
@@ -1734,7 +1796,7 @@ object Ann {
       s"|$m|$dsub|$kStar|$maxIter|$maxPerCell"
     val books = localBookCache.computeIfAbsent(key,
       _ => trainLocalPqCodebooks(corpus, centroids, m, dsub, kStar, maxIter, maxPerCell))
-    graft.AnnOracle.localBooks = Some((key, books))
+    graft.AnnOracle.localBooks.put(key, books)
     books
   }
 

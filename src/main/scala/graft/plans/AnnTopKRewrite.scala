@@ -2,11 +2,12 @@ package graft.plans
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.LeftSemi
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
-import org.apache.spark.sql.types.{ArrayType, FloatType}
+import org.apache.spark.sql.types.{ArrayType, FloatType, LongType}
 
 /** Optimizer rule: rewrite a brute-force cosine top-k —
   * `ORDER BY cosine_sim(<query literal>, embedding) DESC LIMIT k` over a
@@ -63,8 +64,27 @@ object AnnTopKRewrite extends Rule[LogicalPlan] {
       centroids: Array[Array[Float]],
       nProbe: Int)
 
+  /** A registered IVF-PQ layout for one corpus path — the quantized
+    * tier's rewrite target ([[graft.operators.Ann.writeIvfPqPartitioned]]
+    * output: m-byte codes partitioned by cell, no floats). Its rewrite is
+    * two-stage: ADC over-fetch of `k * overfetch` candidate ids from the
+    * probed cells' codes, then the ORIGINAL scan semi-joined to those
+    * ids so the preserved projection/sort/limit perform the exact cosine
+    * rerank. At 100 TB this is the layout users keep hot — the probe
+    * streams a few MB of codes; the float corpus is touched only for
+    * the candidate rows through a broadcast semi join.
+    */
+  final case class RegisteredPqLayout(
+      layoutPath: String,
+      centroids: Array[Array[Float]],
+      codebooks: Seq[Seq[Seq[Double]]],
+      nProbe: Int,
+      overfetch: Int)
+
   private val registry =
     new java.util.concurrent.ConcurrentHashMap[String, RegisteredLayout]()
+  private val pqRegistry =
+    new java.util.concurrent.ConcurrentHashMap[String, RegisteredPqLayout]()
 
   /** Registry key = the FULLY-QUALIFIED URI (scheme + authority + path),
     * not the bare path component: `file:/data/emb.parquet` and
@@ -85,15 +105,23 @@ object AnnTopKRewrite extends Rule[LogicalPlan] {
   def register(corpusPath: String, layout: RegisteredLayout): Unit =
     registry.put(normalize(corpusPath), layout)
 
+  /** Register an IVF-PQ `layout` as the probe target for `corpusPath`.
+    * When both tiers are registered for one path the EXACT cell layout
+    * wins (no quantization error at the same probe budget).
+    */
+  def registerPq(corpusPath: String, layout: RegisteredPqLayout): Unit =
+    pqRegistry.put(normalize(corpusPath), layout)
+
   def unregister(corpusPath: String): Unit = registry.remove(normalize(corpusPath))
-  def clear(): Unit = registry.clear()
+  def unregisterPq(corpusPath: String): Unit = pqRegistry.remove(normalize(corpusPath))
+  def clear(): Unit = { registry.clear(); pqRegistry.clear() }
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
-    if (registry.isEmpty) return plan
+    if (registry.isEmpty && pqRegistry.isEmpty) return plan
     plan.transformUp {
       case l @ GlobalLimit(Literal(k: Int, _),
           LocalLimit(_, Sort(order, true, child, _))) =>
-        rewrite(order, child)
+        rewrite(k, order, child)
           .map(core => GlobalLimit(Literal(k), LocalLimit(Literal(k), core)))
           .getOrElse(l)
       // The CollapseProject shape: deterministic POST-PROCESSING of the
@@ -108,7 +136,7 @@ object AnnTopKRewrite extends Rule[LogicalPlan] {
       case l @ GlobalLimit(Literal(k: Int, _),
           LocalLimit(_, Project(outer, Sort(order, true, child, _))))
           if outer.forall(_.deterministic) =>
-        rewrite(order, child)
+        rewrite(k, order, child)
           .map(core => GlobalLimit(Literal(k),
             LocalLimit(Literal(k), Project(outer, core))))
           .getOrElse(l)
@@ -121,7 +149,7 @@ object AnnTopKRewrite extends Rule[LogicalPlan] {
     * projection).
     */
   private def rewrite(
-      order: Seq[SortOrder], child: LogicalPlan): Option[LogicalPlan] = {
+      k: Int, order: Seq[SortOrder], child: LogicalPlan): Option[LogicalPlan] = {
     // normalize both accepted shapes to (projList, relation)
     val (projList, rel) = child match {
       case Project(p, r: LogicalRelation) => (p, r)
@@ -129,42 +157,48 @@ object AnnTopKRewrite extends Rule[LogicalPlan] {
       case _ => return None
     }
     if (!projList.forall(_.deterministic)) return None
-    val layout = rel.relation match {
-      case fs: HadoopFsRelation =>
-        fs.location.rootPaths.iterator
-          .map(p => registry.get(normalize(p.toString)))
-          .collectFirst { case l if l != null => l }
-      case _ => None
-    }
-    layout.flatMap { reg =>
-      order.headOption.flatMap {
-        case SortOrder(primary, Descending, _, _) =>
-          // the primary key may be the projected alias's attribute or the
-          // cosine expression inline
-          val cos = primary match {
-            case a: Attribute => projList.collectFirst {
-              case al @ Alias(c: graft.expressions.CosineSimilarity, _)
-                  if al.exprId == a.exprId => c
-            }
-            case c: graft.expressions.CosineSimilarity => Some(c)
-            case _ => None
-          }
-          cos.flatMap { c =>
-            val (qExpr, embExpr) = (c.left, c.right) match {
-              case (q, e) if q.foldable && !e.foldable => (q, e)
-              case (e, q) if q.foldable && !e.foldable => (q, e)
-              case _ => return None
-            }
-            val embOk = embExpr match {
-              case a: Attribute => rel.outputSet.contains(a)
-              case _ => false
-            }
-            val qVec = floatArray(qExpr)
-            if (!embOk || qVec.isEmpty) None
-            else buildProbePlan(order, projList, rel, reg, qVec.get)
-          }
+    def lookup[T](m: java.util.concurrent.ConcurrentHashMap[String, T]): Option[T] =
+      rel.relation match {
+        case fs: HadoopFsRelation =>
+          fs.location.rootPaths.iterator
+            .map(p => m.get(normalize(p.toString)))
+            .collectFirst { case l if l != null => l }
         case _ => None
       }
+    val exact = lookup(registry)
+    val pq = if (exact.isEmpty) lookup(pqRegistry) else None
+    if (exact.isEmpty && pq.isEmpty) return None
+    order.headOption.flatMap {
+      case SortOrder(primary, Descending, _, _) =>
+        // the primary key may be the projected alias's attribute or the
+        // cosine expression inline
+        val cos = primary match {
+          case a: Attribute => projList.collectFirst {
+            case al @ Alias(c: graft.expressions.CosineSimilarity, _)
+                if al.exprId == a.exprId => c
+          }
+          case c: graft.expressions.CosineSimilarity => Some(c)
+          case _ => None
+        }
+        cos.flatMap { c =>
+          val (qExpr, embExpr) = (c.left, c.right) match {
+            case (q, e) if q.foldable && !e.foldable => (q, e)
+            case (e, q) if q.foldable && !e.foldable => (q, e)
+            case _ => return None
+          }
+          val embOk = embExpr match {
+            case a: Attribute => rel.outputSet.contains(a)
+            case _ => false
+          }
+          val qVec = floatArray(qExpr)
+          if (!embOk || qVec.isEmpty) None
+          else exact match {
+            case Some(reg) => buildProbePlan(order, projList, rel, reg, qVec.get)
+            case None =>
+              buildPqProbePlan(k, order, projList, rel, pq.get, qVec.get)
+          }
+        }
+      case _ => None
     }
   }
 
@@ -209,5 +243,48 @@ object AnnTopKRewrite extends Rule[LogicalPlan] {
     // layout's columns), so keys referencing projected attributes — and,
     // in the inline shape, relation attributes — still resolve
     Some(Sort(order, global = true, Project(newProj, layoutPlan)))
+  }
+
+  /** The IVF-PQ two-stage rewrite: a candidate sub-plan — the registered
+    * PQ layout filtered to the query's `nProbe` nearest cells (static
+    * `isin` on the partition column → `PartitionFilters` pruning), ADC
+    * scored against the literal per-subspace LUT
+    * ([[graft.operators.Ann.adcDistToQuery]], floored at 6 dp like every
+    * ADC path, `vec_id` tiebreak), cut at `k * overfetch` — LEFT-SEMI
+    * joined into the ORIGINAL corpus relation on `vec_id`. The original
+    * projection/sort stay verbatim on top (every exprId untouched — the
+    * corpus relation itself is the join's left side), so the preserved
+    * `cosine_sim` sort IS the exact rerank of the ADC candidates, and
+    * the semi join is hinted broadcast (the candidate list is
+    * `k * overfetch` rows). Unlike the exact tier this needs the corpus
+    * to expose a long `vec_id` column — the PQ layout stores codes, not
+    * floats, so candidates can only be handed back by id.
+    */
+  private def buildPqProbePlan(
+      k: Int,
+      order: Seq[SortOrder],
+      projList: Seq[NamedExpression],
+      rel: LogicalRelation,
+      reg: RegisteredPqLayout,
+      qVec: Seq[Float]): Option[LogicalPlan] = {
+    val spark = SparkSession.active
+    val corpusVecId = rel.output.find(a =>
+      a.name == "vec_id" && a.dataType == LongType).getOrElse(return None)
+    val cells = graft.operators.Ann
+      .nearestCells(qVec, reg.centroids, reg.nProbe).toSeq
+    import org.apache.spark.sql.functions.{asc, col}
+    val candPlan = spark.read.parquet(reg.layoutPath)
+      .filter(col("cell").isin(cells.map(Integer.valueOf): _*))
+      .withColumn("adc_dist", graft.functions.TextAnalysis.floorScale(
+        graft.operators.Ann.adcDistToQuery(reg.codebooks, qVec), 6))
+      .orderBy(asc("adc_dist"), asc("vec_id"))
+      .limit(k * reg.overfetch)
+      .select("vec_id")
+      .queryExecution.analyzed
+    val candVecId = candPlan.output.head
+    val semi = Join(rel, candPlan, LeftSemi,
+      Some(EqualTo(corpusVecId, candVecId)),
+      JoinHint(None, Some(HintInfo(strategy = Some(BROADCAST)))))
+    Some(Sort(order, global = true, Project(projList, semi)))
   }
 }

@@ -4,10 +4,12 @@ import org.scalatest.funsuite.AnyFunSuite
 
 /** Pins the [[AnnOracle]] assembly contract: the static LSH mirrors are
   * always present, the trained tiers appear exactly when their captures
-  * are set, and the embedded literals are shortest-roundtrip doubles
-  * (the cross-engine exactness the generated SQL depends on). The SQL
-  * SEMANTICS are pinned by the driver's DuckDB compare (178 OK at
-  * sf0.01) — an engine this spec cannot reach from Scala.
+  * are set, the capture store is fail-safe against same-param
+  * different-corpus collisions, and the embedded literals are
+  * shortest-roundtrip doubles (the cross-engine exactness the generated
+  * SQL depends on). The SQL SEMANTICS are pinned by the driver's DuckDB
+  * compare (179 OK at sf0.01) — an engine this spec cannot reach from
+  * Scala.
   */
 class AnnOracleSpec extends AnyFunSuite {
 
@@ -19,11 +21,31 @@ class AnnOracleSpec extends AnyFunSuite {
     Seq.tabulate(8)(s => Seq.tabulate(16)(c =>
       floats(s * 16 + c, 8).map(_.toDouble).toSeq))
 
+  /** Snapshot every capture store, run `body` on cleared stores, restore. */
+  private def isolated[A](body: => A): A = {
+    val stores = Seq(AnnOracle.mainCentroids, AnnOracle.globalBooks,
+      AnnOracle.residualBooks, AnnOracle.localBooks,
+      AnnOracle.opqRotation, AnnOracle.opqBooks, AnnOracle.opqCentroids)
+    def snapAll() = (AnnOracle.mainCentroids.snapshot(),
+      AnnOracle.globalBooks.snapshot(), AnnOracle.residualBooks.snapshot(),
+      AnnOracle.localBooks.snapshot(), AnnOracle.opqRotation.snapshot(),
+      AnnOracle.opqBooks.snapshot(), AnnOracle.opqCentroids.snapshot())
+    val prev = snapAll()
+    stores.foreach(_.asInstanceOf[AnnOracle.Capture[Any]].restore(Map.empty))
+    try body
+    finally {
+      AnnOracle.mainCentroids.restore(prev._1)
+      AnnOracle.globalBooks.restore(prev._2)
+      AnnOracle.residualBooks.restore(prev._3)
+      AnnOracle.localBooks.restore(prev._4)
+      AnnOracle.opqRotation.restore(prev._5)
+      AnnOracle.opqBooks.restore(prev._6)
+      AnnOracle.opqCentroids.restore(prev._7)
+    }
+  }
+
   test("static LSH mirrors are always present") {
-    val prev = (AnnOracle.mainCentroids, AnnOracle.globalBooks)
-    try {
-      AnnOracle.mainCentroids = None
-      AnnOracle.globalBooks = None
+    isolated {
       val keys = AnnOracle.sqlEntries.keySet
       assert(keys.contains("ann_lsh_topk"))
       assert(keys.contains("ann_lsh_multiprobe"))
@@ -31,31 +53,26 @@ class AnnOracleSpec extends AnyFunSuite {
       // trained tiers absent without captures — the rows-only fallback
       assert(!keys.contains("ann_ivf_topk"))
       assert(!keys.contains("ann_ivfpq_topk"))
-    } finally {
-      AnnOracle.mainCentroids = prev._1
-      AnnOracle.globalBooks = prev._2
     }
   }
 
   test("every trained tier assembles under full captures") {
-    val prev = (AnnOracle.mainCentroids, AnnOracle.globalBooks,
-      AnnOracle.residualBooks, AnnOracle.localBooks,
-      AnnOracle.opqRotation, AnnOracle.opqBooks, AnnOracle.opqCentroids)
-    try {
-      AnnOracle.mainCentroids = Some(("dir|100|1|8|3", cents8))
-      AnnOracle.globalBooks = Some(("dir|100|1|8|8|16|5", books8))
-      AnnOracle.residualBooks = Some(("dir|res1|100|1|8|8|16|5", books8))
-      AnnOracle.localBooks =
-        Some(("dir|lopq1|100|1|8|8|16|5|2000", (0 until 8).map(_ -> books8).toMap))
-      AnnOracle.opqRotation =
-        Some(("opq|dir|100|1|8|8|16|8|8", Array.tabulate(64)(i => floats(i, 64))))
-      AnnOracle.opqBooks = Some(("opq|dir|100|1|8|8|16|8|8", books8))
-      AnnOracle.opqCentroids = Some(("dir|opq|100|1|8|3", cents8))
+    isolated {
+      AnnOracle.mainCentroids.put("dir|100|1|8|3", cents8)
+      AnnOracle.globalBooks.put("dir|100|1|8|8|16|5", books8)
+      AnnOracle.residualBooks.put("dir|res1|100|1|8|8|16|5", books8)
+      AnnOracle.localBooks.put(
+        "dir|lopq1|100|1|8|8|16|5|2000", (0 until 8).map(_ -> books8).toMap)
+      AnnOracle.opqRotation.put(
+        "opq|dir|100|1|8|8|16|8|8", Array.tabulate(64)(i => floats(i, 64)))
+      AnnOracle.opqBooks.put("opq|dir|100|1|8|8|16|8|8", books8)
+      AnnOracle.opqCentroids.put("dir|opq|100|1|8|3", cents8)
       val entries = AnnOracle.sqlEntries
       val expected = Set(
         "ann_lsh_topk", "ann_lsh_multiprobe", "ann_lsh_partitioned_adaptive",
         "ann_recall_murmur",
-        "ann_ivf_topk", "ann_rule_topk", "ann_pq_trained_topk",
+        "ann_ivf_topk", "ann_ivf_join", "ann_rule_topk", "ann_rule_ivfpq",
+        "ann_pq_trained_topk",
         "ann_ivfpq_topk", "ann_ivfpq_join", "ann_ivfpq_incremental",
         "ann_ivfpq_rerank", "ann_ivfpq_residual_topk",
         "ann_ivfpq_residual_rerank", "ann_ivfpq_local_topk",
@@ -65,41 +82,54 @@ class AnnOracleSpec extends AnyFunSuite {
       // every entry must name the Spark output columns it is compared on
       entries.foreach { case (name, sql) =>
         val cols =
-          if (name == "ann_rule_topk") Seq("vec_id", "sim")
+          if (name == "ann_rule_topk" || name == "ann_rule_ivfpq") Seq("vec_id", "sim")
           else if (name == "ann_recall_murmur") Seq("query_id", "n_hit", "recall_at_k")
           else if (name.endsWith("_rerank")) Seq("query_id", "rank", "vec_id", "d2")
-          else if (name.startsWith("ann_lsh") || name == "ann_ivf_topk") Seq("query_id", "rank", "vec_id", "sim")
+          else if (name.startsWith("ann_lsh") || name == "ann_ivf_topk" ||
+            name == "ann_ivf_join") Seq("query_id", "rank", "vec_id", "sim")
           else Seq("query_id", "rank", "vec_id", "adc_dist")
         cols.foreach(c => assert(sql.contains(c), s"$name missing column $c"))
       }
-    } finally {
-      AnnOracle.mainCentroids = prev._1
-      AnnOracle.globalBooks = prev._2
-      AnnOracle.residualBooks = prev._3
-      AnnOracle.localBooks = prev._4
-      AnnOracle.opqRotation = prev._5
-      AnnOracle.opqBooks = prev._6
-      AnnOracle.opqCentroids = prev._7
     }
   }
 
   test("capture routing: |opq cacheKey suffix lands in opqCentroids") {
-    val prevMain = AnnOracle.mainCentroids
-    val prevOpq = AnnOracle.opqCentroids
-    try {
+    isolated {
       val a = Array(floats(1, 64))
       val b = Array(floats(2, 64))
       AnnOracle.captureCentroids("/some/dir|100|1|8|3", a)
       AnnOracle.captureCentroids("/some/dir|opq|100|1|8|3", b)
-      assert(AnnOracle.mainCentroids.exists(_._2 eq a))
-      assert(AnnOracle.opqCentroids.exists(_._2 eq b))
-      // a capture under DIFFERENT params must not feed the mirrors
-      AnnOracle.captureCentroids("/some/dir|100|1|16|5", a)
+      assert(AnnOracle.mainCentroids.unique("|8|3").exists(_ eq a))
+      assert(AnnOracle.opqCentroids.unique("|8|3").exists(_ eq b))
+      // a capture under DIFFERENT params must neither feed NOR suppress
+      // the registry mirror (it keys separately in the store)
+      AnnOracle.captureCentroids("/some/dir|100|1|16|5", b)
+      assert(AnnOracle.sqlEntries.contains("ann_ivf_topk"),
+        "param-mismatched capture suppressed the registry-param mirror")
+      assert(AnnOracle.mainCentroids.unique("|8|3").exists(_ eq a),
+        "param-mismatched capture displaced the registry-param capture")
+    }
+  }
+
+  test("same-param capture on a DIFFERENT corpus suppresses the mirror") {
+    isolated {
+      // Two corpora (distinct count/fingerprint in the full memo key)
+      // trained under the registry params in one JVM: the suffix is
+      // ambiguous, so the mirror must be SUPPRESSED (rows-only
+      // fallback), never embed either candidate (r15 ADVICE — the old
+      // last-write-wins capture embedded whichever trained last).
+      AnnOracle.captureCentroids("/corpusA|100|11|8|3", Array(floats(1, 64)))
+      AnnOracle.captureCentroids("/corpusB|200|22|8|3", Array(floats(2, 64)))
+      assert(AnnOracle.mainCentroids.unique("|8|3").isEmpty)
       assert(!AnnOracle.sqlEntries.contains("ann_ivf_topk"),
-        "param-mismatched capture leaked into a mirror")
-    } finally {
-      AnnOracle.mainCentroids = prevMain
-      AnnOracle.opqCentroids = prevOpq
+        "ambiguous same-param captures must suppress the mirror")
+      // re-training the SAME corpus (same full key) is not ambiguous
+      isolated {
+        val c = Array(floats(3, 64))
+        AnnOracle.captureCentroids("/corpusA|100|11|8|3", Array(floats(1, 64)))
+        AnnOracle.captureCentroids("/corpusA|100|11|8|3", c)
+        assert(AnnOracle.mainCentroids.unique("|8|3").exists(_ eq c))
+      }
     }
   }
 
@@ -107,13 +137,12 @@ class AnnOracleSpec extends AnyFunSuite {
     val samples = Seq(0.0, -0.0, 1.0 / 3.0, -2.7182818284590455e-7,
       Float.MinPositiveValue.toDouble, 123456.78911111e11,
       graft.operators.Ann.planeComp(3, 17).toDouble)
-    val prev = AnnOracle.mainCentroids
-    try {
+    isolated {
       // Drive the literals through the real generator: one centroid row
       // carrying the samples (padded to dim 64), then parse them back
       // out of the VALUES clause.
       val cv = (samples ++ Seq.fill(64 - samples.size)(0.5)).map(_.toFloat)
-      AnnOracle.mainCentroids = Some(("dir|100|1|8|3", Array(cv.toArray)))
+      AnnOracle.mainCentroids.put("dir|100|1|8|3", Array(cv.toArray))
       val sql = AnnOracle.sqlEntries("ann_ivf_topk")
       val row = sql.linesIterator.find(_.trim.startsWith("(0, [")).get
       val nums = row.trim.stripPrefix("(0, [").takeWhile(_ != ']')
@@ -124,6 +153,6 @@ class AnnOracleSpec extends AnyFunSuite {
           (f == 0.0f && parsed == 0.0),
           s"literal $f round-tripped to $parsed")
       }
-    } finally AnnOracle.mainCentroids = prev
+    }
   }
 }

@@ -151,6 +151,101 @@ class AnnRuleSpec extends AnyFunSuite with SparkTestSession {
     }
   }
 
+  // ---- IVF-PQ tier (r15 verdict #6): the quantized layout as a rewrite
+  // target — ADC coarse over the pruned code partitions, exact rerank
+  // through the preserved projection/sort via a broadcast semi join.
+
+  private def setupPq(nProbe: Int, overfetch: Int)
+      : (String, Array[Array[Float]], Seq[Seq[Seq[Double]]], String) = {
+    val corpusDir = java.nio.file.Files.createTempDirectory("graft_annrule_pqc").toString
+    val layoutDir = java.nio.file.Files.createTempDirectory("graft_annrule_pql").toString
+    val corpus = (0L until 96L).map(i => (i, clusterVec(i))).toDF("vec_id", "embedding")
+    corpus.write.mode("overwrite").parquet(corpusDir)
+    val (centroids, _) = Ann.buildIvf(spark, corpus, nCells = 8, maxIter = 4)
+    val books = Ann.trainPqCodebooks(corpus, m = 4, dsub = 4, kStar = 8, maxIter = 3)
+    Ann.writeIvfPqPartitioned(spark.read.parquet(corpusDir), centroids, books, layoutDir)
+    AnnTopKRewrite.registerPq(corpusDir,
+      AnnTopKRewrite.RegisteredPqLayout(layoutDir, centroids, books, nProbe, overfetch))
+    (corpusDir, centroids, books, layoutDir)
+  }
+
+  test("PQ tier fires: pruned ADC coarse probe + exact semi-join rerank") {
+    withRule {
+      val (corpusDir, centroids, books, layoutDir) = setupPq(nProbe = 2, overfetch = 3)
+      val q = clusterVec(3L).map(_ + 0.004f)
+      val df = naiveTopK(corpusDir, q, 5)
+      val leaves = df.queryExecution.executedPlan.collectLeaves()
+        .map(_.toString).mkString("\n")
+      assert(leaves.contains("PartitionFilters") &&
+        leaves.contains(new java.io.File(layoutDir).getName),
+        s"no pruned PQ-layout scan in the plan:\n${leaves.take(800)}")
+      // expected: the two stages spelled out — floored-ADC coarse cut at
+      // k*overfetch over the probed cells, exact cosine top-k among the
+      // candidates (the isin-filtered shape does not match the rule's
+      // pattern, so it stays un-rewritten)
+      val cells = Ann.nearestCells(q.toSeq, centroids, 2).toSeq.map(Integer.valueOf)
+      val cand = spark.read.parquet(layoutDir)
+        .filter(col("cell").isin(cells: _*))
+        .withColumn("adc_dist", graft.functions.TextAnalysis.floorScale(
+          Ann.adcDistToQuery(books, q.toSeq), 6))
+        .orderBy(asc("adc_dist"), asc("vec_id")).limit(15)
+        .select("vec_id").as[Long].collect().toSeq
+      val expected = spark.read.parquet(corpusDir)
+        .filter(col("vec_id").isin(cand.map(java.lang.Long.valueOf): _*))
+        .select(col("vec_id"),
+          VectorExpressions.cosineSim(lit(q), col("embedding")).as("sim"))
+        .orderBy(desc("sim"), asc("vec_id")).limit(5)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val got = df.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(got == expected, s"got=$got\nexpected=$expected")
+      assert(got.nonEmpty)
+    }
+  }
+
+  test("PQ tier: full probe + corpus-covering over-fetch equals the un-rewritten plan") {
+    withRule {
+      // nProbe = all 8 cells and k*overfetch = 112 ≥ 96 rows: the
+      // candidate set is the whole corpus, the semi join keeps every
+      // row, and the preserved sort/limit must reproduce the plain plan
+      // EXACTLY (raw doubles included).
+      val (corpusDir, _, _, _) = setupPq(nProbe = 8, overfetch = 16)
+      for (qid <- Seq(0L, 5L, 13L)) {
+        val q = clusterVec(qid).map(_ + 0.002f)
+        val rewritten = naiveTopK(corpusDir, q, 7).collect()
+          .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+        val plain = {
+          val prev2 = spark.experimental.extraOptimizations
+          spark.experimental.extraOptimizations =
+            prev2.filterNot(_ eq AnnTopKRewrite)
+          try naiveTopK(corpusDir, q, 7).collect()
+            .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+          finally spark.experimental.extraOptimizations = prev2
+        }
+        assert(rewritten == plain, s"q=$qid:\nrewritten=$rewritten\nplain    =$plain")
+      }
+    }
+  }
+
+  test("exact cell tier wins when both tiers are registered for one path") {
+    withRule {
+      val (corpusDir, centroids) = setup() // registers the exact layout
+      val pqDir = java.nio.file.Files.createTempDirectory("graft_annrule_pqboth").toString
+      val books = Ann.trainPqCodebooks(
+        spark.read.parquet(corpusDir), m = 4, dsub = 4, kStar = 8, maxIter = 3)
+      Ann.writeIvfPqPartitioned(
+        spark.read.parquet(corpusDir), centroids, books, pqDir)
+      AnnTopKRewrite.registerPq(corpusDir,
+        AnnTopKRewrite.RegisteredPqLayout(pqDir, centroids, books, nProbe = 2, overfetch = 3))
+      val df = naiveTopK(corpusDir, clusterVec(1L), 5)
+      val leaves = df.queryExecution.executedPlan.collectLeaves()
+        .map(_.toString).mkString("\n")
+      assert(leaves.contains("PartitionFilters"),
+        s"no rewrite fired with both tiers registered:\n${leaves.take(600)}")
+      assert(!leaves.contains(new java.io.File(pqDir).getName),
+        "the PQ layout must not be probed when the exact layout is registered")
+    }
+  }
+
   test("post-processed (collapsed Project) shape fires and matches the bare shape") {
     withRule {
       val (corpusDir, _) = setup()

@@ -973,6 +973,27 @@ class AnnSpec extends AnyFunSuite with SparkTestSession {
     assert(joined.nonEmpty)
   }
 
+  test("exact IVF join: distributed-queries form equals the driver-side probe exactly") {
+    val vecs = corpus.select("vec_id", "embedding")
+    val (centroids, assigned) = Ann.buildIvf(spark, vecs, nCells = 8, maxIter = 3)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_join").toString
+    Ann.writeCellPartitioned(vecs, centroids, dir)
+    // the ivfPqJoin treatment on the EXACT-scoring tier: the query frame
+    // never collects; rows — including the raw double sim — must be
+    // identical to both driver-side forms at the same parameters
+    val qs = vecs.filter($"vec_id" < 50)
+      .select($"vec_id".as("query_id"), $"embedding".as("q_embedding"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "rank", "vec_id", "sim")
+        .as[(Long, Int, Long, Double)].collect().toSet
+    val joined = rows(Ann.ivfJoin(spark, dir, qs, centroids, k = 5, nProbe = 2))
+    val driver = rows(Ann.ivfTopKPartitioned(spark, dir, qs, centroids, k = 5, nProbe = 2))
+    val mem = rows(Ann.ivfTopK(qs, assigned, centroids, k = 5, nProbe = 2))
+    assert(joined == driver, "distributed join must equal the driver-side layout probe")
+    assert(joined == mem, "distributed join must equal the in-memory probe")
+    assert(joined.nonEmpty)
+  }
+
   test("residual IVF-PQ rerank: full probe + full over-fetch equals exact euclidean top-k") {
     import org.apache.spark.sql.functions.col
     val vecs = (0L until 160L).map { i =>
