@@ -1,5 +1,6 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
 import java.nio.file.{Files, Paths}
 
 /** Benchmark main: times EVERY registry query on SPARK_GRAFT_SF_DIR and
@@ -40,6 +41,14 @@ import java.nio.file.{Files, Paths}
   *    persisted through the re-run, not a transient the artifact
   *    needed a quiet re-recording to clean up.
   *
+  *  - DRIFT CALIBRATION (r15): two fixed probes (single-core CPU kernel,
+  *    fixed 8-partition shuffle) timed at start/middle/end; their median
+  *    ratio against quiet-window bases is recorded as "calib_factor" and
+  *    the headline is also reported normalized ("headline34_cal") — so a
+  *    UNIFORM host slowdown (which the per-query stall heuristic cannot
+  *    see) is adjudicable from the artifact alone instead of requiring a
+  *    separate same-code quiet recording.
+  *
   * `headline34` preserves the round-2 subset total so round-over-round
   * comparison stays apples to apples.
   */
@@ -53,6 +62,78 @@ object Bench {
   def stalled(t: Seq[Double]): Boolean = {
     val s = t.sorted
     s.nonEmpty && s.last > 3 * s.head && s.last - s.head > 0.5
+  }
+
+  // ---- Drift calibration (r15 verdict #1). The stall-rerun pass above
+  // catches TRANSIENT contention (3x spread within one query's samples)
+  // but a UNIFORM host slowdown passes straight into the artifact: r15's
+  // official recording read 1.29x vs the r2 base while the same code in
+  // a quiet window read 1.10x/0.93x, and nothing in the artifact could
+  // prove the difference was the host. These two fixed probes make the
+  // artifact self-adjudicating: they are timed at the START, MIDDLE and
+  // END of the run, recorded raw in BENCH_full.json, and their median
+  // ratio against the quiet-window bases below becomes `calib_factor` —
+  // so a reader (or the next round's judge) can normalize the headline
+  // (`headline34_cal` = headline34 / factor) instead of re-deriving the
+  // host-vs-plan adjudication by hand from a separate quiet recording.
+  //
+  // Probe design: shapes that cannot be affected by any query/plan
+  // change in this repo (spark.range + built-ins only), sized ~0.2-0.5 s
+  // so three checkpoints cost ~2 s of a ~100 s run.
+  //  - CPU probe: sha2+xxhash64 over 120k generated strings in ONE
+  //    partition — single-core codegen'd compute, the term that drifts
+  //    in the tokenize/shingle family the r12/r13/r15 adjudications
+  //    pinned on the host.
+  //  - Shuffle probe: 300k rows through a FIXED 8-partition hash
+  //    exchange + aggregation — exchange/serialization overhead,
+  //    independent of spark.sql.shuffle.partitions so the probe shape
+  //    is identical across driver/dev configs.
+  def cpuProbe(spark: SparkSession): Unit = {
+    // bit_xor, not sum: xxhash64 spans the full long range and an ANSI
+    // sum over 120k of them overflows.
+    spark.range(0, 120000, 1, 1)
+      .select(expr("bit_xor(xxhash64(sha2(concat('graft-calib-', " +
+        "cast(id AS string)), 256)))").as("h"))
+      .collect()
+    ()
+  }
+
+  def shuffleProbe(spark: SparkSession): Unit = {
+    spark.range(0, 300000, 1, 8)
+      .withColumn("g", pmod(col("id"), lit(256)))
+      .repartition(8, col("g"))
+      .groupBy("g").agg(sum("id").as("s"))
+      .count()
+    ()
+  }
+
+  /** Quiet-window bases for the probes on the reference host (recorded
+    * r16: a full stalls=0 bench run read cpu [0.118, 0.111, 0.107] /
+    * shuffle [0.162, 0.139, 0.134]; bases = the medians — see
+    * BASELINE.md "calibration" row, the same discipline as the r2
+    * headline base). `calib_factor` is the median probe ratio against
+    * these: ~1.0 on a quiet window, >1 under uniform host drift.
+    */
+  val CpuCalibBase = 0.111
+  val ShuffleCalibBase = 0.139
+
+  /** One calibration checkpoint: each probe twice, keep the min (the
+    * second-shortest estimator would need 3+ runs; min-of-2 already
+    * drops one-off scheduling hiccups while staying cheap).
+    */
+  def sampleCalib(spark: SparkSession): (Double, Double) = {
+    def minOf2(f: => Unit): Double =
+      (1 to 2).map { _ =>
+        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+      }.min
+    (minOf2(cpuProbe(spark)), minOf2(shuffleProbe(spark)))
+  }
+
+  /** Median ratio of the probe readings against the quiet bases. */
+  def calibFactor(cpu: Seq[Double], shuffle: Seq[Double]): Double = {
+    val ratios =
+      (cpu.map(_ / CpuCalibBase) ++ shuffle.map(_ / ShuffleCalibBase)).sorted
+    if (ratios.isEmpty) 1.0 else ratios(ratios.length / 2)
   }
 
   /** The round-2 stdout subset, kept as a stable cross-round comparand. */
@@ -92,20 +173,34 @@ object Bench {
     // Deterministic order: headline first (cross-round comparand timed
     // under the same warm-up position as round 2), then the rest sorted.
     val names = headline ++ registry.keys.toSeq.filterNot(headline.contains).sorted
+    // Calibration probes: warmed once (codegen/JIT, dropped), then
+    // sampled at start / middle / end of the run (see the probe scaladoc).
+    cpuProbe(spark); shuffleProbe(spark)
+    val calibCpu = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val calibShuffle = scala.collection.mutable.ArrayBuffer.empty[Double]
+    def calibCheckpoint(): Unit = {
+      val (c, sh) = sampleCalib(spark)
+      calibCpu += c; calibShuffle += sh
+    }
     // Interleaved passes: timings(q) accumulates one sample per timed pass.
     val timings = scala.collection.mutable.Map(names.map(_ -> Vector.empty[Double]): _*)
     val errors = scala.collection.mutable.Map.empty[String, String]
-    for (pass <- 0 to 3; name <- names; if !errors.contains(name)) {
-      val t0 = System.nanoTime()
-      try {
-        registry(name)(spark, sfDir).count()
-        if (pass > 0) timings(name) :+= (System.nanoTime() - t0) / 1e9
-      } catch {
-        case e: Throwable =>
-          // A throwing query must never look like a fast success: drop its
-          // timings entirely, record the failure, and fail the process.
-          errors(name) = e.getClass.getSimpleName
-          System.err.println(s"BENCH FAIL $name: ${e.getMessage}")
+    for (pass <- 0 to 3) {
+      if (pass == 1) calibCheckpoint() // start: after warm-up, before pass 1
+      if (pass == 3) calibCheckpoint() // middle: between timed passes 2 and 3
+      for (name <- names; if !errors.contains(name)) {
+        val t0 = System.nanoTime()
+        try {
+          registry(name)(spark, sfDir).count()
+          if (pass > 0) timings(name) :+= (System.nanoTime() - t0) / 1e9
+        } catch {
+          case e: Throwable =>
+            // A throwing query must never look like a fast success: drop
+            // its timings entirely, record the failure, and fail the
+            // process.
+            errors(name) = e.getClass.getSimpleName
+            System.err.println(s"BENCH FAIL $name: ${e.getMessage}")
+        }
       }
     }
     // Stall-proof pass (r14 verdict: 7 stalls put ~10 phantom 1.3-2.1x
@@ -146,6 +241,8 @@ object Bench {
           System.err.println(s"BENCH FAIL $name (rerun): ${e.getMessage}")
       }
     }
+    calibCheckpoint() // end: after the stall-rerun pass
+    val factor = calibFactor(calibCpu.toSeq, calibShuffle.toSeq)
     val resultsFull = names.filterNot(errors.contains).map { name =>
       val timed = timings(name).sorted
       (name, timed(timed.length / 2), timed.head, timed.last)
@@ -182,16 +279,24 @@ object Bench {
     }
     val errJson = errors.toSeq.sortBy(_._1)
       .map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }.mkString("{", ",", "}")
+    def jarr(v: Seq[Double]): String = v.map(r3).mkString("[", ",", "]")
+    val calibJson =
+      s"""{"cpu":${jarr(calibCpu.toSeq)},"shuffle":${jarr(calibShuffle.toSeq)},""" +
+        s""""cpu_base":${r3(CpuCalibBase)},"shuffle_base":${r3(ShuffleCalibBase)},""" +
+        s""""factor":${r3(factor)}}"""
     Files.writeString(Paths.get(fullOut),
       s"""{"metric":"total","value":${r3(total)},"unit":"sec","iters":3,""" +
         s""""n_queries":${results.size},"n_err":${errors.size},"errs":$errJson,""" +
-        s""""headline34":${r3(h34)},"stalls":$stalls,"reruns":${rerun.size},""" +
+        s""""headline34":${r3(h34)},"headline34_cal":${r3(h34 / factor)},""" +
+        s""""calibration":$calibJson,""" +
+        s""""stalls":$stalls,"reruns":${rerun.size},""" +
         s""""budget_violations":${jmap(budgetViolators)},""" +
         s""""queries":${jmap(results)},"spread":$spread,"sf":"$sfDir"}""" + "\n")
     val line =
       s"""{"metric":"total","value":${r3(total)},"unit":"sec","iters":3,""" +
         s""""n_queries":${results.size},"n_err":${errors.size},""" +
-        s""""headline34":${r3(h34)},"stalls":$stalls,"reruns":${rerun.size},"n_budget_viol":${budgetViolators.size},""" +
+        s""""headline34":${r3(h34)},"headline34_cal":${r3(h34 / factor)},"calib_factor":${r3(factor)},""" +
+        s""""stalls":$stalls,"reruns":${rerun.size},"n_budget_viol":${budgetViolators.size},""" +
         s""""queries":${jmap(top10)},"full":"$fullOut","sf":"$sfDir"}"""
     // Hard guard: the driver's stdout tail capture is 2000 chars.
     require(line.length < 1800, s"bench JSON too long (${line.length})")

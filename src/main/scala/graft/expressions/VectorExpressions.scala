@@ -175,6 +175,93 @@ case class PqSubspaceCode(
     copy(child = newChild)
 }
 
+/** Codegen'd IVF cell assignment: the argmax-cosine centroid index of an
+  * `array<float>` embedding against a literal centroid set (`cents`,
+  * row-major flattened floats widened exactly to double — centroid `c`'s
+  * dims at `c*dim until (c+1)*dim`). Strict `>` keeps the FIRST
+  * maximizer (lowest cell), zero denominator scores 0.0 — both matching
+  * the oracle's `ORDER BY sim DESC, c` / zero-den CASE
+  * ([[graft.AnnOracle]] `cellCtes`) and the Scala-closure form this
+  * kernel replaced.
+  *
+  * Exists for the same reason as [[PqSubspaceCode]]: the closure UDF
+  * deserialized every embedding to a boxed `Seq[Float]` per row — at the
+  * 10⁶-vector ANN build the assignment pass was 326.5 s of the 437.7 s
+  * total (SCALE_EVIDENCE `ann_build`, r15), pure (de)boxing around
+  * ~512 flops/row. The IEEE op order is identical (per-dim float→double
+  * cast, dot/na/nb accumulated left to right, per-cell den =
+  * sqrt(na)·sqrt(nb)), so assignments are bit-identical — spec-pinned
+  * against the closure form, and every hash-green IVF oracle row
+  * exercises it end to end.
+  */
+case class IvfCellAssign(child: Expression, cents: Seq[Double], dim: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  @transient private lazy val centArr: Array[Double] = cents.toArray
+
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "ivf_cell_assign"
+
+  protected override def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val k = centArr.length / dim
+    var best = 0
+    var bestSim = -Double.MaxValue
+    var c = 0
+    while (c < k) {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < dim) {
+        val xv = x.getFloat(i).toDouble
+        val yv = centArr(c * dim + i)
+        dot += xv * yv; na += xv * xv; nb += yv * yv
+        i += 1
+      }
+      val den = math.sqrt(na) * math.sqrt(nb)
+      val sim = if (den == 0.0) 0.0 else dot / den
+      if (sim > bestSim) { bestSim = sim; best = c }
+      c += 1
+    }
+    best
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val centsRef = ctx.addReferenceObj("ivfCents", centArr, "double[]")
+      val k = centArr.length / dim
+      val best = ctx.freshName("best")
+      val bestSim = ctx.freshName("bestSim")
+      val c = ctx.freshName("c")
+      val i = ctx.freshName("i")
+      val dot = ctx.freshName("dot")
+      val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb")
+      val xv = ctx.freshName("xv")
+      val yv = ctx.freshName("yv")
+      val den = ctx.freshName("den")
+      val sim = ctx.freshName("sim")
+      s"""
+         |int $best = 0;
+         |double $bestSim = -Double.MAX_VALUE;
+         |for (int $c = 0; $c < $k; $c++) {
+         |  double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
+         |  for (int $i = 0; $i < $dim; $i++) {
+         |    final double $xv = (double) $a.getFloat($i);
+         |    final double $yv = $centsRef[$c * $dim + $i];
+         |    $dot += $xv * $yv; $na += $xv * $xv; $nb += $yv * $yv;
+         |  }
+         |  final double $den = java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb);
+         |  final double $sim = ($den == 0.0) ? 0.0 : $dot / $den;
+         |  if ($sim > $bestSim) { $bestSim = $sim; $best = $c; }
+         |}
+         |${ev.value} = $best;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): IvfCellAssign =
+    copy(child = newChild)
+}
+
 object VectorExpressions {
   import org.apache.spark.sql.graftshim.GraftSqlShim
 
@@ -188,4 +275,13 @@ object VectorExpressions {
       emb: Column, cents: Seq[Double], dsub: Int, offset: Int): Column =
     GraftSqlShim.column(
       PqSubspaceCode(GraftSqlShim.expression(emb), cents, dsub, offset))
+
+  /** Column form of [[IvfCellAssign]]: `centroids` as trained (floats,
+    * widened exactly inside).
+    */
+  def ivfCellAssign(emb: Column, centroids: Array[Array[Float]]): Column =
+    GraftSqlShim.column(IvfCellAssign(
+      GraftSqlShim.expression(emb),
+      centroids.iterator.flatten.map(_.toDouble).toSeq,
+      centroids.head.length))
 }

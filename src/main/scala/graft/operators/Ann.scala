@@ -425,8 +425,27 @@ object Ann {
     (centroids, assignCells(corpus, centroids))
   }
 
-  /** Attach each corpus vector's nearest-centroid cell id. */
-  def assignCells(corpus: DataFrame, centroids: Array[Array[Float]]): DataFrame = {
+  /** Attach each corpus vector's nearest-centroid cell id — ONE
+    * codegen'd expression per row ([[VectorExpressions.ivfCellAssign]]).
+    * The closure-UDF form this replaced deserialized every embedding to
+    * a boxed `Seq[Float]`; at the 10⁶-vector layout build that boxing
+    * was 326.5 s of the 437.7 s total (r15 `ann_build` evidence leg).
+    * Assignments are bit-identical (same IEEE op order, same strict-`>`
+    * first-maximizer and zero-denominator rules — spec-pinned against
+    * the closure in VectorExpressionsSpec, and every hash-green IVF
+    * oracle row replays them).
+    */
+  def assignCells(corpus: DataFrame, centroids: Array[Array[Float]]): DataFrame =
+    corpus.withColumn("cell",
+      VectorExpressions.ivfCellAssign(col("embedding"), centroids))
+
+  /** The closure form [[assignCells]] compiled before r16 — kept ONLY as
+    * the bit-identity reference for VectorExpressionsSpec (the spec pins
+    * kernel == closure on adversarial vectors; production paths all go
+    * through the kernel).
+    */
+  private[graft] def assignCellsClosure(
+      corpus: DataFrame, centroids: Array[Array[Float]]): DataFrame = {
     val dim = centroids.head.length
     val assign = udf { (v: Seq[Float]) =>
       var best = 0; var bestSim = Double.MinValue
@@ -1814,19 +1833,38 @@ object Ann {
       path: String): Unit = {
     val spark = corpus.sparkSession
     val m = localBooks.values.head.length
-    val bc = spark.sparkContext.broadcast(localBooks)
+    // Broadcast the books PRE-FLATTENED to primitive arrays (per cell,
+    // per subspace: k*·dsub doubles row-major) and unbox the embedding
+    // ONCE per row: the first-cut UDF indexed nested Seqs per flop
+    // (books(s)(c)(j), emb(i)) — ~m·k*·dsub boxed reads per row, the
+    // dominant constant of the 10⁶ layout build after the assign kernel
+    // fix (r15 verdict #4). Same doubles in the same order (float
+    // widened exactly, subtract, square, left-fold add; strict < keeps
+    // the lowest code), so codes are bit-identical — LopqSpec pins the
+    // encoder against brute force.
+    val flat: Map[Int, Array[Array[Double]]] = localBooks.map {
+      case (cell, books) =>
+        cell -> books.map(cents => cents.flatten.toArray).toArray
+    }
+    val kStars: Map[Int, Array[Int]] = localBooks.map { case (cell, books) =>
+      cell -> books.map(_.length).toArray
+    }
+    val bc = spark.sparkContext.broadcast((flat, kStars))
     val encU = udf { (cell: Int, emb: Seq[Float]) =>
-      val books = bc.value(cell)
+      val (books, ks) = (bc.value._1(cell), bc.value._2(cell))
+      val e = emb.toArray
       Array.tabulate(books.length) { s =>
-        val ds = books(s).head.length
+        val cents = books(s)
+        val kS = ks(s)
+        val ds = cents.length / kS
         var best = 0
         var bd = Double.MaxValue
         var c = 0
-        while (c < books(s).length) {
+        while (c < kS) {
           var d = 0.0
           var j = 0
           while (j < ds) {
-            val x = emb(s * ds + j) - books(s)(c)(j); d += x * x; j += 1
+            val x = e(s * ds + j) - cents(c * ds + j); d += x * x; j += 1
           }
           if (d < bd) { bd = d; best = c }
           c += 1

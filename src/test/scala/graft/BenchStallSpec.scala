@@ -31,4 +31,31 @@ class BenchStallSpec extends AnyFunSuite {
     assert(!Bench.stalled(Nil))
     assert(!Bench.stalled(Seq(5.0)))
   }
+
+  // ---- calibration factor ([[Bench.calibFactor]]): the normalization
+  // the artifact's headline34_cal divides by — pin that it is the MEDIAN
+  // probe ratio (one contended checkpoint cannot move it) and that a
+  // quiet window reads ~1.
+  test("calibFactor: quiet probes at the bases read 1.0") {
+    val f = Bench.calibFactor(
+      Seq.fill(3)(Bench.CpuCalibBase), Seq.fill(3)(Bench.ShuffleCalibBase))
+    assert(math.abs(f - 1.0) < 1e-9)
+  }
+
+  test("calibFactor: uniform 2x host drift reads 2.0") {
+    val f = Bench.calibFactor(
+      Seq.fill(3)(Bench.CpuCalibBase * 2), Seq.fill(3)(Bench.ShuffleCalibBase * 2))
+    assert(math.abs(f - 2.0) < 1e-9)
+  }
+
+  test("calibFactor: one contended checkpoint of six cannot move the median") {
+    val f = Bench.calibFactor(
+      Seq(Bench.CpuCalibBase, Bench.CpuCalibBase, Bench.CpuCalibBase * 40),
+      Seq.fill(3)(Bench.ShuffleCalibBase))
+    assert(math.abs(f - 1.0) < 1e-9)
+  }
+
+  test("calibFactor: degenerate empty input reads 1.0") {
+    assert(Bench.calibFactor(Nil, Nil) == 1.0)
+  }
 }

@@ -42,6 +42,34 @@ class VectorExpressionsSpec extends AnyFunSuite with SparkTestSession {
     assert(out(0) == 1.0 && out(1) == 0.0 && out(2) == 0.0)
   }
 
+  test("codegen IVF cell assignment matches the closure form exactly") {
+    // The kernel replaced a closure UDF (r16; the 10⁶ build's dominant
+    // cost was the UDF's boxing). Pin argmax-cosine bit-identity on
+    // adversarial inputs: random vectors, a vector EQUAL to a centroid
+    // (sim exactly 1.0 against it), the zero vector (den==0 → every sim
+    // 0.0 → strict > keeps cell 0), and near-tie geometry.
+    val centroids = Array.tabulate(8) { c =>
+      vecGen.pureApply(Gen.Parameters.default, Seed(9000L + c))
+    }
+    val vecs = (1 to 200).map(i =>
+      vecGen.pureApply(Gen.Parameters.default, Seed(i.toLong))) ++
+      Seq(centroids(3), centroids(5).map(_ * 2.0f), // scaled copy: same direction
+        Array.fill(64)(0f))
+    val df = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toDF("vec_id", "embedding")
+    val kernel = graft.operators.Ann.assignCells(df, centroids)
+      .select("vec_id", "cell").as[(Long, Int)].collect().toMap
+    val closure = graft.operators.Ann.assignCellsClosure(df, centroids)
+      .select("vec_id", "cell").as[(Long, Int)].collect().toMap
+    assert(kernel == closure, {
+      val diff = kernel.collect { case (k, v) if closure(k) != v => (k, v, closure(k)) }
+      s"kernel diverged from closure at: $diff"
+    })
+    assert(kernel(200L) == 3, "a centroid must assign to its own cell")
+    assert(kernel(201L) == 5, "cosine is scale-invariant: scaled copy keeps its cell")
+    assert(kernel(202L) == 0, "zero vector: all sims 0.0, strict > keeps cell 0")
+  }
+
   test("codegen cosine survives interpreted (non-codegen) eval too") {
     // force interpreted path via a filter on the expression in a plan
     // fragment that falls back (collect over local relation with eval)
