@@ -186,21 +186,23 @@ private[graft] object AnnOracle {
        |FROM ranked WHERE rank <= $k
        |ORDER BY query_id, rank""".stripMargin
 
-  /** `ann_lsh_topk` mirror: murmur signatures, the Hamming-≤2 probe ball
-    * as a `bit_count(xor(...)) <= 2` bucket join (the probe SET of
-    * [[Ann.probeSignatures]] at probeBits=2 is exactly that ball), exact
-    * cosine rerank, k=2.
+  /** `ann_lsh_topk` / `ann_lsh_join` mirrors: murmur signatures, the
+    * Hamming-≤2 probe ball as a `bit_count(xor(...)) <= 2` bucket join
+    * (the probe SET of [[Ann.probeSignatures]] at probeBits=2 is exactly
+    * that ball), exact cosine rerank. The join form replays identically:
+    * broadcast-vs-shuffled-layout probing is a physical choice, the
+    * probe ball and scoring are shared code on the Spark side.
     */
-  def lshTopKSql: String =
+  def lshTopKSql(nq: Int = 5, k: Int = 2): String =
     s"""WITH
        |$sigCtes,
        |q AS (
        |  SELECT s.vec_id AS query_id, e.embedding AS qe, s.sig
-       |  FROM sigs s JOIN embeddings e USING (vec_id) WHERE s.vec_id < 5),
+       |  FROM sigs s JOIN embeddings e USING (vec_id) WHERE s.vec_id < $nq),
        |${cosineRankTail(
         """SELECT q.query_id, q.qe, s.vec_id, e.embedding
           |  FROM q JOIN sigs s ON bit_count(xor(q.sig, s.sig)) <= 2
-          |  JOIN embeddings e ON e.vec_id = s.vec_id""".stripMargin, 2)}""".stripMargin
+          |  JOIN embeddings e ON e.vec_id = s.vec_id""".stripMargin, k)}""".stripMargin
 
   /** `ann_lsh_multiprobe` (and its spec-pinned-identical partitioned
     * twin): the query-adaptive probe order of [[Ann.adaptiveProbes]]
@@ -741,7 +743,8 @@ private[graft] object AnnOracle {
         c <- opqCentroids.unique(IVF_SUFFIX) }
       yield Seq("ann_ivfpq_opq_topk" -> opqIvfSql(r, b, c))).getOrElse(Nil)
     Map(
-      "ann_lsh_topk" -> lshTopKSql,
+      "ann_lsh_topk" -> lshTopKSql(),
+      "ann_lsh_join" -> lshTopKSql(nq = 50, k = 5),
       "ann_lsh_multiprobe" -> lshMultiprobeSql,
       // Spec-pinned identical to the in-memory adaptive form
       // (AnnPartitionedSpec) — the layout is a physical optimization.

@@ -2270,6 +2270,26 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    "ann_lsh_join" -> ((s, dir) => {
+      // ANN as a JOIN at the LSH tier (r16): the distributed-queries
+      // form over the murmur signature-partitioned layout — queries
+      // never collect OR broadcast; Hamming-2 probe signatures explode
+      // per row and candidates come from the sig equi-join (both sides
+      // shuffle by sig — the right plan when the query side is itself
+      // corpus-sized). Hash-checked via the static murmur mirror
+      // (planes are pure hash constants — no captures needed); Verify
+      // equality-gates it against the in-memory lshTopK row for row.
+      val emb = Tables.embeddings(s, dir)
+      val base = new java.io.File(
+        sys.props("java.io.tmpdir"), "graft_ann_layouts").getAbsolutePath
+      val layout = operators.Ann.signaturePartitionedLayoutMurmur(s, emb, base, nBits = 8)
+      val qs = emb.filter(col("vec_id") < 50)
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"))
+      operators.Ann.lshJoin(s, layout, qs, k = 5, nBits = 8, probeBits = 2)
+        .withColumn("sim", TextAnalysis.floorScale(col("sim"), 6))
+        .orderBy("query_id", "rank")
+    }),
+
     "ann_recall" -> ((s, dir) => {
       // The Verify recall gate as a first-class HASH-CHECKED metric:
       // recall@10 of the portable LSH path against exact brute force,

@@ -359,6 +359,29 @@ object Verify {
           "ann_ivf_join: distributed join diverged from the driver-side probe")
       }
 
+      // LSH-tier distributed-join gate (r16): lshJoin over the murmur
+      // signature layout must reproduce the in-memory lshTopK EXACTLY
+      // (same Hamming-2 probe ball, same codegen cosine, same cut) —
+      // raw doubles included.
+      {
+        val sigPath = operators.Ann.signaturePartitionedLayoutMurmur(
+          spark, emb,
+          new java.io.File(sys.props("java.io.tmpdir"), "graft_ann_layouts").getAbsolutePath,
+          nBits = 8)
+        val joined = operators.Ann.lshJoin(
+          spark, sigPath, qsIvf, k = 10, nBits = 8, probeBits = 2)
+          .select("query_id", "rank", "vec_id", "sim").collect()
+          .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+        val inMem = operators.Ann.lshTopK(
+          qsIvf, emb, k = 10, nBits = 8, probeBits = 2)
+          .select("query_id", "rank", "vec_id", "sim").collect()
+          .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+        println(s"[equality] ann_lsh_join rows=${joined.size} " +
+          s"inmem=${inMem.size} equal=${joined == inMem}")
+        require(joined == inMem,
+          "ann_lsh_join: distributed join diverged from the in-memory probe")
+      }
+
       // Incremental-index gate: NOT a recall floor but EXACT row
       // equality — the versioned root (base write + batch append −
       // tombstones, every step marker-gated/idempotent) must reproduce a

@@ -161,6 +161,44 @@ object Ann {
       .select("query_id", "rank", "vec_id", "sim")
   }
 
+  /** LSH similarity JOIN over a [[writeSignaturePartitioned]] /
+    * [[signaturePartitionedLayoutMurmur]] layout: top-k bucket-probed
+    * neighbors for EVERY row of an arbitrarily large query frame — the
+    * [[ivfJoin]] / [[ivfPqJoin]] treatment applied to the LSH tier.
+    * [[lshTopK]] keeps queries distributed but BROADCASTS the probed
+    * query frame (right for request batches; impossible when the query
+    * side is itself a corpus), and [[lshTopKPartitioned]] collects the
+    * probe set driver-side for a static isin. This form does neither:
+    * probe signatures explode per query row (the Hamming-≤probeBits
+    * ball of [[probeSignatures]]) and candidates come from a plain
+    * equi-join on the signature key, so BOTH sides shuffle by `sig` and
+    * scored pairs stay O(queries × probed-bucket occupancy) — the
+    * corpus-vs-corpus shape (near-dup between two corpora at LSH speed,
+    * nightly batch retrieval) at the hash-bucket tier. Row-identical to
+    * [[lshTopK]] at the same parameters (spec-pinned and Verify-gated
+    * by exact equality).
+    */
+  def lshJoin(
+      spark: SparkSession,
+      path: String,
+      queries: DataFrame,
+      k: Int,
+      nBits: Int = 8,
+      probeBits: Int = 1): DataFrame = {
+    val probesU = udf((v: Seq[Float]) =>
+      if (v == null) Array.empty[Int]
+      else probeSignatures(signature(v, nBits), nBits, probeBits).toArray)
+    val probed = queries
+      .withColumn("sig", explode(probesU(col("q_embedding"))))
+      .select("query_id", "sig", "q_embedding")
+    spark.read.parquet(path).join(probed, "sig")
+      .withColumn("sim", VectorExpressions.cosineSim(col("q_embedding"), col("embedding")))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("query_id").orderBy(desc("sim"), asc("vec_id"))))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "vec_id", "sim")
+  }
+
   /** [[lshTopK]] with the PORTABLE squared-Lehmer signature
     * ([[Dedup.portableSignature]]) instead of murmur hyperplanes: every
     * stage — signature, the multiprobe bit-flip set, the bucket

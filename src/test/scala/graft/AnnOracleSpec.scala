@@ -48,6 +48,7 @@ class AnnOracleSpec extends AnyFunSuite {
     isolated {
       val keys = AnnOracle.sqlEntries.keySet
       assert(keys.contains("ann_lsh_topk"))
+      assert(keys.contains("ann_lsh_join"))
       assert(keys.contains("ann_lsh_multiprobe"))
       assert(keys.contains("ann_lsh_partitioned_adaptive"))
       // trained tiers absent without captures — the rows-only fallback
@@ -69,8 +70,8 @@ class AnnOracleSpec extends AnyFunSuite {
       AnnOracle.opqCentroids.put("dir|opq|100|1|8|3", cents8)
       val entries = AnnOracle.sqlEntries
       val expected = Set(
-        "ann_lsh_topk", "ann_lsh_multiprobe", "ann_lsh_partitioned_adaptive",
-        "ann_recall_murmur",
+        "ann_lsh_topk", "ann_lsh_join", "ann_lsh_multiprobe",
+        "ann_lsh_partitioned_adaptive", "ann_recall_murmur",
         "ann_ivf_topk", "ann_ivf_join", "ann_rule_topk", "ann_rule_ivfpq",
         "ann_pq_trained_topk",
         "ann_ivfpq_topk", "ann_ivfpq_join", "ann_ivfpq_incremental",

@@ -994,6 +994,21 @@ class AnnSpec extends AnyFunSuite with SparkTestSession {
     assert(joined.nonEmpty)
   }
 
+  test("LSH join: distributed-queries form over the layout equals in-memory lshTopK") {
+    val vecs = corpus.select("vec_id", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("graft_lsh_join").toString
+    Ann.writeSignaturePartitioned(vecs, dir, nBits = 8)
+    val qs = vecs.filter($"vec_id" < 50)
+      .select($"vec_id".as("query_id"), $"embedding".as("q_embedding"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "rank", "vec_id", "sim")
+        .as[(Long, Int, Long, Double)].collect().toSet
+    val joined = rows(Ann.lshJoin(spark, dir, qs, k = 5, nBits = 8, probeBits = 2))
+    val mem = rows(Ann.lshTopK(qs, vecs, k = 5, nBits = 8, probeBits = 2))
+    assert(joined == mem, "LSH distributed join must equal the in-memory bucket probe")
+    assert(joined.nonEmpty)
+  }
+
   test("residual IVF-PQ rerank: full probe + full over-fetch equals exact euclidean top-k") {
     import org.apache.spark.sql.functions.col
     val vecs = (0L until 160L).map { i =>
