@@ -62,6 +62,30 @@ object RestartHarness {
       .as[SessionEvent]
   }
 
+  /** Document-shaped twin of the event fixture, for the text-keyed
+    * streaming gates ([[Streams.nearDupGate]] / [[Streams.ingestStream]]):
+    * (ts, doc_id, text), one JSON-lines file per micro-batch, mtimes
+    * ascending.
+    */
+  val docSchema: StructType = StructType(Seq(
+    StructField("ts", TimestampType), StructField("doc_id", LongType),
+    StructField("text", StringType)))
+
+  def writeDocFile(dir: Path, idx: Int, docs: Seq[(Long, String, Timestamp)]): Unit = {
+    val lines = docs.map { case (id, text, time) =>
+      s"""{"ts":"${time.toInstant}","doc_id":$id,"text":"$text"}"""
+    }.mkString("", "\n", "\n")
+    val f = dir.resolve(f"docs-$idx%03d.json")
+    Files.writeString(f, lines)
+    Files.setLastModifiedTime(f, FileTime.fromMillis(1700000000000L + idx * 1000L))
+    ()
+  }
+
+  def docStream(spark: SparkSession, dir: Path): org.apache.spark.sql.DataFrame =
+    spark.readStream.schema(docSchema)
+      .option("maxFilesPerTrigger", "1")
+      .json(dir.toString)
+
   /** Idempotent by-batchId sink state, shared across the crash run and
     * the recovery run of one scenario:
     *  - `collected`: last rows committed per batch id;

@@ -265,4 +265,59 @@ class StreamRestartSpec extends AnyFunSuite with SparkTestSession {
     assert(all.find(_._1 == 2L).map(_._2) == Some(ts("2024-01-01 00:05:00")),
       s"id 2's surviving row must be the pre-restart original: $all")
   }
+
+  test("nearDupGate: restart from checkpoint — fingerprint state suppresses a post-restart twin") {
+    // The text-keyed sibling of the dedupEvents leg: nearDupGate keys
+    // its dropDuplicatesWithinWatermark state on the derived SimHash
+    // FINGERPRINT, so the restart contract is about a twin DOCUMENT —
+    // a different doc_id whose text collides (here: identical text) —
+    // arriving after the restart and staying suppressed by restored
+    // state.
+    val dir = Files.createTempDirectory("graft_restart_ndg_in")
+    val ckpt = Files.createTempDirectory("graft_restart_ndg_ckpt")
+    val collected = new ConcurrentHashMap[Long, Seq[Long]]()
+    def run(): Unit = {
+      val gated = Streams.nearDupGate(
+        RestartHarness.docStream(spark, dir), watermark = "1 hour")
+      val query = gated
+        .writeStream
+        .option("checkpointLocation", ckpt.toString)
+        .outputMode(OutputMode.Append())
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, batchId: Long) =>
+          collected.put(batchId,
+            df.select("doc_id").collect().map(_.getLong(0)).toSeq): Unit
+        }
+        .start()
+      try query.processAllAvailable()
+      finally query.stop()
+    }
+    // Segment 1: docs 1 (pattern A) and 2 (pattern B) admitted; doc 3
+    // re-uploads pattern A under a new id — suppressed within the run.
+    val textA = "the quick brown fox jumps over the lazy dog"
+    val textB = "a completely different document about spark"
+    RestartHarness.writeDocFile(dir, 0, Seq(
+      (1L, textA, ts("2024-01-01 00:00:00")), (2L, textB, ts("2024-01-01 00:05:00"))))
+    RestartHarness.writeDocFile(dir, 1, Seq(
+      (3L, textA, ts("2024-01-01 00:10:00"))))
+    run()
+    val seg1Keys = collected.keySet().asScala.toSet
+    assert(collected.values().asScala.flatten.toSeq.sorted == Seq(1L, 2L),
+      s"segment 1 must admit one doc per fingerprint: ${collected.values()}")
+    // Segment 2 (after restart): doc 4 re-uploads pattern B — its
+    // fingerprint was admitted pre-stop, so the RESTORED state must
+    // suppress it; doc 5 is a fresh pattern — admitted.
+    RestartHarness.writeDocFile(dir, 2, Seq(
+      (4L, textB, ts("2024-01-01 00:20:00")),
+      (5L, "yet another novel text body entirely", ts("2024-01-01 00:25:00"))))
+    run()
+    val afterKeys = collected.keySet().asScala.toSet
+    assert((afterKeys -- seg1Keys).nonEmpty && (afterKeys -- seg1Keys).min > seg1Keys.max,
+      s"restart must append batches, not reprocess from 0: $afterKeys")
+    val all = collected.values().asScala.flatten.toSeq
+    assert(!all.contains(4L),
+      s"doc 4's twin fingerprint must stay suppressed by restored state: $all")
+    assert(all.count(_ == 5L) == 1, s"fresh doc 5 must be admitted: $all")
+    assert(all.sorted == Seq(1L, 2L, 5L),
+      s"exactly one admission per distinct fingerprint across the restart: $all")
+  }
 }
