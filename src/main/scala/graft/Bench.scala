@@ -107,6 +107,29 @@ object Bench {
     ()
   }
 
+  /** Third probe family (r16): a branch/table-heavy DP kernel
+    * (levenshtein over 64-char generated strings, single partition) —
+    * the shape of the levenshtein/shingle query family. Measured on the
+    * r16 base day: the sha2 probe read ~1.0× its base while BenchOne
+    * steady states of `pipeline_attributes`/`dedup_minhash_verified`
+    * read ~2× their r15 medians — i.e. this box drifts the DP/branchy
+    * class independently of straight-line hashing, so one CPU probe
+    * cannot adjudicate that family. Three families (hash CPU, DP CPU,
+    * shuffle) are recorded separately in the artifact; `calib_factor`
+    * stays the overall median (a class-specific drift should NOT
+    * rescale the whole headline), and the per-family medians let a
+    * reader attribute a family tail to the host without a quiet
+    * re-recording.
+    */
+  def textProbe(spark: SparkSession): Unit = {
+    spark.range(0, 8000, 1, 1)
+      .select(sum(levenshtein(
+        sha2(concat(lit("graft-calib-a-"), col("id").cast("string")), 256),
+        sha2(concat(lit("graft-calib-b-"), col("id").cast("string")), 256))).as("d"))
+      .collect()
+    ()
+  }
+
   /** Quiet-window bases for the probes on the reference host (recorded
     * r16: a full stalls=0 bench run read cpu [0.118, 0.111, 0.107] /
     * shuffle [0.162, 0.139, 0.134]; bases = the medians — see
@@ -116,25 +139,46 @@ object Bench {
     */
   val CpuCalibBase = 0.111
   val ShuffleCalibBase = 0.139
+  // In-session readings on the r16 base day: [0.363, 0.365, 0.347]
+  // (the probe needs the warmed bench JVM — a cold JVM reads ~1.5×).
+  // NOTE the anchor caveat: this base was recorded on a day whose
+  // levenshtein-family queries read ~2× their r15 medians (BenchOne
+  // steady states in BASELINE.md), so factor_text is relative to a
+  // slow-text day; a future fast-text window will read factor_text < 1.
+  val TextCalibBase = 0.363
 
   /** One calibration checkpoint: each probe twice, keep the min (the
     * second-shortest estimator would need 3+ runs; min-of-2 already
     * drops one-off scheduling hiccups while staying cheap).
     */
-  def sampleCalib(spark: SparkSession): (Double, Double) = {
+  def sampleCalib(spark: SparkSession): (Double, Double, Double) = {
     def minOf2(f: => Unit): Double =
       (1 to 2).map { _ =>
         val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
       }.min
-    (minOf2(cpuProbe(spark)), minOf2(shuffleProbe(spark)))
+    (minOf2(cpuProbe(spark)), minOf2(shuffleProbe(spark)), minOf2(textProbe(spark)))
   }
 
-  /** Median ratio of the probe readings against the quiet bases. */
-  def calibFactor(cpu: Seq[Double], shuffle: Seq[Double]): Double = {
-    val ratios =
-      (cpu.map(_ / CpuCalibBase) ++ shuffle.map(_ / ShuffleCalibBase)).sorted
-    if (ratios.isEmpty) 1.0 else ratios(ratios.length / 2)
+  private def medianOf(ratios: Seq[Double]): Double = {
+    val s = ratios.sorted
+    if (s.isEmpty) 1.0 else s(s.length / 2)
   }
+
+  /** Median ratio of ALL probe readings against the quiet bases. */
+  def calibFactor(cpu: Seq[Double], shuffle: Seq[Double], text: Seq[Double]): Double =
+    medianOf(cpu.map(_ / CpuCalibBase) ++ shuffle.map(_ / ShuffleCalibBase) ++
+      text.map(_ / TextCalibBase))
+
+  /** Per-family median ratios (cpu, shuffle, text) — the diagnostic for
+    * CLASS-SPECIFIC host drift that the overall factor deliberately
+    * does not rescale by.
+    */
+  def calibFamilies(
+      cpu: Seq[Double], shuffle: Seq[Double], text: Seq[Double])
+      : (Double, Double, Double) =
+    (medianOf(cpu.map(_ / CpuCalibBase)),
+      medianOf(shuffle.map(_ / ShuffleCalibBase)),
+      medianOf(text.map(_ / TextCalibBase)))
 
   /** The round-2 stdout subset, kept as a stable cross-round comparand. */
   val headline: Seq[String] = Seq(
@@ -175,12 +219,13 @@ object Bench {
     val names = headline ++ registry.keys.toSeq.filterNot(headline.contains).sorted
     // Calibration probes: warmed once (codegen/JIT, dropped), then
     // sampled at start / middle / end of the run (see the probe scaladoc).
-    cpuProbe(spark); shuffleProbe(spark)
+    cpuProbe(spark); shuffleProbe(spark); textProbe(spark)
     val calibCpu = scala.collection.mutable.ArrayBuffer.empty[Double]
     val calibShuffle = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val calibText = scala.collection.mutable.ArrayBuffer.empty[Double]
     def calibCheckpoint(): Unit = {
-      val (c, sh) = sampleCalib(spark)
-      calibCpu += c; calibShuffle += sh
+      val (c, sh, tx) = sampleCalib(spark)
+      calibCpu += c; calibShuffle += sh; calibText += tx
     }
     // Interleaved passes: timings(q) accumulates one sample per timed pass.
     val timings = scala.collection.mutable.Map(names.map(_ -> Vector.empty[Double]): _*)
@@ -242,7 +287,9 @@ object Bench {
       }
     }
     calibCheckpoint() // end: after the stall-rerun pass
-    val factor = calibFactor(calibCpu.toSeq, calibShuffle.toSeq)
+    val factor = calibFactor(calibCpu.toSeq, calibShuffle.toSeq, calibText.toSeq)
+    val (famCpu, famShuffle, famText) =
+      calibFamilies(calibCpu.toSeq, calibShuffle.toSeq, calibText.toSeq)
     val resultsFull = names.filterNot(errors.contains).map { name =>
       val timed = timings(name).sorted
       (name, timed(timed.length / 2), timed.head, timed.last)
@@ -282,7 +329,11 @@ object Bench {
     def jarr(v: Seq[Double]): String = v.map(r3).mkString("[", ",", "]")
     val calibJson =
       s"""{"cpu":${jarr(calibCpu.toSeq)},"shuffle":${jarr(calibShuffle.toSeq)},""" +
+        s""""text":${jarr(calibText.toSeq)},""" +
         s""""cpu_base":${r3(CpuCalibBase)},"shuffle_base":${r3(ShuffleCalibBase)},""" +
+        s""""text_base":${r3(TextCalibBase)},""" +
+        s""""factor_cpu":${r3(famCpu)},"factor_shuffle":${r3(famShuffle)},""" +
+        s""""factor_text":${r3(famText)},""" +
         s""""factor":${r3(factor)}}"""
     Files.writeString(Paths.get(fullOut),
       s"""{"metric":"total","value":${r3(total)},"unit":"sec","iters":3,""" +

@@ -38,24 +38,42 @@ class BenchStallSpec extends AnyFunSuite {
   // quiet window reads ~1.
   test("calibFactor: quiet probes at the bases read 1.0") {
     val f = Bench.calibFactor(
-      Seq.fill(3)(Bench.CpuCalibBase), Seq.fill(3)(Bench.ShuffleCalibBase))
+      Seq.fill(3)(Bench.CpuCalibBase), Seq.fill(3)(Bench.ShuffleCalibBase),
+      Seq.fill(3)(Bench.TextCalibBase))
     assert(math.abs(f - 1.0) < 1e-9)
   }
 
   test("calibFactor: uniform 2x host drift reads 2.0") {
     val f = Bench.calibFactor(
-      Seq.fill(3)(Bench.CpuCalibBase * 2), Seq.fill(3)(Bench.ShuffleCalibBase * 2))
+      Seq.fill(3)(Bench.CpuCalibBase * 2), Seq.fill(3)(Bench.ShuffleCalibBase * 2),
+      Seq.fill(3)(Bench.TextCalibBase * 2))
     assert(math.abs(f - 2.0) < 1e-9)
   }
 
-  test("calibFactor: one contended checkpoint of six cannot move the median") {
+  test("calibFactor: one contended checkpoint of nine cannot move the median") {
     val f = Bench.calibFactor(
       Seq(Bench.CpuCalibBase, Bench.CpuCalibBase, Bench.CpuCalibBase * 40),
-      Seq.fill(3)(Bench.ShuffleCalibBase))
+      Seq.fill(3)(Bench.ShuffleCalibBase), Seq.fill(3)(Bench.TextCalibBase))
     assert(math.abs(f - 1.0) < 1e-9)
   }
 
   test("calibFactor: degenerate empty input reads 1.0") {
-    assert(Bench.calibFactor(Nil, Nil) == 1.0)
+    assert(Bench.calibFactor(Nil, Nil, Nil) == 1.0)
+  }
+
+  test("calibFamilies: a class-specific 2x drift shows ONLY in its family") {
+    // The adjudication contract: a DP/branchy-class drift must be
+    // attributable to the text family without rescaling the overall
+    // factor past the median of the other two quiet families.
+    val (fc, fs, ft) = Bench.calibFamilies(
+      Seq.fill(3)(Bench.CpuCalibBase), Seq.fill(3)(Bench.ShuffleCalibBase),
+      Seq.fill(3)(Bench.TextCalibBase * 2))
+    assert(math.abs(fc - 1.0) < 1e-9 && math.abs(fs - 1.0) < 1e-9 &&
+      math.abs(ft - 2.0) < 1e-9)
+    val overall = Bench.calibFactor(
+      Seq.fill(3)(Bench.CpuCalibBase), Seq.fill(3)(Bench.ShuffleCalibBase),
+      Seq.fill(3)(Bench.TextCalibBase * 2))
+    assert(math.abs(overall - 1.0) < 1e-9,
+      "a one-family drift must not rescale the overall factor")
   }
 }
