@@ -41,13 +41,17 @@ import java.nio.file.{Files, Paths}
   *    persisted through the re-run, not a transient the artifact
   *    needed a quiet re-recording to clean up.
   *
-  *  - DRIFT CALIBRATION (r15): two fixed probes (single-core CPU kernel,
-  *    fixed 8-partition shuffle) timed at start/middle/end; their median
-  *    ratio against quiet-window bases is recorded as "calib_factor" and
-  *    the headline is also reported normalized ("headline34_cal") — so a
-  *    UNIFORM host slowdown (which the per-query stall heuristic cannot
-  *    see) is adjudicable from the artifact alone instead of requiring a
-  *    separate same-code quiet recording.
+  *  - DRIFT CALIBRATION (r15 directive, r16): three fixed probe
+  *    families (single-core hash CPU kernel, single-core levenshtein DP
+  *    kernel, fixed 8-partition shuffle) timed at start/middle/end;
+  *    their all-family median ratio against quiet-window bases is
+  *    recorded as "calib_factor" with per-family medians alongside, and
+  *    the headline is also reported normalized ("headline34_cal") — so
+  *    BOTH a uniform host slowdown AND the box's documented
+  *    class-specific drift (the levenshtein/shingle family drifting
+  *    independently of straight-line hashing) are adjudicable from the
+  *    artifact alone instead of requiring a separate same-code quiet
+  *    recording.
   *
   * `headline34` preserves the round-2 subset total so round-over-round
   * comparison stays apples to apples.
@@ -69,7 +73,7 @@ object Bench {
   // but a UNIFORM host slowdown passes straight into the artifact: r15's
   // official recording read 1.29x vs the r2 base while the same code in
   // a quiet window read 1.10x/0.93x, and nothing in the artifact could
-  // prove the difference was the host. These two fixed probes make the
+  // prove the difference was the host. These fixed probes make the
   // artifact self-adjudicating: they are timed at the START, MIDDLE and
   // END of the run, recorded raw in BENCH_full.json, and their median
   // ratio against the quiet-window bases below becomes `calib_factor` —
@@ -78,12 +82,15 @@ object Bench {
   // host-vs-plan adjudication by hand from a separate quiet recording.
   //
   // Probe design: shapes that cannot be affected by any query/plan
-  // change in this repo (spark.range + built-ins only), sized ~0.2-0.5 s
-  // so three checkpoints cost ~2 s of a ~100 s run.
+  // change in this repo (spark.range + built-ins only), sized ~0.1-0.4 s
+  // so three checkpoints cost ~3 s of a ~100 s run. Three FAMILIES,
+  // because the box's drift is class-specific (r12/r13/r16
+  // adjudications: the levenshtein/shingle class drifts independently
+  // of straight-line hashing):
   //  - CPU probe: sha2+xxhash64 over 120k generated strings in ONE
-  //    partition — single-core codegen'd compute, the term that drifts
-  //    in the tokenize/shingle family the r12/r13/r15 adjudications
-  //    pinned on the host.
+  //    partition — single-core straight-line codegen'd hashing.
+  //  - Text probe ([[textProbe]]): single-core levenshtein DP — the
+  //    branch/table-heavy class.
   //  - Shuffle probe: 300k rows through a FIXED 8-partition hash
   //    exchange + aggregation — exchange/serialization overhead,
   //    independent of spark.sql.shuffle.partitions so the probe shape

@@ -199,25 +199,48 @@ case class IvfCellAssign(child: Expression, cents: Seq[Double], dim: Int)
 
   @transient private lazy val centArr: Array[Double] = cents.toArray
 
+  /** √‖centroid_c‖², hoisted to construction: the centroid norm is a
+    * per-centroid constant and the embedding norm a per-row constant, so
+    * the per-(row, cell) inner loop carries ONLY the dot product — one
+    * multiply-add per dim instead of the three the first cut streamed.
+    * Bit-identical to the fused form: each norm is the same left fold of
+    * yv·yv (resp. xv·xv) in ascending dim order the fused loop ran —
+    * interleaving three independent accumulators never changes any of
+    * them — and √ of the same double is the same double.
+    */
+  @transient private lazy val centSqrtNorm: Array[Double] = {
+    val k = centArr.length / dim
+    Array.tabulate(k) { c =>
+      var nb = 0.0
+      var i = 0
+      while (i < dim) { val yv = centArr(c * dim + i); nb += yv * yv; i += 1 }
+      math.sqrt(nb)
+    }
+  }
+
   override def dataType: DataType = IntegerType
   override def prettyName: String = "ivf_cell_assign"
 
   protected override def nullSafeEval(a: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val k = centArr.length / dim
+    var na = 0.0
+    var i0 = 0
+    while (i0 < dim) {
+      val xv = x.getFloat(i0).toDouble; na += xv * xv; i0 += 1
+    }
+    val sqrtNa = math.sqrt(na)
     var best = 0
     var bestSim = -Double.MaxValue
     var c = 0
     while (c < k) {
-      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var dot = 0.0
       var i = 0
       while (i < dim) {
-        val xv = x.getFloat(i).toDouble
-        val yv = centArr(c * dim + i)
-        dot += xv * yv; na += xv * xv; nb += yv * yv
+        dot += x.getFloat(i).toDouble * centArr(c * dim + i)
         i += 1
       }
-      val den = math.sqrt(na) * math.sqrt(nb)
+      val den = sqrtNa * centSqrtNorm(c)
       val sim = if (den == 0.0) 0.0 else dot / den
       if (sim > bestSim) { bestSim = sim; best = c }
       c += 1
@@ -228,6 +251,7 @@ case class IvfCellAssign(child: Expression, cents: Seq[Double], dim: Int)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, a => {
       val centsRef = ctx.addReferenceObj("ivfCents", centArr, "double[]")
+      val normsRef = ctx.addReferenceObj("ivfCentNorms", centSqrtNorm, "double[]")
       val k = centArr.length / dim
       val best = ctx.freshName("best")
       val bestSim = ctx.freshName("bestSim")
@@ -235,22 +259,25 @@ case class IvfCellAssign(child: Expression, cents: Seq[Double], dim: Int)
       val i = ctx.freshName("i")
       val dot = ctx.freshName("dot")
       val na = ctx.freshName("na")
-      val nb = ctx.freshName("nb")
       val xv = ctx.freshName("xv")
-      val yv = ctx.freshName("yv")
+      val sqrtNa = ctx.freshName("sqrtNa")
       val den = ctx.freshName("den")
       val sim = ctx.freshName("sim")
       s"""
+         |double $na = 0.0;
+         |for (int $i = 0; $i < $dim; $i++) {
+         |  final double $xv = (double) $a.getFloat($i);
+         |  $na += $xv * $xv;
+         |}
+         |final double $sqrtNa = java.lang.Math.sqrt($na);
          |int $best = 0;
          |double $bestSim = -Double.MAX_VALUE;
          |for (int $c = 0; $c < $k; $c++) {
-         |  double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
+         |  double $dot = 0.0;
          |  for (int $i = 0; $i < $dim; $i++) {
-         |    final double $xv = (double) $a.getFloat($i);
-         |    final double $yv = $centsRef[$c * $dim + $i];
-         |    $dot += $xv * $yv; $na += $xv * $xv; $nb += $yv * $yv;
+         |    $dot += (double) $a.getFloat($i) * $centsRef[$c * $dim + $i];
          |  }
-         |  final double $den = java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb);
+         |  final double $den = $sqrtNa * $normsRef[$c];
          |  final double $sim = ($den == 0.0) ? 0.0 : $dot / $den;
          |  if ($sim > $bestSim) { $bestSim = $sim; $best = $c; }
          |}

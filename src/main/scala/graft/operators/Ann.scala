@@ -108,6 +108,32 @@ object Ann {
     scored.sortBy(_._1).take(nProbes).map(_._2).toArray
   }
 
+  /** The shared rank/cut/select tail of every cosine top-k probe form:
+    * rank candidates per query on the `sim` column (desc, `vec_id` asc
+    * tiebreak), cut at `k`. ONE definition — the Verify-gated
+    * "row-identical across probe forms" claims then hold by
+    * construction, and a ranking-contract change (e.g. the ±0.0 class
+    * of fix [[nearestCells]] took) has one place to land instead of
+    * seven (r16 review). Spark plans this as a map-side Partial
+    * [[org.apache.spark.sql.execution.window.WindowGroupLimitExec]]
+    * before the query_id exchange, so at scale each task forwards at
+    * most k rows per query.
+    */
+  private def rankTopK(cands: DataFrame, k: Int): DataFrame =
+    cands
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("query_id").orderBy(desc("sim"), asc("vec_id"))))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "vec_id", "sim")
+
+  /** The murmur Hamming-ball probe UDF shared by [[lshTopK]] and
+    * [[lshJoin]].
+    */
+  private def hammingProbesUdf(nBits: Int, probeBits: Int) =
+    udf((v: Seq[Float]) =>
+      if (v == null) Array.empty[Int]
+      else probeSignatures(signature(v, nBits), nBits, probeBits).toArray)
+
   /** [[lshTopK]] with the query-adaptive probe order: same bucket join
     * and exact rerank, but each query probes its `nProbes` best buckets
     * instead of the full Hamming ball (37 buckets at nBits=8,
@@ -126,13 +152,9 @@ object Ann {
       else adaptiveProbes(v, nBits, nProbes))
     val bucketed = corpus.withColumn("sig", sigU(col("embedding")))
     val probed = queries.withColumn("sig", explode(probesU(col("q_embedding"))))
-    val cands = bucketed.join(broadcast(probed), "sig")
-      .withColumn("sim", VectorExpressions.cosineSim(col("q_embedding"), col("embedding")))
-    val w = Window.partitionBy("query_id").orderBy(desc("sim"), asc("vec_id"))
-    cands
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "rank", "vec_id", "sim")
+    rankTopK(bucketed.join(broadcast(probed), "sig")
+      .withColumn("sim", VectorExpressions.cosineSim(col("q_embedding"), col("embedding"))),
+      k)
   }
 
   /** LSH-bucketed top-k: join queries to corpus on (probed) signature
@@ -145,20 +167,12 @@ object Ann {
       k: Int,
       nBits: Int = 8,
       probeBits: Int = 1): DataFrame = {
-    val sigU = signatureUdf(nBits)
-    val probesU = udf((v: Seq[Float]) =>
-      if (v == null) Array.empty[Int]
-      else probeSignatures(signature(v, nBits), nBits, probeBits).toArray)
-    val bucketed = corpus.withColumn("sig", sigU(col("embedding")))
+    val bucketed = corpus.withColumn("sig", signatureUdf(nBits)(col("embedding")))
     val probed = queries
-      .withColumn("sig", explode(probesU(col("q_embedding"))))
-    val cands = bucketed.join(broadcast(probed), "sig")
-      .withColumn("sim", VectorExpressions.cosineSim(col("q_embedding"), col("embedding")))
-    val w = Window.partitionBy("query_id").orderBy(desc("sim"), asc("vec_id"))
-    cands
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "rank", "vec_id", "sim")
+      .withColumn("sig", explode(hammingProbesUdf(nBits, probeBits)(col("q_embedding"))))
+    rankTopK(bucketed.join(broadcast(probed), "sig")
+      .withColumn("sim", VectorExpressions.cosineSim(col("q_embedding"), col("embedding"))),
+      k)
   }
 
   /** LSH similarity JOIN over a [[writeSignaturePartitioned]] /
@@ -185,18 +199,12 @@ object Ann {
       k: Int,
       nBits: Int = 8,
       probeBits: Int = 1): DataFrame = {
-    val probesU = udf((v: Seq[Float]) =>
-      if (v == null) Array.empty[Int]
-      else probeSignatures(signature(v, nBits), nBits, probeBits).toArray)
     val probed = queries
-      .withColumn("sig", explode(probesU(col("q_embedding"))))
+      .withColumn("sig", explode(hammingProbesUdf(nBits, probeBits)(col("q_embedding"))))
       .select("query_id", "sig", "q_embedding")
-    spark.read.parquet(path).join(probed, "sig")
-      .withColumn("sim", VectorExpressions.cosineSim(col("q_embedding"), col("embedding")))
-      .withColumn("rank", row_number().over(
-        Window.partitionBy("query_id").orderBy(desc("sim"), asc("vec_id"))))
-      .filter(col("rank") <= k)
-      .select("query_id", "rank", "vec_id", "sim")
+    rankTopK(spark.read.parquet(path).join(probed, "sig")
+      .withColumn("sim", VectorExpressions.cosineSim(col("q_embedding"), col("embedding"))),
+      k)
   }
 
   /** [[lshTopK]] with the PORTABLE squared-Lehmer signature
@@ -222,14 +230,10 @@ object Ann {
       else probeSignatures(Dedup.portableSignature(v, nBits), nBits, probeBits).toArray)
     val bucketed = corpus.withColumn("sig", sigU(col("embedding")))
     val probed = queries.withColumn("sig", explode(probesU(col("q_embedding"))))
-    val cands = bucketed.join(broadcast(probed), "sig")
+    rankTopK(bucketed.join(broadcast(probed), "sig")
       .withColumn("sim", graft.functions.TextAnalysis.floorScale(
-        VectorExpressions.cosineSim(col("q_embedding"), col("embedding")), 6))
-    val w = Window.partitionBy("query_id").orderBy(desc("sim"), asc("vec_id"))
-    cands
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "rank", "vec_id", "sim")
+        VectorExpressions.cosineSim(col("q_embedding"), col("embedding")), 6)),
+      k)
   }
 
   /** Write the corpus PARTITIONED BY its LSH signature bucket — the
@@ -400,14 +404,10 @@ object Ann {
     val probed = probes.toDF("query_id", "sig")
       .join(queries, "query_id") // re-attach q_embedding (queries are small)
     val rawSim = VectorExpressions.cosineSim(col("q_embedding"), col("embedding"))
-    val cands = corpus.join(broadcast(probed), "sig")
+    rankTopK(corpus.join(broadcast(probed), "sig")
       .withColumn("sim",
-        if (floorSim) graft.functions.TextAnalysis.floorScale(rawSim, 6) else rawSim)
-    val w = Window.partitionBy("query_id").orderBy(desc("sim"), asc("vec_id"))
-    cands
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "rank", "vec_id", "sim")
+        if (floorSim) graft.functions.TextAnalysis.floorScale(rawSim, 6) else rawSim),
+      k)
   }
 
   // ----------------------------------------------------------------- IVF
@@ -635,13 +635,9 @@ object Ann {
     val cellSet = probes.map(_._2).distinct
     val corpus = spark.read.parquet(path).filter(col("cell").isin(cellSet: _*))
     val probed = probes.toDF("query_id", "cell").join(queries, "query_id")
-    val cands = corpus.join(broadcast(probed), "cell")
-      .withColumn("sim", VectorExpressions.cosineSim(col("q_embedding"), col("embedding")))
-    val w = Window.partitionBy("query_id").orderBy(desc("sim"), asc("vec_id"))
-    cands
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "rank", "vec_id", "sim")
+    rankTopK(corpus.join(broadcast(probed), "cell")
+      .withColumn("sim", VectorExpressions.cosineSim(col("q_embedding"), col("embedding"))),
+      k)
   }
 
   /** IVF top-k: each query probes its `nProbe` nearest cells, exact-reranks
@@ -657,13 +653,9 @@ object Ann {
       nProbe: Int = 3): DataFrame = {
     val probeUdf = udf { (v: Seq[Float]) => nearestCells(v, centroids, nProbe) }
     val probed = queries.withColumn("cell", explode(probeUdf(col("q_embedding"))))
-    val cands = assignedCorpus.join(broadcast(probed), "cell")
-      .withColumn("sim", VectorExpressions.cosineSim(col("q_embedding"), col("embedding")))
-    val w = Window.partitionBy("query_id").orderBy(desc("sim"), asc("vec_id"))
-    cands
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "rank", "vec_id", "sim")
+    rankTopK(assignedCorpus.join(broadcast(probed), "cell")
+      .withColumn("sim", VectorExpressions.cosineSim(col("q_embedding"), col("embedding"))),
+      k)
   }
 
   /** Exact-cosine IVF similarity JOIN over a [[writeCellPartitioned]] /
@@ -699,12 +691,9 @@ object Ann {
     val probed = queries
       .withColumn("cell", explode(probeUdf(col("q_embedding"))))
       .select("query_id", "cell", "q_embedding")
-    spark.read.parquet(path).join(probed, "cell")
-      .withColumn("sim", VectorExpressions.cosineSim(col("q_embedding"), col("embedding")))
-      .withColumn("rank", row_number().over(
-        Window.partitionBy("query_id").orderBy(desc("sim"), asc("vec_id"))))
-      .filter(col("rank") <= k)
-      .select("query_id", "rank", "vec_id", "sim")
+    rankTopK(spark.read.parquet(path).join(probed, "cell")
+      .withColumn("sim", VectorExpressions.cosineSim(col("q_embedding"), col("embedding"))),
+      k)
   }
 
   /** Per-vector symmetric int8 quantization: scale by 127/max|x| and

@@ -71,9 +71,25 @@ object RestartHarness {
     StructField("ts", TimestampType), StructField("doc_id", LongType),
     StructField("text", StringType)))
 
+  /** JSON string escaping for the doc fixture: text is FREE TEXT (the
+    * field that will eventually carry quotes/backslashes/newlines), and
+    * Spark's PERMISSIVE json reader silently nulls a malformed line —
+    * a corrupt fixture would exercise the wrong stream instead of
+    * failing loudly.
+    */
+  private def jsonEscape(s: String): String = s.flatMap {
+    case '"'  => "\\\""
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case '\r' => "\\r"
+    case '\t' => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  }
+
   def writeDocFile(dir: Path, idx: Int, docs: Seq[(Long, String, Timestamp)]): Unit = {
     val lines = docs.map { case (id, text, time) =>
-      s"""{"ts":"${time.toInstant}","doc_id":$id,"text":"$text"}"""
+      s"""{"ts":"${time.toInstant}","doc_id":$id,"text":"${jsonEscape(text)}"}"""
     }.mkString("", "\n", "\n")
     val f = dir.resolve(f"docs-$idx%03d.json")
     Files.writeString(f, lines)
