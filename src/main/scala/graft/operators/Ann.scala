@@ -38,14 +38,42 @@ object Ann {
     (h.toDouble / Int.MaxValue).toFloat
   }
 
-  /** nBits-bit random-hyperplane signature of a vector. */
+  /** The murmur hyperplane matrix for (nBits, dim), row-major (plane b's
+    * components at `b*dim until (b+1)*dim`), memoized per shape:
+    * [[planeComp]] runs a murmur hash per call, and the first-cut
+    * [[signature]] called it PER MULTIPLY — 512 hashes per row at
+    * nBits=8/dim=64, ~5×10⁸ hashes for one 10⁶-row layout write, all
+    * recomputing the same 512 constants (r16 review follow-up, the
+    * [[graft.expressions.IvfCellAssign]] lesson applied to the LSH
+    * tier). Values are identical to per-call [[planeComp]], so
+    * signatures — and every hash-green murmur oracle row — are
+    * unchanged. A few KB per (nBits, dim) shape; closures capture only
+    * the array.
+    */
+  private val planeCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int), Array[Float]]()
+  private[graft] def planes(nBits: Int, dim: Int): Array[Float] =
+    planeCache.computeIfAbsent((nBits, dim),
+      { case (b, d) => Array.tabulate(b * d)(j => planeComp(j / d, j % d)) })
+
+  /** nBits-bit random-hyperplane signature of a vector. Per-term
+    * arithmetic is unchanged from the per-call-planeComp form (Float ×
+    * Float product widened into a double accumulator, ascending dim
+    * order), so signatures are bit-identical.
+    */
   def signature(v: Seq[Float], nBits: Int): Int = {
+    val dim = v.length
+    val p = planes(nBits, dim)
+    val varr = v match {
+      case w: scala.collection.immutable.ArraySeq.ofFloat => w.unsafeArray
+      case _ => v.toArray
+    }
     var sig = 0
     var b = 0
     while (b < nBits) {
       var dot = 0.0
       var i = 0
-      while (i < v.length) { dot += v(i) * planeComp(b, i); i += 1 }
+      while (i < dim) { dot += varr(i) * p(b * dim + i); i += 1 }
       if (dot >= 0) sig |= (1 << b)
       b += 1
     }
@@ -78,12 +106,18 @@ object Ann {
     */
   def adaptiveProbes(
       v: Seq[Float], nBits: Int, nProbes: Int, maxFlipBits: Int = 10): Array[Int] = {
+    val dim = v.length
+    val p = planes(nBits, dim)
+    val varr = v match {
+      case w: scala.collection.immutable.ArraySeq.ofFloat => w.unsafeArray
+      case _ => v.toArray
+    }
     val dots = new Array[Double](nBits)
     var b = 0
     while (b < nBits) {
       var d = 0.0
       var i = 0
-      while (i < v.length) { d += v(i) * planeComp(b, i); i += 1 }
+      while (i < dim) { d += varr(i) * p(b * dim + i); i += 1 }
       dots(b) = d
       b += 1
     }
