@@ -226,6 +226,28 @@ class AnnRuleSpec extends AnyFunSuite with SparkTestSession {
     }
   }
 
+  test("PQ tier: collapsed-Project post-processing shape fires and matches the bare shape") {
+    withRule {
+      // The r15 silent-un-fire class, pinned for the PQ tier too: a
+      // .select AFTER .limit re-plans with the projection collapsed
+      // between LocalLimit and Sort — the rewrite must still fire and
+      // its rows must equal the bare shape's with the rounding on top.
+      val (corpusDir, _, _, layoutDir) = setupPq(nProbe = 2, overfetch = 3)
+      val q = clusterVec(3L).map(_ + 0.004f)
+      val wrapped = naiveTopK(corpusDir, q, 5)
+        .select(col("vec_id"), (floor(col("sim") * 1e6) / 1e6).as("sim"))
+      val leaves = wrapped.queryExecution.executedPlan.collectLeaves()
+        .map(_.toString).mkString
+      assert(leaves.contains("PartitionFilters") &&
+        leaves.contains(new java.io.File(layoutDir).getName),
+        s"collapsed-Project PQ shape did not fire:\n${leaves.take(600)}")
+      val bare = naiveTopK(corpusDir, q, 5).collect()
+        .map(r => (r.getLong(0), math.floor(r.getDouble(1) * 1e6) / 1e6)).toSeq
+      val got = wrapped.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(got == bare, s"wrapped=$got\nbare   =$bare")
+    }
+  }
+
   test("exact cell tier wins when both tiers are registered for one path") {
     withRule {
       val (corpusDir, centroids) = setup() // registers the exact layout
