@@ -60,12 +60,35 @@ private[graft] object AnnOracle {
     private val byKey = new java.util.concurrent.ConcurrentHashMap[String, T]()
     def put(key: String, v: T): Unit = { byKey.put(key, v); () }
     /** The unique capture whose full memo key ends with `suffix`; None
-      * when absent or ambiguous (≥2 distinct full keys share it).
+      * when absent or VALUE-ambiguous. Two distinct full keys sharing the
+      * suffix are only ambiguous when their captured structures actually
+      * DIFFER (r16 ADVICE: the same corpus trained under two spellings of
+      * the same cacheKey/dir used to silently degrade its mirrors to
+      * rows-only) — value-identical hits are one structure under two
+      * names and stay embeddable. Arrays need deep comparison, hence
+      * [[canon]]. Genuine suppression is logged so the rows-only fallback
+      * is visible in the run output instead of silent.
       */
     def unique(suffix: String): Option[T] = {
       import scala.jdk.CollectionConverters._
       val hits = byKey.asScala.filter(_._1.endsWith(suffix)).values.toSeq
-      if (hits.size == 1) Some(hits.head) else None
+      if (hits.isEmpty) None
+      else if (hits.map(canon).distinct.size == 1) Some(hits.head)
+      else {
+        System.err.println(
+          s"AnnOracle: ${hits.size} distinct captures share suffix '$suffix'" +
+            " with differing values - mirror suppressed (rows-only check)")
+        None
+      }
+    }
+    /** Structural canonical form: arrays (no structural ==) to Seqs,
+      * recursively, so deep-equal captures compare equal.
+      */
+    private def canon(v: Any): Any = v match {
+      case a: Array[_]  => a.toSeq.map(canon)
+      case s: Seq[_]    => s.map(canon)
+      case m: Map[_, _] => m.map { case (k, x) => (k, canon(x)) }
+      case x            => x
     }
     // test hooks: snapshot/restore the whole store around a scenario
     def snapshot(): Map[String, T] = {

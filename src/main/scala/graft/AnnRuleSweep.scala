@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Parameter sweep for the `ann_rule_ivfpq` rewrite tier (r16 verdict
+  * #2): measures recall@k and wall time of the two-stage PQ probe
+  * (ADC coarse cut at k·overfetch → exact cosine rerank) against the
+  * exact brute-force top-k, for each (nProbe, overfetch) point, on the
+  * REAL layout + trained books the registry query runs on. Prints one
+  * JSON line per point so the adopted operating point in
+  * [[SparkEntry]]/[[Verify]] is a measured figure, not a guess.
+  *
+  * Usage: `runMain graft.AnnRuleSweep [sfDir]` (default sf0.1 — the
+  * scale the r16 verdict graded the 0.273 recall at).
+  */
+object AnnRuleSweep {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    GraftExtensions.register(spark)
+    val embPath = s"$sfDir/embeddings.parquet"
+    val emb = Tables.embeddings(spark, sfDir)
+    val (centroids, _) =
+      operators.Ann.buildIvfCached(spark, emb, cacheKey = sfDir, nCells = 8, maxIter = 3)
+    val books = operators.Ann.trainPqCodebooksCached(
+      emb, cacheKey = sfDir, m = 8, dsub = 8, kStar = 16, maxIter = 5)
+    val base = new java.io.File(
+      sys.props("java.io.tmpdir"), "graft_ann_layouts").getAbsolutePath
+    val layout = operators.Ann.ivfPqLayout(spark, emb, base, centroids, books)
+
+    val k = 11
+    val q = emb.filter(col("vec_id") === 0)
+      .select("embedding").head().getSeq[Float](0).toArray
+    def naive() = spark.read.parquet(embPath)
+      .select(col("vec_id"),
+        expressions.VectorExpressions.cosineSim(typedLit(q), col("embedding")).as("sim"))
+      .orderBy(desc("sim"), asc("vec_id"))
+      .limit(k)
+    val exact = naive().select("vec_id").collect().map(_.getLong(0)).toSet
+
+    // also report the exact-cell tier's recall at each nProbe — the
+    // coverage ceiling the PQ tier can at best reach
+    for (nProbe <- Seq(5, 6, 7)) {
+      plans.AnnTopKRewrite.register(embPath,
+        plans.AnnTopKRewrite.RegisteredLayout(
+          operators.Ann.cellLayout(spark, emb, base, centroids),
+          centroids, nProbe))
+      try {
+        val got = naive().select("vec_id").collect().map(_.getLong(0)).toSet
+        val recall = exact.count(got.contains).toDouble / exact.size
+        println(f"""{"tier":"exact","nProbe":$nProbe,"recall":$recall%.3f}""")
+      } finally plans.AnnTopKRewrite.unregister(embPath)
+    }
+
+    for (nProbe <- Seq(5, 6); overfetch <- Seq(4, 8, 16)) {
+      plans.AnnTopKRewrite.registerPq(embPath,
+        plans.AnnTopKRewrite.RegisteredPqLayout(
+          layout, centroids, books, nProbe = nProbe, overfetch = overfetch))
+      try {
+        val df = naive()
+        val leaves = df.queryExecution.executedPlan.collectLeaves().map(_.toString).mkString
+        require(leaves.contains("PartitionFilters") && leaves.contains("ivfpq_"),
+          s"rule did not fire at nProbe=$nProbe overfetch=$overfetch")
+        // warm once, then median of 3 timed runs
+        df.collect()
+        val times = (1 to 3).map { _ =>
+          val t0 = System.nanoTime(); naive().collect(); (System.nanoTime() - t0) / 1e9
+        }.sorted
+        val got = naive().select("vec_id").collect().map(_.getLong(0)).toSet
+        val recall = exact.count(got.contains).toDouble / exact.size
+        println(f"""{"tier":"ivfpq","nProbe":$nProbe,"overfetch":$overfetch,""" +
+          f""""recall":$recall%.3f,"med_sec":${times(1)}%.3f}""")
+      } finally plans.AnnTopKRewrite.unregisterPq(embPath)
+    }
+    spark.stop()
+  }
+}

@@ -41,9 +41,10 @@ import java.nio.file.{Files, Paths}
   *    persisted through the re-run, not a transient the artifact
   *    needed a quiet re-recording to clean up.
   *
-  *  - DRIFT CALIBRATION (r15 directive, r16): three fixed probe
+  *  - DRIFT CALIBRATION (r15 directive, r16, r17): four fixed probe
   *    families (single-core hash CPU kernel, single-core levenshtein DP
-  *    kernel, fixed 8-partition shuffle) timed at start/middle/end;
+  *    kernel, fixed 8-partition shuffle, fresh-plan 1-row per-query
+  *    fixed-overhead probe) timed at start/middle/end;
   *    their all-family median ratio against quiet-window bases is
   *    recorded as "calib_factor" with per-family medians alongside, and
   *    the headline is also reported normalized ("headline34_cal") — so
@@ -137,33 +138,84 @@ object Bench {
     ()
   }
 
+  /** Fourth probe family (r16 verdict #1): per-query FIXED OVERHEAD.
+    * The r16 window moved the headline +23% while all three kernel
+    * probes read ~1.0 — the judge's per-query diff localized the drift
+    * to SUB-SECOND, source-untouched queries, i.e. the cost every query
+    * pays once (plan analysis + optimization + codegen compile + job
+    * scheduling + GC pressure of a 182-query session), which no
+    * steady-state kernel can see. This probe times a trivially cheap
+    * 1-row query through the FULL harness path, with a fresh literal
+    * per call so every invocation compiles a NEW plan (a repeated plan
+    * would hit Spark's codegen cache and measure nothing but
+    * scheduling). Its reading is almost pure fixed overhead, so its
+    * ratio against the quiet base (`factor_overhead`) directly
+    * adjudicates the drift class the r16 artifact could not.
+    */
+  private val overheadSeq = new java.util.concurrent.atomic.AtomicLong(0L)
+  def overheadProbe(spark: SparkSession): Unit = {
+    val n = overheadSeq.incrementAndGet()
+    spark.range(0, 1, 1, 1)
+      .select((col("id") + lit(n)).as("v"), (col("id") * lit(n + 1)).as("w"))
+      .filter(col("v") >= 0)
+      .groupBy().agg(sum("v").as("sv"), max("w").as("mw"))
+      .collect()
+    ()
+  }
+
   /** Quiet-window bases for the probes on the reference host (recorded
     * r16: a full stalls=0 bench run read cpu [0.118, 0.111, 0.107] /
     * shuffle [0.162, 0.139, 0.134]; bases = the medians — see
     * BASELINE.md "calibration" row, the same discipline as the r2
     * headline base). `calib_factor` is the median probe ratio against
     * these: ~1.0 on a quiet window, >1 under uniform host drift.
+    *
+    * The bases anchor to ONE reference host: on any other machine the
+    * ratios are meaningless, so each is overridable via a system
+    * property / env var (r16 ADVICE: `graft.calib.cpu.base` /
+    * `GRAFT_CALIB_CPU_BASE` etc.), and the artifact records the
+    * hostname + whether any base was overridden so an off-host reading
+    * is recognizably uncalibrated instead of silently wrong.
     */
-  val CpuCalibBase = 0.111
-  val ShuffleCalibBase = 0.139
+  private def baseOverride(prop: String, default: Double): Double =
+    sys.props.get(prop)
+      .orElse(sys.env.get(prop.toUpperCase.replace('.', '_')))
+      .map(_.toDouble).getOrElse(default)
+  val CpuCalibBase = baseOverride("graft.calib.cpu.base", 0.111)
+  val ShuffleCalibBase = baseOverride("graft.calib.shuffle.base", 0.139)
   // In-session readings on the r16 base day: [0.363, 0.365, 0.347]
   // (the probe needs the warmed bench JVM — a cold JVM reads ~1.5×).
   // NOTE the anchor caveat: this base was recorded on a day whose
   // levenshtein-family queries read ~2× their r15 medians (BenchOne
   // steady states in BASELINE.md), so factor_text is relative to a
   // slow-text day; a future fast-text window will read factor_text < 1.
-  val TextCalibBase = 0.363
+  val TextCalibBase = baseOverride("graft.calib.text.base", 0.363)
+  // Overhead base: in-session checkpoint readings on the r17 recording
+  // day (2026-08-16, warmed sf0.001 full-bench JVM: [0.074, 0.072,
+  // 0.066]; base = the median) — see BASELINE.md calibration row.
+  // Anchor caveat (the TextCalibBase discipline): the same run read
+  // factor_cpu 1.18 / factor_shuffle 0.99 / factor_text 1.05 against
+  // the r16 bases, i.e. this day was mildly CPU-slow but otherwise
+  // normal; a genuinely quiet future window may read factor_overhead
+  // slightly below 1.
+  val OverheadCalibBase = baseOverride("graft.calib.overhead.base", 0.072)
+  def basesOverridden: Boolean =
+    Seq("graft.calib.cpu.base", "graft.calib.shuffle.base",
+      "graft.calib.text.base", "graft.calib.overhead.base").exists(p =>
+      sys.props.contains(p) ||
+        sys.env.contains(p.toUpperCase.replace('.', '_')))
 
   /** One calibration checkpoint: each probe twice, keep the min (the
     * second-shortest estimator would need 3+ runs; min-of-2 already
     * drops one-off scheduling hiccups while staying cheap).
     */
-  def sampleCalib(spark: SparkSession): (Double, Double, Double) = {
+  def sampleCalib(spark: SparkSession): (Double, Double, Double, Double) = {
     def minOf2(f: => Unit): Double =
       (1 to 2).map { _ =>
         val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
       }.min
-    (minOf2(cpuProbe(spark)), minOf2(shuffleProbe(spark)), minOf2(textProbe(spark)))
+    (minOf2(cpuProbe(spark)), minOf2(shuffleProbe(spark)), minOf2(textProbe(spark)),
+      minOf2(overheadProbe(spark)))
   }
 
   private def medianOf(ratios: Seq[Double]): Double = {
@@ -172,20 +224,23 @@ object Bench {
   }
 
   /** Median ratio of ALL probe readings against the quiet bases. */
-  def calibFactor(cpu: Seq[Double], shuffle: Seq[Double], text: Seq[Double]): Double =
+  def calibFactor(cpu: Seq[Double], shuffle: Seq[Double], text: Seq[Double],
+      overhead: Seq[Double]): Double =
     medianOf(cpu.map(_ / CpuCalibBase) ++ shuffle.map(_ / ShuffleCalibBase) ++
-      text.map(_ / TextCalibBase))
+      text.map(_ / TextCalibBase) ++ overhead.map(_ / OverheadCalibBase))
 
-  /** Per-family median ratios (cpu, shuffle, text) — the diagnostic for
-    * CLASS-SPECIFIC host drift that the overall factor deliberately
-    * does not rescale by.
+  /** Per-family median ratios (cpu, shuffle, text, overhead) — the
+    * diagnostic for CLASS-SPECIFIC host drift that the overall factor
+    * deliberately does not rescale by.
     */
   def calibFamilies(
-      cpu: Seq[Double], shuffle: Seq[Double], text: Seq[Double])
-      : (Double, Double, Double) =
+      cpu: Seq[Double], shuffle: Seq[Double], text: Seq[Double],
+      overhead: Seq[Double])
+      : (Double, Double, Double, Double) =
     (medianOf(cpu.map(_ / CpuCalibBase)),
       medianOf(shuffle.map(_ / ShuffleCalibBase)),
-      medianOf(text.map(_ / TextCalibBase)))
+      medianOf(text.map(_ / TextCalibBase)),
+      medianOf(overhead.map(_ / OverheadCalibBase)))
 
   /** The round-2 stdout subset, kept as a stable cross-round comparand. */
   val headline: Seq[String] = Seq(
@@ -226,13 +281,14 @@ object Bench {
     val names = headline ++ registry.keys.toSeq.filterNot(headline.contains).sorted
     // Calibration probes: warmed once (codegen/JIT, dropped), then
     // sampled at start / middle / end of the run (see the probe scaladoc).
-    cpuProbe(spark); shuffleProbe(spark); textProbe(spark)
+    cpuProbe(spark); shuffleProbe(spark); textProbe(spark); overheadProbe(spark)
     val calibCpu = scala.collection.mutable.ArrayBuffer.empty[Double]
     val calibShuffle = scala.collection.mutable.ArrayBuffer.empty[Double]
     val calibText = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val calibOverhead = scala.collection.mutable.ArrayBuffer.empty[Double]
     def calibCheckpoint(): Unit = {
-      val (c, sh, tx) = sampleCalib(spark)
-      calibCpu += c; calibShuffle += sh; calibText += tx
+      val (c, sh, tx, oh) = sampleCalib(spark)
+      calibCpu += c; calibShuffle += sh; calibText += tx; calibOverhead += oh
     }
     // Interleaved passes: timings(q) accumulates one sample per timed pass.
     val timings = scala.collection.mutable.Map(names.map(_ -> Vector.empty[Double]): _*)
@@ -294,9 +350,11 @@ object Bench {
       }
     }
     calibCheckpoint() // end: after the stall-rerun pass
-    val factor = calibFactor(calibCpu.toSeq, calibShuffle.toSeq, calibText.toSeq)
-    val (famCpu, famShuffle, famText) =
-      calibFamilies(calibCpu.toSeq, calibShuffle.toSeq, calibText.toSeq)
+    val factor = calibFactor(
+      calibCpu.toSeq, calibShuffle.toSeq, calibText.toSeq, calibOverhead.toSeq)
+    val (famCpu, famShuffle, famText, famOverhead) =
+      calibFamilies(
+        calibCpu.toSeq, calibShuffle.toSeq, calibText.toSeq, calibOverhead.toSeq)
     val resultsFull = names.filterNot(errors.contains).map { name =>
       val timed = timings(name).sorted
       (name, timed(timed.length / 2), timed.head, timed.last)
@@ -334,13 +392,25 @@ object Bench {
     val errJson = errors.toSeq.sortBy(_._1)
       .map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }.mkString("{", ",", "}")
     def jarr(v: Seq[Double]): String = v.map(r3).mkString("[", ",", "]")
+    // Cross-check for the overhead probe (r16 verdict #1): the median of
+    // the 10 cheapest registry queries is almost pure per-query fixed
+    // cost, so its round-over-round ratio should track factor_overhead —
+    // two independent reads of the same drift class.
+    val cheap10Med = {
+      val cheap = results.map(_._2).sorted.take(10)
+      if (cheap.isEmpty) 0.0 else cheap(cheap.length / 2)
+    }
+    val calibHost =
+      try java.net.InetAddress.getLocalHost.getHostName catch { case _: Throwable => "unknown" }
     val calibJson =
       s"""{"cpu":${jarr(calibCpu.toSeq)},"shuffle":${jarr(calibShuffle.toSeq)},""" +
-        s""""text":${jarr(calibText.toSeq)},""" +
+        s""""text":${jarr(calibText.toSeq)},"overhead":${jarr(calibOverhead.toSeq)},""" +
         s""""cpu_base":${r3(CpuCalibBase)},"shuffle_base":${r3(ShuffleCalibBase)},""" +
-        s""""text_base":${r3(TextCalibBase)},""" +
+        s""""text_base":${r3(TextCalibBase)},"overhead_base":${r3(OverheadCalibBase)},""" +
         s""""factor_cpu":${r3(famCpu)},"factor_shuffle":${r3(famShuffle)},""" +
-        s""""factor_text":${r3(famText)},""" +
+        s""""factor_text":${r3(famText)},"factor_overhead":${r3(famOverhead)},""" +
+        s""""cheap10_med":${r3(cheap10Med)},""" +
+        s""""host":"$calibHost","bases_overridden":$basesOverridden,""" +
         s""""factor":${r3(factor)}}"""
     Files.writeString(Paths.get(fullOut),
       s"""{"metric":"total","value":${r3(total)},"unit":"sec","iters":3,""" +
@@ -354,6 +424,7 @@ object Bench {
       s"""{"metric":"total","value":${r3(total)},"unit":"sec","iters":3,""" +
         s""""n_queries":${results.size},"n_err":${errors.size},""" +
         s""""headline34":${r3(h34)},"headline34_cal":${r3(h34 / factor)},"calib_factor":${r3(factor)},""" +
+        s""""factor_overhead":${r3(famOverhead)},""" +
         s""""stalls":$stalls,"reruns":${rerun.size},"n_budget_viol":${budgetViolators.size},""" +
         s""""queries":${jmap(top10)},"full":"$fullOut","sf":"$sfDir"}"""
     // Hard guard: the driver's stdout tail capture is 2000 chars.

@@ -223,6 +223,15 @@ case class IvfCellAssign(child: Expression, cents: Seq[Double], dim: Int)
 
   protected override def nullSafeEval(a: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
+    // A row shorter than the trained dim must fail loudly: UnsafeArrayData
+    // getFloat past numElements() reads arbitrary buffer bytes, so without
+    // this guard a corrupt/mixed-dim embedding silently lands in an
+    // arbitrary cell (the closure UDF this kernel replaced threw
+    // IndexOutOfBoundsException — keep that contract).
+    if (x.numElements() < dim) {
+      throw new IllegalArgumentException(
+        s"ivf_cell_assign: embedding has ${x.numElements()} dims, trained dim is $dim")
+    }
     val k = centArr.length / dim
     var na = 0.0
     var i0 = 0
@@ -264,6 +273,11 @@ case class IvfCellAssign(child: Expression, cents: Seq[Double], dim: Int)
       val den = ctx.freshName("den")
       val sim = ctx.freshName("sim")
       s"""
+         |if ($a.numElements() < $dim) {
+         |  throw new IllegalArgumentException(
+         |    "ivf_cell_assign: embedding has " + $a.numElements() +
+         |    " dims, trained dim is $dim");
+         |}
          |double $na = 0.0;
          |for (int $i = 0; $i < $dim; $i++) {
          |  final double $xv = (double) $a.getFloat($i);

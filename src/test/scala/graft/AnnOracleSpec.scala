@@ -134,6 +134,24 @@ class AnnOracleSpec extends AnyFunSuite {
     }
   }
 
+  test("value-identical captures under two key spellings stay embeddable") {
+    isolated {
+      // r16 ADVICE: the same corpus trained under two spellings of the
+      // same cacheKey/dir (same count/fingerprint, different prefix)
+      // captures the SAME structure twice — one structure under two
+      // names is not ambiguous, and suppressing it silently degraded
+      // those mirrors to rows-only. Deep value equality (arrays
+      // canonicalized) must keep the mirror.
+      AnnOracle.captureCentroids("/corpus|100|11|8|3", Array(floats(1, 64)))
+      AnnOracle.captureCentroids("/corpus/.|100|11|8|3", Array(floats(1, 64)))
+      assert(AnnOracle.mainCentroids.unique("|8|3").nonEmpty,
+        "value-identical captures must not suppress the mirror")
+      // and a third DIFFERING capture under the suffix re-suppresses
+      AnnOracle.captureCentroids("/other|200|22|8|3", Array(floats(2, 64)))
+      assert(AnnOracle.mainCentroids.unique("|8|3").isEmpty)
+    }
+  }
+
   test("embedded literals round-trip to the identical IEEE double") {
     val samples = Seq(0.0, -0.0, 1.0 / 3.0, -2.7182818284590455e-7,
       Float.MinPositiveValue.toDouble, 123456.78911111e11,

@@ -39,41 +39,54 @@ class BenchStallSpec extends AnyFunSuite {
   test("calibFactor: quiet probes at the bases read 1.0") {
     val f = Bench.calibFactor(
       Seq.fill(3)(Bench.CpuCalibBase), Seq.fill(3)(Bench.ShuffleCalibBase),
-      Seq.fill(3)(Bench.TextCalibBase))
+      Seq.fill(3)(Bench.TextCalibBase), Seq.fill(3)(Bench.OverheadCalibBase))
     assert(math.abs(f - 1.0) < 1e-9)
   }
 
   test("calibFactor: uniform 2x host drift reads 2.0") {
     val f = Bench.calibFactor(
       Seq.fill(3)(Bench.CpuCalibBase * 2), Seq.fill(3)(Bench.ShuffleCalibBase * 2),
-      Seq.fill(3)(Bench.TextCalibBase * 2))
+      Seq.fill(3)(Bench.TextCalibBase * 2), Seq.fill(3)(Bench.OverheadCalibBase * 2))
     assert(math.abs(f - 2.0) < 1e-9)
   }
 
-  test("calibFactor: one contended checkpoint of nine cannot move the median") {
+  test("calibFactor: one contended checkpoint of twelve cannot move the median") {
     val f = Bench.calibFactor(
       Seq(Bench.CpuCalibBase, Bench.CpuCalibBase, Bench.CpuCalibBase * 40),
-      Seq.fill(3)(Bench.ShuffleCalibBase), Seq.fill(3)(Bench.TextCalibBase))
+      Seq.fill(3)(Bench.ShuffleCalibBase), Seq.fill(3)(Bench.TextCalibBase),
+      Seq.fill(3)(Bench.OverheadCalibBase))
     assert(math.abs(f - 1.0) < 1e-9)
   }
 
   test("calibFactor: degenerate empty input reads 1.0") {
-    assert(Bench.calibFactor(Nil, Nil, Nil) == 1.0)
+    assert(Bench.calibFactor(Nil, Nil, Nil, Nil) == 1.0)
   }
 
   test("calibFamilies: a class-specific 2x drift shows ONLY in its family") {
     // The adjudication contract: a DP/branchy-class drift must be
     // attributable to the text family without rescaling the overall
-    // factor past the median of the other two quiet families.
-    val (fc, fs, ft) = Bench.calibFamilies(
+    // factor past the median of the other quiet families.
+    val (fc, fs, ft, fo) = Bench.calibFamilies(
       Seq.fill(3)(Bench.CpuCalibBase), Seq.fill(3)(Bench.ShuffleCalibBase),
-      Seq.fill(3)(Bench.TextCalibBase * 2))
+      Seq.fill(3)(Bench.TextCalibBase * 2), Seq.fill(3)(Bench.OverheadCalibBase))
     assert(math.abs(fc - 1.0) < 1e-9 && math.abs(fs - 1.0) < 1e-9 &&
-      math.abs(ft - 2.0) < 1e-9)
+      math.abs(ft - 2.0) < 1e-9 && math.abs(fo - 1.0) < 1e-9)
     val overall = Bench.calibFactor(
       Seq.fill(3)(Bench.CpuCalibBase), Seq.fill(3)(Bench.ShuffleCalibBase),
-      Seq.fill(3)(Bench.TextCalibBase * 2))
+      Seq.fill(3)(Bench.TextCalibBase * 2), Seq.fill(3)(Bench.OverheadCalibBase))
     assert(math.abs(overall - 1.0) < 1e-9,
       "a one-family drift must not rescale the overall factor")
+  }
+
+  test("calibFamilies: r16's drift class — overhead-only 2x is attributable") {
+    // The r16 failure mode this family exists for: every kernel probe
+    // quiet, the headline +23% on sub-second queries. factor_overhead
+    // must read the drift while the other three stay 1.0 (and the
+    // overall median stays quiet — one family of four never moves it).
+    val (fc, fs, ft, fo) = Bench.calibFamilies(
+      Seq.fill(3)(Bench.CpuCalibBase), Seq.fill(3)(Bench.ShuffleCalibBase),
+      Seq.fill(3)(Bench.TextCalibBase), Seq.fill(3)(Bench.OverheadCalibBase * 2))
+    assert(math.abs(fc - 1.0) < 1e-9 && math.abs(fs - 1.0) < 1e-9 &&
+      math.abs(ft - 1.0) < 1e-9 && math.abs(fo - 2.0) < 1e-9)
   }
 }

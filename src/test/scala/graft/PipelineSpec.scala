@@ -1009,6 +1009,51 @@ class AnnSpec extends AnyFunSuite with SparkTestSession {
     assert(joined.nonEmpty)
   }
 
+  test("lshJoin prunes the layout scan to the probed signatures (r16 next #6)") {
+    val vecs = corpus.select("vec_id", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("graft_lsh_prune").toString
+    Ann.writeSignaturePartitioned(vecs, dir, nBits = 8)
+    // a FEW queries probe a few buckets — the clustered-probe case the
+    // pruning exists for
+    val qs = vecs.filter($"vec_id" < 3)
+      .select($"vec_id".as("query_id"), $"embedding".as("q_embedding"))
+    val pruned = Ann.lshJoin(spark, dir, qs, k = 5, nBits = 8, probeBits = 1)
+    val leaves = pruned.queryExecution.executedPlan
+      .collectLeaves().map(_.toString).mkString
+    assert(leaves.contains("PartitionFilters") && leaves.contains("sig"),
+      "the bounded probed-sig set must reach the scan as PartitionFilters")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "rank", "vec_id", "sim")
+        .as[(Long, Int, Long, Double)].collect().toSet
+    val full = rows(Ann.lshJoin(spark, dir, qs, k = 5, nBits = 8, probeBits = 1,
+      pruneBits = -1))
+    assert(rows(pruned) == full,
+      "pruned scan must return exactly the full-layout join's rows")
+    assert(full.nonEmpty)
+  }
+
+  test("ivfJoin prunes the layout scan to the probed cells") {
+    val vecs = corpus.select("vec_id", "embedding")
+    val (centroids, _) = Ann.buildIvf(spark, vecs, nCells = 8, maxIter = 3)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_prune").toString
+    Ann.writeCellPartitioned(vecs, centroids, dir)
+    val qs = vecs.filter($"vec_id" < 3)
+      .select($"vec_id".as("query_id"), $"embedding".as("q_embedding"))
+    val pruned = Ann.ivfJoin(spark, dir, qs, centroids, k = 5, nProbe = 2)
+    val leaves = pruned.queryExecution.executedPlan
+      .collectLeaves().map(_.toString).mkString
+    assert(leaves.contains("PartitionFilters") && leaves.contains("cell"),
+      "the bounded probed-cell set must reach the scan as PartitionFilters")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "rank", "vec_id", "sim")
+        .as[(Long, Int, Long, Double)].collect().toSet
+    val full = rows(Ann.ivfJoin(spark, dir, qs, centroids, k = 5, nProbe = 2,
+      pruneCells = false))
+    assert(rows(pruned) == full,
+      "pruned scan must return exactly the full-layout join's rows")
+    assert(full.nonEmpty)
+  }
+
   test("residual IVF-PQ rerank: full probe + full over-fetch equals exact euclidean top-k") {
     import org.apache.spark.sql.functions.col
     val vecs = (0L until 160L).map { i =>

@@ -70,6 +70,35 @@ class VectorExpressionsSpec extends AnyFunSuite with SparkTestSession {
     assert(kernel(202L) == 0, "zero vector: all sims 0.0, strict > keeps cell 0")
   }
 
+  test("IVF cell assignment fails loudly on a shorter-than-dim embedding") {
+    // r16 ADVICE: getFloat past numElements() on UnsafeArrayData reads
+    // arbitrary buffer bytes — a corrupt/mixed-dim row must throw (the
+    // closure UDF's contract), never silently land in an arbitrary cell.
+    val centroids = Array.tabulate(4) { c =>
+      vecGen.pureApply(Gen.Parameters.default, Seed(9100L + c))
+    }
+    val good = vecGen.pureApply(Gen.Parameters.default, Seed(1L))
+    val short = good.take(17)
+    val df = Seq((0L, good), (1L, short)).toDF("vec_id", "embedding")
+    val e = intercept[Exception] {
+      graft.operators.Ann.assignCells(df, centroids)
+        .select("vec_id", "cell").collect()
+    }
+    def rootMessages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => x.getMessage +: rootMessages(x.getCause))
+    assert(rootMessages(e).exists(m =>
+      m != null && m.contains("ivf_cell_assign")),
+      s"expected the ivf_cell_assign dim guard, got: $e")
+    // the guard must hold in the interpreted path too
+    val expr = graft.expressions.IvfCellAssign(
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        short.toSeq, org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.FloatType)),
+      centroids.iterator.flatten.map(_.toDouble).toSeq, 64)
+    val e2 = intercept[IllegalArgumentException] { expr.eval(null) }
+    assert(e2.getMessage.contains("ivf_cell_assign"))
+  }
+
   test("codegen cosine survives interpreted (non-codegen) eval too") {
     // force interpreted path via a filter on the expression in a plan
     // fragment that falls back (collect over local relation with eval)
