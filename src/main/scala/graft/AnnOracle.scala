@@ -499,12 +499,14 @@ private[graft] object AnnOracle {
        |FROM sel WHERE rn <= 11 ORDER BY rn""".stripMargin
 
   /** `ann_rule_ivfpq` mirror: the optimizer rule's QUANTIZED tier —
-    * ADC coarse over vec 0's 5 probed cells of the IVF-PQ layout (no
+    * ADC coarse over vec 0's 7 probed cells of the IVF-PQ layout (no
     * self-exclusion: the naive top-k the rule rewrites keeps the query
-    * row), floored-dist + vec_id cut at k·overfetch = 44, then the
+    * row), floored-dist + vec_id cut at k·overfetch = 704, then the
     * preserved projection's exact cosine reranks the candidates
     * (raw-double ORDER, floored output) — exactly the semi-join plan
-    * the rewrite builds.
+    * the rewrite builds. (nProbe=7 / overfetch=64 is the r17 measured
+    * operating point — keep in lockstep with the registry query's
+    * RegisteredPqLayout.)
     */
   private def rulePqTopKSql(
       cents: Array[Array[Float]], books: Seq[Seq[Seq[Double]]]): String =
@@ -513,7 +515,7 @@ private[graft] object AnnOracle {
        |books(s, code, bv) AS (VALUES
        |    ${booksValues(books)}),
        |${cellCtes("embeddings")},
-       |${probeCte(1, 5)},
+       |${probeCte(1, 7)},
        |${codeCtes("embeddings")},
        |adc AS (
        |  SELECT c.vec_id,
@@ -527,7 +529,7 @@ private[graft] object AnnOracle {
        |coarse AS (
        |  SELECT vec_id FROM (
        |    SELECT vec_id, row_number() OVER (ORDER BY adc_dist, vec_id) AS rn
-       |    FROM adc) WHERE rn <= 44),
+       |    FROM adc) WHERE rn <= 704),
        |scored AS (
        |  SELECT e.vec_id,
        |    ${cosine("qe.embedding", "e.embedding")} AS sim

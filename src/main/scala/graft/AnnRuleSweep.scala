@@ -59,7 +59,7 @@ object AnnRuleSweep {
       } finally plans.AnnTopKRewrite.unregister(embPath)
     }
 
-    for (nProbe <- Seq(5, 6); overfetch <- Seq(4, 8, 16)) {
+    for (nProbe <- Seq(5, 6, 7); overfetch <- Seq(4, 8, 16, 32, 64)) {
       plans.AnnTopKRewrite.registerPq(embPath,
         plans.AnnTopKRewrite.RegisteredPqLayout(
           layout, centroids, books, nProbe = nProbe, overfetch = overfetch))

@@ -767,6 +767,121 @@ object ScaleEvidence {
       failures ::= f"ann_build: training not flat in corpus size — " +
         f"$tTrainBig%.1f s on the 10⁶-drawn sample vs $tTrainSmall%.1f s on the 10⁵-drawn"
 
+    // -------- ANN distributed-queries JOIN at 10⁵/10⁶ × 10⁴ queries
+    // (r16 verdict next #5): the corpus-vs-corpus `ivfJoin` priced at
+    // its real shape — the query side is 1% of the corpus, far beyond a
+    // probe batch, and auto-broadcast is disabled for the timed runs so
+    // the plan is the both-sides-shuffle-by-cell exchange it would be
+    // at 100 TB. Evidence recorded:
+    //  - scored-pair counts at both scales, computed analytically as
+    //    Σ_cell queriesProbing(cell) × occupancy(cell) — hard-failed if
+    //    growth is superlinear in corpus size (fixed queries ⇒ pairs
+    //    must track occupancy) or approaches queries × corpus
+    //    (all-pairs means the probe pruning fell out of the plan);
+    //  - the executed plan carries the probed-cell PartitionFilters
+    //    and no cartesian/BNLJ — the only driver-side materialization
+    //    in the operator is the ≤nCells distinct probed-cell set (the
+    //    bounded-collect discipline every layout probe follows; the
+    //    query FRAME never collects).
+    val ajDir = Files.createTempDirectory("graft_scale_annjoin").toString
+    val (_, tAjLayoutSmall) = timed {
+      operators.Ann.writeCellPartitioned(abSmall, ivfCents, s"$ajDir/small")
+    }
+    val (_, tAjLayoutBig) = timed {
+      operators.Ann.writeCellPartitioned(froVecs, ivfCents, s"$ajDir/big")
+    }
+    val ajQ = froVecs.filter(pmod(xxhash64(col("vec_id"), lit(7)), lit(100)) === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"))
+      .localCheckpoint()
+    val nAjQ = ajQ.count()
+    val ajProbeU = udf((v: Seq[Float]) => operators.Ann.nearestCells(v, ivfCents, 8))
+    def ajPairs(path: String): Long = {
+      val occ = spark.read.parquet(path).groupBy("cell").agg(count(lit(1)).as("occ"))
+      ajQ.withColumn("cell", explode(ajProbeU(col("q_embedding"))))
+        .groupBy("cell").agg(count(lit(1)).as("nq"))
+        .join(occ, "cell")
+        .agg(coalesce(sum(col("nq") * col("occ")), lit(0L))).head().getLong(0)
+    }
+    val pairsSmall = ajPairs(s"$ajDir/small")
+    val pairsBig = ajPairs(s"$ajDir/big")
+    val abtKey = "spark.sql.autoBroadcastJoinThreshold"
+    val abtOld = spark.conf.get(abtKey)
+    spark.conf.set(abtKey, "-1")
+    val (ajRowsSmall, tAjSmall) = timed {
+      operators.Ann.ivfJoin(spark, s"$ajDir/small", ajQ, ivfCents,
+        k = 10, nProbe = 8).count()
+    }
+    val ajBigDf = operators.Ann.ivfJoin(spark, s"$ajDir/big", ajQ, ivfCents,
+      k = 10, nProbe = 8)
+    val (ajRowsBig, tAjBig) = timed { ajBigDf.count() }
+    val ajPlan = ajBigDf.queryExecution.executedPlan.toString
+    spark.conf.set(abtKey, abtOld)
+    if (ajRowsBig != nAjQ * 10)
+      failures ::= s"ann_join: $ajRowsBig result rows, expected ${nAjQ * 10}"
+    val ajRatio = pairsBig.toDouble / math.max(pairsSmall, 1L)
+    val ajCorpusRatio = nFro.toDouble / nAbSmall
+    if (ajRatio > 2.0 * ajCorpusRatio)
+      failures ::= f"ann_join: pair growth $ajRatio%.1fx vs corpus growth " +
+        f"$ajCorpusRatio%.1fx — superlinear candidate blow-up"
+    if (pairsBig >= nAjQ * nFro / 4)
+      failures ::= s"ann_join: $pairsBig scored pairs approaches all-pairs ${nAjQ * nFro}"
+    if (ajPlan.contains("BroadcastNestedLoopJoin") || ajPlan.contains("CartesianProduct"))
+      failures ::= "ann_join: candidate join degenerated to a cartesian/BNLJ plan"
+    if (!ajPlan.contains("PartitionFilters"))
+      failures ::= "ann_join: probed-cell pruning missing from the layout scan"
+
+    // -------- skewed-cell twin (r16 verdict next #3): 20% of the 10⁶
+    // corpus collapses onto one direction → one hot cell (the ANN
+    // analog of the MinHash hub). The salted join must return results
+    // IDENTICAL to the unsalted plan (the guard redistributes, never
+    // caps) while the reconstructed per-(cell,salt) occupancy stays
+    // ~cap instead of the hot cell's 2×10⁵.
+    val skewVecs = froVecs.select(col("vec_id"),
+      when(pmod(xxhash64(col("vec_id"), lit(13)), lit(5)) === 0,
+        transform(col("embedding"), (x, i) =>
+          (lit(1.0f) + pmod(xxhash64(col("vec_id")) + i.cast("long"), lit(997))
+            .cast("float") * lit(1e-5f)).cast("float")))
+        .otherwise(col("embedding")).as("embedding"))
+    val (_, tAjLayoutSkew) = timed {
+      operators.Ann.writeCellPartitioned(skewVecs, ivfCents, s"$ajDir/skew")
+    }
+    val skewOcc = spark.read.parquet(s"$ajDir/skew")
+      .groupBy("cell").agg(count(lit(1)).as("n"))
+    val hotOcc = skewOcc.agg(max("n")).head().getLong(0)
+    if (hotOcc < (nFro * 0.15).toLong)
+      failures ::= s"ann_join_skew: fixture not skewed (max cell $hotOcc of $nFro)"
+    val skewQ = froVecs.filter(pmod(xxhash64(col("vec_id"), lit(7)), lit(1000)) === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"))
+      .localCheckpoint()
+    val nSkewQ = skewQ.count()
+    val ajCap = 50000
+    spark.conf.set(abtKey, "-1")
+    def skewRun(cap: Int): (Set[(Long, Int, Long)], Double) = {
+      val (rows, t) = timed {
+        operators.Ann.ivfJoin(spark, s"$ajDir/skew", skewQ, ivfCents,
+          k = 10, nProbe = 8, hotCellCap = cap, maxSalt = 64)
+          .select("query_id", "rank", "vec_id").collect()
+          .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+      }
+      (rows, t)
+    }
+    val (saltedRows, tAjSalted) = skewRun(ajCap)
+    val (unsaltedRows, tAjUnsalted) = skewRun(0)
+    spark.conf.set(abtKey, abtOld)
+    if (saltedRows != unsaltedRows)
+      failures ::= "ann_join_skew: salted results differ from unsalted"
+    val nsaltHot = math.min(64L, math.ceil(hotOcc.toDouble / ajCap).toLong)
+    val saltedMax = spark.read.parquet(s"$ajDir/skew")
+      .join(skewOcc.filter(col("n") > ajCap)
+        .select(col("cell"),
+          least(lit(64L), ceil(col("n").cast("double") / ajCap).cast("long"))
+            .cast("int").as("nsalt")), Seq("cell"), "left")
+      .withColumn("salt", when(col("nsalt").isNull, lit(0))
+        .otherwise(pmod(xxhash64(col("vec_id")), col("nsalt")).cast("int")))
+      .groupBy("cell", "salt").count().agg(max("count")).head().getLong(0)
+    if (saltedMax > 2L * ajCap)
+      failures ::= s"ann_join_skew: per-(cell,salt) occupancy $saltedMax exceeds 2x cap=$ajCap"
+
     // -------- incremental IVF-PQ maintenance at 10⁶: the versioned root.
     // Base = the full 10⁶-vector corpus as one batch write; then a
     // ~5k-row ingest batch appends under the STANDING index (only the
@@ -1325,6 +1440,16 @@ object ScaleEvidence {
         s""""build_rows_per_sec_small":${(nAbSmall / math.max(tBuildSmall, 0.001)).toLong},""" +
         s""""build_rows_per_sec_big":${(nFro / math.max(tFroLayout, 0.001)).toLong},""" +
         s""""source_vec_write_sec_big":${r1(tFroVecsWrite)}},""" +
+        s""""ann_join":{"n_small":$nAbSmall,"n_big":$nFro,"n_queries":$nAjQ,"n_probe":8,"k":10,""" +
+        s""""layout_sec_small":${r1(tAjLayoutSmall)},"layout_sec_big":${r1(tAjLayoutBig)},""" +
+        s""""pairs_small":$pairsSmall,"pairs_big":$pairsBig,""" +
+        s""""pair_growth":${f"$ajRatio%.2f"},"corpus_growth":${f"$ajCorpusRatio%.2f"},""" +
+        s""""join_sec_small":${r1(tAjSmall)},"join_sec_big":${r1(tAjBig)},""" +
+        s""""result_rows_small":$ajRowsSmall,"result_rows_big":$ajRowsBig,""" +
+        s""""skew":{"hot_cell_rows":$hotOcc,"cap":$ajCap,"nsalt_hot":$nsaltHot,""" +
+        s""""n_queries":$nSkewQ,"layout_sec":${r1(tAjLayoutSkew)},""" +
+        s""""salted_sec":${r1(tAjSalted)},"unsalted_sec":${r1(tAjUnsalted)},""" +
+        s""""max_cell_salt_rows":$saltedMax,"results_equal":${saltedRows == unsaltedRows}}},""" +
         s""""bloom_gate":{"history_keys":$bgHistN,"batch_rows":$bgBatchN,"fpp":0.01,""" +
         s""""bloom_negatives":${bgStats.bloomNegatives},"candidates":${bgStats.candidates},""" +
         s""""confirmed_dups":${bgStats.confirmedDups},"false_positives":${bgStats.falsePositives},""" +

@@ -2475,7 +2475,20 @@ object SparkEntry {
       val layout = operators.Ann.ivfPqLayout(s, emb, base, centroids, books)
       plans.AnnTopKRewrite.registerPq(embPath,
         plans.AnnTopKRewrite.RegisteredPqLayout(
-          layout, centroids, books, nProbe = 5, overfetch = 4))
+          // Operating point from the r17 sweep (AnnRuleSweep @sf0.1,
+          // k=11): ADC ordering on the isotropic fixture is weakly
+          // informative (m=8/kStar=16 on 64-dim near-random data), so
+          // the over-fetch — the CHEAP stage: candidates only widen the
+          // broadcast semi join — does the quality work. Measured
+          // recall: (5,4) 0.273 / (5,32) 0.636 / (5,64) 0.727 = the
+          // nProbe=5 coverage bound / (7,32) 0.636 / (7,64) 0.818,
+          // with (7,64) also the fastest point (0.24 s vs 0.44 s at
+          // the old (5,4)). nProbe=7 of 8 reads 87.5% of the m-byte
+          // CODE partitions ≈ 2.7% of the float corpus's bytes at
+          // m=8/dim=64 — the PQ tier's probe budget is cheap precisely
+          // because codes are small, which is why it can out-probe the
+          // exact tier's nProbe=5.
+          layout, centroids, books, nProbe = 7, overfetch = 64))
       try {
         val q = emb.filter(col("vec_id") === 0)
           .select("embedding").head().getSeq[Float](0).toArray

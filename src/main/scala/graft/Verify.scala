@@ -113,20 +113,21 @@ object Verify {
         require(recall >= 0.55, s"ann_rule_topk recall $recall below gate 0.55")
 
         // ann_rule_ivfpq gate: the QUANTIZED rewrite tier (ADC coarse at
-        // nProbe=5/8, overfetch=4, then exact rerank). Its recall ceiling
-        // is probe coverage LIKE ann_rule_topk, but ADC coarse ordering
-        // on this isotropic corpus loses true neighbors the over-fetch
-        // doesn't recover (the plain-PQ story, ann_ivfpq_topk 0.155
-        // @sf0.1): measured 0.727 @sf0.01 / 0.273 @sf0.1 at k=11. Floor
-        // 0.15 sits between the sf0.1 measurement and half of it, above
-        // the broken-probe reading (~0) and the structurally-broken-ADC
-        // class.
+        // nProbe=7/8, overfetch=64, then exact rerank — the r17 sweep's
+        // measured operating point; see the registry entry's comment for
+        // the full (nProbe, overfetch) frontier). ADC ordering on this
+        // isotropic corpus is weakly informative, so the over-fetch —
+        // the cheap stage — does the quality work: measured recall
+        // 0.818 @sf0.1 / 1.000 @sf0.01 at k=11 (up from 0.273 at the
+        // r16 point (5,4), whose 0.15 gate would have passed a
+        // regression to near-random — the r16 verdict's one `weak`).
+        // Floor 0.4 ≈ half the sf0.1 measurement.
         val rulePqGot = SparkEntry.queries("ann_rule_ivfpq")(spark, sfDir)
           .select("vec_id").collect().map(_.getLong(0)).toSet
         plans.AnnTopKRewrite.unregisterPq(s"$sfDir/embeddings.parquet")
         val recallPq = exactRule.count(rulePqGot.contains).toDouble / exactRule.size
-        println(f"[recall] ann_rule_ivfpq = $recallPq%.3f (gate >= 0.15)")
-        require(recallPq >= 0.15, s"ann_rule_ivfpq recall $recallPq below gate 0.15")
+        println(f"[recall] ann_rule_ivfpq = $recallPq%.3f (gate >= 0.4)")
+        require(recallPq >= 0.4, s"ann_rule_ivfpq recall $recallPq below gate 0.4")
       }
 
       // PQ-family gates: ADC approximates SQUARED EUCLIDEAN distance, so
