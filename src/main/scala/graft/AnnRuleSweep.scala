@@ -45,6 +45,21 @@ object AnnRuleSweep {
       .limit(k)
     val exact = naive().select("vec_id").collect().map(_.getLong(0)).toSet
 
+    // Collect vec_ids from the SAME Dataset whose plan gets audited —
+    // wrapping in .select() re-plans and can un-fire the rewrite (the
+    // r15 ann_rule_topk lesson), which would print a phantom recall
+    // 1.000 (the exact plan's recall) for an un-fired point.
+    def auditedVecIds(requireFired: Option[String]): Set[Long] = {
+      val df = naive()
+      requireFired.foreach { marker =>
+        val leaves = df.queryExecution.executedPlan
+          .collectLeaves().map(_.toString).mkString
+        require(leaves.contains("PartitionFilters") && leaves.contains(marker),
+          s"rule did not fire (expected marker '$marker' in the scan)")
+      }
+      df.collect().map(_.getLong(0)).toSet
+    }
+
     // also report the exact-cell tier's recall at each nProbe — the
     // coverage ceiling the PQ tier can at best reach
     for (nProbe <- Seq(5, 6, 7)) {
@@ -53,7 +68,7 @@ object AnnRuleSweep {
           operators.Ann.cellLayout(spark, emb, base, centroids),
           centroids, nProbe))
       try {
-        val got = naive().select("vec_id").collect().map(_.getLong(0)).toSet
+        val got = auditedVecIds(Some("cell"))
         val recall = exact.count(got.contains).toDouble / exact.size
         println(f"""{"tier":"exact","nProbe":$nProbe,"recall":$recall%.3f}""")
       } finally plans.AnnTopKRewrite.unregister(embPath)
@@ -64,16 +79,11 @@ object AnnRuleSweep {
         plans.AnnTopKRewrite.RegisteredPqLayout(
           layout, centroids, books, nProbe = nProbe, overfetch = overfetch))
       try {
-        val df = naive()
-        val leaves = df.queryExecution.executedPlan.collectLeaves().map(_.toString).mkString
-        require(leaves.contains("PartitionFilters") && leaves.contains("ivfpq_"),
-          s"rule did not fire at nProbe=$nProbe overfetch=$overfetch")
-        // warm once, then median of 3 timed runs
-        df.collect()
+        // warm once (audited), then median of 3 timed runs
+        val got = auditedVecIds(Some("ivfpq_"))
         val times = (1 to 3).map { _ =>
           val t0 = System.nanoTime(); naive().collect(); (System.nanoTime() - t0) / 1e9
         }.sorted
-        val got = naive().select("vec_id").collect().map(_.getLong(0)).toSet
         val recall = exact.count(got.contains).toDouble / exact.size
         println(f"""{"tier":"ivfpq","nProbe":$nProbe,"overfetch":$overfetch,""" +
           f""""recall":$recall%.3f,"med_sec":${times(1)}%.3f}""")

@@ -180,7 +180,17 @@ object Bench {
   private def baseOverride(prop: String, default: Double): Double =
     sys.props.get(prop)
       .orElse(sys.env.get(prop.toUpperCase.replace('.', '_')))
-      .map(_.toDouble).getOrElse(default)
+      .map { v =>
+        // A clear message naming the knob: an unguarded toDouble here
+        // surfaces as an opaque ExceptionInInitializerError at the
+        // first Bench reference (these vals evaluate at class load),
+        // exactly on the off-host runs the override exists for.
+        try v.toDouble catch {
+          case _: NumberFormatException => throw new IllegalArgumentException(
+            s"$prop (or ${prop.toUpperCase.replace('.', '_')}): " +
+              s"cannot parse '$v' as a double")
+        }
+      }.getOrElse(default)
   val CpuCalibBase = baseOverride("graft.calib.cpu.base", 0.111)
   val ShuffleCalibBase = baseOverride("graft.calib.shuffle.base", 0.139)
   // In-session readings on the r16 base day: [0.363, 0.365, 0.347]

@@ -871,13 +871,13 @@ object ScaleEvidence {
     if (saltedRows != unsaltedRows)
       failures ::= "ann_join_skew: salted results differ from unsalted"
     val nsaltHot = math.min(64L, math.ceil(hotOcc.toDouble / ajCap).toLong)
-    val saltedMax = spark.read.parquet(s"$ajDir/skew")
-      .join(skewOcc.filter(col("n") > ajCap)
-        .select(col("cell"),
-          least(lit(64L), ceil(col("n").cast("double") / ajCap).cast("long"))
-            .cast("int").as("nsalt")), Seq("cell"), "left")
-      .withColumn("salt", when(col("nsalt").isNull, lit(0))
-        .otherwise(pmod(xxhash64(col("vec_id")), col("nsalt")).cast("int")))
+    // Reconstructed through the guard's OWN expressions (Ann.hotKeys /
+    // Ann.corpusSalt) so this bound certifies the production plan, not
+    // a re-implementation of it.
+    val skewLayout = spark.read.parquet(s"$ajDir/skew")
+    val saltedMax = skewLayout
+      .join(operators.Ann.hotKeys(skewLayout, "cell", ajCap, 64), Seq("cell"), "left")
+      .withColumn("salt", operators.Ann.corpusSalt)
       .groupBy("cell", "salt").count().agg(max("count")).head().getLong(0)
     if (saltedMax > 2L * ajCap)
       failures ::= s"ann_join_skew: per-(cell,salt) occupancy $saltedMax exceeds 2x cap=$ajCap"

@@ -194,16 +194,13 @@ object Ann {
       maxSalt: Int): DataFrame = {
     if (hotKeyCap <= 0) corpus.join(probed, key)
     else {
-      val sizes = corpus.groupBy(key).agg(count(lit(1)).as("n"))
-      val hot = sizes.filter(col("n") > hotKeyCap)
-        .select(col(key),
-          least(lit(maxSalt.toLong),
-            ceil(col("n").cast("double") / hotKeyCap).cast("long"))
-            .cast("int").as("nsalt"))
+      // nsalt = 0 would mint null corpus salts (non-ANSI pmod by zero)
+      // and silently DROP every hot-bucket candidate — the exact
+      // opposite of the row-identity guarantee. Fail loudly instead.
+      require(maxSalt >= 1, s"saltedKeyJoin: maxSalt must be >= 1, got $maxSalt")
+      val hot = hotKeys(corpus, key, hotKeyCap, maxSalt)
       val corpusS = corpus.join(broadcast(hot), Seq(key), "left")
-        .withColumn("salt",
-          when(col("nsalt").isNull, lit(0))
-            .otherwise(pmod(xxhash64(col("vec_id")), col("nsalt")).cast("int")))
+        .withColumn("salt", corpusSalt)
         .drop("nsalt")
       val probedS = probed.join(broadcast(hot), Seq(key), "left")
         .withColumn("salt",
@@ -211,6 +208,50 @@ object Ann {
         .drop("nsalt")
       corpusS.join(probedS, Seq(key, "salt")).drop("salt")
     }
+  }
+
+  /** The hot set of [[saltedKeyJoin]] — one (key, nsalt) row per key
+    * whose corpus occupancy exceeds `hotKeyCap`. Exposed (private[graft])
+    * so the adversarial spec (AnnSkewSpec) and the ScaleEvidence skew
+    * leg reconstruct the guard's ACTUAL assignment instead of
+    * re-implementing the expressions — a future change to the formula
+    * cannot silently decouple the evidence from the production plan.
+    */
+  private[graft] def hotKeys(
+      corpus: DataFrame, key: String, hotKeyCap: Int, maxSalt: Int): DataFrame =
+    corpus.groupBy(key).agg(count(lit(1)).as("n"))
+      .filter(col("n") > hotKeyCap)
+      .select(col(key),
+        least(lit(maxSalt.toLong),
+          ceil(col("n").cast("double") / hotKeyCap).cast("long"))
+          .cast("int").as("nsalt"))
+
+  /** Corpus-side salt of [[saltedKeyJoin]], evaluated on a frame that
+    * carries the [[hotKeys]] `nsalt` column (null on cold keys).
+    */
+  private[graft] def corpusSalt: Column =
+    when(col("nsalt").isNull, lit(0))
+      .otherwise(pmod(xxhash64(col("vec_id")), col("nsalt")).cast("int"))
+
+  /** Bounded-probe partition pruning shared by the distributed joins:
+    * the distinct probed-key set (bounded by the key space — nCells
+    * cells / 2^nBits signatures) becomes a static `isin` on the
+    * partition column, so unprobed layout directories contribute zero
+    * I/O. DETERMINISM CAVEAT: the probe frame is executed twice — once
+    * here for the key set, once inside the join — so `queries` must be
+    * deterministic (or pre-materialized via checkpoint); a
+    * rand()/sample() query frame can probe keys at join time that this
+    * pass never saw, silently dropping candidates. Disable pruning
+    * (pruneCells=false / pruneBits=-1) for nondeterministic frames —
+    * the standard Spark re-execution caveat, called out in each join's
+    * scaladoc.
+    */
+  private def prunedLayout(
+      layout: DataFrame, probed: DataFrame, key: String): DataFrame = {
+    val keys = probed.select(key).distinct()
+      .collect().map(_.getInt(0)) // bounded: ≤ |key space| values
+    if (keys.isEmpty) layout.filter(lit(false))
+    else layout.filter(col(key).isin(keys.map(Integer.valueOf): _*))
   }
 
   /** The murmur Hamming-ball probe UDF shared by [[lshTopK]] and
@@ -309,15 +350,13 @@ object Ann {
     // probed fraction. nBits > pruneBits (or pruneBits < 0) falls back
     // to the full-layout join — the distinct set is no longer
     // driver-bounded, and probing most of 2^nBits directories would
-    // prune little anyway.
+    // prune little anyway. `queries` must be deterministic when pruning
+    // is on (see [[prunedLayout]]'s caveat — the probe frame executes
+    // twice).
     val layout0 = spark.read.parquet(path)
     val layout =
-      if (nBits <= pruneBits && pruneBits >= 0) {
-        val sigs = probed.select("sig").distinct()
-          .collect().map(_.getInt(0)) // bounded: ≤ 2^nBits values
-        if (sigs.isEmpty) layout0.filter(lit(false))
-        else layout0.filter(col("sig").isin(sigs.map(Integer.valueOf): _*))
-      } else layout0
+      if (nBits <= pruneBits && pruneBits >= 0) prunedLayout(layout0, probed, "sig")
+      else layout0
     // Hot-signature salting (see [[saltedKeyJoin]]): a degenerate bucket
     // — near-identical boilerplate hashing to one signature — is the LSH
     // analog of the MinHash hub; results are identical, the hot bucket's
@@ -820,15 +859,11 @@ object Ann {
     // corpus read into a static `isin` on the partition column —
     // unprobed cell directories contribute zero I/O. The equi-join
     // still exchanges both sides by the cell key (partition values are
-    // not shuffle partitioning); pruning only cuts the scan.
+    // not shuffle partitioning); pruning only cuts the scan. `queries`
+    // must be deterministic when pruning is on (see [[prunedLayout]]).
     val layout0 = spark.read.parquet(path)
     val layout =
-      if (pruneCells) {
-        val cells = probed.select("cell").distinct()
-          .collect().map(_.getInt(0)) // bounded: ≤ nCells values
-        if (cells.isEmpty) layout0.filter(lit(false))
-        else layout0.filter(col("cell").isin(cells.map(Integer.valueOf): _*))
-      } else layout0
+      if (pruneCells) prunedLayout(layout0, probed, "cell") else layout0
     // Hot-cell salting (see [[saltedKeyJoin]]): a dense semantic cluster
     // landing in one cell is the ANN analog of the MinHash hub; results
     // are identical, the hot cell's candidate pairs just land on nsalt
@@ -1666,7 +1701,8 @@ object Ann {
       k: Int,
       nProbe: Int = 3,
       hotCellCap: Int = 1 << 20,
-      maxSalt: Int = 64): DataFrame = {
+      maxSalt: Int = 64,
+      pruneCells: Boolean = true): DataFrame = {
     val dsub = codebooks.head.head.length
     val probeUdf = udf { (v: Seq[Float]) => nearestCells(v, centroids, nProbe) }
     val lutCol = array(codebooks.zipWithIndex.map { case (cents, s) =>
@@ -1676,8 +1712,14 @@ object Ann {
       .withColumn("lut", lutCol)
       .withColumn("cell", explode(probeUdf(col("q_embedding"))))
       .select("query_id", "cell", "lut")
-    // Hot-cell salting (see [[saltedKeyJoin]]) — same guard as [[ivfJoin]].
-    saltedKeyJoin(spark.read.parquet(path), probed, "cell", hotCellCap, maxSalt)
+    // Probed-cell pruning + hot-cell salting — the same pair of guards
+    // as [[ivfJoin]] (the PQ layout is cell-partitioned too; `queries`
+    // must be deterministic when pruning is on, see [[prunedLayout]]).
+    val layout0 = spark.read.parquet(path)
+    val layout =
+      if (pruneCells) prunedLayout(layout0, probed.select("query_id", "cell"), "cell")
+      else layout0
+    saltedKeyJoin(layout, probed, "cell", hotCellCap, maxSalt)
       .filter(col("vec_id") =!= col("query_id"))
       .withColumn("adc_dist", graft.functions.TextAnalysis.floorScale(
         adcFromLut(codebooks.length), 6))

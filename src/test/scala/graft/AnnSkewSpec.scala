@@ -70,25 +70,39 @@ class AnnSkewSpec extends AnyFunSuite with SparkTestSession {
     Ann.writeCellPartitioned(corpus, centroids, dir)
     val cap = 16
     val maxSalt = 64
-    // Reconstruct the guard's assignment (same expressions as
-    // saltedKeyJoin) and assert the per-shuffle-key corpus occupancy:
-    // every (cell, salt) group lands under ~2x cap (slack for xxhash64
-    // imbalance at small n) instead of the hot cell's hundreds.
+    // Reconstruct the guard's assignment through the PRODUCTION
+    // expressions (Ann.hotKeys / Ann.corpusSalt — the same columns
+    // saltedKeyJoin builds, so a future formula change cannot decouple
+    // this bound from the plan it certifies) and assert the
+    // per-shuffle-key corpus occupancy: every (cell, salt) group lands
+    // under ~2x cap (slack for xxhash64 imbalance at small n) instead
+    // of the hot cell's hundreds.
     val layout = spark.read.parquet(dir)
-    val sizes = layout.groupBy("cell").agg(count(lit(1)).as("n"))
-    val salted = layout.join(
-        sizes.filter($"n" > cap).select($"cell",
-          least(lit(maxSalt.toLong), ceil($"n".cast("double") / cap).cast("long"))
-            .cast("int").as("nsalt")),
-        Seq("cell"), "left")
-      .withColumn("salt", when($"nsalt".isNull, lit(0))
-        .otherwise(pmod(xxhash64($"vec_id"), $"nsalt").cast("int")))
+    val salted = layout
+      .join(Ann.hotKeys(layout, "cell", cap, maxSalt), Seq("cell"), "left")
+      .withColumn("salt", Ann.corpusSalt)
     val maxGroup = salted.groupBy("cell", "salt").count()
       .agg(max("count")).as[Long].head()
-    val hotOcc = sizes.agg(max("n")).as[Long].head()
+    val hotOcc = layout.groupBy("cell").count().agg(max("count")).as[Long].head()
     assert(hotOcc > 4 * cap, s"fixture not skewed enough to test the bound ($hotOcc)")
     assert(maxGroup <= 2L * cap,
       s"per-(cell,salt) occupancy $maxGroup exceeds 2x cap=$cap")
+  }
+
+  test("salted joins refuse maxSalt < 1 (null corpus salts would drop hot candidates)") {
+    // pmod(x, 0) is null under non-ANSI eval: a zero nsalt would
+    // silently drop every hot-bucket candidate — the guard must fail
+    // loudly at construction instead.
+    val (centroids, _) = Ann.buildIvf(spark, corpus, nCells = 8, maxIter = 3)
+    val dir = Files.createTempDirectory("graft_skew_guard").toString
+    Ann.writeCellPartitioned(corpus, centroids, dir)
+    val qs = corpus.filter($"vec_id" < 3)
+      .select($"vec_id".as("query_id"), $"embedding".as("q_embedding"))
+    val e = intercept[IllegalArgumentException] {
+      Ann.ivfJoin(spark, dir, qs, centroids, k = 5, nProbe = 2,
+        hotCellCap = 16, maxSalt = 0)
+    }
+    assert(e.getMessage.contains("maxSalt"))
   }
 
   test("lshJoin: salted plan equals unsalted row-for-row under a hot signature") {
