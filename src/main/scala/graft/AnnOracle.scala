@@ -740,6 +740,10 @@ private[graft] object AnnOracle {
       Seq(
         "ann_ivf_topk" -> ivfTopKSql(c, nq = 5, k = 2, nProbe = 3),
         "ann_ivf_join" -> ivfTopKSql(c, nq = 50, k = 5, nProbe = 3),
+        // The salted twin replays as the SAME probe: hot-bucket salting
+        // redistributes the join, it never changes a row (spec-pinned),
+        // so the mirror is shared verbatim — the hash check proves it.
+        "ann_ivf_join_salted" -> ivfTopKSql(c, nq = 50, k = 5, nProbe = 3),
         "ann_rule_topk" -> ruleTopKSql(c))
     }
     val pq = (for { c <- cMain; b <- bGlobal } yield Seq(
