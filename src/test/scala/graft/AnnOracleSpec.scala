@@ -72,7 +72,8 @@ class AnnOracleSpec extends AnyFunSuite {
       val expected = Set(
         "ann_lsh_topk", "ann_lsh_join", "ann_lsh_multiprobe",
         "ann_lsh_partitioned_adaptive", "ann_recall_murmur",
-        "ann_ivf_topk", "ann_ivf_join", "ann_rule_topk", "ann_rule_ivfpq",
+        "ann_ivf_topk", "ann_ivf_join", "ann_ivf_join_salted",
+        "ann_rule_topk", "ann_rule_ivfpq",
         "ann_pq_trained_topk",
         "ann_ivfpq_topk", "ann_ivfpq_join", "ann_ivfpq_incremental",
         "ann_ivfpq_rerank", "ann_ivfpq_residual_topk",
@@ -87,7 +88,8 @@ class AnnOracleSpec extends AnyFunSuite {
           else if (name == "ann_recall_murmur") Seq("query_id", "n_hit", "recall_at_k")
           else if (name.endsWith("_rerank")) Seq("query_id", "rank", "vec_id", "d2")
           else if (name.startsWith("ann_lsh") || name == "ann_ivf_topk" ||
-            name == "ann_ivf_join") Seq("query_id", "rank", "vec_id", "sim")
+            name == "ann_ivf_join" || name == "ann_ivf_join_salted")
+            Seq("query_id", "rank", "vec_id", "sim")
           else Seq("query_id", "rank", "vec_id", "adc_dist")
         cols.foreach(c => assert(sql.contains(c), s"$name missing column $c"))
       }
