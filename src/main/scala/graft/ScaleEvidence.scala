@@ -882,6 +882,44 @@ object ScaleEvidence {
     if (saltedMax > 2L * ajCap)
       failures ::= s"ann_join_skew: per-(cell,salt) occupancy $saltedMax exceeds 2x cap=$ajCap"
 
+    // -------- LSH-tier distributed join at 10⁶ (the ivfJoin leg's
+    // twin, same query frame): Hamming-1 probe signatures explode per
+    // query row, candidates from the sig equi-join over the
+    // signature-partitioned layout, both sides shuffled by sig with
+    // auto-broadcast disabled. The scored-pair LINEARITY story is
+    // carried by the ivfJoin leg above; here the evidence is the tier's
+    // throughput at 10⁶ plus the same plan contract (probed-sig
+    // PartitionFilters, no BNLJ/cartesian) and the analytic pair count
+    // recorded against its all-pairs ceiling.
+    val ljDir = Files.createTempDirectory("graft_scale_lshjoin").toString
+    val (_, tLjLayout) = timed {
+      operators.Ann.writeSignaturePartitioned(froVecs, ljDir, nBits = 8)
+    }
+    val ljSigU = udf((v: Seq[Float]) =>
+      if (v == null) Array.empty[Int]
+      else operators.Ann.probeSignatures(
+        operators.Ann.signature(v, 8), 8, 1).toArray)
+    val ljPairs = {
+      val occ = spark.read.parquet(ljDir).groupBy("sig").agg(count(lit(1)).as("occ"))
+      ajQ.withColumn("sig", explode(ljSigU(col("q_embedding"))))
+        .groupBy("sig").agg(count(lit(1)).as("nq"))
+        .join(occ, "sig")
+        .agg(coalesce(sum(col("nq") * col("occ")), lit(0L))).head().getLong(0)
+    }
+    spark.conf.set(abtKey, "-1")
+    val ljDf = operators.Ann.lshJoin(spark, ljDir, ajQ, k = 10, nBits = 8, probeBits = 1)
+    val (ljRows, tLj) = timed { ljDf.count() }
+    val ljPlan = ljDf.queryExecution.executedPlan.toString
+    spark.conf.set(abtKey, abtOld)
+    if (ljRows != nAjQ * 10)
+      failures ::= s"ann_join_lsh: $ljRows result rows, expected ${nAjQ * 10}"
+    if (ljPairs >= nAjQ * nFro / 4)
+      failures ::= s"ann_join_lsh: $ljPairs scored pairs approaches all-pairs"
+    if (ljPlan.contains("BroadcastNestedLoopJoin") || ljPlan.contains("CartesianProduct"))
+      failures ::= "ann_join_lsh: candidate join degenerated to a cartesian/BNLJ plan"
+    if (!ljPlan.contains("PartitionFilters"))
+      failures ::= "ann_join_lsh: probed-sig pruning missing from the layout scan"
+
     // -------- incremental IVF-PQ maintenance at 10⁶: the versioned root.
     // Base = the full 10⁶-vector corpus as one batch write; then a
     // ~5k-row ingest batch appends under the STANDING index (only the
@@ -1450,6 +1488,10 @@ object ScaleEvidence {
         s""""n_queries":$nSkewQ,"layout_sec":${r1(tAjLayoutSkew)},""" +
         s""""salted_sec":${r1(tAjSalted)},"unsalted_sec":${r1(tAjUnsalted)},""" +
         s""""max_cell_salt_rows":$saltedMax,"results_equal":${saltedRows == unsaltedRows}}},""" +
+        s""""ann_join_lsh":{"n_big":$nFro,"n_queries":$nAjQ,"n_bits":8,"probe_bits":1,"k":10,""" +
+        s""""layout_sec":${r1(tLjLayout)},"pairs":$ljPairs,""" +
+        s""""pairs_vs_all_pairs":${f"${ljPairs.toDouble / (nAjQ * nFro)}%.4f"},""" +
+        s""""join_sec":${r1(tLj)},"result_rows":$ljRows},""" +
         s""""bloom_gate":{"history_keys":$bgHistN,"batch_rows":$bgBatchN,"fpp":0.01,""" +
         s""""bloom_negatives":${bgStats.bloomNegatives},"candidates":${bgStats.candidates},""" +
         s""""confirmed_dups":${bgStats.confirmedDups},"false_positives":${bgStats.falsePositives},""" +
