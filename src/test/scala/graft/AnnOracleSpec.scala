@@ -70,7 +70,8 @@ class AnnOracleSpec extends AnyFunSuite {
       AnnOracle.opqCentroids.put("dir|opq|100|1|8|3", cents8)
       val entries = AnnOracle.sqlEntries
       val expected = Set(
-        "ann_lsh_topk", "ann_lsh_join", "ann_lsh_multiprobe",
+        "ann_lsh_topk", "ann_lsh_join", "ann_lsh_join_adaptive",
+        "ann_lsh_multiprobe",
         "ann_lsh_partitioned_adaptive", "ann_recall_murmur",
         "ann_ivf_topk", "ann_ivf_join", "ann_ivf_join_salted",
         "ann_rule_topk", "ann_rule_ivfpq",

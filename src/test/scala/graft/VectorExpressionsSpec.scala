@@ -99,6 +99,96 @@ class VectorExpressionsSpec extends AnyFunSuite with SparkTestSession {
     assert(e2.getMessage.contains("ivf_cell_assign"))
   }
 
+  test("codegen LSH signature matches Ann.signature bit-for-bit") {
+    // The kernel replaced the closure-UDF signature on the join tier's
+    // corpus-sized query side and the layout writers (r17 verdict
+    // "What's wrong" #2). The per-dim product is Float*Float (widened
+    // AFTER rounding) — the exact form the DuckDB murmur mirror replays
+    // — so any divergence here would red every murmur LSH oracle row.
+    val vecs = (1 to 200).map(i =>
+      vecGen.pureApply(Gen.Parameters.default, Seed(3000L + i))) ++
+      Seq(Array.fill(64)(0f), Array.fill(64)(1e-30f), Array.fill(64)(-1e-30f))
+    for (nBits <- Seq(8, 16)) {
+      val df = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+        .toDF("vec_id", "embedding")
+      val kernel = df.select($"vec_id",
+        VectorExpressions.lshSignature($"embedding", nBits).as("sig"))
+        .as[(Long, Int)].collect().toMap
+      vecs.zipWithIndex.foreach { case (v, i) =>
+        val ref = graft.operators.Ann.signature(v.toSeq, nBits)
+        assert(kernel(i.toLong) == ref,
+          s"nBits=$nBits vec $i: kernel ${kernel(i.toLong)} != signature $ref")
+      }
+    }
+    // interpreted path too
+    val expr = graft.expressions.LshSignature(
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        vecs.head.toSeq, org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.FloatType)), 8)
+    assert(expr.eval(null) == graft.operators.Ann.signature(vecs.head.toSeq, 8))
+  }
+
+  test("codegen IVF cell probes match nearestCells exactly (ties, zeros, short rows)") {
+    val centroids = Array.tabulate(8) { c =>
+      vecGen.pureApply(Gen.Parameters.default, Seed(9200L + c))
+    }
+    // adversarial: random, a centroid itself, a scaled centroid, the
+    // zero vector (every sim 0.0 → probe order must be cell index —
+    // the ±0.0 class the `+ 0.0` normalization in nearestCells exists
+    // for), and duplicate centroids upstream would tie exactly
+    val vecs = (1 to 200).map(i =>
+      vecGen.pureApply(Gen.Parameters.default, Seed(4000L + i))) ++
+      Seq(centroids(2), centroids(6).map(_ * 0.5f), Array.fill(64)(0f))
+    val df = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toDF("vec_id", "embedding")
+    for (nProbe <- Seq(1, 3, 8, 12)) {
+      val kernel = df.select($"vec_id",
+        VectorExpressions.ivfCellProbes($"embedding", centroids, nProbe).as("p"))
+        .as[(Long, Seq[Int])].collect().toMap
+      vecs.zipWithIndex.foreach { case (v, i) =>
+        val ref = graft.operators.Ann.nearestCells(v.toSeq, centroids, nProbe).toSeq
+        assert(kernel(i.toLong) == ref,
+          s"nProbe=$nProbe vec $i: kernel ${kernel(i.toLong)} != nearestCells $ref")
+      }
+    }
+    // zero vector: all sims 0.0 → probes are ascending cell indices
+    assert(df.filter($"vec_id" === 202L).select(
+      VectorExpressions.ivfCellProbes($"embedding", centroids, 3))
+      .as[Seq[Int]].head() == Seq(0, 1, 2))
+    // short row throws (the IvfCellAssign bounds contract)
+    val short = Seq((0L, vecs.head.take(5))).toDF("vec_id", "embedding")
+    val e = intercept[Exception] {
+      short.select(VectorExpressions.ivfCellProbes($"embedding", centroids, 3)).collect()
+    }
+    def rootMessages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => x.getMessage +: rootMessages(x.getCause))
+    assert(rootMessages(e).exists(m => m != null && m.contains("ivf_cell_probes")))
+    // interpreted path
+    val expr = graft.expressions.IvfCellProbes(
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        vecs.head.toSeq, org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.FloatType)),
+      centroids.iterator.flatten.map(_.toDouble).toSeq, 64, 3)
+    val got = expr.eval(null)
+      .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toIntArray().toSeq
+    assert(got == graft.operators.Ann.nearestCells(vecs.head.toSeq, centroids, 3).toSeq)
+  }
+
+  test("the Hamming probe ball is an XOR-shift of the zero ball") {
+    // lshJoin's native probe column XORs the signature with the
+    // zero-signature ball's masks; pin the set identity the plan form
+    // relies on, for every (nBits, probeBits) the tiers use.
+    for (nBits <- Seq(8, 16); probeBits <- Seq(0, 1, 2)) {
+      val masks = graft.operators.Ann.probeSignatures(0, nBits, probeBits)
+      for (sig <- Seq(0, 1, 0x5A, (1 << nBits) - 1)) {
+        val direct = graft.operators.Ann.probeSignatures(sig, nBits, probeBits).toSet
+        assert(masks.map(_ ^ sig).toSet == direct,
+          s"nBits=$nBits probeBits=$probeBits sig=$sig")
+        assert(masks.distinct.size == masks.size)
+      }
+    }
+  }
+
   test("codegen cosine survives interpreted (non-codegen) eval too") {
     // force interpreted path via a filter on the expression in a plan
     // fragment that falls back (collect over local relation with eval)
