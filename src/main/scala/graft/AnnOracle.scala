@@ -479,7 +479,7 @@ private[graft] object AnnOracle {
 
   /** `ann_rule_topk` mirror: the optimizer-rule rewrite probes vec 0's 5
     * nearest cells of the SAME registered layout (exact cosine, no PQ),
-    * top-11 ordered on the RAW double then floored for output.
+    * top-K ordered on the RAW double then floored for output.
     */
   private def ruleTopKSql(cents: Array[Array[Float]]): String =
     s"""WITH cents(c, cv) AS (VALUES
@@ -498,7 +498,7 @@ private[graft] object AnnOracle {
        |    row_number() OVER (ORDER BY sim DESC, vec_id) AS rn
        |  FROM scored)
        |SELECT vec_id, floor(sim * 1000000) / 1000000 AS sim
-       |FROM sel WHERE rn <= 11 ORDER BY rn""".stripMargin
+       |FROM sel WHERE rn <= ${graft.plans.AnnRulePoints.K} ORDER BY rn""".stripMargin
 
   /** `ann_rule_ivfpq` mirror: the optimizer rule's QUANTIZED tier —
     * ADC coarse over vec 0's 7 probed cells of the IVF-PQ layout (no
@@ -506,18 +506,20 @@ private[graft] object AnnOracle {
     * row), floored-dist + vec_id cut at k·overfetch = 704, then the
     * preserved projection's exact cosine reranks the candidates
     * (raw-double ORDER, floored output) — exactly the semi-join plan
-    * the rewrite builds. (nProbe=7 / overfetch=64 is the r17 measured
-    * operating point — keep in lockstep with the registry query's
-    * RegisteredPqLayout.)
+    * the rewrite builds. nProbe / the k·overfetch cut / the final k
+    * derive from [[graft.plans.AnnRulePoints]] — the same constants
+    * the SparkEntry registration and the Verify gate read, so the
+    * three can no longer drift apart (r17 ADVICE #4).
     */
   private def rulePqTopKSql(
-      cents: Array[Array[Float]], books: Seq[Seq[Seq[Double]]]): String =
+      cents: Array[Array[Float]], books: Seq[Seq[Seq[Double]]]): String = {
+    import graft.plans.AnnRulePoints.{K, PqNProbe, PqOverfetch}
     s"""WITH cents(c, cv) AS (VALUES
        |    ${centsValues(cents)}),
        |books(s, code, bv) AS (VALUES
        |    ${booksValues(books)}),
        |${cellCtes("embeddings")},
-       |${probeCte(1, 7)},
+       |${probeCte(1, PqNProbe)},
        |${codeCtes("embeddings")},
        |adc AS (
        |  SELECT c.vec_id,
@@ -531,7 +533,7 @@ private[graft] object AnnOracle {
        |coarse AS (
        |  SELECT vec_id FROM (
        |    SELECT vec_id, row_number() OVER (ORDER BY adc_dist, vec_id) AS rn
-       |    FROM adc) WHERE rn <= 704),
+       |    FROM adc) WHERE rn <= ${K * PqOverfetch}),
        |scored AS (
        |  SELECT e.vec_id,
        |    ${cosine("qe.embedding", "e.embedding")} AS sim
@@ -543,7 +545,58 @@ private[graft] object AnnOracle {
        |    row_number() OVER (ORDER BY sim DESC, vec_id) AS rn
        |  FROM scored)
        |SELECT vec_id, floor(sim * 1000000) / 1000000 AS sim
-       |FROM sel WHERE rn <= 11 ORDER BY rn""".stripMargin
+       |FROM sel WHERE rn <= $K ORDER BY rn""".stripMargin
+  }
+
+  /** `ann_rule_ivfpq_residual` mirror: the rule's RESIDUAL (IVFADC)
+    * tier — corpus codes from the residual frame (the shared
+    * [[codeCtes]] over `rres`), query LUT rows per probed cell from
+    * vec 0's residual (the shared `qlut` arithmetic), NO self-exclusion
+    * (the naive top-k the rule rewrites keeps the query row), coarse
+    * cut at K·overfetch on the floored residual-ADC distance, then the
+    * preserved projection's exact cosine rerank. Constants from
+    * [[graft.plans.AnnRulePoints]] like the plain-PQ mirror.
+    */
+  private def rulePqResidualTopKSql(
+      cents: Array[Array[Float]], books: Seq[Seq[Seq[Double]]]): String = {
+    import graft.plans.AnnRulePoints.{K, PqResNProbe, PqResOverfetch}
+    s"""WITH cents(c, cv) AS (VALUES
+       |    ${centsValues(cents)}),
+       |books(s, code, bv) AS (VALUES
+       |    ${booksValues(books)}),
+       |${cellCtes("embeddings")},
+       |${probeCte(1, PqResNProbe)},
+       |$residualCtes,
+       |${codeCtes("rres")},
+       |qlut AS MATERIALIZED (
+       |  SELECT e.query_id, e.cell, b.s, b.code,
+       |    ${fold(DSUB, s"$pqSq * $pqSq")} AS dist
+       |  FROM qres e, books b),
+       |adc AS (
+       |  SELECT c.vec_id,
+       |    floor(list_reduce(list_prepend(0.0, list(l.dist ORDER BY l.s)),
+       |      (a2, b2) -> a2 + b2) * 1000000) / 1000000 AS adc_dist
+       |  FROM codes c
+       |  JOIN asg a ON a.vec_id = c.vec_id
+       |  JOIN qlut l ON l.cell = a.cell AND l.s = c.s AND l.code = c.code
+       |  GROUP BY c.vec_id),
+       |coarse AS (
+       |  SELECT vec_id FROM (
+       |    SELECT vec_id, row_number() OVER (ORDER BY adc_dist, vec_id) AS rn
+       |    FROM adc) WHERE rn <= ${K * PqResOverfetch}),
+       |scored AS (
+       |  SELECT e.vec_id,
+       |    ${cosine("qe.embedding", "e.embedding")} AS sim
+       |  FROM coarse co
+       |  JOIN embeddings e ON e.vec_id = co.vec_id
+       |  CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = 0) qe),
+       |sel AS (
+       |  SELECT vec_id, sim,
+       |    row_number() OVER (ORDER BY sim DESC, vec_id) AS rn
+       |  FROM scored)
+       |SELECT vec_id, floor(sim * 1000000) / 1000000 AS sim
+       |FROM sel WHERE rn <= $K ORDER BY rn""".stripMargin
+  }
 
   /** `ann_pq_trained_topk` mirror: nProbe = nCells means the layout scan
     * reads every cell — spec-pinned identical to the FLAT trained-book
@@ -759,7 +812,8 @@ private[graft] object AnnOracle {
     val res = (for { c <- cMain; b <- residualBooks.unique(BOOKS_SUFFIX) }
       yield Seq(
         "ann_ivfpq_residual_topk" -> residualSql(c, b, rerank = false),
-        "ann_ivfpq_residual_rerank" -> residualSql(c, b, rerank = true)))
+        "ann_ivfpq_residual_rerank" -> residualSql(c, b, rerank = true),
+        "ann_rule_ivfpq_residual" -> rulePqResidualTopKSql(c, b)))
       .getOrElse(Nil)
     val loc = (for { c <- cMain; lb <- localBooks.unique(LOPQ_SUFFIX) }
       yield Seq(

@@ -89,6 +89,30 @@ object AnnRuleSweep {
           f""""recall":$recall%.3f,"med_sec":${times(1)}%.3f}""")
       } finally plans.AnnTopKRewrite.unregisterPq(embPath)
     }
+
+    // RESIDUAL (IVFADC) tier over the same grid (r18): codes quantize
+    // x − centroid(cell); the rewrite scores with per-probed-cell
+    // residual LUTs. Better ADC ordering ⇒ the same over-fetch should
+    // buy ≥ the plain tier's recall.
+    val resBooks = operators.Ann.trainPqCodebooksResidualCached(
+      emb, cacheKey = sfDir, centroids, m = 8, dsub = 8, kStar = 16, maxIter = 5)
+    val resLayout = operators.Ann.ivfPqResidualLayout(
+      spark, emb, base, centroids, resBooks)
+    for (nProbe <- Seq(5, 6, 7); overfetch <- Seq(4, 8, 16, 32, 64)) {
+      plans.AnnTopKRewrite.registerPq(embPath,
+        plans.AnnTopKRewrite.RegisteredPqLayout(
+          resLayout, centroids, resBooks, nProbe = nProbe,
+          overfetch = overfetch, residual = true))
+      try {
+        val got = auditedVecIds(Some("ivfpqr_"))
+        val times = (1 to 3).map { _ =>
+          val t0 = System.nanoTime(); naive().collect(); (System.nanoTime() - t0) / 1e9
+        }.sorted
+        val recall = exact.count(got.contains).toDouble / exact.size
+        println(f"""{"tier":"ivfpq_residual","nProbe":$nProbe,"overfetch":$overfetch,""" +
+          f""""recall":$recall%.3f,"med_sec":${times(1)}%.3f}""")
+      } finally plans.AnnTopKRewrite.unregisterPq(embPath)
+    }
     spark.stop()
   }
 }

@@ -82,9 +82,28 @@ object ScaleEvidence {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // Evidence scratch directories, deleted on JVM exit (r17 ADVICE #3:
+    // the layout temp dirs used to outlive the run — ~10 GB of parquet
+    // per evidence pass left in /tmp). Deletion is deferred to exit, not
+    // per-leg, because later legs re-read earlier legs' layouts.
+    val scratchDirs = scala.collection.mutable.ListBuffer.empty[java.io.File]
+    def tempDir(prefix: String): String = {
+      val d = Files.createTempDirectory(prefix)
+      scratchDirs += d.toFile
+      d.toString
+    }
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      scratchDirs.foreach { root =>
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm))
+          f.delete(); ()
+        }
+        try rm(root) catch { case _: Throwable => () }
+      }))
+
     val base = Tables.documents(spark, sfDir).select("doc_id", "text")
     val nBase = base.count()
-    val corpusPath = Files.createTempDirectory("graft_scale_corpus").toString
+    val corpusPath = tempDir("graft_scale_corpus")
     // doc_id' = v * nBase + doc_id keeps ids dense and the planted pair
     // (doc_id, nBase + doc_id) predictable. Token-suffixing via one
     // higher-order transform — no UDF, stays in codegen.
@@ -228,7 +247,7 @@ object ScaleEvidence {
     // to parquet so the index-lifecycle leg below can compare against it.
     val lineDocs = corpus.select(col("doc_id"),
       concat(lit("SHARED BOILERPLATE HEADER\n"), col("text")).as("text"))
-    val lineFullPath = Files.createTempDirectory("graft_scale_linefull").toString
+    val lineFullPath = tempDir("graft_scale_linefull")
     val (_, tLines) = timed {
       operators.Dedup.crossDocLineDedup(lineDocs)
         .write.mode("overwrite").parquet(lineFullPath)
@@ -255,7 +274,7 @@ object ScaleEvidence {
     val passage = "verbatim planted passage tokens alpha bravo charlie delta echo foxtrot golf hotel"
     val spanDocs = corpus.select(col("doc_id"),
       concat(lit(passage + " "), substring(col("text"), 1, 200)).as("text"))
-    val spanFullPath = Files.createTempDirectory("graft_scale_spanfull").toString
+    val spanFullPath = tempDir("graft_scale_spanfull")
     val (_, tSpans) = timed {
       operators.Dedup.repeatedSpanDedup(spanDocs, k = 5)
         .write.mode("overwrite").parquet(spanFullPath)
@@ -284,7 +303,7 @@ object ScaleEvidence {
     val cut = nDocs - batchN
     val standingLines = lineDocs.filter(col("doc_id") < cut)
     val batchLines = lineDocs.filter(col("doc_id") >= cut)
-    val lineIdxPath = Files.createTempDirectory("graft_scale_lineidx").toString
+    val lineIdxPath = tempDir("graft_scale_lineidx")
     val (_, tLineIdx) = timed {
       operators.Dedup.lineIndex(standingLines)
         .write.mode("overwrite").parquet(lineIdxPath)
@@ -301,7 +320,7 @@ object ScaleEvidence {
 
     val standingSpans = spanDocs.filter(col("doc_id") < cut)
     val batchSpans = spanDocs.filter(col("doc_id") >= cut)
-    val gramIdxPath = Files.createTempDirectory("graft_scale_gramidx").toString
+    val gramIdxPath = tempDir("graft_scale_gramidx")
     val (_, tGramIdx) = timed {
       operators.Dedup.gramIndex(standingSpans, k = 5)
         .write.mode("overwrite").parquet(gramIdxPath)
@@ -358,7 +377,7 @@ object ScaleEvidence {
               .cast("float")))
           .as("embedding"))
     val bigVecs = expandedVectors(variants)
-    val layoutPath = Files.createTempDirectory("graft_scale_ann").toString
+    val layoutPath = tempDir("graft_scale_ann")
     val (_, tLayout) = timed {
       operators.Ann.writeSignaturePartitioned(bigVecs, layoutPath, nBits = 8)
     }
@@ -402,7 +421,7 @@ object ScaleEvidence {
     //  - partial-probe recall vs the flat ADC top-k (the documented
     //    nProbe trade, floored so it can't silently evaporate).
     val bigV = spark.read.parquet(layoutPath).select("vec_id", "embedding")
-    val ivfpqDir = Files.createTempDirectory("graft_scale_ivfpq").toString
+    val ivfpqDir = tempDir("graft_scale_ivfpq")
     val ((ivfCents, pqBooks), tIvfpqBuild) = timed {
       val (cents, _) = operators.Ann.buildIvf(spark, bigV, nCells = 128, maxIter = 2)
       val books = operators.Ann.trainPqCodebooks(bigV, m = 8, dsub = 8, kStar = 16, maxIter = 2)
@@ -546,7 +565,7 @@ object ScaleEvidence {
         opqIters = 6, lloydIters = 6)
     }
     val bigVrot = operators.Ann.rotated(bigV, opqRot)
-    val opqDir = Files.createTempDirectory("graft_scale_opq").toString
+    val opqDir = tempDir("graft_scale_opq")
     val (opqCents, tOpqBuild) = timed {
       val (cents, _) = operators.Ann.buildIvf(spark, bigVrot, nCells = 128, maxIter = 2)
       operators.Ann.writeIvfPqPartitioned(bigVrot, cents, opqBooks, opqDir)
@@ -594,7 +613,7 @@ object ScaleEvidence {
       operators.Ann.trainLocalPqCodebooks(
         bigV, ivfCents, m = 8, dsub = 8, kStar = 16, maxIter = 5)
     }
-    val lopqDir = Files.createTempDirectory("graft_scale_lopq").toString
+    val lopqDir = tempDir("graft_scale_lopq")
     val (_, tLopqBuild) = timed {
       operators.Ann.writeIvfPqLocalPartitioned(bigV, ivfCents, lopqBooks, s"$lopqDir/codes")
     }
@@ -645,7 +664,7 @@ object ScaleEvidence {
     // wide settings.
     val frontierVariants = (5 * variants + 1) / 2 // 10⁶ vectors at default 200
     val nFro = nVec * frontierVariants
-    val froDir = Files.createTempDirectory("graft_scale_frontier").toString
+    val froDir = tempDir("graft_scale_frontier")
     // Timed in two stages so the ann_build leg below can reuse the
     // layout write as its 10⁶-scale point: source-vector materialization
     // vs encode+layout (assign → per-cell PQ encode → partitioned write).
@@ -721,7 +740,7 @@ object ScaleEvidence {
     // the 10⁵ corpus is a hash-slice of the same distribution, encoded
     // under the SAME centroids/books (train-on-sample, encode-all — the
     // production discipline this leg prices).
-    val abDir = Files.createTempDirectory("graft_scale_annbuild").toString
+    val abDir = tempDir("graft_scale_annbuild")
     froVecs.filter(pmod(xxhash64(col("vec_id")), lit(10)) === 0)
       .write.parquet(s"$abDir/vecs")
     val abSmall = spark.read.parquet(s"$abDir/vecs")
@@ -783,7 +802,7 @@ object ScaleEvidence {
     //    in the operator is the ≤nCells distinct probed-cell set (the
     //    bounded-collect discipline every layout probe follows; the
     //    query FRAME never collects).
-    val ajDir = Files.createTempDirectory("graft_scale_annjoin").toString
+    val ajDir = tempDir("graft_scale_annjoin")
     val (_, tAjLayoutSmall) = timed {
       operators.Ann.writeCellPartitioned(abSmall, ivfCents, s"$ajDir/small")
     }
@@ -804,18 +823,38 @@ object ScaleEvidence {
     }
     val pairsSmall = ajPairs(s"$ajDir/small")
     val pairsBig = ajPairs(s"$ajDir/big")
+    // Probe-side kernel vs closure UDF at 10⁶ QUERY rows (r17 verdict
+    // next #2): the join tier exists because the query frame is
+    // corpus-sized, so probe generation runs per query row — time the
+    // full 10⁶-row corpus as the query side through both forms.
+    // Aggregate over the exploded probe column so the pass executes
+    // (count() would prune it — the assign-leg lesson above).
+    val (_, tProbeUdf1e6) = timed {
+      froVecs.select(explode(ajProbeU(col("embedding"))).as("cell"))
+        .agg(sum(col("cell"))).head()
+    }
+    val (_, tProbeKernel1e6) = timed {
+      froVecs.select(explode(graft.expressions.VectorExpressions
+        .ivfCellProbes(col("embedding"), ivfCents, 8)).as("cell"))
+        .agg(sum(col("cell"))).head()
+    }
     val abtKey = "spark.sql.autoBroadcastJoinThreshold"
     val abtOld = spark.conf.get(abtKey)
+    // Restore in a finally (r17 ADVICE #3): a Spark failure inside a
+    // timed join must not leave auto-broadcast disabled for every
+    // subsequent evidence leg.
     spark.conf.set(abtKey, "-1")
-    val (ajRowsSmall, tAjSmall) = timed {
-      operators.Ann.ivfJoin(spark, s"$ajDir/small", ajQ, ivfCents,
-        k = 10, nProbe = 8).count()
-    }
-    val ajBigDf = operators.Ann.ivfJoin(spark, s"$ajDir/big", ajQ, ivfCents,
-      k = 10, nProbe = 8)
-    val (ajRowsBig, tAjBig) = timed { ajBigDf.count() }
-    val ajPlan = ajBigDf.queryExecution.executedPlan.toString
-    spark.conf.set(abtKey, abtOld)
+    val (ajRowsSmall, tAjSmall, ajRowsBig, tAjBig, ajPlan) =
+      try {
+        val (rs, ts) = timed {
+          operators.Ann.ivfJoin(spark, s"$ajDir/small", ajQ, ivfCents,
+            k = 10, nProbe = 8).count()
+        }
+        val ajBigDf = operators.Ann.ivfJoin(spark, s"$ajDir/big", ajQ, ivfCents,
+          k = 10, nProbe = 8)
+        val (rb, tb) = timed { ajBigDf.count() }
+        (rs, ts, rb, tb, ajBigDf.queryExecution.executedPlan.toString)
+      } finally spark.conf.set(abtKey, abtOld)
     if (ajRowsBig != nAjQ * 10)
       failures ::= s"ann_join: $ajRowsBig result rows, expected ${nAjQ * 10}"
     val ajRatio = pairsBig.toDouble / math.max(pairsSmall, 1L)
@@ -827,8 +866,20 @@ object ScaleEvidence {
       failures ::= s"ann_join: $pairsBig scored pairs approaches all-pairs ${nAjQ * nFro}"
     if (ajPlan.contains("BroadcastNestedLoopJoin") || ajPlan.contains("CartesianProduct"))
       failures ::= "ann_join: candidate join degenerated to a cartesian/BNLJ plan"
-    if (!ajPlan.contains("PartitionFilters"))
+    // Pruning contract under the r18 adaptive cutoff: a probed set
+    // covering < half the cells must reach the scan as a per-value
+    // IN/INSET partition filter; one covering >= half must NOT (the
+    // isin would prune ~nothing and the full scan is the better shape).
+    val ajProbedCells = ajQ
+      .withColumn("cell", explode(ajProbeU(col("q_embedding"))))
+      .select("cell").distinct().count()
+    val ajPf = "PartitionFilters: \\[([^\\]]*)\\]".r
+      .findAllMatchIn(ajPlan).map(_.group(1)).mkString(";")
+    val ajPruned = ajPf.contains(" IN (") || ajPf.contains("INSET")
+    if (2 * ajProbedCells < ivfCents.length && !ajPruned)
       failures ::= "ann_join: probed-cell pruning missing from the layout scan"
+    if (2 * ajProbedCells >= ivfCents.length && ajPruned)
+      failures ::= "ann_join: adaptive cutoff failed to skip the useless isin"
 
     // -------- skewed-cell twin (r16 verdict next #3): 20% of the 10⁶
     // corpus collapses onto one direction → one hot cell (the ANN
@@ -855,7 +906,6 @@ object ScaleEvidence {
       .localCheckpoint()
     val nSkewQ = skewQ.count()
     val ajCap = 50000
-    spark.conf.set(abtKey, "-1")
     def skewRun(cap: Int): (Set[(Long, Int, Long)], Double) = {
       val (rows, t) = timed {
         operators.Ann.ivfJoin(spark, s"$ajDir/skew", skewQ, ivfCents,
@@ -865,9 +915,13 @@ object ScaleEvidence {
       }
       (rows, t)
     }
-    val (saltedRows, tAjSalted) = skewRun(ajCap)
-    val (unsaltedRows, tAjUnsalted) = skewRun(0)
-    spark.conf.set(abtKey, abtOld)
+    spark.conf.set(abtKey, "-1")
+    val (saltedRows, tAjSalted, unsaltedRows, tAjUnsalted) =
+      try {
+        val (sr, st) = skewRun(ajCap)
+        val (ur, ut) = skewRun(0)
+        (sr, st, ur, ut)
+      } finally spark.conf.set(abtKey, abtOld)
     if (saltedRows != unsaltedRows)
       failures ::= "ann_join_skew: salted results differ from unsalted"
     val nsaltHot = math.min(64L, math.ceil(hotOcc.toDouble / ajCap).toLong)
@@ -891,7 +945,7 @@ object ScaleEvidence {
     // throughput at 10⁶ plus the same plan contract (probed-sig
     // PartitionFilters, no BNLJ/cartesian) and the analytic pair count
     // recorded against its all-pairs ceiling.
-    val ljDir = Files.createTempDirectory("graft_scale_lshjoin").toString
+    val ljDir = tempDir("graft_scale_lshjoin")
     val (_, tLjLayout) = timed {
       operators.Ann.writeSignaturePartitioned(froVecs, ljDir, nBits = 8)
     }
@@ -907,18 +961,29 @@ object ScaleEvidence {
         .agg(coalesce(sum(col("nq") * col("occ")), lit(0L))).head().getLong(0)
     }
     spark.conf.set(abtKey, "-1")
-    val ljDf = operators.Ann.lshJoin(spark, ljDir, ajQ, k = 10, nBits = 8, probeBits = 1)
-    val (ljRows, tLj) = timed { ljDf.count() }
-    val ljPlan = ljDf.queryExecution.executedPlan.toString
-    spark.conf.set(abtKey, abtOld)
+    val (ljRows, tLj, ljPlan) =
+      try {
+        val ljDf = operators.Ann.lshJoin(spark, ljDir, ajQ, k = 10, nBits = 8, probeBits = 1)
+        val (r, t) = timed { ljDf.count() }
+        (r, t, ljDf.queryExecution.executedPlan.toString)
+      } finally spark.conf.set(abtKey, abtOld)
     if (ljRows != nAjQ * 10)
       failures ::= s"ann_join_lsh: $ljRows result rows, expected ${nAjQ * 10}"
     if (ljPairs >= nAjQ * nFro / 4)
       failures ::= s"ann_join_lsh: $ljPairs scored pairs approaches all-pairs"
     if (ljPlan.contains("BroadcastNestedLoopJoin") || ljPlan.contains("CartesianProduct"))
       failures ::= "ann_join_lsh: candidate join degenerated to a cartesian/BNLJ plan"
-    if (!ljPlan.contains("PartitionFilters"))
+    // Same adaptive-cutoff contract as the ivfJoin leg, on the 2^8 sig space.
+    val ljProbedSigs = ajQ
+      .withColumn("sig", explode(ljSigU(col("q_embedding"))))
+      .select("sig").distinct().count()
+    val ljPf = "PartitionFilters: \\[([^\\]]*)\\]".r
+      .findAllMatchIn(ljPlan).map(_.group(1)).mkString(";")
+    val ljPruned = ljPf.contains(" IN (") || ljPf.contains("INSET")
+    if (2 * ljProbedSigs < 256 && !ljPruned)
       failures ::= "ann_join_lsh: probed-sig pruning missing from the layout scan"
+    if (2 * ljProbedSigs >= 256 && ljPruned)
+      failures ::= "ann_join_lsh: adaptive cutoff failed to skip the useless isin"
 
     // -------- incremental IVF-PQ maintenance at 10⁶: the versioned root.
     // Base = the full 10⁶-vector corpus as one batch write; then a
@@ -931,7 +996,7 @@ object ScaleEvidence {
     // rank 1 — per-subspace argmin encoding makes its reconstruction
     // the closest possible lattice point to the query, so a miss means
     // the appended batch was not probed.
-    val verRoot = Files.createTempDirectory("graft_scale_ivfpqv").toString
+    val verRoot = tempDir("graft_scale_ivfpqv")
     val (_, tVerBase) = timed {
       operators.Ann.ivfPqAppendBatch(spark, verRoot, bigV, ivfCents, pqBooks, "base")
     }
@@ -996,11 +1061,11 @@ object ScaleEvidence {
               (x * when(pmod(xxhash64(col("v"), i), lit(2)) === 0, lit(1.0f))
                 .otherwise(lit(-1.0f))).cast("float")))
           .as("embedding"))
-    val semInPath = Files.createTempDirectory("graft_scale_semin").toString
+    val semInPath = tempDir("graft_scale_semin")
     semVecs.repartition(cpus.toInt * 2).write.mode("overwrite").parquet(semInPath)
     val semCorpus = spark.read.parquet(semInPath)
     val nSemVecs = semCorpus.count()
-    val semOutPath = Files.createTempDirectory("graft_scale_semout").toString
+    val semOutPath = tempDir("graft_scale_semout")
     val (_, tSem) = timed {
       operators.Dedup.semanticDedup(semCorpus, nCells = 1024, threshold = 0.95)
         .write.mode("overwrite").parquet(semOutPath)
@@ -1038,7 +1103,7 @@ object ScaleEvidence {
     // signature bands is guaranteed-candidate, so a miss is impossible;
     // band-sharing twins are ~96% at cos 0.999 and the rest are the
     // documented recall cost of banding, counted, not hidden.
-    val semMegaPath = Files.createTempDirectory("graft_scale_semmega").toString
+    val semMegaPath = tempDir("graft_scale_semmega")
     val (_, tSemMega) = timed {
       operators.Dedup.semanticDedup(semCorpus, nCells = 64, threshold = 0.95,
         maxCellRows = 5000, megaNBits = 32, megaBands = 2)
@@ -1294,7 +1359,7 @@ object ScaleEvidence {
       (col("id") * 2654435761L % 1000003L).cast("double").as("a"),
       (col("id") * 40503L % 999983L).cast("double").as("b"),
       md5(col("id").cast("string")).as("payload"))
-    val zDir = Files.createTempDirectory("graft_scale_zorder").toString
+    val zDir = tempDir("graft_scale_zorder")
     val (_, tZWrite) = timed {
       operators.Layout.writeZOrdered(zSrc, Seq("a", "b"), s"$zDir/z", nFiles = 256)
     }
@@ -1383,7 +1448,7 @@ object ScaleEvidence {
           .as("dst"),
         (pmod(xxhash64(col("id"), lit(4)), lit(5)) + 1).as("weight"))
         .filter(col("src") =!= col("dst"))
-    val prDir = Files.createTempDirectory("graft_scale_pr").toString
+    val prDir = tempDir("graft_scale_pr")
     val (prNSmall, prESmall) = (10000L, 100000L)
     val (prNBig, prEBig) = (100000L, 1000000L)
     synthEdges(prNSmall, prESmall).write.parquet(s"$prDir/small")
@@ -1483,6 +1548,8 @@ object ScaleEvidence {
         s""""pairs_small":$pairsSmall,"pairs_big":$pairsBig,""" +
         s""""pair_growth":${f"$ajRatio%.2f"},"corpus_growth":${f"$ajCorpusRatio%.2f"},""" +
         s""""join_sec_small":${r1(tAjSmall)},"join_sec_big":${r1(tAjBig)},""" +
+        s""""probe_sec_udf_1e6":${r1(tProbeUdf1e6)},""" +
+        s""""probe_sec_kernel_1e6":${r1(tProbeKernel1e6)},""" +
         s""""result_rows_small":$ajRowsSmall,"result_rows_big":$ajRowsBig,""" +
         s""""skew":{"hot_cell_rows":$hotOcc,"cap":$ajCap,"nsalt_hot":$nsaltHot,""" +
         s""""n_queries":$nSkewQ,"layout_sec":${r1(tAjLayoutSkew)},""" +

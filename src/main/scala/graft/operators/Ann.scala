@@ -200,7 +200,7 @@ object Ann {
       key: String,
       hotKeyCap: Int,
       maxSalt: Int,
-      occupancy: => DataFrame,
+      hotSet: => Seq[(Int, Int)],
       saltSrc: Column = col("vec_id")): DataFrame = {
     if (hotKeyCap <= 0) corpus.join(probed, key)
     else {
@@ -208,15 +208,29 @@ object Ann {
       // and silently DROP every hot-bucket candidate — the exact
       // opposite of the row-identity guarantee. Fail loudly instead.
       require(maxSalt >= 1, s"saltedKeyJoin: maxSalt must be >= 1, got $maxSalt")
-      val hot = hotKeysFromOcc(occupancy, key, hotKeyCap, maxSalt)
-      val corpusS = corpus.join(broadcast(hot), Seq(key), "left")
-        .withColumn("salt", corpusSalt(saltSrc))
-        .drop("nsalt")
-      val probedS = probed.join(broadcast(hot), Seq(key), "left")
-        .withColumn("salt",
-          explode(sequence(lit(0), coalesce(col("nsalt") - 1, lit(0)))))
-        .drop("nsalt")
-      corpusS.join(probedS, Seq(key, "salt")).drop("salt")
+      val hotRows = hotSet
+      // Nothing hot (the common case — the driver-side check is a memoized
+      // KB-sized sidecar read, [[hotKeysOf]]): the guard costs NOTHING —
+      // the plan IS the plain equi-join, no broadcast, no salt columns.
+      if (hotRows.isEmpty) corpus.join(probed, key)
+      else {
+        val spark = corpus.sparkSession
+        import spark.implicits._
+        // The hot set rides the plan as a literal local relation (it was
+        // resolved driver-side from the build-time sidecar); the salt
+        // EXPRESSIONS are unchanged from the aggregation form, so
+        // AnnSkewSpec's reconstruction through hotKeys/corpusSalt still
+        // certifies this plan.
+        val hot = hotRows.toDF(key, "nsalt")
+        val corpusS = corpus.join(broadcast(hot), Seq(key), "left")
+          .withColumn("salt", corpusSalt(saltSrc))
+          .drop("nsalt")
+        val probedS = probed.join(broadcast(hot), Seq(key), "left")
+          .withColumn("salt",
+            explode(sequence(lit(0), coalesce(col("nsalt") - 1, lit(0)))))
+          .drop("nsalt")
+        corpusS.join(probedS, Seq(key, "salt")).drop("salt")
+      }
     }
   }
 
@@ -306,27 +320,88 @@ object Ann {
     * SAME materialized rows even for a nondeterministic
     * (rand()/sample()) query frame (r17 ADVICE #1 — the caveat used to
     * live in scaladoc only while pruning defaulted on).
+    *
+    * ADAPTIVE CUTOFF (r18): when the probed set covers ≥ half of
+    * `keySpace` the isin would keep most directories anyway — it prunes
+    * almost nothing while forcing the slower scan shape (per-value
+    * partition filtering over hundreds of directories). The distinct
+    * pass has already run at this point, so choosing the full scan is
+    * free — diffuse query frames read the layout exactly like the
+    * unpruned plan, clustered ones (two related corpora, a drifted
+    * shard — the 100 TB case pruning exists for) keep the cut.
     */
   private def prunedLayout(
-      layout: DataFrame, probed: DataFrame, key: String): DataFrame = {
+      layout: DataFrame, probed: DataFrame, key: String,
+      keySpace: Int): DataFrame = {
     val keys = probed.select(key).distinct()
       .collect().map(_.getInt(0)) // bounded: ≤ |key space| values
     if (keys.isEmpty) layout.filter(lit(false))
+    else if (2 * keys.length >= keySpace) layout
     else layout.filter(col(key).isin(keys.map(Integer.valueOf): _*))
   }
 
   /** One-materialization pin for a query frame the join will execute
     * twice (the [[prunedLayout]] key pass + the join itself): a LAZY
-    * local checkpoint — no extra job; the first pass materializes the
-    * rows (MEMORY_AND_DISK on the executors, lineage truncated) and the
+    * local checkpoint — the first pass materializes the rows
+    * (MEMORY_AND_DISK on the executors, lineage truncated) and the
     * second reads them back, so a nondeterministic frame cannot probe
     * keys the pruning pass never saw, and the probe arithmetic is never
-    * recomputed. Storage is the query frame itself (the probe fan-out
-    * and LUT columns are derived AFTER the pin), freed by the
-    * ContextCleaner when the plan is garbage-collected.
+    * recomputed. Applied ONLY when the plan actually carries a
+    * re-execution hazard ([[needsPin]]) — a deterministic query frame
+    * (the overwhelmingly common case) pays nothing; checkpoint storage
+    * is freed by the ContextCleaner when the plan is garbage-collected.
     */
   private def pinned(queries: DataFrame): DataFrame =
-    queries.localCheckpoint(eager = false)
+    if (needsPin(queries)) queries.localCheckpoint(eager = false) else queries
+
+  /** True when the frame's plan contains a nondeterministic expression
+    * or a sampling operator — the dual-execution hazard [[pinned]]
+    * guards (rand() columns, sample() frames; conservative: scalar
+    * subqueries with nondeterministic interiors are not walked, but
+    * those are already nondeterministic at the outer expression when
+    * Spark marks them so).
+    */
+  private def needsPin(queries: DataFrame): Boolean = {
+    val plan = queries.queryExecution.analyzed
+    plan.exists {
+      case _: org.apache.spark.sql.catalyst.plans.logical.Sample => true
+      case p => p.expressions.exists(e => e.exists(!_.deterministic))
+    }
+  }
+
+  // Driver-side hot-set memo: the sidecar's HOT rows (occupancy > cap)
+  // per (layout path, key, cap, stats-marker mtime) — the mtime keys
+  // out a rewritten layout, so a stale hot set is impossible while warm
+  // re-invocations (the per-query lifecycle of a standing index) pay
+  // one FS metadata call instead of a Spark job. Values are bounded by
+  // keyspace/cap — a handful of rows.
+  private val hotStatsCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String, Int, Long), Array[(Int, Long)]]()
+
+  /** The hot (key, nsalt) rows of a layout's occupancy sidecar,
+    * resolved DRIVER-SIDE (bounded by construction: keys with more than
+    * `hotKeyCap` corpus rows — at most keyspace/cap of them). Backfills
+    * the sidecar once for pre-sidecar layouts; memoized on the sidecar
+    * marker's mtime thereafter, so repeated joins over a standing
+    * layout run zero stats jobs. The nsalt arithmetic is the same
+    * `min(maxSalt, ceil(n / cap))` as [[hotKeysFromOcc]].
+    */
+  private[graft] def hotKeysOf(
+      spark: SparkSession, path: String, key: String,
+      hotKeyCap: Int, maxSalt: Int): Seq[(Int, Int)] = {
+    val sp = statsPath(path, key)
+    val success = new org.apache.hadoop.fs.Path(sp, "_SUCCESS")
+    val fs = success.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(success)) writeKeyStats(spark, path, key)
+    val mtime = fs.getFileStatus(success).getModificationTime
+    val hot = hotStatsCache.computeIfAbsent((sp, key, hotKeyCap, mtime),
+      _ => spark.read.parquet(sp).filter(col("n") > hotKeyCap)
+        .select(col(key), col("n"))
+        .collect().map(r => (r.getInt(0), r.getLong(1))))
+    hot.toSeq.map { case (k, n) =>
+      (k, math.min(maxSalt.toLong, math.ceil(n.toDouble / hotKeyCap).toLong).toInt)
+    }
+  }
 
   /** The murmur Hamming-ball probe UDF of [[lshTopK]] (bounded probe
     * batches — the boxing is irrelevant there and the empty-on-null
@@ -501,16 +576,17 @@ object Ann {
     // prune little anyway.
     val layout0 = spark.read.parquet(path)
     val layout =
-      if (prune) prunedLayout(layout0, probed, "sig")
+      if (prune) prunedLayout(layout0, probed, "sig", 1 << nBits)
       else layout0
     // Hot-signature salting (see [[saltedKeyJoin]]): a degenerate bucket
     // — near-identical boilerplate hashing to one signature — is the LSH
     // analog of the MinHash hub; results are identical, the hot bucket's
-    // pairs just land on nsalt partitions. Occupancy comes from the
-    // layout's build-time sidecar ([[keyStats]]) — a KB-sized read, not
-    // a per-join corpus aggregation.
+    // pairs just land on nsalt partitions. The hot set resolves
+    // DRIVER-SIDE from the layout's build-time sidecar ([[hotKeysOf]],
+    // memoized on the sidecar mtime) — when nothing is hot the plan IS
+    // the plain equi-join; no per-join corpus aggregation either way.
     rankTopK(saltedKeyJoin(layout, probed, "sig", hotSigCap, maxSalt,
-      keyStats(spark, path, "sig"))
+      hotKeysOf(spark, path, "sig", hotSigCap, maxSalt))
       .withColumn("sim", VectorExpressions.cosineSim(col("q_embedding"), col("embedding"))),
       k)
   }
@@ -1024,15 +1100,16 @@ object Ann {
     // not shuffle partitioning); pruning only cuts the scan.
     val layout0 = spark.read.parquet(path)
     val layout =
-      if (pruneCells) prunedLayout(layout0, probed, "cell") else layout0
+      if (pruneCells) prunedLayout(layout0, probed, "cell", centroids.length) else layout0
     // Hot-cell salting (see [[saltedKeyJoin]]): a dense semantic cluster
     // landing in one cell is the ANN analog of the MinHash hub; results
     // are identical, the hot cell's candidate pairs just land on nsalt
-    // shuffle partitions instead of one. Occupancy comes from the
-    // layout's build-time sidecar ([[keyStats]]) — a KB-sized read, not
-    // a per-join corpus aggregation.
+    // shuffle partitions instead of one. The hot set resolves
+    // DRIVER-SIDE from the layout's build-time sidecar ([[hotKeysOf]],
+    // memoized on the sidecar mtime) — when nothing is hot the plan IS
+    // the plain equi-join; no per-join corpus aggregation either way.
     rankTopK(saltedKeyJoin(layout, probed, "cell", hotCellCap, maxSalt,
-      keyStats(spark, path, "cell"))
+      hotKeysOf(spark, path, "cell", hotCellCap, maxSalt))
       .withColumn("sim", VectorExpressions.cosineSim(col("q_embedding"), col("embedding"))),
       k)
   }
@@ -1713,6 +1790,33 @@ object Ann {
       element_at(typedLit(lut(s)), col(s"code_$s") + 1)).reduce(_ + _)
   }
 
+  /** [[adcDistToQuery]] for a RESIDUAL-encoded layout (the optimizer
+    * rule's IVFADC tier): per probed cell the lookup table is built from
+    * the query residual `q − centroid(cell)` — the same driver-side
+    * float subtraction as [[ivfPqResidualTopK]]'s probe (and the encode
+    * side's [[residualCol]]) — and the per-row distance selects its
+    * probed cell's LUT chain by the `cell` partition column: a
+    * codegen'd CASE over ≤nProbe literal-array lookup chains, so the
+    * scan still streams only the m-byte codes + the partition value.
+    */
+  def adcDistToQueryResidual(
+      codebooks: Seq[Seq[Seq[Double]]],
+      centroids: Array[Array[Float]],
+      q: Seq[Float],
+      cells: Seq[Int]): Column = {
+    require(cells.nonEmpty, "adcDistToQueryResidual: empty probe set")
+    val branches = cells.map { c =>
+      val res = Array.tabulate(q.length)(i => q(i) - centroids(c)(i)).toSeq
+      val lut = adcLut(codebooks, res)
+      (c, codebooks.indices.map(s =>
+        element_at(typedLit(lut(s)), col(s"code_$s") + 1)).reduce(_ + _))
+    }
+    branches.tail.foldLeft(
+      when(col("cell") === branches.head._1, branches.head._2)) {
+      case (acc, (c, e)) => acc.when(col("cell") === c, e)
+    }
+  }
+
   /** Asymmetric-distance (ADC) top-k over PQ codes: the query stays
     * full-precision; each corpus vector contributes
     * Σ_s ‖q_sub(s) − centroid(code_s)‖² — by construction EXACTLY the
@@ -1883,13 +1987,14 @@ object Ann {
         VectorExpressions.ivfCellProbes(col("q_embedding"), centroids, nProbe)))
       .select("query_id", "cell", "lut")
     // Probed-cell pruning + hot-cell salting — the same pair of guards
-    // as [[ivfJoin]], occupancy from the layout's build-time sidecar.
+    // as [[ivfJoin]], the hot set driver-resolved from the build-time
+    // sidecar ([[hotKeysOf]]).
     val layout0 = spark.read.parquet(path)
     val layout =
-      if (pruneCells) prunedLayout(layout0, probed.select("query_id", "cell"), "cell")
+      if (pruneCells) prunedLayout(layout0, probed.select("query_id", "cell"), "cell", centroids.length)
       else layout0
     saltedKeyJoin(layout, probed, "cell", hotCellCap, maxSalt,
-      keyStats(spark, path, "cell"))
+      hotKeysOf(spark, path, "cell", hotCellCap, maxSalt))
       .filter(col("vec_id") =!= col("query_id"))
       .withColumn("adc_dist", graft.functions.TextAnalysis.floorScale(
         adcFromLut(codebooks.length), 6))

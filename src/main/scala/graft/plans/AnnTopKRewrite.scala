@@ -74,12 +74,20 @@ object AnnTopKRewrite extends Rule[LogicalPlan] {
     * streams a few MB of codes; the float corpus is touched only for
     * the candidate rows through a broadcast semi join.
     */
+  /** `residual = true` marks a RESIDUAL-encoded layout
+    * ([[graft.operators.Ann.writeIvfPqResidualPartitioned]] — codes
+    * quantize `x − centroid(cell)`, the IVFADC form): the rewrite then
+    * scores candidates with per-probed-cell lookup tables built from
+    * the QUERY RESIDUAL (selected by the `cell` partition column),
+    * instead of one global LUT. Same two-stage plan otherwise.
+    */
   final case class RegisteredPqLayout(
       layoutPath: String,
       centroids: Array[Array[Float]],
       codebooks: Seq[Seq[Seq[Double]]],
       nProbe: Int,
-      overfetch: Int)
+      overfetch: Int,
+      residual: Boolean = false)
 
   private val registry =
     new java.util.concurrent.ConcurrentHashMap[String, RegisteredLayout]()
@@ -273,10 +281,14 @@ object AnnTopKRewrite extends Rule[LogicalPlan] {
     val cells = graft.operators.Ann
       .nearestCells(qVec, reg.centroids, reg.nProbe).toSeq
     import org.apache.spark.sql.functions.{asc, col}
+    val adcCol =
+      if (reg.residual)
+        graft.operators.Ann.adcDistToQueryResidual(
+          reg.codebooks, reg.centroids, qVec, cells)
+      else graft.operators.Ann.adcDistToQuery(reg.codebooks, qVec)
     val candPlan = spark.read.parquet(reg.layoutPath)
       .filter(col("cell").isin(cells.map(Integer.valueOf): _*))
-      .withColumn("adc_dist", graft.functions.TextAnalysis.floorScale(
-        graft.operators.Ann.adcDistToQuery(reg.codebooks, qVec), 6))
+      .withColumn("adc_dist", graft.functions.TextAnalysis.floorScale(adcCol, 6))
       .orderBy(asc("adc_dist"), asc("vec_id"))
       .limit(k * reg.overfetch)
       .select("vec_id")

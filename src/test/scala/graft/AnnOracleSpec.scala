@@ -78,6 +78,7 @@ class AnnOracleSpec extends AnyFunSuite {
         "ann_pq_trained_topk",
         "ann_ivfpq_topk", "ann_ivfpq_join", "ann_ivfpq_incremental",
         "ann_ivfpq_rerank", "ann_ivfpq_residual_topk",
+        "ann_rule_ivfpq_residual",
         "ann_ivfpq_residual_rerank", "ann_ivfpq_local_topk",
         "ann_ivfpq_local_rerank", "ann_opq_adc_topk", "ann_ivfpq_opq_topk")
       assert(entries.keySet == expected,
@@ -85,7 +86,7 @@ class AnnOracleSpec extends AnyFunSuite {
       // every entry must name the Spark output columns it is compared on
       entries.foreach { case (name, sql) =>
         val cols =
-          if (name == "ann_rule_topk" || name == "ann_rule_ivfpq") Seq("vec_id", "sim")
+          if (name.startsWith("ann_rule_")) Seq("vec_id", "sim")
           else if (name == "ann_recall_murmur") Seq("query_id", "n_hit", "recall_at_k")
           else if (name.endsWith("_rerank")) Seq("query_id", "rank", "vec_id", "d2")
           else if (name.startsWith("ann_lsh") || name == "ann_ivf_topk" ||

@@ -226,6 +226,79 @@ class AnnRuleSpec extends AnyFunSuite with SparkTestSession {
     }
   }
 
+  // ---- residual (IVFADC) tier (r18): codes quantize x − centroid(cell),
+  // the rewrite scores with per-probed-cell residual LUTs selected by
+  // the cell partition column.
+
+  private def setupRes(nProbe: Int, overfetch: Int)
+      : (String, Array[Array[Float]], Seq[Seq[Seq[Double]]], String) = {
+    val corpusDir = java.nio.file.Files.createTempDirectory("graft_annrule_resc").toString
+    val layoutDir = java.nio.file.Files.createTempDirectory("graft_annrule_resl").toString
+    val corpus = (0L until 96L).map(i => (i, clusterVec(i))).toDF("vec_id", "embedding")
+    corpus.write.mode("overwrite").parquet(corpusDir)
+    val (centroids, _) = Ann.buildIvf(spark, corpus, nCells = 8, maxIter = 4)
+    val books = Ann.trainPqCodebooksResidual(
+      corpus, centroids, m = 4, dsub = 4, kStar = 8, maxIter = 3)
+    Ann.writeIvfPqResidualPartitioned(
+      spark.read.parquet(corpusDir), centroids, books, layoutDir)
+    AnnTopKRewrite.registerPq(corpusDir,
+      AnnTopKRewrite.RegisteredPqLayout(
+        layoutDir, centroids, books, nProbe, overfetch, residual = true))
+    (corpusDir, centroids, books, layoutDir)
+  }
+
+  test("residual tier fires: per-cell residual LUTs match the operator tier's ADC") {
+    withRule {
+      val (corpusDir, centroids, books, layoutDir) = setupRes(nProbe = 2, overfetch = 3)
+      val q = clusterVec(3L).map(_ + 0.004f)
+      val df = naiveTopK(corpusDir, q, 5)
+      val leaves = df.queryExecution.executedPlan.collectLeaves()
+        .map(_.toString).mkString("\n")
+      assert(leaves.contains("PartitionFilters") &&
+        leaves.contains(new java.io.File(layoutDir).getName),
+        s"no pruned residual-layout scan in the plan:\n${leaves.take(800)}")
+      assert(df.collect().nonEmpty)
+      // the rewrite's coarse stage must score with EXACTLY the operator
+      // tier's residual ADC: adcDistToQueryResidual's CASE-selected
+      // per-cell LUT chain vs ivfPqResidualTopK's driver-built LUT rows
+      // (query_id = -1 so its self-exclusion filter is vacuous), same
+      // (adc_dist, vec_id) order
+      val cells = Ann.nearestCells(q.toSeq, centroids, 2).toSeq
+      val viaCase = spark.read.parquet(layoutDir)
+        .filter(col("cell").isin(cells.map(Integer.valueOf): _*))
+        .withColumn("adc_dist", graft.functions.TextAnalysis.floorScale(
+          Ann.adcDistToQueryResidual(books, centroids, q.toSeq, cells), 6))
+        .orderBy(asc("adc_dist"), asc("vec_id")).limit(15)
+        .select("vec_id", "adc_dist").as[(Long, Double)].collect().toSeq
+      val viaOperator = Ann.ivfPqResidualTopK(
+        spark, layoutDir, Seq((-1L, q.toSeq)).toDF("query_id", "q_embedding"),
+        centroids, books, k = 15, nProbe = 2)
+        .select("vec_id", "adc_dist").as[(Long, Double)].collect().toSeq
+      assert(viaCase == viaOperator,
+        s"rule coarse=$viaCase\noperator   =$viaOperator")
+    }
+  }
+
+  test("residual tier: full probe + corpus-covering over-fetch equals the un-rewritten plan") {
+    withRule {
+      val (corpusDir, _, _, _) = setupRes(nProbe = 8, overfetch = 16)
+      for (qid <- Seq(0L, 5L, 13L)) {
+        val q = clusterVec(qid).map(_ + 0.002f)
+        val rewritten = naiveTopK(corpusDir, q, 7).collect()
+          .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+        val plain = {
+          val prev2 = spark.experimental.extraOptimizations
+          spark.experimental.extraOptimizations =
+            prev2.filterNot(_ eq AnnTopKRewrite)
+          try naiveTopK(corpusDir, q, 7).collect()
+            .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+          finally spark.experimental.extraOptimizations = prev2
+        }
+        assert(rewritten == plain, s"q=$qid:\nrewritten=$rewritten\nplain    =$plain")
+      }
+    }
+  }
+
   test("PQ tier: collapsed-Project post-processing shape fires and matches the bare shape") {
     withRule {
       // The r15 silent-un-fire class, pinned for the PQ tier too: a

@@ -1020,8 +1020,14 @@ class AnnSpec extends AnyFunSuite with SparkTestSession {
     val pruned = Ann.lshJoin(spark, dir, qs, k = 5, nBits = 8, probeBits = 1)
     val leaves = pruned.queryExecution.executedPlan
       .collectLeaves().map(_.toString).mkString
-    assert(leaves.contains("PartitionFilters") && leaves.contains("sig"),
-      "the bounded probed-sig set must reach the scan as PartitionFilters")
+    // a genuine per-value IN/INSET on the partition column, not just the
+    // join key's isnotnull (r18: the assertion tightened alongside the
+    // adaptive cutoff — isnotnull alone must not pass)
+    val pfContents = "PartitionFilters: \\[([^\\]]*)\\]".r
+      .findAllMatchIn(leaves).map(_.group(1)).mkString(";")
+    assert((pfContents.contains(" IN (") || pfContents.contains("INSET")) &&
+      pfContents.contains("sig"),
+      s"the bounded probed-sig set must reach the scan as PartitionFilters: $pfContents")
     def rows(df: org.apache.spark.sql.DataFrame) =
       df.select("query_id", "rank", "vec_id", "sim")
         .as[(Long, Int, Long, Double)].collect().toSet
@@ -1037,13 +1043,19 @@ class AnnSpec extends AnyFunSuite with SparkTestSession {
     val (centroids, _) = Ann.buildIvf(spark, vecs, nCells = 8, maxIter = 3)
     val dir = java.nio.file.Files.createTempDirectory("graft_ivf_prune").toString
     Ann.writeCellPartitioned(vecs, centroids, dir)
-    val qs = vecs.filter($"vec_id" < 3)
+    // ONE query probing 2 of 8 cells — safely under the r18 adaptive
+    // cutoff (a probed set covering >= half the key space skips the
+    // isin; the diffuse case has its own test below)
+    val qs = vecs.filter($"vec_id" < 1)
       .select($"vec_id".as("query_id"), $"embedding".as("q_embedding"))
     val pruned = Ann.ivfJoin(spark, dir, qs, centroids, k = 5, nProbe = 2)
     val leaves = pruned.queryExecution.executedPlan
       .collectLeaves().map(_.toString).mkString
-    assert(leaves.contains("PartitionFilters") && leaves.contains("cell"),
-      "the bounded probed-cell set must reach the scan as PartitionFilters")
+    val pfContents = "PartitionFilters: \\[([^\\]]*)\\]".r
+      .findAllMatchIn(leaves).map(_.group(1)).mkString(";")
+    assert((pfContents.contains(" IN (") || pfContents.contains("INSET")) &&
+      pfContents.contains("cell"),
+      s"the bounded probed-cell set must reach the scan as PartitionFilters: $pfContents")
     def rows(df: org.apache.spark.sql.DataFrame) =
       df.select("query_id", "rank", "vec_id", "sim")
         .as[(Long, Int, Long, Double)].collect().toSet
@@ -1051,6 +1063,43 @@ class AnnSpec extends AnyFunSuite with SparkTestSession {
       pruneCells = false))
     assert(rows(pruned) == full,
       "pruned scan must return exactly the full-layout join's rows")
+    assert(full.nonEmpty)
+  }
+
+  test("join pruning adaptive cutoff: diffuse probes skip the isin, rows unchanged (r18)") {
+    // A probed set covering >= half the key space keeps most directories
+    // anyway — the isin would prune ~nothing while forcing the slower
+    // per-value scan shape, so prunedLayout falls back to the full scan
+    // (the distinct pass already ran; the choice is free). Rows must be
+    // identical either way.
+    val vecs = corpus.select("vec_id", "embedding")
+    val (centroids, _) = Ann.buildIvf(spark, vecs, nCells = 8, maxIter = 3)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_diffuse").toString
+    Ann.writeCellPartitioned(vecs, centroids, dir)
+    // many queries at high nProbe: the probed set is most of the 8 cells
+    val qs = vecs.filter($"vec_id" < 30)
+      .select($"vec_id".as("query_id"), $"embedding".as("q_embedding"))
+    val probedCells = qs.collect().flatMap(r =>
+      Ann.nearestCells(r.getSeq[Float](1), centroids, 6)).distinct
+    assume(2 * probedCells.length >= 8, "fixture must be diffuse for this test")
+    val adaptive = Ann.ivfJoin(spark, dir, qs, centroids, k = 5, nProbe = 6)
+    val leaves = adaptive.queryExecution.executedPlan
+      .collectLeaves().map(_.toString).mkString
+    // non-vacuous check: the PartitionFilters list must carry NO STATIC
+    // per-value IN/INSET predicate. The join key's isnotnull(cell) is
+    // always there, and Spark may add a dynamicpruningexpression(cell IN
+    // dynamicpruning#N) — runtime DPP from the equi-join itself, which
+    // is exactly the free pruning the cutoff defers to; both are fine.
+    val pfContents = "PartitionFilters: \\[([^\\]]*)\\]".r
+      .findAllMatchIn(leaves).map(_.group(1)).mkString(";")
+    assert(!pfContents.contains(" IN (") && !pfContents.contains("INSET"),
+      s"diffuse probes must not pay the static per-value partition filter: $pfContents")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "rank", "vec_id", "sim")
+        .as[(Long, Int, Long, Double)].collect().toSet
+    val full = rows(Ann.ivfJoin(spark, dir, qs, centroids, k = 5, nProbe = 6,
+      pruneCells = false))
+    assert(rows(adaptive) == full, "adaptive cutoff must not change any row")
     assert(full.nonEmpty)
   }
 
@@ -1236,6 +1285,69 @@ class MultimodalSpec extends AnyFunSuite with SparkTestSession {
       .toDF("asset_id", "content")
     val feats = Multimodal.extractRealImageFeatures(pngs, batchSize = 16).toDF()
     assert(feats.filter($"decoded" && $"width" === 32 && $"height" === 32).count() == nPatterns * 3)
+    val pairs = graft.operators.Dedup.embeddingNearDupBucketed(
+      feats.select($"asset_id".as("vec_id"), $"embedding"),
+      threshold = 0.9, nBits = 16, bands = 8)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val expected = (for {
+      p <- 0 until nPatterns; a <- 0 until 3; b <- (a + 1) until 3
+    } yield (p * 3L + a, p * 3L + b)).toSet
+    assert(pairs == expected,
+      s"missing=${(expected -- pairs).take(5)} spurious=${(pairs -- expected).take(5)}")
+  }
+
+  test("real audio decode: WAV PCM through javax.sound, block-RMS features") {
+    val wav = Multimodal.syntheticWav(patternId = 3, variant = 0)
+    val Some((rate, ch, nFrames, rms)) = Multimodal.decodeAudioReal(wav)
+    assert(rate == 8000 && ch == 1 && nFrames == 2048L)
+    assert(rms.length == Multimodal.AudioFeatureDim)
+    assert(rms.forall(r => r > 0.0 && r < 1.0),
+      s"block RMS must be positive sub-unit energies: ${rms.toSeq}")
+    // the decoded samples ARE the written int16 formula: replay block 0
+    // by hand from the generator arithmetic
+    val expected0 = {
+      var acc = 0.0
+      for (i <- 0 until 128) {
+        val env = 1 + math.floorMod(3 * 3 + 0 * 5 + 3 * 0, 23)
+        val tone = math.floorMod(i * (3 + 3), 1201) - 600
+        val x = (env * tone).toShort / 32768.0
+        acc += x * x
+      }
+      math.sqrt(acc / 128)
+    }
+    assert(rms(0) == expected0, s"rms(0)=${rms(0)} expected=$expected0")
+    // determinism + honest rejection
+    assert(Multimodal.decodeAudioReal(wav).get._4.toSeq == rms.toSeq)
+    assert(Multimodal.decodeAudioReal("not audio".getBytes("UTF-8")).isEmpty)
+    assert(Multimodal.decodeAudioReal(Array.emptyByteArray).isEmpty)
+    assert(Multimodal.decodeAudioReal(null).isEmpty)
+    // a truncated header must reject, not crash
+    assert(Multimodal.decodeAudioReal(wav.take(30)).isEmpty)
+  }
+
+  test("real audio decode separates variants (near-dup) from distinct patterns") {
+    def emb(p: Int, v: Int): Array[Float] = {
+      val rms = Multimodal.decodeAudioReal(Multimodal.syntheticWav(p, v)).get._4
+      val mean = rms.sum / rms.length
+      var norm = 0.0
+      val c = rms.map { r => val d = r - mean; norm += d * d; d }
+      c.map(d => (d / math.sqrt(norm)).toFloat)
+    }
+    val base = emb(1, 0)
+    val vari = emb(1, 2)
+    val other = emb(2, 0)
+    assert(cos(base, vari) > 0.97, "noised variant must stay near-duplicate")
+    assert(math.abs(cos(base, other)) < 0.5, "distinct envelope patterns must separate")
+  }
+
+  test("real-audio near-dup pipeline finds exactly the within-pattern pairs") {
+    val nPatterns = 20
+    val wavs = spark.range(nPatterns * 3L).as[Long]
+      .map(id => (id, Multimodal.syntheticWav((id / 3).toInt, (id % 3).toInt)))
+      .toDF("asset_id", "content")
+    val feats = Multimodal.extractRealAudioFeatures(wavs, batchSize = 16).toDF()
+    assert(feats.filter($"decoded" && $"sample_rate" === 8000 &&
+      $"n_frames" === 2048L && $"duration_ms" === 256L).count() == nPatterns * 3)
     val pairs = graft.operators.Dedup.embeddingNearDupBucketed(
       feats.select($"asset_id".as("vec_id"), $"embedding"),
       threshold = 0.9, nBits = 16, bands = 8)
