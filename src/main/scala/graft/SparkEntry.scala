@@ -2443,6 +2443,32 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    "ann_ivf_join_adaptive" -> ((s, dir) => {
+      // QUERY-ADAPTIVE probe budget in the IVF join tier (r18 — the
+      // IVF twin of `ann_lsh_join_adaptive`): each of the 50
+      // distributed query rows probes its best-first cells only while
+      // the cell's cosine distance stays within ratio × the best
+      // cell's, capped at nProbeMax — dynamic nProbe, cut inside the
+      // codegen kernel, so an easy query pays one probe and a boundary
+      // query spends the cap where recall is at risk. Constants live in
+      // Ann.IvfJoinAdaptive* (shared with the AnnOracle mirror's
+      // rank+predicate replay and the Verify budget/recall gate — the
+      // AnnRulePoints discipline). Same sidecar salting + probed-cell
+      // pruning guards as `ann_ivf_join`; hash-checked end to end via
+      // the captured-centroid replay.
+      val emb = Tables.embeddings(s, dir)
+      val (centroids, _) =
+        operators.Ann.buildIvfCached(s, emb, cacheKey = dir, nCells = 8, maxIter = 3)
+      val layout = operators.Ann.cellLayout(s, emb,
+        new java.io.File(sys.props("java.io.tmpdir"), "graft_ann_layouts").getAbsolutePath,
+        centroids)
+      val qs = emb.filter(col("vec_id") < 50)
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"))
+      operators.Ann.ivfJoinAdaptive(s, layout, qs, centroids, k = 5)
+        .withColumn("sim", TextAnalysis.floorScale(col("sim"), 6))
+        .orderBy("query_id", "rank")
+    }),
+
     "ann_rule_topk" -> ((s, dir) => {
       // §4 ANN-aware top-k OPTIMIZER RULE (r9 next #3): the query below
       // is the NAIVE brute-force spelling — scan the corpus parquet,
@@ -3245,6 +3271,57 @@ object SparkEntry {
         .map(id => (id, multimodal.Multimodal.syntheticWav((id / 3).toInt, (id % 3).toInt)))
         .toDF("asset_id", "content")
       val feats = multimodal.Multimodal.extractRealAudioFeatures(wavs).toDF()
+      operators.Dedup.embeddingNearDupBucketed(
+          feats.select(col("asset_id").as("vec_id"), col("embedding")),
+          threshold = 0.9, nBits = 16, bands = 8)
+        .select("id_a", "id_b")
+        .orderBy("id_a", "id_b")
+    }),
+
+    "multimodal_real_video" -> ((s, dir) => {
+      // REAL video decode — the third modality twin: synthesized
+      // uncompressed 24-bit BI_RGB AVIs (pure integer pixel formulas —
+      // byte deterministic, no encoder in the loop) plus one corrupt
+      // asset, decoded through the JDK-only RIFF/DIB parser
+      // (decodeVideoReal — the JDK ships no video codec, but an
+      // uncompressed AVI is container parsing, the PDF/DOCX loader
+      // discipline) into per-cell mean luminance over sampled frames
+      // (stride 2 of 8). The fixture's channels differ per frame
+      // (B=L, G=L+f, R=L+2f) so a BGR/RGB or bottom-up row-order bug
+      // shifts the luminance and fails the value mirror; the oracle
+      // replays the cell means from the same integer formula with
+      // ordered left folds (int pixels are exact in double, both
+      // engines fold in scan order). The corrupt row surfaces
+      // decoded=false with zero features rather than dropping.
+      import s.implicits._
+      val avis = s.range(60).as[Long]
+        .map(id => (id, multimodal.Multimodal.syntheticAvi((id / 3).toInt, (id % 3).toInt)))
+        .toDF("asset_id", "content")
+      val corrupt = Seq((60L, "definitely not video".getBytes("UTF-8")))
+        .toDF("asset_id", "content")
+      multimodal.Multimodal.extractRealVideoFeatures(avis.unionByName(corrupt)).toDF()
+        .select(col("asset_id"), col("decoded"), col("width"), col("height"),
+          col("n_frames"), col("n_sampled"), col("duration_ms"),
+          TextAnalysis.floorScale(element_at(col("cells"), 1), 6).as("c0"),
+          TextAnalysis.floorScale(element_at(col("cells"), 10), 6).as("c9"))
+        .orderBy("asset_id")
+    }),
+
+    "multimodal_real_video_near_dup" -> ((s, dir) => {
+      // Genuine video dedup: 20 cell-profile patterns × 3 noised
+      // variants of real AVIs, decoded to centered mean-frame grid
+      // embeddings, through the same bucketed near-dup operator as
+      // text/image/audio vectors. Margins are structural (variant
+      // noise ~1% relative → cosine ≈ 1; distinct cell profiles
+      // decorrelate after centering — measured max cross-pattern
+      // |cos| 0.64 vs min within-pattern 0.97; threshold 0.9 between),
+      // so the surviving pairs are exactly the within-pattern pairs,
+      // which the oracle generates arithmetically.
+      import s.implicits._
+      val avis = s.range(60).as[Long]
+        .map(id => (id, multimodal.Multimodal.syntheticAvi((id / 3).toInt, (id % 3).toInt)))
+        .toDF("asset_id", "content")
+      val feats = multimodal.Multimodal.extractRealVideoFeatures(avis).toDF()
       operators.Dedup.embeddingNearDupBucketed(
           feats.select(col("asset_id").as("vec_id"), col("embedding")),
           threshold = 0.9, nBits = 16, bands = 8)
@@ -6810,6 +6887,33 @@ object SparkEntry {
     "multimodal_real_audio_near_dup" ->
       """SELECT CAST(p * 3 + a AS BIGINT) AS id_a, CAST(p * 3 + b AS BIGINT) AS id_b
         |FROM range(20) t(p), range(3) u(a), range(3) v(b)
+        |WHERE a < b ORDER BY id_a, id_b""".stripMargin,
+
+    // Real video decode: like the audio twin, the cell features are
+    // VALUE-mirrored — the DIB pixels are a pure integer formula, exact
+    // in double, and both engines fold the per-cell luminance sums and
+    // the sampled-frame mean in the same ascending order, so the
+    // RIFF/DIB parse → feature path is hash-checked end to end.
+    "multimodal_real_video" ->
+      s"""SELECT CAST(r AS BIGINT) AS asset_id,
+         |  r < 60 AS decoded,
+         |  CAST(CASE WHEN r < 60 THEN 16 ELSE 0 END AS INT) AS width,
+         |  CAST(CASE WHEN r < 60 THEN 16 ELSE 0 END AS INT) AS height,
+         |  CAST(CASE WHEN r < 60 THEN 8 ELSE 0 END AS INT) AS n_frames,
+         |  CAST(CASE WHEN r < 60 THEN 4 ELSE 0 END AS INT) AS n_sampled,
+         |  CAST(CASE WHEN r < 60 THEN 800 ELSE 0 END AS BIGINT) AS duration_ms,
+         |  CASE WHEN r < 60 THEN ${videoCellSql(0)} ELSE 0.0 END AS c0,
+         |  CASE WHEN r < 60 THEN ${videoCellSql(9)} ELSE 0.0 END AS c9
+         |FROM (SELECT r, CAST(r // 3 AS INT) AS p, CAST(r % 3 AS INT) AS v
+         |      FROM range(61) t(r))
+         |ORDER BY asset_id""".stripMargin,
+
+    // Video near-dup: same structural-margin argument as the image and
+    // audio twins, so the surviving pairs are exactly the
+    // within-pattern combinations.
+    "multimodal_real_video_near_dup" ->
+      """SELECT CAST(p * 3 + a AS BIGINT) AS id_a, CAST(p * 3 + b AS BIGINT) AS id_b
+        |FROM range(20) t(p), range(3) u(a), range(3) v(b)
         |WHERE a < b ORDER BY id_a, id_b""".stripMargin
   )
 
@@ -6830,5 +6934,35 @@ object SparkEntry {
     "floor(sqrt(list_reduce(list_prepend(0.0, list_transform(" +
       s"list_transform(range(128), i -> $x), xx -> xx * xx)), " +
       "(acc, x2) -> acc + x2) / 128.0) * 1000000) / 1000000"
+  }
+
+  /** DuckDB replay of ONE mean-grid cell of the decoded
+    * [[graft.multimodal.Multimodal.syntheticAvi]] frames (pattern `p`,
+    * variant `v` in scope): cell `c`'s 16 pixels are folded in scan
+    * order (the decoder's y-then-x accumulation), each luminance
+    * `0.299·R + 0.587·G + 0.114·B` over the integer channel formulas
+    * (exact in double), averaged per frame, then the four sampled
+    * frames (stride 2 of 8) folded ascending and averaged — the
+    * identical IEEE op order as
+    * [[graft.multimodal.Multimodal.decodeVideoReal]] +
+    * [[graft.multimodal.Multimodal.extractRealVideoFeatures]], floored
+    * at 6 dp.
+    */
+  private def videoCellSql(c: Int): String = {
+    val y = s"(${(c / 4) * 4} + i // 4)"
+    val x = s"(${(c % 4) * 4} + i % 4)"
+    def lum(f: Int): String = {
+      val l = s"(((p*3 + $c*5 + p*$c + ${f * 7}) % 23) * 8 + " +
+        s"($x*5 + $y*3) % 7 + 2 + " +
+        s"CASE WHEN v = 0 THEN 0 ELSE (v*31 + (${f * 256} + $y*16 + $x)*17) % 5 - 2 END)"
+      s"(0.299 * CAST($l + ${2 * f} AS DOUBLE) + 0.587 * CAST($l + $f AS DOUBLE) + " +
+        s"0.114 * CAST($l AS DOUBLE))"
+    }
+    def cellAvg(f: Int): String =
+      "(list_reduce(list_prepend(0.0, list_transform(range(16), i -> " +
+        s"${lum(f)})), (acc, e) -> acc + e) / 16.0)"
+    val frames = Seq(0, 2, 4, 6).map(cellAvg).mkString(", ")
+    s"floor(list_reduce(list_prepend(0.0, [$frames]), (acc, e) -> acc + e) " +
+      "/ 4.0 * 1000000) / 1000000"
   }
 }

@@ -365,6 +365,267 @@ object Multimodal {
     out
   }
 
+  case class RealVideoFeatures(
+      asset_id: Long,
+      decoded: Boolean,
+      width: Int,
+      height: Int,
+      n_frames: Int,
+      n_sampled: Int,
+      duration_ms: Long,
+      n_bytes: Long,
+      cells: Array[Double],      // mean per-cell luminance over sampled frames — oracle-exact
+      embedding: Array[Float])   // centered + L2-normalized — the near-dup input
+
+  val VideoFeatureGrid = 4
+
+  private def leInt(b: Array[Byte], off: Int): Int =
+    (b(off) & 0xFF) | ((b(off + 1) & 0xFF) << 8) |
+      ((b(off + 2) & 0xFF) << 16) | ((b(off + 3) & 0xFF) << 24)
+
+  private def leShort(b: Array[Byte], off: Int): Int =
+    (b(off) & 0xFF) | ((b(off + 1) & 0xFF) << 8)
+
+  private def fourcc(b: Array[Byte], off: Int): String =
+    new String(b, off, 4, "US-ASCII")
+
+  /** REAL video decode — uncompressed-DIB AVI through a JDK-only RIFF
+    * parser (the video twin of [[decodeImageReal]]/[[decodeAudioReal]];
+    * the JDK ships no video codec, but an uncompressed 24-bit BI_RGB AVI
+    * is pure container parsing — the same public-format-parser
+    * discipline as the PDF/DOCX loaders). Walks the RIFF chunk tree
+    * (`hdrl`→`avih` for dimensions/frame timing, the `vids` stream's
+    * `strf` BITMAPINFOHEADER for the pixel format, `movi` for the
+    * `##db`/`##dc` frame chunks), rejects anything but BI_RGB 24-bit
+    * (compressed streams have no JDK decoder — honest routing, not a
+    * silent guess), and decodes every `frameStride`-th frame's
+    * bottom-up (or top-down, `biHeight < 0`) padded BGR rows into a
+    * `grid`×`grid` block-averaged luminance map — the
+    * [[decodeImageReal]] cell math, per sampled frame, with per-cell
+    * sums accumulating in scan order (y, then x) so the values replay
+    * as ordered left folds in ANSI SQL.
+    *
+    * Returns (width, height, nFrames, durationMs, sampled frame grids),
+    * or None for bytes that are not a decodable AVI.
+    */
+  def decodeVideoReal(
+      bytes: Array[Byte], grid: Int = VideoFeatureGrid, frameStride: Int = 2)
+      : Option[(Int, Int, Int, Long, Array[Array[Double]])] = {
+    if (bytes == null || bytes.length < 12) return None
+    if (fourcc(bytes, 0) != "RIFF" || fourcc(bytes, 8) != "AVI ") return None
+    var usPerFrame = 0
+    var w = 0
+    var h = 0
+    var bitCount = -1
+    var compression = -1
+    var topDown = false
+    var inVideoStream = false
+    val frames = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+    def walk(start: Int, end: Int): Unit = {
+      var off = start
+      var ok = true
+      while (ok && off + 8 <= end) {
+        val id = fourcc(bytes, off)
+        val size = leInt(bytes, off + 4)
+        if (size < 0 || off + 8 + size > end) ok = false // malformed: stop
+        else {
+          if (id == "LIST" && size >= 4) {
+            val lt = fourcc(bytes, off + 8)
+            if (lt == "hdrl" || lt == "strl" || lt == "movi")
+              walk(off + 12, off + 8 + size)
+          } else if (id == "avih" && size >= 40) {
+            usPerFrame = leInt(bytes, off + 8)
+            w = leInt(bytes, off + 8 + 32)
+            h = leInt(bytes, off + 8 + 36)
+          } else if (id == "strh" && size >= 4) {
+            // associates the NEXT strf with this stream's type (an AVI
+            // may interleave audio strls; only the vids strf matters)
+            inVideoStream = fourcc(bytes, off + 8) == "vids"
+          } else if (id == "strf" && size >= 20 && inVideoStream) {
+            val biHeight = leInt(bytes, off + 8 + 8)
+            topDown = biHeight < 0
+            bitCount = leShort(bytes, off + 8 + 14)
+            compression = leInt(bytes, off + 8 + 16)
+          } else if (id.length == 4 && id(2) == 'd' &&
+              (id(3) == 'b' || id(3) == 'c')) {
+            frames += ((off + 8, size))
+          }
+          off += 8 + size + (size & 1) // chunks are word-aligned
+        }
+      }
+    }
+    walk(12, bytes.length)
+    if (w <= 0 || h <= 0 || compression != 0 || bitCount != 24 ||
+        frames.isEmpty || frameStride < 1) return None
+    val rowBytes = ((w * 3 + 3) / 4) * 4
+    if (frames.exists(_._2 < rowBytes * h)) return None
+    val sampled = frames.indices.by(frameStride).map { fi =>
+      val base = frames(fi)._1
+      val sums = new Array[Double](grid * grid)
+      val counts = new Array[Long](grid * grid)
+      var y = 0
+      while (y < h) {
+        val cy = math.min(y * grid / h, grid - 1)
+        val dibY = if (topDown) y else h - 1 - y
+        val rowOff = base + dibY * rowBytes
+        var x = 0
+        while (x < w) {
+          val cx = math.min(x * grid / w, grid - 1)
+          val bB = bytes(rowOff + x * 3) & 0xFF
+          val bG = bytes(rowOff + x * 3 + 1) & 0xFF
+          val bR = bytes(rowOff + x * 3 + 2) & 0xFF
+          sums(cy * grid + cx) += 0.299 * bR + 0.587 * bG + 0.114 * bB
+          counts(cy * grid + cx) += 1
+          x += 1
+        }
+        y += 1
+      }
+      Array.tabulate(grid * grid)(i =>
+        if (counts(i) == 0) 0.0 else sums(i) / counts(i))
+    }.toArray
+    Some((w, h, frames.length,
+      frames.length.toLong * usPerFrame / 1000, sampled))
+  }
+
+  /** Batched REAL video feature extraction — the
+    * [[extractRealAudioFeatures]] shape for the video column:
+    * RIFF/DIB decode per row inside `mapPartitions`/`grouped` batching,
+    * undecodable rows surfaced with `decoded = false` and zero features
+    * instead of dropped. `cells` is the mean block-luminance grid over
+    * the sampled frames (frames folded in ascending order — oracle-exact
+    * for an integer-formula fixture); `embedding` is its centered +
+    * L2-normalized form, feeding
+    * [[graft.operators.Dedup.embeddingNearDupBucketed]] exactly like the
+    * image grid and audio block-RMS embeddings.
+    */
+  def extractRealVideoFeatures(
+      assets: DataFrame,
+      grid: Int = VideoFeatureGrid,
+      frameStride: Int = 2,
+      batchSize: Int = 64): Dataset[RealVideoFeatures] = {
+    val spark = assets.sparkSession
+    import spark.implicits._
+    val dim = grid * grid
+    assets.select("asset_id", "content")
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.grouped(batchSize).flatMap { batch =>
+          batch.iterator.map { case (id, bytes) =>
+            val n = if (bytes == null) 0L else bytes.length.toLong
+            decodeVideoReal(bytes, grid, frameStride) match {
+              case Some((w, h, nFrames, durMs, grids)) =>
+                val cells = Array.tabulate(dim) { i =>
+                  var acc = 0.0
+                  grids.foreach(g => acc += g(i))
+                  acc / grids.length
+                }
+                val mean = cells.sum / dim
+                var norm = 0.0
+                val centered = cells.map { c => val d = c - mean; norm += d * d; d }
+                val emb =
+                  if (norm > 0) centered.map(d => (d / math.sqrt(norm)).toFloat)
+                  else centered.map(_ => 0f)
+                RealVideoFeatures(id, decoded = true, w, h, nFrames,
+                  grids.length, durMs, n, cells, emb)
+              case None =>
+                RealVideoFeatures(id, decoded = false, 0, 0, 0, 0, 0L, n,
+                  new Array[Double](dim), new Array[Float](dim))
+            }
+          }
+        }
+      }
+  }
+
+  /** Deterministic synthetic uncompressed AVI (24-bit BI_RGB, bottom-up
+    * DIB frames) for specs and registry fixtures — the video twin of
+    * [[syntheticPng]]/[[syntheticWav]]. Pixels are pure integer
+    * arithmetic, so the decoded cell features replay in ANSI SQL: with
+    * cell `c = (y/4)*4 + x/4`,
+    * `base = ((p·3 + c·5 + p·c + f·7) mod 23) · 8` (the audio envelope's
+    * unit-mod-23 argument per cell, shifted per frame — distinct
+    * patterns decorrelate after centering, measured max cross-pattern
+    * |cos| 0.64 vs min within-pattern 0.97), texture
+    * `t = (x·5 + y·3) mod 7`, and variant noise
+    * `((v·31 + (f·256 + y·16 + x)·17) mod 5 − 2)` for v > 0 (~1%
+    * relative — noised variants stay near-duplicates). Channels are
+    * deliberately distinct — `B = L, G = L + f, R = L + 2f` — so a
+    * BGR/RGB or row-order bug in the decoder shifts the luminance and
+    * fails the value mirror. The RIFF tree (avih, vids strh, BI_RGB
+    * strf, movi with `00db` chunks) is written directly — byte
+    * deterministic with no encoder in the loop.
+    */
+  def syntheticAvi(
+      patternId: Int, variant: Int,
+      nFrames: Int = 8, width: Int = 16, height: Int = 16,
+      usPerFrame: Int = 100000): Array[Byte] = {
+    val rowBytes = ((width * 3 + 3) / 4) * 4
+    val frameBytes = rowBytes * height
+    val moviSize = 4 + nFrames * (8 + frameBytes)
+    val strlSize = 4 + 8 + 56 + 8 + 40
+    val hdrlSize = 4 + 8 + 56 + 8 + strlSize
+    val riffSize = 4 + 8 + hdrlSize + 8 + moviSize
+    val out = new Array[Byte](8 + riffSize)
+    var pos = 0
+    def tag(s: String): Unit = {
+      s.getBytes("US-ASCII").foreach { b => out(pos) = b; pos += 1 }
+    }
+    def le32(v: Int): Unit = {
+      out(pos) = (v & 0xFF).toByte
+      out(pos + 1) = ((v >> 8) & 0xFF).toByte
+      out(pos + 2) = ((v >> 16) & 0xFF).toByte
+      out(pos + 3) = ((v >>> 24) & 0xFF).toByte
+      pos += 4
+    }
+    def le16(v: Int): Unit = {
+      out(pos) = (v & 0xFF).toByte
+      out(pos + 1) = ((v >> 8) & 0xFF).toByte
+      pos += 2
+    }
+    tag("RIFF"); le32(riffSize); tag("AVI ")
+    tag("LIST"); le32(hdrlSize); tag("hdrl")
+    tag("avih"); le32(56)
+    le32(usPerFrame); le32(0); le32(0); le32(0)
+    le32(nFrames); le32(0); le32(1); le32(frameBytes)
+    le32(width); le32(height); le32(0); le32(0); le32(0); le32(0)
+    tag("LIST"); le32(strlSize); tag("strl")
+    tag("strh"); le32(56)
+    tag("vids"); tag("DIB "); le32(0); le16(0); le16(0)
+    le32(0); le32(1); le32(1000000 / usPerFrame); le32(0); le32(nFrames)
+    le32(frameBytes); le32(0); le32(0); le32(0); le32(0)
+    tag("strf"); le32(40)
+    le32(40); le32(width); le32(height); le16(1); le16(24)
+    le32(0); le32(frameBytes); le32(0); le32(0); le32(0); le32(0)
+    tag("LIST"); le32(moviSize); tag("movi")
+    var f = 0
+    while (f < nFrames) {
+      tag("00db"); le32(frameBytes)
+      val frameOff = pos
+      var y = 0
+      while (y < height) {
+        val rowOff = frameOff + (height - 1 - y) * rowBytes // bottom-up
+        var x = 0
+        while (x < width) {
+          val c = (y / 4) * 4 + (x / 4)
+          val base =
+            math.floorMod(patternId * 3 + c * 5 + patternId * c + f * 7, 23) * 8
+          val t = math.floorMod(x * 5 + y * 3, 7)
+          val noise =
+            if (variant == 0) 0
+            else math.floorMod(variant * 31 + (f * 256 + y * 16 + x) * 17, 5) - 2
+          val l = base + t + 2 + noise
+          out(rowOff + x * 3) = l.toByte            // B
+          out(rowOff + x * 3 + 1) = (l + f).toByte  // G
+          out(rowOff + x * 3 + 2) = (l + 2 * f).toByte // R
+          x += 1
+        }
+        y += 1
+      }
+      pos = frameOff + frameBytes
+      f += 1
+    }
+    out
+  }
+
   /** Deterministic synthetic PNG for specs and registry fixtures: a
     * blocky pseudo-random texture keyed by `patternId` (4×4-pixel tiles,
     * so distinct patterns are uncorrelated and block-average features

@@ -1358,4 +1358,123 @@ class MultimodalSpec extends AnyFunSuite with SparkTestSession {
     assert(pairs == expected,
       s"missing=${(expected -- pairs).take(5)} spurious=${(pairs -- expected).take(5)}")
   }
+
+  test("real video decode: uncompressed AVI through the RIFF/DIB parser") {
+    val avi = Multimodal.syntheticAvi(patternId = 3, variant = 0)
+    val Some((w, h, nFrames, durMs, grids)) = Multimodal.decodeVideoReal(avi)
+    assert(w == 16 && h == 16 && nFrames == 8 && durMs == 800L)
+    assert(grids.length == 4 && grids.forall(_.length == 16)) // frames 0,2,4,6
+    // the decoded pixels ARE the written formula: replay frame 0 cell 0
+    // by hand from the generator arithmetic (f=0 → R=G=B=L)
+    val expected00 = {
+      var acc = 0.0
+      for (i <- 0 until 16) {
+        val y = i / 4; val x = i % 4
+        val base = math.floorMod(3 * 3 + 0 * 5 + 3 * 0 + 0, 23) * 8
+        val l = base + math.floorMod(x * 5 + y * 3, 7) + 2
+        acc += 0.299 * l + 0.587 * l + 0.114 * l
+      }
+      acc / 16.0
+    }
+    assert(grids(0)(0) == expected00, s"got ${grids(0)(0)} expected $expected00")
+    // determinism + honest rejection
+    assert(Multimodal.decodeVideoReal(avi).get._5.map(_.toSeq).toSeq ==
+      grids.map(_.toSeq).toSeq)
+    assert(Multimodal.decodeVideoReal("not video".getBytes("UTF-8")).isEmpty)
+    assert(Multimodal.decodeVideoReal(Array.emptyByteArray).isEmpty)
+    assert(Multimodal.decodeVideoReal(null).isEmpty)
+    assert(Multimodal.decodeVideoReal(avi.take(100)).isEmpty)
+    // a compressed stream must reject (no JDK codec), not crash: flip
+    // biCompression in the vids strf (tag scan keeps the test honest
+    // about the layout instead of hard-coding offsets)
+    val strfOff = avi.indices.find(i => i + 4 <= avi.length &&
+      new String(avi, i, 4, "US-ASCII") == "strf").get
+    val compressed = avi.clone()
+    compressed(strfOff + 8 + 16) = 1 // biCompression = BI_RLE8
+    assert(Multimodal.decodeVideoReal(compressed).isEmpty)
+  }
+
+  test("real video decode handles row padding and top-down frames") {
+    // w=6 → rowBytes 20 (2 pad bytes per row): the padded path must
+    // reproduce an independent reimplementation of the same pixel math
+    val avi = Multimodal.syntheticAvi(patternId = 5, variant = 1,
+      nFrames = 2, width = 6, height = 4)
+    val Some((w, h, n, _, grids)) = Multimodal.decodeVideoReal(avi, grid = 1, frameStride = 1)
+    assert(w == 6 && h == 4 && n == 2 && grids.length == 2)
+    def refMean(f: Int): Double = {
+      var acc = 0.0
+      for (y <- 0 until 4; x <- 0 until 6) {
+        val c = (y / 4) * 4 + (x / 4)
+        val base = math.floorMod(5 * 3 + c * 5 + 5 * c + f * 7, 23) * 8
+        val noise = math.floorMod(1 * 31 + (f * 256 + y * 16 + x) * 17, 5) - 2
+        val l = base + math.floorMod(x * 5 + y * 3, 7) + 2 + noise
+        acc += 0.299 * (l + 2 * f) + 0.587 * (l + f) + 0.114 * l
+      }
+      acc / 24.0
+    }
+    assert(grids(0)(0) == refMean(0) && grids(1)(0) == refMean(1))
+    // top-down twin: negate biHeight and reverse each frame's rows —
+    // the decoder must produce identical grids
+    val full = Multimodal.syntheticAvi(patternId = 7, variant = 2)
+    val Some((_, _, _, _, upGrids)) = Multimodal.decodeVideoReal(full)
+    val down = full.clone()
+    val strfOff = down.indices.find(i => i + 4 <= down.length &&
+      new String(down, i, 4, "US-ASCII") == "strf").get
+    val hNeg = -16
+    down(strfOff + 16) = (hNeg & 0xFF).toByte
+    down(strfOff + 17) = ((hNeg >> 8) & 0xFF).toByte
+    down(strfOff + 18) = ((hNeg >> 16) & 0xFF).toByte
+    down(strfOff + 19) = ((hNeg >> 24) & 0xFF).toByte
+    val rowBytes = 48
+    var i = 0
+    while (i + 4 <= down.length) {
+      if (new String(down, i, 4, "US-ASCII") == "00db") {
+        val frame = java.util.Arrays.copyOfRange(down, i + 8, i + 8 + rowBytes * 16)
+        for (r <- 0 until 16)
+          System.arraycopy(frame, (15 - r) * rowBytes, down, i + 8 + r * rowBytes, rowBytes)
+        i += 8 + rowBytes * 16
+      } else i += 1
+    }
+    val Some((_, _, _, _, downGrids)) = Multimodal.decodeVideoReal(down)
+    assert(downGrids.map(_.toSeq).toSeq == upGrids.map(_.toSeq).toSeq,
+      "top-down DIB must decode identically to its bottom-up twin")
+  }
+
+  test("real video decode separates variants (near-dup) from distinct patterns") {
+    def emb(p: Int, v: Int): Array[Float] = {
+      val grids = Multimodal.decodeVideoReal(Multimodal.syntheticAvi(p, v)).get._5
+      val cells = Array.tabulate(16) { i =>
+        var acc = 0.0; grids.foreach(g => acc += g(i)); acc / grids.length
+      }
+      val mean = cells.sum / 16
+      var norm = 0.0
+      val c = cells.map { r => val d = r - mean; norm += d * d; d }
+      c.map(d => (d / math.sqrt(norm)).toFloat)
+    }
+    val base = emb(1, 0)
+    val vari = emb(1, 2)
+    val other = emb(2, 0)
+    assert(cos(base, vari) > 0.95, "noised variant must stay near-duplicate")
+    assert(math.abs(cos(base, other)) < 0.7, "distinct cell profiles must separate")
+  }
+
+  test("real-video near-dup pipeline finds exactly the within-pattern pairs") {
+    val nPatterns = 20
+    val avis = spark.range(nPatterns * 3L).as[Long]
+      .map(id => (id, Multimodal.syntheticAvi((id / 3).toInt, (id % 3).toInt)))
+      .toDF("asset_id", "content")
+    val feats = Multimodal.extractRealVideoFeatures(avis, batchSize = 16).toDF()
+    assert(feats.filter($"decoded" && $"width" === 16 && $"height" === 16 &&
+      $"n_frames" === 8 && $"n_sampled" === 4 &&
+      $"duration_ms" === 800L).count() == nPatterns * 3)
+    val pairs = graft.operators.Dedup.embeddingNearDupBucketed(
+      feats.select($"asset_id".as("vec_id"), $"embedding"),
+      threshold = 0.9, nBits = 16, bands = 8)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val expected = (for {
+      p <- 0 until nPatterns; a <- 0 until 3; b <- (a + 1) until 3
+    } yield (p * 3L + a, p * 3L + b)).toSet
+    assert(pairs == expected,
+      s"missing=${(expected -- pairs).take(5)} spurious=${(pairs -- expected).take(5)}")
+  }
 }
