@@ -477,6 +477,44 @@ private[graft] object AnnOracle {
           |  JOIN asg a ON a.cell = p.cell
           |  JOIN embeddings e ON e.vec_id = a.vec_id""".stripMargin, k)}""".stripMargin
 
+  /** The QUERY-ADAPTIVE probe set of [[Ann.ivfJoinAdaptive]] — the
+    * kernel's best-first emission with the distance-ratio cut replayed
+    * as rank + predicate (the cut is monotone along the probe order, so
+    * "break at the first miss" ≡ "keep every rank passing the
+    * predicate"): rank by (sim DESC, c), keep rn = 1 unconditionally
+    * (the kernel never cuts the first probe), then rn ≤ nProbeMax while
+    * `1 − sim ≤ ratio · (1 − s₁)` over the SAME csim doubles — both
+    * engines compute the identical IEEE comparison, so boundary cells
+    * cannot flip.
+    */
+  private def probeCteAdaptive(nq: Int, nProbeMax: Int, ratio: Double): String =
+    s"""probes AS MATERIALIZED (
+       |  SELECT vec_id AS query_id, c AS cell FROM (
+       |    SELECT vec_id, c, sim,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, c) AS rn,
+       |      max(sim) OVER (PARTITION BY vec_id) AS s1
+       |    FROM csim WHERE vec_id < $nq)
+       |  WHERE rn <= $nProbeMax
+       |    AND (rn = 1 OR (1.0 - sim) <= $ratio * (1.0 - s1)))""".stripMargin
+
+  /** `ann_ivf_join_adaptive` mirror: [[ivfTopKSql]] with the adaptive
+    * probe CTE; constants from [[Ann.IvfJoinAdaptiveProbeMax]] /
+    * [[Ann.IvfJoinAdaptiveRatio]] — shared with the SparkEntry
+    * registration and the Verify gate.
+    */
+  private def ivfTopKAdaptiveSql(
+      cents: Array[Array[Float]], nq: Int, k: Int): String =
+    s"""WITH cents(c, cv) AS (VALUES
+       |    ${centsValues(cents)}),
+       |${cellCtes("embeddings")},
+       |${probeCteAdaptive(nq, Ann.IvfJoinAdaptiveProbeMax, Ann.IvfJoinAdaptiveRatio)},
+       |${cosineRankTail(
+        """SELECT p.query_id, qe.embedding AS qe, a.vec_id, e.embedding
+          |  FROM probes p
+          |  JOIN embeddings qe ON qe.vec_id = p.query_id
+          |  JOIN asg a ON a.cell = p.cell
+          |  JOIN embeddings e ON e.vec_id = a.vec_id""".stripMargin, k)}""".stripMargin
+
   /** `ann_rule_topk` mirror: the optimizer-rule rewrite probes vec 0's 5
     * nearest cells of the SAME registered layout (exact cosine, no PQ),
     * top-K ordered on the RAW double then floored for output.
@@ -620,16 +658,21 @@ private[graft] object AnnOracle {
       nq: Int,
       k: Int,
       nProbe: Int,
-      exclude: Seq[Long] = Nil): String = {
+      exclude: Seq[Long] = Nil,
+      adaptive: Boolean = false): String = {
     val excl =
       if (exclude.isEmpty) ""
       else s" AND c.vec_id NOT IN (${exclude.mkString(", ")})"
+    val probes =
+      if (adaptive)
+        probeCteAdaptive(nq, Ann.IvfJoinAdaptiveProbeMax, Ann.IvfJoinAdaptiveRatio)
+      else probeCte(nq, nProbe)
     s"""WITH cents(c, cv) AS (VALUES
        |    ${centsValues(cents)}),
        |books(s, code, bv) AS (VALUES
        |    ${booksValues(books)}),
        |${cellCtes("embeddings")},
-       |${probeCte(nq, nProbe)},
+       |$probes,
        |${codeCtes("embeddings")},
        |${adcCte(nq, probedJoins, probedPred + excl)}
        |${adcTail(k)}""".stripMargin
@@ -799,6 +842,7 @@ private[graft] object AnnOracle {
         // redistributes the join, it never changes a row (spec-pinned),
         // so the mirror is shared verbatim — the hash check proves it.
         "ann_ivf_join_salted" -> ivfTopKSql(c, nq = 50, k = 5, nProbe = 3),
+        "ann_ivf_join_adaptive" -> ivfTopKAdaptiveSql(c, nq = 50, k = 5),
         "ann_rule_topk" -> ruleTopKSql(c))
     }
     val pq = (for { c <- cMain; b <- bGlobal } yield Seq(
@@ -806,6 +850,11 @@ private[graft] object AnnOracle {
       "ann_pq_trained_topk" -> pqTrainedSql(b),
       "ann_ivfpq_topk" -> ivfPqSql(c, b, nq = 3, k = 10, nProbe = 3),
       "ann_ivfpq_join" -> ivfPqSql(c, b, nq = 50, k = 5, nProbe = 3),
+      // The PQ tier's adaptive twin shares the exact-IVF tier's probe
+      // CTE (one operating point, Ann.IvfJoinAdaptive*) — only the
+      // scoring differs (probed ADC vs exact cosine).
+      "ann_ivfpq_join_adaptive" ->
+        ivfPqSql(c, b, nq = 50, k = 5, nProbe = 0, adaptive = true),
       "ann_ivfpq_incremental" ->
         ivfPqSql(c, b, nq = 3, k = 10, nProbe = 3, exclude = Seq(7L, 11L)),
       "ann_ivfpq_rerank" -> ivfPqRerankSql(c, b))).getOrElse(Nil)

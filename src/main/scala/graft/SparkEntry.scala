@@ -2870,6 +2870,28 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    "ann_ivfpq_join_adaptive" -> ((s, dir) => {
+      // The PQ tier of the adaptive join family (r18): same dynamic-
+      // nProbe kernel cut and operating point as `ann_ivf_join_adaptive`
+      // (Ann.IvfJoinAdaptive*), scoring by probed ADC — at 100 TB this
+      // is the tier that streams (codes are m bytes/vector), so
+      // concentrating the probe budget on boundary queries cuts the
+      // dominant LUT-scan cost directly. Mirror shares the adaptive
+      // probe CTE with the exact tier; hash-checked end to end.
+      val emb = Tables.embeddings(s, dir)
+      val (centroids, _) = operators.Ann.buildIvfCached(
+        s, emb, cacheKey = dir, nCells = 8, maxIter = 3)
+      val books = operators.Ann.trainPqCodebooksCached(
+        emb, cacheKey = dir, m = 8, dsub = 8, kStar = 16, maxIter = 5)
+      val base = new java.io.File(
+        sys.props("java.io.tmpdir"), "graft_ann_layouts").getAbsolutePath
+      val layout = operators.Ann.ivfPqLayout(s, emb, base, centroids, books)
+      val qs = emb.filter(col("vec_id") < 50)
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"))
+      operators.Ann.ivfPqJoinAdaptive(s, layout, qs, centroids, books, k = 5)
+        .orderBy("query_id", "rank")
+    }),
+
     "ann_ivfpq_residual_rerank" -> ((s, dir) => {
       // The complete IVFADC-with-refinement pipeline: coarse cells →
       // residual codes → per-cell ADC over-fetch → exact euclidean

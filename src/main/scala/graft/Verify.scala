@@ -352,6 +352,23 @@ object Verify {
           s"driver=${driverSide.size} equal=${joined == driverSide}")
         require(joined == driverSide,
           "ann_ivfpq_join: distributed join diverged from the driver-side probe")
+
+        // Adaptive PQ-join gate (r18 — the PQ tier of the adaptive join
+        // family): recall vs the exact euclidean top-k must be ≥ the
+        // fixed nProbe=3 PQ join's on the same queries (the budget cap
+        // itself is gated on the exact tier — same kernel, same
+        // operating point).
+        val adPq = operators.Ann.ivfPqJoinAdaptive(
+          spark, layout, qsIvf, centroids, books, k = 10)
+          .select("query_id", "vec_id").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        val fixPqPairs = joined.map(r => (r._1, r._3))
+        val rAdPq = exactEuc.count(adPq.contains).toDouble / exactEuc.size
+        val rFixPq = exactEuc.count(fixPqPairs.contains).toDouble / exactEuc.size
+        println(f"[recall] ann_ivfpq_join_adaptive = $rAdPq%.3f " +
+          f"(fixed nProbe=3 = $rFixPq%.3f, gate >= fixed)")
+        require(rAdPq >= rFixPq,
+          f"ann_ivfpq_join_adaptive recall $rAdPq%.3f below the fixed join's $rFixPq%.3f")
       }
 
       // Exact-tier distributed-join gate (r15 verdict #2): ivfJoin over
@@ -433,6 +450,45 @@ object Verify {
         println(f"[recall] ann_lsh_join_adaptive = $rAd%.3f (fixed Hamming-1 ball = $rBall%.3f, gate >= ball)")
         require(rAd >= rBall,
           f"ann_lsh_join_adaptive recall $rAd%.3f below the fixed-ball join's $rBall%.3f")
+
+        // IVF adaptive-probe JOIN gate (r18 — the IVF twin): dynamic
+        // nProbe must justify itself on the registry query's own shape
+        // (nq=50, k=5): recall ≥ the fixed nProbe=3 join's on the same
+        // queries, with the mean probe count ≤ nProbeMax printed for
+        // the record (the AdaptiveJoinSweep frontier: (5, 1.5) reads
+        // 0.884/0.872 recall at 4.2/4.3 mean probes vs fixed-3's
+        // 0.776/0.736 and fixed-4's 0.868/0.848 at sf0.01/sf0.1 —
+        // above the fixed frontier at its own spend).
+        val base = new java.io.File(
+          sys.props("java.io.tmpdir"), "graft_ann_layouts").getAbsolutePath
+        val cellPath = operators.Ann.cellLayout(spark, emb, base, centroids)
+        val qs50 = emb.filter(col("vec_id") < 50)
+          .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"))
+        val exact50 = operators.Retrieval.knnJoin(qs50, emb, k = 5)
+          .select("query_id", "vec_id").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        val adIvf = operators.Ann.ivfJoinAdaptive(
+          spark, cellPath, qs50, centroids, k = 5)
+          .select("query_id", "vec_id").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        val fixIvf = operators.Ann.ivfJoin(
+          spark, cellPath, qs50, centroids, k = 5, nProbe = 3)
+          .select("query_id", "vec_id").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        val meanProbes = qs50.select(avg(size(
+            graft.expressions.VectorExpressions.ivfCellProbesAdaptive(
+              col("q_embedding"), centroids,
+              operators.Ann.IvfJoinAdaptiveProbeMax,
+              operators.Ann.IvfJoinAdaptiveRatio))))
+          .head().getDouble(0)
+        val rAdIvf = exact50.count(adIvf.contains).toDouble / exact50.size
+        val rFixIvf = exact50.count(fixIvf.contains).toDouble / exact50.size
+        println(f"[recall] ann_ivf_join_adaptive = $rAdIvf%.3f at $meanProbes%.2f mean probes " +
+          f"(fixed nProbe=3 = $rFixIvf%.3f, gate >= fixed)")
+        require(rAdIvf >= rFixIvf,
+          f"ann_ivf_join_adaptive recall $rAdIvf%.3f below the fixed join's $rFixIvf%.3f")
+        require(meanProbes <= operators.Ann.IvfJoinAdaptiveProbeMax,
+          f"ann_ivf_join_adaptive mean probes $meanProbes%.2f exceeds the cap")
       }
 
       // Incremental-index gate: NOT a recall floor but EXACT row

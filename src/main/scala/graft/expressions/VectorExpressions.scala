@@ -389,9 +389,20 @@ case class LshSignature(child: Expression, nBits: Int)
   * ties, round by round. Spec-pinned against `nearestCells` on
   * adversarial vectors; rows shorter than the trained dim throw (the
   * IvfCellAssign bounds contract).
+  *
+  * With `ratio > 0` the probe set is QUERY-ADAPTIVE (dynamic nProbe —
+  * the IVF analog of the margin-ordered LSH multiprobe): cells are
+  * taken in the same best-first order but emission stops once a cell's
+  * cosine distance exceeds `ratio × (1 − s₁)` (s₁ = the best cell's
+  * cosine), so a query deep inside a cell pays one probe while a
+  * boundary query spends the full `nProbe` budget where recall is
+  * actually at risk. The cut is monotone along the probe order, so the
+  * SQL mirror replays it as a rank + predicate over the same floored
+  * arithmetic; ratio = 0 is exactly the fixed top-`nProbe` kernel.
   */
 case class IvfCellProbes(
-    child: Expression, cents: Seq[Double], dim: Int, nProbe: Int)
+    child: Expression, cents: Seq[Double], dim: Int, nProbe: Int,
+    ratio: Double = 0.0)
     extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
 
   @transient private lazy val centArr: Array[Double] = cents.toArray
@@ -433,6 +444,8 @@ case class IvfCellProbes(
     val n = math.min(nProbe, k)
     val out = new Array[Int](n)
     val chosen = new Array[Boolean](k)
+    var firstDist = 0.0
+    var taken = 0
     var r = 0
     while (r < n) {
       var best = -1
@@ -441,11 +454,18 @@ case class IvfCellProbes(
         if (!chosen(c2) && (best < 0 || sims(c2) > sims(best))) best = c2
         c2 += 1
       }
-      chosen(best) = true
-      out(r) = best
-      r += 1
+      if (r == 0) firstDist = 1.0 - sims(best)
+      if (r > 0 && ratio > 0.0 && (1.0 - sims(best)) > ratio * firstDist) {
+        r = n // adaptive cut: probes are best-first, so stop at the first miss
+      } else {
+        chosen(best) = true
+        out(r) = best
+        taken += 1
+        r += 1
+      }
     }
-    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(out)
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(
+      if (taken == n) out else java.util.Arrays.copyOf(out, taken))
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -467,6 +487,8 @@ case class IvfCellProbes(
       val den = ctx.freshName("den")
       val r = ctx.freshName("r")
       val best = ctx.freshName("best")
+      val firstDist = ctx.freshName("firstDist")
+      val taken = ctx.freshName("taken")
       s"""
          |if ($a.numElements() < $dim) {
          |  throw new IllegalArgumentException(
@@ -490,16 +512,24 @@ case class IvfCellProbes(
          |}
          |final boolean[] $chosen = new boolean[$k];
          |final int[] $out = new int[$n];
+         |double $firstDist = 0.0;
+         |int $taken = 0;
          |for (int $r = 0; $r < $n; $r++) {
          |  int $best = -1;
          |  for (int $c2 = 0; $c2 < $k; $c2++) {
          |    if (!$chosen[$c2] && ($best < 0 || $sims[$c2] > $sims[$best])) $best = $c2;
          |  }
+         |  if ($r == 0) $firstDist = 1.0 - $sims[$best];
+         |  if ($r > 0 && $ratio > 0.0 && (1.0 - $sims[$best]) > $ratio * $firstDist) {
+         |    break; // adaptive cut: probes are best-first — stop at the first miss
+         |  }
          |  $chosen[$best] = true;
          |  $out[$r] = $best;
+         |  $taken++;
          |}
          |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
-         |  .fromPrimitiveArray($out);
+         |  .fromPrimitiveArray(($taken == $n)
+         |    ? $out : java.util.Arrays.copyOf($out, $taken));
        """.stripMargin
     })
 
@@ -542,4 +572,18 @@ object VectorExpressions {
       centroids.iterator.flatten.map(_.toDouble).toSeq,
       centroids.head.length,
       nProbe))
+
+  /** Column form of [[IvfCellProbes]] with the query-adaptive
+    * distance-ratio cut (`ratio` × the best cell's cosine distance,
+    * probes capped at `nProbeMax`).
+    */
+  def ivfCellProbesAdaptive(
+      emb: Column, centroids: Array[Array[Float]],
+      nProbeMax: Int, ratio: Double): Column =
+    GraftSqlShim.column(IvfCellProbes(
+      GraftSqlShim.expression(emb),
+      centroids.iterator.flatten.map(_.toDouble).toSeq,
+      centroids.head.length,
+      nProbeMax,
+      ratio))
 }

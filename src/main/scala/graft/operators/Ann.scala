@@ -1114,6 +1114,57 @@ object Ann {
       k)
   }
 
+  /** The `ann_ivf_join_adaptive` operating point — ONE source of truth
+    * shared by the SparkEntry registration, the AnnOracle mirror's
+    * probe CTE, and the Verify budget/recall gate (the
+    * [[graft.plans.AnnRulePoints]] discipline for the join tier). The
+    * ratio is exactly representable in binary so the literal is the
+    * same double in Scala, generated Java, and the DuckDB mirror.
+    */
+  val IvfJoinAdaptiveProbeMax = 5
+  val IvfJoinAdaptiveRatio = 1.5
+
+  /** [[ivfJoin]] with a QUERY-ADAPTIVE probe budget (dynamic nProbe —
+    * the IVF analog of [[lshJoinAdaptive]]'s margin-ordered probe set):
+    * each query row probes its best-first cells only while the cell's
+    * cosine distance stays within `ratio ×` the best cell's, capped at
+    * `nProbeMax` ([[VectorExpressions.ivfCellProbesAdaptive]] — the cut
+    * runs inside the codegen kernel, so the adaptive form costs exactly
+    * the fixed kernel's arithmetic). A query deep inside one cell pays
+    * a single probe; a boundary query spends the full cap where recall
+    * is actually at risk — at equal AVERAGE probe budget the adaptive
+    * join dominates the fixed-nProbe form (measured and gated in
+    * Verify). Same sidecar-driven salting + probed-cell pruning guards
+    * as [[ivfJoin]]; the probe rule is rank-monotone, so the DuckDB
+    * mirror replays it as a rank + distance-ratio predicate over the
+    * same captured-centroid arithmetic (hash-checked end to end).
+    */
+  def ivfJoinAdaptive(
+      spark: SparkSession,
+      path: String,
+      queries: DataFrame,
+      centroids: Array[Array[Float]],
+      k: Int,
+      nProbeMax: Int = IvfJoinAdaptiveProbeMax,
+      ratio: Double = IvfJoinAdaptiveRatio,
+      hotCellCap: Int = 1 << 20,
+      maxSalt: Int = 64,
+      pruneCells: Boolean = true): DataFrame = {
+    val qSrc = if (pruneCells) pinned(queries) else queries
+    val probed = qSrc
+      .withColumn("cell", explode(
+        VectorExpressions.ivfCellProbesAdaptive(
+          col("q_embedding"), centroids, nProbeMax, ratio)))
+      .select("query_id", "cell", "q_embedding")
+    val layout0 = spark.read.parquet(path)
+    val layout =
+      if (pruneCells) prunedLayout(layout0, probed, "cell", centroids.length) else layout0
+    rankTopK(saltedKeyJoin(layout, probed, "cell", hotCellCap, maxSalt,
+      hotKeysOf(spark, path, "cell", hotCellCap, maxSalt))
+      .withColumn("sim", VectorExpressions.cosineSim(col("q_embedding"), col("embedding"))),
+      k)
+  }
+
   /** Per-vector symmetric int8 quantization: scale by 127/max|x| and
     * floor. 4× less storage/bandwidth than float32 — at 100 TB the
     * quantized corpus is what streams through the similarity scan, with
@@ -1989,6 +2040,54 @@ object Ann {
     // Probed-cell pruning + hot-cell salting — the same pair of guards
     // as [[ivfJoin]], the hot set driver-resolved from the build-time
     // sidecar ([[hotKeysOf]]).
+    val layout0 = spark.read.parquet(path)
+    val layout =
+      if (pruneCells) prunedLayout(layout0, probed.select("query_id", "cell"), "cell", centroids.length)
+      else layout0
+    saltedKeyJoin(layout, probed, "cell", hotCellCap, maxSalt,
+      hotKeysOf(spark, path, "cell", hotCellCap, maxSalt))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("adc_dist", graft.functions.TextAnalysis.floorScale(
+        adcFromLut(codebooks.length), 6))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("query_id").orderBy(asc("adc_dist"), asc("vec_id"))))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "vec_id", "adc_dist")
+  }
+
+  /** [[ivfPqJoin]] with the QUERY-ADAPTIVE probe budget — the PQ tier
+    * of [[ivfJoinAdaptive]] (one shared operating point,
+    * [[IvfJoinAdaptiveProbeMax]]/[[IvfJoinAdaptiveRatio]], one shared
+    * kernel cut): each query row LUT-scans only the cells inside its
+    * distance-ratio ball, so at 100 TB — where the PQ join is the tier
+    * that actually streams, codes being m bytes/vector — the probe
+    * budget concentrates on boundary queries instead of paying a flat
+    * nProbe everywhere. Same guards, same mirror discipline (the
+    * rank-monotone cut replays in SQL), hash-checked end to end.
+    */
+  def ivfPqJoinAdaptive(
+      spark: SparkSession,
+      path: String,
+      queries: DataFrame,
+      centroids: Array[Array[Float]],
+      codebooks: Seq[Seq[Seq[Double]]],
+      k: Int,
+      nProbeMax: Int = IvfJoinAdaptiveProbeMax,
+      ratio: Double = IvfJoinAdaptiveRatio,
+      hotCellCap: Int = 1 << 20,
+      maxSalt: Int = 64,
+      pruneCells: Boolean = true): DataFrame = {
+    val dsub = codebooks.head.head.length
+    val lutCol = array(codebooks.zipWithIndex.map { case (cents, s) =>
+      subspaceDists(cents, col("q_embedding"), s, dsub)
+    }: _*)
+    val qSrc = if (pruneCells) pinned(queries) else queries
+    val probed = qSrc
+      .withColumn("lut", lutCol)
+      .withColumn("cell", explode(
+        VectorExpressions.ivfCellProbesAdaptive(
+          col("q_embedding"), centroids, nProbeMax, ratio)))
+      .select("query_id", "cell", "lut")
     val layout0 = spark.read.parquet(path)
     val layout =
       if (pruneCells) prunedLayout(layout0, probed.select("query_id", "cell"), "cell", centroids.length)

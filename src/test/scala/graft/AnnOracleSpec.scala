@@ -74,9 +74,11 @@ class AnnOracleSpec extends AnyFunSuite {
         "ann_lsh_multiprobe",
         "ann_lsh_partitioned_adaptive", "ann_recall_murmur",
         "ann_ivf_topk", "ann_ivf_join", "ann_ivf_join_salted",
+        "ann_ivf_join_adaptive",
         "ann_rule_topk", "ann_rule_ivfpq",
         "ann_pq_trained_topk",
-        "ann_ivfpq_topk", "ann_ivfpq_join", "ann_ivfpq_incremental",
+        "ann_ivfpq_topk", "ann_ivfpq_join", "ann_ivfpq_join_adaptive",
+        "ann_ivfpq_incremental",
         "ann_ivfpq_rerank", "ann_ivfpq_residual_topk",
         "ann_rule_ivfpq_residual",
         "ann_ivfpq_residual_rerank", "ann_ivfpq_local_topk",
@@ -90,7 +92,8 @@ class AnnOracleSpec extends AnyFunSuite {
           else if (name == "ann_recall_murmur") Seq("query_id", "n_hit", "recall_at_k")
           else if (name.endsWith("_rerank")) Seq("query_id", "rank", "vec_id", "d2")
           else if (name.startsWith("ann_lsh") || name == "ann_ivf_topk" ||
-            name == "ann_ivf_join" || name == "ann_ivf_join_salted")
+            name == "ann_ivf_join" || name == "ann_ivf_join_salted" ||
+            name == "ann_ivf_join_adaptive")
             Seq("query_id", "rank", "vec_id", "sim")
           else Seq("query_id", "rank", "vec_id", "adc_dist")
         cols.foreach(c => assert(sql.contains(c), s"$name missing column $c"))

@@ -174,6 +174,74 @@ class VectorExpressionsSpec extends AnyFunSuite with SparkTestSession {
     assert(got == graft.operators.Ann.nearestCells(vecs.head.toSeq, centroids, 3).toSeq)
   }
 
+  test("adaptive IVF cell probes: distance-ratio cut is a prefix of the fixed order") {
+    val centroids = Array.tabulate(8) { c =>
+      vecGen.pureApply(Gen.Parameters.default, Seed(9300L + c))
+    }
+    val vecs = (1 to 150).map(i =>
+      vecGen.pureApply(Gen.Parameters.default, Seed(5000L + i))) ++
+      Seq(centroids(4), Array.fill(64)(0f))
+    val df = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toDF("vec_id", "embedding")
+    // the kernel's own cosine arithmetic, replayed (same fold order →
+    // identical doubles)
+    def simsOf(v: Array[Float]): Array[Double] = {
+      val dim = 64
+      var na = 0.0
+      var i0 = 0
+      while (i0 < dim) { val x = v(i0).toDouble; na += x * x; i0 += 1 }
+      val sqrtNa = math.sqrt(na)
+      Array.tabulate(centroids.length) { c =>
+        var dot = 0.0
+        var nb = 0.0
+        var i = 0
+        while (i < dim) {
+          dot += v(i).toDouble * centroids(c)(i).toDouble
+          val y = centroids(c)(i).toDouble
+          nb += y * y
+          i += 1
+        }
+        val den = sqrtNa * math.sqrt(nb)
+        if (den == 0.0) 0.0 else dot / den
+      }
+    }
+    for (nMax <- Seq(3, 5, 8); ratio <- Seq(1.25, 1.5, 3.0)) {
+      val kernel = df.select($"vec_id",
+        VectorExpressions.ivfCellProbesAdaptive($"embedding", centroids, nMax, ratio).as("p"))
+        .as[(Long, Seq[Int])].collect().toMap
+      vecs.zipWithIndex.foreach { case (v, i) =>
+        val order = graft.operators.Ann.nearestCells(v.toSeq, centroids, nMax).toSeq
+        val s = simsOf(v)
+        val d1 = 1.0 - s(order.head)
+        val ref = order.head +: order.tail.takeWhile(c => (1.0 - s(c)) <= ratio * d1)
+        assert(kernel(i.toLong) == ref,
+          s"nMax=$nMax ratio=$ratio vec $i: kernel ${kernel(i.toLong)} != ref $ref")
+        // the adaptive set is a PREFIX of the fixed kernel's order
+        assert(order.startsWith(kernel(i.toLong)))
+      }
+    }
+    // ratio = 0 is exactly the fixed kernel
+    val fixed = df.select($"vec_id",
+      VectorExpressions.ivfCellProbes($"embedding", centroids, 5).as("p"))
+      .as[(Long, Seq[Int])].collect().toMap
+    val ratio0 = df.select($"vec_id",
+      VectorExpressions.ivfCellProbesAdaptive($"embedding", centroids, 5, 0.0).as("p"))
+      .as[(Long, Seq[Int])].collect().toMap
+    assert(fixed == ratio0)
+    // interpreted path agrees with codegen
+    val expr = graft.expressions.IvfCellProbes(
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        vecs.head.toSeq, org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.FloatType)),
+      centroids.iterator.flatten.map(_.toDouble).toSeq, 64, 5, 1.5)
+    val got = expr.eval(null)
+      .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toIntArray().toSeq
+    val kernelHead = df.filter($"vec_id" === 0L).select(
+      VectorExpressions.ivfCellProbesAdaptive($"embedding", centroids, 5, 1.5))
+      .as[Seq[Int]].head()
+    assert(got == kernelHead)
+  }
+
   test("the Hamming probe ball is an XOR-shift of the zero ball") {
     // lshJoin's native probe column XORs the signature with the
     // zero-signature ball's masks; pin the set identity the plan form
