@@ -113,7 +113,18 @@ object RetrievalEval {
           .as("ndcg_at_k"))
   }
 
-  /** [[evaluate]] plus the macro-average summary row (`query_id = -1`). */
+  /** [[evaluate]] plus the macro-average summary row (`query_id = -1`).
+    *
+    * The per-query frame feeds both the output rows and the macro
+    * aggregate, so its lineage executes twice — DELIBERATELY left
+    * uncut (r18): the frame is O(queries) rows over caller-materialized
+    * inputs, and a checkpoint here serializes the three-retriever eval
+    * into blocking AQE materializations (measured 1.8 → 4.3 s on
+    * retrieval_eval), while the duplicated tiny joins run concurrently
+    * inside one adaptive execution. Callers pass MATERIALIZED
+    * retrieved/labels frames (the registry checkpoints them) so the
+    * duplication never re-runs a corpus pass.
+    */
   def evaluateWithMacro(retrieved: DataFrame, labels: DataFrame, k: Int): DataFrame = {
     val per = evaluate(retrieved, labels, k)
     // Same +1e-9 as the per-query ndcg, for a different structural

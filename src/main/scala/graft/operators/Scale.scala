@@ -507,10 +507,10 @@ object Scale {
     * onto the raw feature stream, and the per-doc sum groups by doc_id —
     * a doc's features are partition-local to its row, so map-side
     * partial aggregation collapses the shuffle to ~one row per document.
-    * The corpus is tokenized once per consuming branch (model build +
-    * scoring — the same two-branch recompute [[TextRetrieval.bm25TopK]]
-    * documents); iterative selection pipelines should materialize
-    * [[dsirFeatures]] once instead of re-deriving it per sweep.
+    * The raw feature stream is materialized once ([[LoopCheckpoint]])
+    * and feeds both the model build and the scoring join; iterative
+    * selection pipelines should likewise materialize [[dsirFeatures]]
+    * once per sweep rather than re-deriving it.
     *
     * The target model rides a full-outer join against the raw model so
     * buckets seen in only one corpus still get their smoothed mass —
@@ -523,7 +523,16 @@ object Scale {
       nBuckets: Int = 1024,
       alpha: Double = 1.0,
       portable: Boolean = false): DataFrame = {
-    val rawF = dsirFeatures(raw, nBuckets, portable)
+    // The raw feature stream feeds TWO structurally different branches
+    // (the bucket-model aggregation and the λ-scored per-doc sum), so
+    // ReuseExchange cannot merge them and the tokenize+hash pass — the
+    // CPU-dominant stage, a per-term UDF on the portable path — ran
+    // twice over the raw pool. Materialize it once (r18, guide §2.4):
+    // the checkpointed frame is narrow (doc_id, bucket) longs, exactly
+    // the "materialize dsirFeatures once instead of re-deriving it per
+    // sweep" discipline the scaladoc above prescribes for pipelines.
+    // The target stream has a single consumer and stays inline.
+    val rawF = LoopCheckpoint(dsirFeatures(raw, nBuckets, portable), eager = false)
     val tgtF = dsirFeatures(target, nBuckets, portable)
     val rawCnt = rawF.groupBy("bucket").agg(count(lit(1)).as("cr"))
     val tgtCnt = tgtF.groupBy("bucket").agg(count(lit(1)).as("ct"))

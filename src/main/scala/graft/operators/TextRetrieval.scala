@@ -138,6 +138,15 @@ object TextRetrieval {
   /** Top `k` characteristic terms per document by TF-IDF
     * (idf = ln(N/df); ties broken by term). The batch form of
     * keyword/topic extraction over a corpus.
+    *
+    * The tf stream feeds two branches (the scored stream and the df
+    * build) that ReuseExchange cannot merge (see [[termFrequencies]]),
+    * so the convenience form materializes tf ONCE via [[Scale]]'s loop
+    * checkpoint — exactly the "materialize the inverted index, then
+    * join against it" discipline [[tfidfTopTermsFromStats]] documents
+    * for 100 TB — instead of tokenizing the corpus once per branch
+    * (r18, guide §2.4: the before plan ran two full tokenize+explode
+    * aggregations).
     */
   def tfidfTopTerms(
       docs: DataFrame,
@@ -146,7 +155,8 @@ object TextRetrieval {
       // broadcast-small vocabulary; Some(false) = force shuffle join.
       broadcastDf: Option[Boolean] = None): DataFrame =
     tfidfTopTermsFromStats(
-      termFrequencies(docs), docs.agg(count(lit(1)).as("n_docs")),
+      LoopCheckpoint(termFrequencies(docs), eager = false),
+      docs.agg(count(lit(1)).as("n_docs")),
       k, broadcastDf)
 
   /** [[tfidfTopTerms]] over an already-materialized `(doc_id, term, tf)`
@@ -232,7 +242,16 @@ object TextRetrieval {
     def tokenized(d: DataFrame) =
       Scale.parallelismFloor(d)
         .select(col("doc_id"), tokensCol(col("text")).as("toks"))
+    // The LM corpus feeds THREE count-table branches (uni/bi/tri) plus
+    // the scored stream, each re-running the tokenize scan. Measured in
+    // r18: materializing the tokenized frame (localCheckpoint) REGRESSED
+    // the query ~1.3x — the stored token arrays are corpus-fat and pay
+    // more in (de)serialization than the codegen tokenize costs to
+    // re-run — so the repeated map-side tokenize stays, deliberately
+    // (and at 100 TB the count tables, not the token stream, are the
+    // artifact to persist).
     val lmToks = tokenized(lmCorpus)
+    val docToks = tokenized(docs)
     val uni = lmToks
       .select(explode(col("toks")).as("w"))
       .groupBy("w").agg(count(lit(1)).as("uc"))
@@ -241,7 +260,7 @@ object TextRetrieval {
       .groupBy("w1", "w2").agg(count(lit(1)).as("bc"))
     val tri = trigramOccurrences(lmToks)
       .groupBy("w1", "w2", "w3").agg(count(lit(1)).as("tc"))
-    trigramOccurrences(tokenized(docs))
+    trigramOccurrences(docToks)
       .join(tri, Seq("w1", "w2", "w3"), "left")
       .join(bi.select(col("w1"), col("w2"), col("bc").as("bc12")),
         Seq("w1", "w2"), "left")
@@ -298,14 +317,19 @@ object TextRetrieval {
     def tokenized(d: DataFrame) =
       Scale.parallelismFloor(d)
         .select(col("doc_id"), tokensCol(col("text")).as("toks"))
+    // Same deliberate re-tokenize as [[stupidBackoffPerplexity]] (r18):
+    // a localCheckpoint of the tokenized frame measured neutral-to-worse
+    // here — the token arrays are corpus-fat relative to the codegen
+    // tokenize they would save.
     val lmToks = tokenized(lmCorpus)
+    val docToks = tokenized(docs)
     val uni = lmToks
       .select(explode(col("toks")).as("w1"))
       .groupBy("w1").agg(count(lit(1)).as("uc"))
     val vocab = uni.agg(count(lit(1)).as("v"))
     val bi = bigramOccurrences(lmToks)
       .groupBy("w1", "w2").agg(count(lit(1)).as("bc"))
-    bigramOccurrences(tokenized(docs))
+    bigramOccurrences(docToks)
       .join(bi, Seq("w1", "w2"), "left")
       .join(uni, Seq("w1"), "left")
       .crossJoin(broadcast(vocab))

@@ -232,6 +232,32 @@ class PlanQualitySpec extends AnyFunSuite with SparkTestSession {
     assert(!plan("ngram_top_bigrams").contains("ScalaUDF"))
   }
 
+  test("r18 shared-subtree materialization: one corpus pass feeds the multi-branch consumers") {
+    // tfidf: the tf stream is materialized once (LoopCheckpoint inside
+    // tfidfTopTerms) and BOTH branches (df build + scored stream) read
+    // the LogicalRDD — no tokenize explode may remain in the final plan.
+    val tfidf = plan("tfidf_top_terms")
+    assert(tfidf.contains("ExistingRDD"),
+      "tfidf must read the materialized tf stream")
+    assert(!tfidf.contains("Generate"),
+      "tfidf re-grew a per-branch tokenize explode — the tf checkpoint regressed")
+    // ngram-jaccard dedup: the shingle stream is materialized once
+    // (dfCappedShingles) for the hot-set, sizes and self-join branches.
+    val nj = plan("dedup_ngram_jaccard")
+    assert(nj.contains("ExistingRDD"),
+      "ngram-jaccard must read the materialized shingle stream")
+    assert(!nj.contains("Generate"),
+      "ngram-jaccard re-grew a per-branch shingling explode — the checkpoint regressed")
+    // dsir: the raw feature stream is materialized once (dsirWeights);
+    // the target stream (single consumer) legitimately stays inline.
+    assert(plan("dsir_weights").contains("ExistingRDD"),
+      "dsir_weights must read the materialized raw feature stream")
+    // retrieval_eval: the label table is materialized once and every
+    // retriever × metric branch reads it.
+    assert(plan("retrieval_eval").contains("ExistingRDD"),
+      "retrieval_eval must read the materialized label table")
+  }
+
   test("ngram top-k is TakeOrderedAndProject over a partial-agg shuffle") {
     val p = plan("ngram_top_bigrams")
     assert(p.contains("TakeOrderedAndProject"), "global top-k must not full-sort")

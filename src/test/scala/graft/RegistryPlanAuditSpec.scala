@@ -45,6 +45,8 @@ class RegistryPlanAuditSpec extends AnyFunSuite with SparkTestSession {
     "rag_chat_pipeline", "rag_chat_hybrid", "retrieval_hybrid_rrf",
     // retrieval_eval: kNN brute force inside the hybrid leg + the
     // 5-row broadcast static-baseline attach — both bounded frames
+    // (the label table materializes at construction since r18; the
+    // retriever legs stay inline, so the BNLJ remains in the plan)
     "retrieval_eval",
     // ann_recall(_murmur): the exact-brute-force arm IS the recall
     // yardstick — broadcast bounded probe set, corpus streams map-only
