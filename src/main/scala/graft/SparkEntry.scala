@@ -1916,23 +1916,40 @@ object SparkEntry {
         .withColumn("doc_id", col("doc_id") + 20000)
         .withColumn("text", upper(col("text")))
       val corpus = base.unionByName(exactCopies).unionByName(caseCopies)
+      // NARROW-PROXY pipeline (r18, guide §8/§2.3): every decision this
+      // pipeline makes — exact-dup key, fingerprint key, quality verdict,
+      // mix stratum, packed token count — is a deterministic function of
+      // the text computed ONCE in a single map pass; the text itself
+      // never crosses an exchange (before: both dedup windows and the
+      // mix window shuffled the full text column, and the mix-quota
+      // branch re-executed the dedup lineage). The proxy is materialized
+      // once and every downstream shuffle carries only
+      // (doc_id, lang, h, fp, q, n_tokens). Values are expression-
+      // identical to the previous inline forms, so the packed-bin output
+      // (which never needed text) is row-identical — same oracle.
+      val proxy = operators.LoopCheckpoint(corpus.select(
+        col("doc_id"), col("lang"),
+        sha2(col("text"), 256).as("h"),
+        TextAnalysis.fingerprintModUdf(col("text")).as("fp"),
+        (TextAnalysis.qualityScore(col("text")) >= 0.5).as("q"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens")),
+        eager = false)
       // exact dedup: min doc_id per content hash (T-6 semantics)
-      val exactKept = corpus
-        .withColumn("keep", min("doc_id").over(Window.partitionBy(sha2(col("text"), 256))))
+      val exactKept = proxy
+        .withColumn("keep", min("doc_id").over(Window.partitionBy("h")))
         .filter(col("doc_id") === col("keep")).drop("keep")
       // near-dup: min doc_id per normalized rolling fingerprint — catches
       // the case/whitespace twins the exact hash misses
       val fpKept = exactKept
-        .withColumn("fp", TextAnalysis.fingerprintModUdf(col("text")))
         .withColumn("keep", min("doc_id").over(Window.partitionBy("fp")))
-        .filter(col("doc_id") === col("keep")).drop("keep", "fp")
+        .filter(col("doc_id") === col("keep")).drop("keep")
       // quality gate (floored score, identical rounding both engines)
-      val quality = fpKept.filter(TextAnalysis.qualityScore(col("text")) >= 0.5)
+      val quality = fpKept.filter(col("q"))
       // temperature-flattened mixing over survivors (two-phase, §Scale)
       val selected = operators.Scale.temperatureMixSample(quality, "lang")
-        .select("doc_id", "text")
+        .select("doc_id", "n_tokens")
       // pack into ~512-token bins, 8 hash shards
-      operators.Scale.packSequences(selected, budgetTokens = 512)
+      operators.Scale.packSequencesBy(selected, col("n_tokens"), budgetTokens = 512)
         .orderBy("shard", "bin_id")
     }),
 

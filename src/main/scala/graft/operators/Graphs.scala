@@ -30,6 +30,19 @@ object Graphs {
       .agg(count(lit(1)).cast("double").as("weight"))
   }
 
+  /** Materialization cadence of the power-iteration loops: every
+    * iteration cuts lineage via [[LoopCheckpoint.IterScope]] (the plan
+    * is a LogicalRDD boundary either way, so join-size statistics can
+    * never compound), but only every third iterate materializes EAGERLY
+    * — a fixed 15-iteration loop needs no per-round driver action, and
+    * each eager checkpoint is a blocking job whose scheduling/AQE
+    * overhead dominates on small graphs (r18: 15 jobs → 5 measurably
+    * cut graph_pagerank's wall time with bit-identical ranks; the lazy
+    * iterates in between compute inside the next eager job, each stored
+    * once and read by both its consumers via block storage).
+    */
+  private val CheckpointCadence = 3
+
   /** Weighted PageRank over directed `edges(src, dst, weight)`:
     *
     *   pr(v) = (1−d)/N + d·( Σ_{u→v} pr(u)·w(u,v)/outW(u) + dangling/N )
@@ -88,7 +101,7 @@ object Graphs {
       .select(col("node"), coalesce(col("has_out"), lit(false)).as("has_out")))
     val iter = new LoopCheckpoint.IterScope
     var pr = iter(marked.withColumn("pr", lit(1.0 / n)))
-    for (_ <- 1 to iters) {
+    for (i <- 1 to iters) {
       val mass = pr.agg(
         coalesce(sum(when(!col("has_out"), col("pr"))), lit(0.0)).as("dangling"))
       val contrib = shares.join(pr.select(col("node"), col("pr")), Seq("node"))
@@ -100,7 +113,9 @@ object Graphs {
           (lit((1 - damping) / n) +
             lit(damping) * (coalesce(col("in_c"), lit(0.0)) +
               col("dangling") / lit(n.toDouble)))
-            .as("pr")))
+            .as("pr")),
+        eager = i % CheckpointCadence == 0)
+      if (i % CheckpointCadence == 0) iter.materialized(keep = 2)
     }
     pr.select(col("node"), col("pr"))
   }
@@ -156,7 +171,7 @@ object Graphs {
     val base = 150000000000L / n // (1-d)/N in picos, d = 0.85
     val iter = new LoopCheckpoint.IterScope
     var pr = iter(marked.withColumn("pr", lit(1000000000000L / n)))
-    for (_ <- 1 to iters) {
+    for (i <- 1 to iters) {
       val mass = pr.agg(
         coalesce(sum(when(!col("has_out"), col("pr"))), lit(0L)).as("dangling"))
       val contrib = shares.join(pr.select(col("node"), col("pr")), Seq("node"))
@@ -167,7 +182,9 @@ object Graphs {
         .select(col("node"), col("has_out"),
           (lit(base) + expr(
             "(85L * (coalesce(in_c, 0L) + dangling div " + n + "L)) div 100L"))
-            .as("pr")))
+            .as("pr")),
+        eager = i % CheckpointCadence == 0)
+      if (i % CheckpointCadence == 0) iter.materialized(keep = 2)
     }
     pr.select(col("node"), col("pr").as("pr_picos"))
   }
