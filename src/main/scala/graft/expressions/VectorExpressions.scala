@@ -537,6 +537,59 @@ case class IvfCellProbes(
     copy(child = newChild)
 }
 
+/** Codegen'd hashed-feature margin for the quality classifier
+  * ([[graft.operators.QualityModel]]): Σ cn·w(bucket) over an
+  * `array<struct<bucket:int, cn:bigint>>` feature row against a LITERAL
+  * micro-grid weight vector. Replaces the interpreted HOF fold
+  * (`aggregate(feats, 0L, acc + cn * element_at(w, bucket + 1))`, a
+  * CodegenFallback that allocates a lambda frame per feature and
+  * carries a 4097-element array literal in the plan). Exact Long
+  * arithmetic, identical accumulation — Long sums are order-free, so
+  * the result is bit-identical to the HOF form and the DuckDB oracle.
+  */
+case class MarginMicros(child: Expression, weights: Seq[Long])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  @transient private lazy val wArr: Array[Long] = weights.toArray
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "margin_micros"
+
+  protected override def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      val f = x.getStruct(i, 2)
+      acc += f.getLong(1) * wArr(f.getInt(0))
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val wRef = ctx.addReferenceObj("marginWeights", wArr, "long[]")
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      val f = ctx.freshName("f")
+      s"""
+         |final int $n = $a.numElements();
+         |long $acc = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  final org.apache.spark.sql.catalyst.InternalRow $f = $a.getStruct($i, 2);
+         |  $acc += $f.getLong(1) * $wRef[$f.getInt(0)];
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): MarginMicros =
+    copy(child = newChild)
+}
+
 object VectorExpressions {
   import org.apache.spark.sql.graftshim.GraftSqlShim
 
@@ -544,6 +597,10 @@ object VectorExpressions {
   def cosineSim(a: Column, b: Column): Column =
     GraftSqlShim.column(
       CosineSimilarity(GraftSqlShim.expression(a), GraftSqlShim.expression(b)))
+
+  /** Column form of [[MarginMicros]] for the quality-model paths. */
+  def marginMicros(feats: Column, weights: Seq[Long]): Column =
+    GraftSqlShim.column(MarginMicros(GraftSqlShim.expression(feats), weights))
 
   /** Column form of [[PqSubspaceCode]]: `cents` row-major flattened. */
   def pqSubspaceCode(

@@ -68,25 +68,33 @@ object Graphs {
       edges: DataFrame,
       damping: Double = 0.85,
       iters: Int = 15): DataFrame = {
-    val e = edges.select(
+    val spark = edges.sparkSession
+    // ONE pass over the caller's (possibly corpus-lineage) edge frame:
+    // nodes, outW and shares all read the checkpointed edge list instead
+    // of re-running the upstream plan per consumer (r19, guide §2.4 —
+    // the click-graph preamble previously executed 3×). LoopCheckpoint,
+    // not bare localCheckpoint: in reliable mode NOTHING the loop's
+    // lineage can reach may live only on executor block managers —
+    // FaultToleranceSpec's executor kill found exactly this class of
+    // frame unrecoverable when the loss lands during setup.
+    val e = LoopCheckpoint(edges.select(
       col("src"), col("dst"),
-      coalesce(col("weight").cast("double"), lit(1.0)).as("w"))
-    // LoopCheckpoint, not bare localCheckpoint: in reliable mode NOTHING
-    // the loop's lineage can reach may live only on executor block
-    // managers — FaultToleranceSpec's executor kill found exactly this
-    // frame unrecoverable when the loss lands during setup (marked's
-    // own materialization recomputes through nodes).
+      coalesce(col("weight").cast("double"), lit(1.0)).as("w")))
     val nodes = LoopCheckpoint(e.select(col("src").as("node"))
       .unionByName(e.select(col("dst").as("node")))
       .distinct())
     val n = nodes.count()
     require(n > 0, "pageRank needs a non-empty graph")
+    val p = LoopCheckpoint.loopPartitions(spark, n)
     // Normalized transition shares and the per-node dangling flag are
-    // ITERATION-INVARIANT — build them once, checkpoint once; each
-    // iteration then costs exactly one materialization job (the
-    // localCheckpoint), with the dangling-mass total riding the lineage
-    // as a broadcast 1-row aggregate instead of a per-iteration
-    // driver collect.
+    // ITERATION-INVARIANT — build them once, checkpoint once, and
+    // PRE-PARTITION both on `node` at the loop width so every
+    // iteration's equi-joins are exchange-free (the checkpoint
+    // preserves the physical hash partitioning; the contribution
+    // aggregation below lands on the same (node, p) partitioning, so
+    // the loop-carried pr re-enters the next round co-partitioned).
+    // The dangling-mass total rides the lineage as a broadcast 1-row
+    // aggregate instead of a per-iteration driver collect.
     val outW = e.groupBy(col("src")).agg(sum(col("w")).as("out_w"))
     // Loop-invariants go through LoopCheckpoint (not bare localCheckpoint)
     // so reliable mode covers them too; the loop-carried `pr` uses an
@@ -94,30 +102,37 @@ object Graphs {
     // reliable-checkpoint files once the next materializes.
     val shares = LoopCheckpoint(e.join(outW, "src")
       .select(col("src").as("node"), col("dst"),
-        (col("w") / col("out_w")).as("share")))
+        (col("w") / col("out_w")).as("share"))
+      .repartition(p, col("node")))
     val marked = LoopCheckpoint(nodes.join(
         outW.select(col("src").as("node"), lit(true).as("has_out")),
         Seq("node"), "left")
-      .select(col("node"), coalesce(col("has_out"), lit(false)).as("has_out")))
-    val iter = new LoopCheckpoint.IterScope
-    var pr = iter(marked.withColumn("pr", lit(1.0 / n)))
-    for (i <- 1 to iters) {
-      val mass = pr.agg(
-        coalesce(sum(when(!col("has_out"), col("pr"))), lit(0.0)).as("dangling"))
-      val contrib = shares.join(pr.select(col("node"), col("pr")), Seq("node"))
-        .select(col("dst").as("node"), (col("pr") * col("share")).as("c"))
-        .groupBy("node").agg(sum(col("c")).as("in_c"))
-      pr = iter(marked.join(contrib, Seq("node"), "left")
-        .crossJoin(broadcast(mass))
-        .select(col("node"), col("has_out"),
-          (lit((1 - damping) / n) +
-            lit(damping) * (coalesce(col("in_c"), lit(0.0)) +
-              col("dangling") / lit(n.toDouble)))
-            .as("pr")),
-        eager = i % CheckpointCadence == 0)
-      if (i % CheckpointCadence == 0) iter.materialized(keep = 2)
+      .select(col("node"), coalesce(col("has_out"), lit(false)).as("has_out"))
+      .repartition(p, col("node")))
+    LoopCheckpoint.staticLoop(spark, p) {
+      val iter = new LoopCheckpoint.IterScope
+      var pr = iter(marked.withColumn("pr", lit(1.0 / n)))
+      for (i <- 1 to iters) {
+        val mass = pr.agg(
+          coalesce(sum(when(!col("has_out"), col("pr"))), lit(0.0)).as("dangling"))
+        val contrib = shares.join(pr.select(col("node"), col("pr")), Seq("node"))
+          .select(col("dst").as("node"), (col("pr") * col("share")).as("c"))
+          .groupBy("node").agg(sum(col("c")).as("in_c"))
+        pr = iter(marked.join(contrib, Seq("node"), "left")
+          .crossJoin(broadcast(mass))
+          .select(col("node"), col("has_out"),
+            (lit((1 - damping) / n) +
+              lit(damping) * (coalesce(col("in_c"), lit(0.0)) +
+                col("dangling") / lit(n.toDouble)))
+              .as("pr")),
+          eager = i % CheckpointCadence == 0)
+        // Eager applies already pruned superseded reliable-mode files via
+        // IterScope.apply's own materialized() call (its unmaterialized-
+        // entry guard retains anything a lazy iterate still recomputes
+        // through) — no explicit cadence bookkeeping needed here.
+      }
+      pr.select(col("node"), col("pr"))
     }
-    pr.select(col("node"), col("pr"))
   }
 
   /** [[pageRank]] on a fixed-point INTEGER grid — ranks in picos
@@ -150,43 +165,49 @@ object Graphs {
     * a broadcast 1-row aggregate.
     */
   def pageRankPicos(edges: DataFrame, iters: Int = 15): DataFrame = {
-    val e = edges.select(
-      col("src"), col("dst"), col("weight").cast("long").as("w"))
-    // LoopCheckpoint for the same reason as [[pageRank]]: an executor
-    // loss during setup must not strand marked/shares behind a
-    // local-only nodes block (FaultToleranceSpec).
+    val spark = edges.sparkSession
+    // Same setup/loop plumbing as [[pageRank]] (one edge pass,
+    // pre-partitioned loop invariants, static exchange-free loop
+    // planning) — see the comments there; the arithmetic is the only
+    // difference, and integer sums make the result partitioning-proof.
+    val e = LoopCheckpoint(edges.select(
+      col("src"), col("dst"), col("weight").cast("long").as("w")))
     val nodes = LoopCheckpoint(e.select(col("src").as("node"))
       .unionByName(e.select(col("dst").as("node")))
       .distinct())
     val n = nodes.count()
     require(n > 0, "pageRankPicos needs a non-empty graph")
+    val p = LoopCheckpoint.loopPartitions(spark, n)
     val outW = e.groupBy(col("src")).agg(sum(col("w")).as("out_w"))
     val shares = LoopCheckpoint(e.join(outW, "src")
       .select(col("src").as("node"), col("dst"),
-        expr("(w * 1000000L) div out_w").as("sm")))
+        expr("(w * 1000000L) div out_w").as("sm"))
+      .repartition(p, col("node")))
     val marked = LoopCheckpoint(nodes.join(
         outW.select(col("src").as("node"), lit(true).as("has_out")),
         Seq("node"), "left")
-      .select(col("node"), coalesce(col("has_out"), lit(false)).as("has_out")))
+      .select(col("node"), coalesce(col("has_out"), lit(false)).as("has_out"))
+      .repartition(p, col("node")))
     val base = 150000000000L / n // (1-d)/N in picos, d = 0.85
-    val iter = new LoopCheckpoint.IterScope
-    var pr = iter(marked.withColumn("pr", lit(1000000000000L / n)))
-    for (i <- 1 to iters) {
-      val mass = pr.agg(
-        coalesce(sum(when(!col("has_out"), col("pr"))), lit(0L)).as("dangling"))
-      val contrib = shares.join(pr.select(col("node"), col("pr")), Seq("node"))
-        .select(col("dst").as("node"), expr("(pr * sm) div 1000000L").as("c"))
-        .groupBy("node").agg(sum(col("c")).as("in_c"))
-      pr = iter(marked.join(contrib, Seq("node"), "left")
-        .crossJoin(broadcast(mass))
-        .select(col("node"), col("has_out"),
-          (lit(base) + expr(
-            "(85L * (coalesce(in_c, 0L) + dangling div " + n + "L)) div 100L"))
-            .as("pr")),
-        eager = i % CheckpointCadence == 0)
-      if (i % CheckpointCadence == 0) iter.materialized(keep = 2)
+    LoopCheckpoint.staticLoop(spark, p) {
+      val iter = new LoopCheckpoint.IterScope
+      var pr = iter(marked.withColumn("pr", lit(1000000000000L / n)))
+      for (i <- 1 to iters) {
+        val mass = pr.agg(
+          coalesce(sum(when(!col("has_out"), col("pr"))), lit(0L)).as("dangling"))
+        val contrib = shares.join(pr.select(col("node"), col("pr")), Seq("node"))
+          .select(col("dst").as("node"), expr("(pr * sm) div 1000000L").as("c"))
+          .groupBy("node").agg(sum(col("c")).as("in_c"))
+        pr = iter(marked.join(contrib, Seq("node"), "left")
+          .crossJoin(broadcast(mass))
+          .select(col("node"), col("has_out"),
+            (lit(base) + expr(
+              "(85L * (coalesce(in_c, 0L) + dangling div " + n + "L)) div 100L"))
+              .as("pr")),
+          eager = i % CheckpointCadence == 0)
+      }
+      pr.select(col("node"), col("pr").as("pr_picos"))
     }
-    pr.select(col("node"), col("pr").as("pr_picos"))
   }
 
   /** Sequential in-driver twin of [[pageRankPicos]] over a collected

@@ -49,6 +49,74 @@ object LoopCheckpoint {
       case None => df.localCheckpoint(eager)
     }
 
+  /** Shared-subtree materialization for TRANSIENT frames — per-query or
+    * per-batch intermediates whose lifetime is one action (the r18/r19
+    * checkpoint-once frames: tf streams, shingle streams, label tables,
+    * bloom-gate slivers, narrow proxies). ALWAYS `localCheckpoint`, even
+    * when `spark.graft.loop.checkpointDir` selects reliable mode for the
+    * LOOP frames: a reliable checkpoint here would write files per query
+    * (per micro-batch in the bloom gate) that nothing ever deletes —
+    * only [[IterScope]] reclaims files, and Spark's own checkpoint
+    * cleaner is opt-in and GC-driven. The executor-loss trade is
+    * explicit: losing a local block mid-query fails that one action
+    * (the caller re-runs it), instead of leaking an unbounded
+    * checkpoint directory across a long ingestion.
+    */
+  def transient(df: DataFrame, eager: Boolean = true): DataFrame =
+    df.localCheckpoint(eager)
+
+  /** Partition count for an iterative loop, derived from the LOOP
+    * FRAME's row count (guide §2: derive partitioning from input, never
+    * a constant tuned for one deployment): ~`spark.graft.loop
+    * .rowsPerPartition` (default 64k) rows per partition, floored at 1
+    * and capped by the session's `spark.sql.shuffle.partitions` (the
+    * cluster operator's scale knob). A 200-doc dedup graph runs its
+    * whole fixed point in single-task stages instead of 32 empty tasks
+    * per exchange; a 10⁹-row loop still fans out to the configured
+    * width.
+    */
+  def loopPartitions(
+      spark: org.apache.spark.sql.SparkSession, n: Long): Int = {
+    val rowsPer = spark.conf.getOption("spark.graft.loop.rowsPerPartition")
+      .map(_.toLong).filter(_ > 0).getOrElse(65536L)
+    val cap = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    math.max(1L, math.min(cap.toLong, (n + rowsPer - 1) / rowsPer)).toInt
+  }
+
+  /** Runs `body` (an iterative loop's plan construction AND its
+    * materializing actions) under STATIC planning — AQE off and
+    * `spark.sql.shuffle.partitions` pinned to the loop width `p`, both
+    * restored after. Inside a loop every frame is already a LogicalRDD
+    * with KNOWN hash partitioning (invariants pre-partitioned on the
+    * loop key; [[LoopCheckpoint]] preserves physical partitioning
+    * through the checkpoint), so the per-iteration equi-joins are
+    * exchange-free BY CONSTRUCTION and each round's one real shuffle
+    * lands back on the same partitioning — the fixed-partitioner loop
+    * discipline of the GraphX lineage. AQE would instead re-plan every
+    * exchange as its own blocking stage job (measured r19: the dominant
+    * per-iteration cost on small frames) and its partition coalescing
+    * breaks the co-partitioning reuse at ANY scale. Opt out with
+    * `spark.graft.loop.aqe=true` (results are identical either way —
+    * the loops' cross-row arithmetic is order-free integers or
+    * tolerance-gated floats).
+    */
+  def staticLoop[T](
+      spark: org.apache.spark.sql.SparkSession, p: Int)(body: => T): T = {
+    if (spark.conf.getOption("spark.graft.loop.aqe").contains("true")) body
+    else {
+      val aqeKey = "spark.sql.adaptive.enabled"
+      val partKey = "spark.sql.shuffle.partitions"
+      val aqeWas = spark.conf.get(aqeKey)
+      val partWas = spark.conf.get(partKey)
+      spark.conf.set(aqeKey, "false")
+      spark.conf.set(partKey, p.toString)
+      try body finally {
+        spark.conf.set(aqeKey, aqeWas)
+        spark.conf.set(partKey, partWas)
+      }
+    }
+  }
+
   /** Loop-carried iterate with RETENTION: in reliable mode, each call
     * deletes the previous iterate's checkpoint files once the new one
     * has materialized, so a 300-iteration trainer holds at most two

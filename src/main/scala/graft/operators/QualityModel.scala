@@ -151,15 +151,15 @@ object QualityModel {
     val resUdf = udf((m: Long, y: Int) => residualMicros(m, y))
     var w = Seq.fill(nBuckets + 1)(0L)
     for (_ <- 1 to iters) {
-      val wLit = typedLit(w)
       // margin: Long normalized-count micros × Long micro-weight,
-      // summed in Long — exact. The HOF fold is interpreted
-      // (CodegenFallback), acceptable at training-corpus scale; the
-      // 100 TB pool never runs it (score() is the map-only production
-      // pass).
-      val margin = aggregate(col("feats"), lit(0L),
-        (acc, f) => acc +
-          f.getField("cn") * element_at(wLit, f.getField("bucket") + 1))
+      // summed in Long — exact, and CODEGEN'd (r19, guide §4): the
+      // previous HOF fold was CodegenFallback-interpreted with a
+      // 4097-element array literal in the plan; MarginMicros is the
+      // same accumulation as a whole-stage-codegen loop over a
+      // reference-object weight array, bit-identical by Long
+      // order-freedom.
+      val margin =
+        graft.expressions.VectorExpressions.marginMicros(col("feats"), w)
       val grad = feats
         .withColumn("rq", resUdf(margin, col("label")))
         .select(explode(col("feats")).as("f"), col("rq"))
@@ -244,14 +244,11 @@ object QualityModel {
     * transcendental sigmoid out of the cross-engine contract).
     */
   def scoreMargin(docs: DataFrame, weights: Seq[Long], nBuckets: Int = 1024,
-      portable: Boolean = false): DataFrame = {
-    val wLit = typedLit(weights)
+      portable: Boolean = false): DataFrame =
     docFeatures(docs, 0, nBuckets, portable)
-      .withColumn("margin_microsq", aggregate(col("feats"), lit(0L),
-        (acc, f) => acc +
-          f.getField("cn") * element_at(wLit, f.getField("bucket") + 1)))
+      .withColumn("margin_microsq",
+        graft.expressions.VectorExpressions.marginMicros(col("feats"), weights))
       .select(col("doc_id"), col("margin_microsq"))
-  }
 
   /** ROW-LOCAL scoring column for streaming admission: the exact same
     * arithmetic as [[score]] — per-bucket counts, floor(c·10⁶/T)

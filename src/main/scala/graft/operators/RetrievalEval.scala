@@ -143,4 +143,119 @@ object RetrievalEval {
         col("recall_at_k"), col("precision_at_k"), col("mrr"), col("ndcg_at_k"))
     per.unionByName(macroRow)
   }
+
+  /** Multi-retriever [[evaluateWithMacro]] in ONE pass (r19, guide §2.4):
+    * `retrieved` is the MELTED long table `(retriever, query_id, doc_id,
+    * rank)` of every system's top-k list, `ks` names each retriever's
+    * cutoff. Metric formulas are expression-identical to [[evaluate]] /
+    * [[evaluateWithMacro]] — same floors, same +1e-9 guards — so the
+    * output rows (per-query plus a `query_id = -1` macro row per
+    * retriever) match the per-retriever path bit for bit on any input
+    * whose floats sit off the 1e-6 floor boundaries (the guard's
+    * documented contract).
+    *
+    * Why melted: N separate evaluateWithMacro calls duplicate the label
+    * subtree 6N ways and each macro row re-executes its per-query
+    * lineage — the registered `retrieval_eval` plan ran 352 Exchanges
+    * over three retrievers. Here the label table is aggregated ONCE
+    * (one window pass produces every cutoff's IDCG as conditional
+    * sums), the hit join runs ONCE over the union of lists, and the
+    * macro rows come from GROUPING SETS over the per-query frame —
+    * `(retriever, query_id)` leaf groups pass metrics through
+    * unaggregated (single-row groups) while `(retriever)` groups
+    * average them, so the per-query lineage executes exactly once.
+    *
+    * Preconditions: `ks` lists every retriever present in `retrieved`;
+    * `labels` is non-empty (the labeled-query frame drives output rows,
+    * exactly like [[evaluate]] — a retriever with no hits still gets
+    * all-zero rows for every labeled query).
+    */
+  def evaluateMeltedWithMacro(
+      retrieved: DataFrame,
+      labels: DataFrame,
+      ks: Seq[(String, Int)]): DataFrame = {
+    require(ks.nonEmpty && ks.map(_._1).distinct.size == ks.size,
+      "evaluateMeltedWithMacro needs distinct retriever names")
+    val spark = retrieved.sparkSession
+    import spark.implicits._
+    val rel = labels.filter(col("rel") > 0)
+    val nRel = rel.groupBy("query_id").agg(count(lit(1)).as("n_rel"))
+    // One ideal-ranking window pass; each distinct cutoff's IDCG is a
+    // conditional sum over the same positioned stream (pos = 1 always
+    // exists for a labeled query, so no cutoff sum can be empty-null).
+    val wIdeal = Window.partitionBy("query_id").orderBy(desc("rel"), asc("doc_id"))
+    val distinctKs = ks.map(_._2).distinct.sorted
+    val gain = (pow(lit(2.0), col("rel")) - lit(1.0)) / log(col("pos") + lit(1.0))
+    val idcgAggs = distinctKs.map(k =>
+      sum(when(col("pos") <= k, gain)).as(s"idcg_$k"))
+    val idcg = rel
+      .withColumn("pos", row_number().over(wIdeal))
+      .groupBy("query_id")
+      .agg(idcgAggs.head, idcgAggs.tail: _*)
+    val meta = broadcast(ks.toDF("retriever", "k"))
+    val hitAgg = retrieved
+      .join(meta, "retriever")
+      .filter(col("rank") <= col("k"))
+      .select("retriever", "query_id", "doc_id", "rank")
+      .join(rel, Seq("query_id", "doc_id"))
+      .groupBy("retriever", "query_id")
+      .agg(
+        count(lit(1)).as("n_hits"),
+        min(col("rank")).as("first_hit"),
+        sum((pow(lit(2.0), col("rel")) - lit(1.0)) /
+          log(col("rank") + lit(1.0))).as("dcg"))
+    // Every labeled query × every retriever gets a row (all-zero when the
+    // retriever missed it) — same population as evaluate()'s nRel ⋈ idcg
+    // base, crossed with the retriever list.
+    // CASE over the retriever name picks that cutoff's idcg column.
+    val idcgFor = ks.tail.foldLeft(
+      when(col("retriever") === ks.head._1, col(s"idcg_${ks.head._2}"))) {
+      case (acc, (nm, k)) => acc.when(col("retriever") === nm, col(s"idcg_$k"))
+    }
+    val per = nRel
+      .join(idcg, Seq("query_id"))
+      .crossJoin(meta)
+      .withColumn("idcg", idcgFor)
+      .join(hitAgg, Seq("retriever", "query_id"), "left")
+      .select(
+        col("retriever"),
+        col("query_id"),
+        col("n_rel"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        TextAnalysis.floorScale(
+          coalesce(col("n_hits"), lit(0L)) / col("n_rel"), 6).as("recall_at_k"),
+        TextAnalysis.floorScale(
+          coalesce(col("n_hits"), lit(0L)) / col("k").cast("double"), 6)
+          .as("precision_at_k"),
+        TextAnalysis.floorScale(
+          coalesce(lit(1.0) / col("first_hit"), lit(0.0)), 6).as("mrr"),
+        TextAnalysis.floorScale(
+          coalesce(col("dcg"), lit(0.0)) / col("idcg") + lit(1e-9), 6)
+          .as("ndcg_at_k"))
+    // Per-query rows AND macro rows from one aggregation over `per`:
+    // leaf groups (retriever, query_id) hold exactly one row, so
+    // first() passes the already-floored metrics through; the rolled-up
+    // (retriever) groups average them with the same +1e-9 floor as
+    // evaluateWithMacro's macro row.
+    def metric(name: String) =
+      when(grouping(col("query_id")) === 0, first(col(name)))
+        .otherwise(TextAnalysis.floorScale(avg(col(name)) + lit(1e-9), 6))
+        .as(name)
+    per
+      .groupingSets(
+        Seq(Seq(col("retriever"), col("query_id")), Seq(col("retriever"))),
+        col("retriever"), col("query_id"))
+      .agg(
+        sum(col("n_rel")).as("n_rel"),
+        sum(col("n_hits")).as("n_hits"),
+        metric("recall_at_k"),
+        metric("precision_at_k"),
+        metric("mrr"),
+        metric("ndcg_at_k"))
+      .select(
+        col("retriever"),
+        coalesce(col("query_id"), lit(-1L)).as("query_id"),
+        col("n_rel"), col("n_hits"), col("recall_at_k"),
+        col("precision_at_k"), col("mrr"), col("ndcg_at_k"))
+  }
 }

@@ -532,15 +532,26 @@ object Scale {
     // the "materialize dsirFeatures once instead of re-deriving it per
     // sweep" discipline the scaladoc above prescribes for pipelines.
     // The target stream has a single consumer and stays inline.
-    val rawF = LoopCheckpoint(dsirFeatures(raw, nBuckets, portable), eager = false)
+    val rawF = LoopCheckpoint.transient(
+      dsirFeatures(raw, nBuckets, portable), eager = false)
     val tgtF = dsirFeatures(target, nBuckets, portable)
     val rawCnt = rawF.groupBy("bucket").agg(count(lit(1)).as("cr"))
     val tgtCnt = tgtF.groupBy("bucket").agg(count(lit(1)).as("ct"))
-    val totals = rawCnt.agg(sum("cr").cast("double").as("r_total"))
-      .crossJoin(tgtCnt.agg(sum("ct").cast("double").as("t_total")))
     val aB = alpha * nBuckets
+    // Corpus totals as GLOBAL WINDOW sums over the joined bucket model,
+    // not a separate totals-aggregation crossJoin (r19, guide §2.4):
+    // the crossJoin form consumed rawCnt/tgtCnt TWICE each, so the
+    // target feature stream (tokenize+hash, per-term UDF on the
+    // portable path) ran twice per invocation. The window is bounded by
+    // the FIXED feature width (≤ nBuckets rows after the join), never
+    // corpus cardinality, so the single-partition pass is scale-free;
+    // the sums are exact Longs, so λ is bit-identical to the crossJoin
+    // form.
+    val wAll = org.apache.spark.sql.expressions.Window
+      .partitionBy().rowsBetween(Long.MinValue, Long.MaxValue)
     val lam = rawCnt.join(tgtCnt, Seq("bucket"), "full_outer")
-      .crossJoin(broadcast(totals))
+      .withColumn("r_total", sum("cr").over(wAll).cast("double"))
+      .withColumn("t_total", sum("ct").over(wAll).cast("double"))
       .select(col("bucket"),
         (log((coalesce(col("ct"), lit(0L)) + lit(alpha)) / (col("t_total") + lit(aB))) -
           log((coalesce(col("cr"), lit(0L)) + lit(alpha)) / (col("r_total") + lit(aB))))

@@ -97,9 +97,17 @@ object TextRetrieval {
     // floor (no-op at scale) keeps the tokenize off a single scan split;
     // termFrequencies applies its own and sees this one already in place.
     val docsP = Scale.parallelismFloor(docs)
-    val dl = docsP
+    // dl feeds TWO structurally different consumers — the (n_docs,
+    // avgdl) scalar broadcast and the per-posting length join — so the
+    // tokenize ran twice per invocation. Materialize it once (r19,
+    // guide §2.4): the frame is narrow (doc_id, dl) longs, and because
+    // the plan below is MAP-ONLY (no exchange) the lazy localCheckpoint
+    // costs nothing at construction — blocks fill when the first
+    // consumer's stage runs and the second consumer reads them back.
+    val dl = LoopCheckpoint.transient(docsP
       .select(col("doc_id"), size(tokensCol(col("text"))).cast("long").as("dl"))
-      .filter(col("dl") > 0)
+      .filter(col("dl") > 0),
+      eager = false)
     val corpus = dl.agg(
       count(lit(1)).as("n_docs"),
       avg(col("dl").cast("double")).as("avgdl"))
@@ -155,7 +163,7 @@ object TextRetrieval {
       // broadcast-small vocabulary; Some(false) = force shuffle join.
       broadcastDf: Option[Boolean] = None): DataFrame =
     tfidfTopTermsFromStats(
-      LoopCheckpoint(termFrequencies(docs), eager = false),
+      LoopCheckpoint.transient(termFrequencies(docs), eager = false),
       docs.agg(count(lit(1)).as("n_docs")),
       k, broadcastDf)
 
