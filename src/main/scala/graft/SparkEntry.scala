@@ -1026,21 +1026,25 @@ object SparkEntry {
       // (retriever, query_id, doc_id, rank) long table, labels join
       // once, every metric computes in one grouped aggregation, and the
       // macro rows come from GROUPING SETS — one pass over every input
-      // (~1.2-1.4 s steady-state). The label table keeps its
-      // materialize-once checkpoint (one corpus tokenize; the pin in
-      // PlanQualitySpec), LAZY so only its result stage defers. The lex
-      // list is deliberately INLINE even though two union legs consume
-      // it: a checkpoint here — even a lazy one — materializes the AQE
-      // shuffle stages at construction time, serializing what one
-      // adaptive execution overlaps (measured r19: 2.08 s checkpointed
-      // vs 1.23-1.41 s inline; same mechanism as the r18 eager-list
-      // measurement, 2.3 s). At 100 TB a pipeline materializes the
-      // O(queries·k) lists once — the duplication here costs one extra
-      // overlapped tokenize pass, never a second exchange of corpus
-      // rows.
-      val labels = operators.LoopCheckpoint.transient(
-        operators.RetrievalEval.gradedTermOverlapLabels(docs, textQueries),
-        eager = false)
+      // (~1.1-1.4 s steady-state). BOTH the label table and the lex list
+      // are deliberately INLINE: a checkpoint — even a lazy one —
+      // materializes its AQE shuffle stages at construction time,
+      // serializing what one adaptive execution overlaps. Measured r19:
+      // lex checkpointed 2.08 s vs 1.23-1.41 s inline at sf0.1, and the
+      // labels checkpoint loses at EVERY probed scale now that the melt
+      // cut its consumers from 18 to 3 (R19ScaleProbe, SCALE.md:
+      // ratio_off_over_on 0.93 at 80k docs, 0.80 at 320k docs — the
+      // three overlapped label passes beat one serialized pass until
+      // raw tokenize CPU, not stage latency, dominates). The
+      // `spark.graft.retrievaleval.labelsCheckpoint=true` knob re-enables
+      // the materialize-once shape for that regime and for the probe.
+      val labels0 =
+        operators.RetrievalEval.gradedTermOverlapLabels(docs, textQueries)
+      val labels =
+        if (s.conf.getOption("spark.graft.retrievaleval.labelsCheckpoint")
+            .contains("true"))
+          operators.LoopCheckpoint.transient(labels0, eager = false)
+        else labels0
       // ONE corpus tokenize per pass: the k=5 list is a rank filter of
       // the k=20 list (row_number ranks are prefix-stable), not a second
       // bm25TopK run — the r7 verdict flagged the double tokenize.
@@ -1530,7 +1534,10 @@ object SparkEntry {
       // equal the union of both batches.
       val scratch = java.nio.file.Files
         .createTempDirectory("graft_append").toString + "/t"
-      val docs = Tables.documents(s, dir).select("doc_id", "text", "source")
+      // Shared scan for the two appends (r19 §2.4).
+      val docs = operators.LoopCheckpoint.transient(
+        Tables.documents(s, dir).select("doc_id", "text", "source"),
+        eager = false)
       operators.Store.append(docs.filter(col("doc_id") < 30), scratch)
       operators.Store.append(
         docs.filter(col("doc_id") >= 30 && col("doc_id") < 50), scratch)
@@ -1569,7 +1576,12 @@ object SparkEntry {
       // (PipelineSpec).
       val scratch = java.nio.file.Files
         .createTempDirectory("graft_compact").toString + "/t"
-      val docs = Tables.documents(s, dir).select("doc_id", "text", "source")
+      // ONE parquet scan for the five micro-append filters (r19, guide
+      // §2.4): the map-only lazy checkpoint costs nothing at
+      // construction; append #1 fills the blocks, appends #2-5 read them.
+      val docs = operators.LoopCheckpoint.transient(
+        Tables.documents(s, dir).select("doc_id", "text", "source"),
+        eager = false)
       (0 until 5).foreach { i =>
         operators.Store.append(
           docs.filter(pmod(col("doc_id"), lit(5)) === i).repartition(1), scratch)
@@ -1589,7 +1601,10 @@ object SparkEntry {
       // a leaked orphan, or v2 rows in v1 breaks the hash.
       val scratch = java.nio.file.Files
         .createTempDirectory("graft_snap").toString + "/t"
-      val docs = Tables.documents(s, dir).select("doc_id", "text", "source")
+      // Shared scan for the v1 commit and the upsert batch (r19 §2.4).
+      val docs = operators.LoopCheckpoint.transient(
+        Tables.documents(s, dir).select("doc_id", "text", "source"),
+        eager = false)
       operators.Store.commitSnapshot(s, docs.filter(col("doc_id") < 40), scratch)
       val updated = operators.Store.upsertByKey(
         operators.Store.readSnapshot(s, scratch),
@@ -1938,13 +1953,19 @@ object SparkEntry {
       // (doc_id, lang, h, fp, q, n_tokens). Values are expression-
       // identical to the previous inline forms, so the packed-bin output
       // (which never needed text) is row-identical — same oracle.
-      val proxy = operators.LoopCheckpoint.transient(corpus.select(
+      // `spark.graft.pretrain.proxyCheckpoint=false` disables the
+      // materialization — the R19ScaleProbe evidence knob (SCALE.md).
+      val proxyCkpt =
+        !s.conf.getOption("spark.graft.pretrain.proxyCheckpoint").contains("false")
+      val proxySel = (corpus.select(
         col("doc_id"), col("lang"),
         sha2(col("text"), 256).as("h"),
         TextAnalysis.fingerprintModUdf(col("text")).as("fp"),
         (TextAnalysis.qualityScore(col("text")) >= 0.5).as("q"),
-        TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens")),
-        eager = false)
+        TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens")))
+      val proxy =
+        if (proxyCkpt) operators.LoopCheckpoint.transient(proxySel, eager = false)
+        else proxySel
       // exact dedup: min doc_id per content hash (T-6 semantics)
       val exactKept = proxy
         .withColumn("keep", min("doc_id").over(Window.partitionBy("h")))

@@ -43,6 +43,19 @@ object Graphs {
     */
   private val CheckpointCadence = 3
 
+  /** Attach a 1-row scalar aggregate to every row of `df`. At loop
+    * width 1 the scalar rides the SAME job as a plain cartesian with a
+    * single-partition right side — the per-iteration BroadcastExchange
+    * was its own blocking job, ~15 of which dominated the small-graph
+    * fixed point (r19 measurement). At width > 1 a cartesian would
+    * recompute the scalar partition once per left task, so the
+    * broadcast is the right mechanism — the dispatch is on the
+    * size-derived loop width, not a deployment constant. Values are
+    * identical either way (same aggregation, different distribution).
+    */
+  private def attachScalar(df: DataFrame, scalar: DataFrame, p: Int): DataFrame =
+    if (p == 1) df.crossJoin(scalar) else df.crossJoin(broadcast(scalar))
+
   /** Weighted PageRank over directed `edges(src, dst, weight)`:
     *
     *   pr(v) = (1−d)/N + d·( Σ_{u→v} pr(u)·w(u,v)/outW(u) + dangling/N )
@@ -118,8 +131,7 @@ object Graphs {
         val contrib = shares.join(pr.select(col("node"), col("pr")), Seq("node"))
           .select(col("dst").as("node"), (col("pr") * col("share")).as("c"))
           .groupBy("node").agg(sum(col("c")).as("in_c"))
-        pr = iter(marked.join(contrib, Seq("node"), "left")
-          .crossJoin(broadcast(mass))
+        pr = iter(attachScalar(marked.join(contrib, Seq("node"), "left"), mass, p)
           .select(col("node"), col("has_out"),
             (lit((1 - damping) / n) +
               lit(damping) * (coalesce(col("in_c"), lit(0.0)) +
@@ -198,8 +210,7 @@ object Graphs {
         val contrib = shares.join(pr.select(col("node"), col("pr")), Seq("node"))
           .select(col("dst").as("node"), expr("(pr * sm) div 1000000L").as("c"))
           .groupBy("node").agg(sum(col("c")).as("in_c"))
-        pr = iter(marked.join(contrib, Seq("node"), "left")
-          .crossJoin(broadcast(mass))
+        pr = iter(attachScalar(marked.join(contrib, Seq("node"), "left"), mass, p)
           .select(col("node"), col("has_out"),
             (lit(base) + expr(
               "(85L * (coalesce(in_c, 0L) + dangling div " + n + "L)) div 100L"))

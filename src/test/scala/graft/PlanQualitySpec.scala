@@ -252,10 +252,40 @@ class PlanQualitySpec extends AnyFunSuite with SparkTestSession {
     // the target stream (single consumer) legitimately stays inline.
     assert(plan("dsir_weights").contains("ExistingRDD"),
       "dsir_weights must read the materialized raw feature stream")
-    // retrieval_eval: the label table is materialized once and every
-    // retriever × metric branch reads it.
+    // retrieval_eval (r19): the melted single-pass shape replaced the
+    // per-retriever label materialization (R19ScaleProbe measured the
+    // labels checkpoint SLOWER at every probed scale once the melt cut
+    // its consumers to 3); the ExistingRDD here is bm25's materialized
+    // doc-length frame, which both its consumers read.
     assert(plan("retrieval_eval").contains("ExistingRDD"),
-      "retrieval_eval must read the materialized label table")
+      "retrieval_eval must read the materialized bm25 doc-length frame")
+  }
+
+  test("r19 pretrain narrow-proxy: text never crosses an exchange") {
+    // The five-stage pipeline decides everything (dedup keys, quality,
+    // mix stratum, packed token count) from a narrow proxy computed in
+    // one map pass; the text column must never appear above the proxy
+    // materialization — a refactor that re-widens the dedup/mix
+    // shuffles with document text fails here (r18 verdict #3).
+    val p = plan("pretrain_corpus_pipeline")
+    assert(p.contains("ExistingRDD"),
+      "pipeline must read the materialized narrow proxy")
+    assert("""\btext#\d""".r.findFirstIn(p).isEmpty,
+      "document text leaked above the narrow-proxy materialization")
+  }
+
+  test("r19 melted retrieval_eval: single-pass plan, bounded exchange count") {
+    // The melted evaluation unions the three retriever lists and
+    // computes every metric plus the macro rows in one grouped
+    // aggregation over GROUPING SETS (the Expand operator). The r18
+    // per-retriever shape duplicated the label subtree into a
+    // 196-Exchange plan at sf0.001 (plans/r19/retrieval_eval_before.txt)
+    // - a regression back to per-branch duplication fails the bound.
+    val p = plan("retrieval_eval")
+    assert(p.contains("Expand"), "macro rows must come from grouping sets")
+    val exchanges = "Exchange".r.findAllIn(p).size
+    assert(exchanges <= 60,
+      s"retrieval_eval re-grew branch duplication: $exchanges exchanges")
   }
 
   test("ngram top-k is TakeOrderedAndProject over a partial-agg shuffle") {

@@ -45,8 +45,8 @@ class RegistryPlanAuditSpec extends AnyFunSuite with SparkTestSession {
     "rag_chat_pipeline", "rag_chat_hybrid", "retrieval_hybrid_rrf",
     // retrieval_eval: kNN brute force inside the hybrid leg + the
     // 5-row broadcast static-baseline attach — both bounded frames
-    // (the label table materializes at construction since r18; the
-    // retriever legs stay inline, so the BNLJ remains in the plan)
+    // (r19 melt: labels and retriever legs are inline in one adaptive
+    // execution, so the BNLJ remains in the plan)
     "retrieval_eval",
     // ann_recall(_murmur): the exact-brute-force arm IS the recall
     // yardstick — broadcast bounded probe set, corpus streams map-only
@@ -61,11 +61,10 @@ class RegistryPlanAuditSpec extends AnyFunSuite with SparkTestSession {
     "ann_pq_adc_topk", "ann_opq_adc_topk",
     // broadcast 1-row corpus-statistics attach (n_docs/avgdl/LM totals)
     "bm25_topk", "tfidf_top_terms", "text_perplexity", "text_perplexity_sb",
-    "text_rarity_score",
-    // DSIR: broadcast 1-row (r_total, t_total) attach onto the
-    // ≤nBuckets-row λ table — the corpus-scale feature stream joins λ
-    // by an equi-join on bucket, never through the NLJ
-    "dsir_weights", "dsir_select")
+    "text_rarity_score")
+    // (dsir_weights/dsir_select left this list in r19: the corpus
+    // totals moved from a broadcast 1-row crossJoin onto a bounded
+    // global window over the ≤nBuckets-row λ table — no NLJ remains.)
 
   /** Column names that hold content values (not entity ids) anywhere in
     * the registry's lineages.
