@@ -189,12 +189,18 @@ object QualityModel {
       iters: Int = 60,
       lr: Double = 300.0,
       portable: Boolean = false): Seq[Long] = {
-    def fp(df: DataFrame): String = {
-      val r = df.agg(count(lit(1)),
-        coalesce(expr("bit_xor(xxhash64(doc_id, text))"), lit(0L))).head()
-      s"${r.getLong(0)}_${r.getLong(1)}"
-    }
-    val key = s"$cacheKey|${fp(target)}|${fp(raw)}|$nBuckets|$iters|$lr|$portable"
+    // BOTH corpus fingerprints in ONE job (r19, guide §2.4): the two
+    // separate head() aggregations were the per-invocation fixed cost
+    // of every cache hit. Same per-side count/xor values, so the cache
+    // key format (and therefore the memoized trainings) are unchanged.
+    val fps = target.select(lit(0).as("_fp_side"), col("doc_id"), col("text"))
+      .unionByName(raw.select(lit(1).as("_fp_side"), col("doc_id"), col("text")))
+      .groupBy("_fp_side")
+      .agg(count(lit(1)).as("n"),
+        coalesce(expr("bit_xor(xxhash64(doc_id, text))"), lit(0L)).as("x"))
+      .collect().map(r => r.getInt(0) -> s"${r.getLong(1)}_${r.getLong(2)}")
+      .toMap.withDefaultValue("0_0")
+    val key = s"$cacheKey|${fps(0)}|${fps(1)}|$nBuckets|$iters|$lr|$portable"
     val w = weightCache.computeIfAbsent(key,
       _ => train(target, raw, nBuckets, iters, lr, portable))
     if (portable) lastPortableWeights = Some(w)
