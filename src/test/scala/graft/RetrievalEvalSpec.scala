@@ -85,6 +85,43 @@ class RetrievalEvalSpec extends AnyFunSuite with SparkTestSession {
     assert(lbl.map(r => (r.getLong(1), r.getInt(2))).toSeq === Seq((1L, 2), (3L, 1)))
   }
 
+  test("melted multi-retriever evaluation equals per-retriever evaluateWithMacro") {
+    // The r19 single-pass path must reproduce the composed per-retriever
+    // output row for row — including the GROUPING SETS macro rows and
+    // the per-retriever cutoffs.
+    import spark.implicits._
+    val labels = Seq(
+      (0L, 1L, 2), (0L, 2L, 1), (0L, 7L, 3),
+      (1L, 5L, 1), (1L, 6L, 2),
+      (2L, 9L, 1)).toDF("query_id", "doc_id", "rel")
+    val sysA = Seq( // k = 2
+      (0L, 1L, 1), (0L, 3L, 2),
+      (1L, 6L, 1), (1L, 5L, 2),
+      (2L, 4L, 1), (2L, 9L, 2)).toDF("query_id", "doc_id", "rank")
+    val sysB = Seq( // k = 3, misses q2 entirely
+      (0L, 7L, 1), (0L, 2L, 2), (0L, 1L, 3),
+      (1L, 8L, 1), (1L, 9L, 2), (1L, 5L, 3)).toDF("query_id", "doc_id", "rank")
+    val expected = Seq(
+      ("a_k2", RetrievalEval.evaluateWithMacro(sysA, labels, 2)),
+      ("b_k3", RetrievalEval.evaluateWithMacro(sysB, labels, 3)))
+      .map { case (nm, df) => df.withColumn("retriever", lit(nm)) }
+      .reduce(_ unionByName _)
+      .select("retriever", "query_id", "n_rel", "n_hits",
+        "recall_at_k", "precision_at_k", "mrr", "ndcg_at_k")
+      .orderBy("retriever", "query_id")
+      .collect().toSeq
+    val melted = Seq(("a_k2", sysA), ("b_k3", sysB))
+      .map { case (nm, df) =>
+        df.select(lit(nm).as("retriever"), col("query_id"), col("doc_id"), col("rank"))
+      }
+      .reduce(_ unionByName _)
+    val got = RetrievalEval
+      .evaluateMeltedWithMacro(melted, labels, Seq("a_k2" -> 2, "b_k3" -> 3))
+      .orderBy("retriever", "query_id")
+      .collect().toSeq
+    assert(got === expected)
+  }
+
   test("fixture discrimination: bm25 macro beats the static baseline") {
     val name = "retrieval_eval"
     val df = SparkEntry.queries(name)(spark, "/root/testdata/sf0.001")

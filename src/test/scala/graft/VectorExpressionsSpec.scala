@@ -17,6 +17,32 @@ class VectorExpressionsSpec extends AnyFunSuite with SparkTestSession {
   private val vecGen: Gen[Array[Float]] =
     Gen.listOfN(64, Gen.chooseNum(-5.0f, 5.0f)).map(_.toArray)
 
+  test("MarginMicros matches the interpreted HOF fold exactly on random features") {
+    // The quality classifier's margin kernel (r19): codegen loop over a
+    // (bucket, cn) struct array against a literal long[] must equal the
+    // HOF fold it replaced — exact Long arithmetic, so equality is ==.
+    val rnd = new scala.util.Random(19)
+    val w = Seq.fill(33)(rnd.nextLong() % 2000000L)
+    val rows = (1 to 40).map { _ =>
+      val n = 1 + rnd.nextInt(12)
+      Seq.fill(n)((rnd.nextInt(33), rnd.nextLong() % 1000000L))
+    }
+    val df = rows.toDF("feats")
+      .select(org.apache.spark.sql.functions.expr(
+        "transform(feats, f -> struct(f._1 as bucket, CAST(f._2 AS BIGINT) as cn))")
+        .as("feats"))
+    val wLit = org.apache.spark.sql.functions.typedLit(w)
+    val got = df.select(
+      VectorExpressions.marginMicros($"feats", w).as("fast"),
+      org.apache.spark.sql.functions.aggregate($"feats",
+        org.apache.spark.sql.functions.lit(0L),
+        (acc, f) => acc + f.getField("cn") *
+          org.apache.spark.sql.functions.element_at(wLit, f.getField("bucket") + 1))
+        .as("ref")).collect()
+    got.foreach(r => assert(r.getLong(0) == r.getLong(1),
+      s"fast=${r.getLong(0)} ref=${r.getLong(1)}"))
+  }
+
   test("codegen cosine matches HOF cosine bit-for-bit on random vectors") {
     val pairs = (1 to 50).map { i =>
       (vecGen.pureApply(Gen.Parameters.default, Seed(i.toLong)),
