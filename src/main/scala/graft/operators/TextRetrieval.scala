@@ -97,17 +97,22 @@ object TextRetrieval {
     // floor (no-op at scale) keeps the tokenize off a single scan split;
     // termFrequencies applies its own and sees this one already in place.
     val docsP = Scale.parallelismFloor(docs)
-    // dl feeds TWO structurally different consumers — the (n_docs,
-    // avgdl) scalar broadcast and the per-posting length join — so the
-    // tokenize ran twice per invocation. Materialize it once (r19,
-    // guide §2.4): the frame is narrow (doc_id, dl) longs, and because
-    // the plan below is MAP-ONLY (no exchange) the lazy localCheckpoint
-    // costs nothing at construction — blocks fill when the first
-    // consumer's stage runs and the second consumer reads them back.
-    val dl = LoopCheckpoint.transient(docsP
+    // dl feeds TWO structurally different consumers (the (n_docs, avgdl)
+    // scalar broadcast and the per-posting length join), so the tokenize
+    // runs twice per invocation — a DELIBERATE non-change (r19): a
+    // map-only lazy localCheckpoint here read FLAT in fresh-JVM A/Bs but
+    // +16-25%% drift-adjusted on the bm25TopK callers (bm25_topk,
+    // retrieval_hybrid_rrf) in FOUR full interleaved recordings,
+    // including a same-day old-code-vs-new-code worktree run
+    // (OPTIMIZATION_r19.md "Re-measure") — the materialization barrier
+    // plus per-invocation block churn across a 191-query session costs
+    // more than the duplicated map-side tokenize saves. At 100 TB the
+    // right shape is materializing the whole postings layout once
+    // (tfidfTopTermsFromStats' discipline), not checkpointing inside
+    // every query invocation.
+    val dl = docsP
       .select(col("doc_id"), size(tokensCol(col("text"))).cast("long").as("dl"))
-      .filter(col("dl") > 0),
-      eager = false)
+      .filter(col("dl") > 0)
     val corpus = dl.agg(
       count(lit(1)).as("n_docs"),
       avg(col("dl").cast("double")).as("avgdl"))

@@ -253,12 +253,12 @@ class PlanQualitySpec extends AnyFunSuite with SparkTestSession {
     assert(plan("dsir_weights").contains("ExistingRDD"),
       "dsir_weights must read the materialized raw feature stream")
     // retrieval_eval (r19): the melted single-pass shape replaced the
-    // per-retriever label materialization (R19ScaleProbe measured the
-    // labels checkpoint SLOWER at every probed scale once the melt cut
-    // its consumers to 3); the ExistingRDD here is bm25's materialized
-    // doc-length frame, which both its consumers read.
-    assert(plan("retrieval_eval").contains("ExistingRDD"),
-      "retrieval_eval must read the materialized bm25 doc-length frame")
+    // per-retriever label materialization entirely — R19ScaleProbe
+    // measured the labels checkpoint SLOWER at every probed scale once
+    // the melt cut its consumers to 3, and the interleaved-bench
+    // worktree A/B retired the bm25 dl checkpoint too — so this query
+    // deliberately has NO ExistingRDD; its single-pass shape is pinned
+    // by the dedicated r19 test below (Expand + bounded exchanges).
   }
 
   test("r19 pretrain narrow-proxy: text never crosses an exchange") {
